@@ -1,0 +1,60 @@
+package graft
+
+import graft.core.{Condition, TableInfo}
+import graft.operators.{HashJoinExecutor, NestedJoinExecutor}
+import graft.sources.ParquetResolver
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end smoke of the user-facing facade — the reference README's
+  * canonical usage (reference: README.md:26-75) transposed to testdata:
+  * build a chained join, execute, save JSONL, pretty-print, report timings.
+  * Run: sbt "runMain graft.Demo [sfDir] [resultsDir]"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val resultsDir = if (args.length > 1) args(1) else "results"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val resolver = new ParquetResolver(sfDir)
+
+    val ex = new HashJoinExecutor(spark, resolver)
+      .join(TableInfo("customer", "c_custkey"), TableInfo("orders", "o_custkey"))
+      .join(TableInfo("orders", "o_orderkey"), TableInfo("lineitem", "l_orderkey"))
+      .filterBy(Condition("orders.o_totalprice", ">", 100000.0))
+    val n = ex.saveResult("demo_chain", resultsDir)
+    println(s"[demo] demo_chain rows: $n  timings: ${ex.getTimeElapsed}")
+    ex.printJoinResult("demo_chain", maxRows = 5, resultsDir = resultsDir)
+
+    val theta = new NestedJoinExecutor(spark, resolver)
+      .join(TableInfo("nation", "n_regionkey"), TableInfo("region", "r_regionkey"), "!=")
+    println(s"[demo] theta != rows: ${theta.execute().count()}")
+
+    // error paths a user would hit:
+    def expectError(label: String)(f: => Any): Unit =
+      try { f; println(s"[demo] $label: NO ERROR (unexpected)") }
+      catch { case e: IllegalArgumentException => println(s"[demo] $label: rejected — ${e.getMessage}") }
+    expectError("theta on hash executor") {
+      new HashJoinExecutor(spark, resolver)
+        .join(TableInfo("supplier", "s_acctbal"), TableInfo("customer", "c_acctbal"), "<")
+    }
+    expectError("select missing join column") {
+      new HashJoinExecutor(spark, resolver)
+        .select("customer", Seq("c_name"))
+        .join(TableInfo("customer", "c_custkey"), TableInfo("orders", "o_custkey"))
+        .execute()
+    }
+    expectError("broken chain (left table not in pipeline)") {
+      new HashJoinExecutor(spark, resolver)
+        .join(TableInfo("customer", "c_custkey"), TableInfo("orders", "o_custkey"))
+        .join(TableInfo("part", "p_partkey"), TableInfo("lineitem", "l_partkey"))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,44 @@
+package graft.sinks
+
+import graft.operators.JoinExecutor.unqual
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JSONL result sink, compatible with the reference's on-disk row shape:
+  * one JSON object per line, tuple keys encoded as nested objects
+  * `{column_name: {table_name: value}}`
+  * (reference: cassandra_joinlib/file_utils.py:36-48). Decimal / UUID /
+  * timestamp values serialize as strings (reference: utils.py:248-258) —
+  * `to_json` renders TimestampType as ISO-8601 and DecimalType as a JSON
+  * number-string, matching that convention.
+  *
+  * Unlike the reference's single append-only `results/<name>.txt`, the sink
+  * writes a directory of part files — the distributed-friendly layout (at
+  * 100 TB a single driver-side file is the bottleneck the reference's
+  * RabbitMQ gather loop suffers from, join_executor.py:297-320).
+  */
+object JsonlSink {
+
+  /** Restructure qualified columns `t__c` into nested `{c: {t: v}}` structs
+    * and write JSON lines. Returns the number of rows written.
+    */
+  def write(df: DataFrame, path: String): Long = {
+    val grouped = df.columns.toSeq.groupBy(q => unqual(q)._2)
+    val nested = grouped.toSeq.sortBy(_._1).map { case (c, qs) =>
+      struct(qs.map { q =>
+        val t = unqual(q)._1
+        df(q).as(if (t.isEmpty) "_" else t)
+      }: _*).as(c)
+    }
+    df.select(to_json(struct(nested: _*)).as("value"))
+      .write.mode("overwrite").text(path)
+    df.sparkSession.read.text(path).count()
+  }
+
+  /** Buffered pretty-print of a saved result
+    * (reference: printJoinResult, utils.py:39-127).
+    */
+  def print(spark: SparkSession, path: String, maxRows: Int = 20): Unit =
+    spark.read.json(path).show(maxRows, truncate = false)
+}
