@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics extensions beyond the reference surface (SURVEY.md §2 lists
+  * these as NOT implemented there; the north star asks for them as
+  * first-class scope): aggregation, distinct, window functions, sorts,
+  * top-k, set operations, semi/anti joins. All plain DataFrame API —
+  * Catalyst plans partial aggregation (map-side combine) and broadcasts
+  * small dimensions without any hand-scheduling.
+  *
+  * Determinism note: every money aggregate is computed in exact DECIMAL
+  * (associative, order-independent) and cast back to DOUBLE at the end —
+  * raw double sums differ in final bits between Spark's shuffle order and
+  * DuckDB's sequential scan, which would break the driver's hash compare.
+  */
+object AnalyticsQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** exact-decimal revenue term: extendedprice * (1 - discount) */
+  private val revenueTerm =
+    expr("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")
+  private val revenueTermSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  // TPC-H Q1-style pricing summary: groupBy + partial-agg-friendly sums
+  private val q1: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+        sum(revenueTerm).cast("double").as("sum_disc_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("count_order"))
+
+  // Q3-style: selective dimension filter + join + grouped revenue
+  private val q3: Q = (s, dir) => {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    // customer is the small filtered side — broadcast it so the
+    // orders⋈customer join is shuffle-free; orders⋈lineitem shuffles on
+    // the natural key once.
+    orders
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(revenueTerm).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // Q5-style: five-way join, revenue per nation (dimensions broadcast)
+  private val q5: Q = (s, dir) => {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val supplier = t(s, dir, "supplier")
+    val customer = t(s, dir, "customer")
+    val li = t(s, dir, "lineitem")
+    li.join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(customer,
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueTerm).cast("double").as("revenue"))
+  }
+
+  // exact distinct aggregation
+  private val aggDistinct: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  // window: rank each customer's orders (unique tiebreak → deterministic)
+  private val w1: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+  }
+
+  // window: running per-supplier quantity (ordered prefix sum, exact decimal)
+  private val w2: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast("decimal(12,2)")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+  }
+
+  // set operations (distinct semantics, like SQL UNION/INTERSECT/EXCEPT)
+  private val setUnion: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .union(c.filter(col("c_acctbal") > 9000.0).select(col("c_custkey")))
+      .distinct()
+  }
+  private val setIntersect: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .intersect(c.filter(col("c_acctbal") > 0.0).select(col("c_custkey")))
+  }
+  // customers minus customers holding a >400k order (non-empty at all SFs)
+  private val setExcept: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val bigOrderCusts = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    c.except(bigOrderCusts)
+  }
+
+  // semi / anti joins (EXISTS / NOT EXISTS)
+  private val jSemi: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  // NOT EXISTS over a filtered build side (non-empty at all SFs)
+  private val jAnti: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  // deterministic top-k (unique tiebreak)
+  private val topK: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  // rollup grouping sets (counts only — no float accumulation)
+  private val rollupQ: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1,
+    "q3_revenue" -> q3,
+    "q5_nation_revenue" -> q5,
+    "agg_distinct" -> aggDistinct,
+    "w1_rank" -> w1,
+    "w2_running_sum" -> w2,
+    "set_union" -> setUnion,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "j_semi" -> jSemi,
+    "j_anti" -> jAnti,
+    "topk_orders" -> topK,
+    "rollup_counts" -> rollupQ)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($revenueTermSql) AS DOUBLE) AS sum_disc_price,
+         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_revenue" ->
+      s"""SELECT o_orderkey,
+         |  CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderkey""".stripMargin,
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+    "agg_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "w1_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_qty
+        |FROM lineitem""".stripMargin,
+    "set_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 0.0""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |WHERE o_totalprice > 400000.0""".stripMargin,
+    "j_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "j_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 400000.0)""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "rollup_counts" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+}
