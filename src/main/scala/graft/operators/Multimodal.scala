@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through the
+  * pipeline as opaque `binary` columns with a typed metadata struct — the
+  * layout that keeps 100 TB of media co-partitioned with its text without
+  * forcing Spark to interpret the bytes.
+  *
+  * The actual codec work (`decode`) is a STUB — this container has no
+  * image/audio libraries — but the Spark-side plumbing is real and tested:
+  * typed `Dataset` schema, `mapPartitions` batch shape (one iterator per
+  * partition, exactly how a Pandas-UDF/JNI decoder would be driven), and
+  * explode-based frame sampling. Swap [[MediaDecode.decodeStub]] for a real
+  * decoder and nothing else changes.
+  */
+object Multimodal {
+
+  /** A media payload row: the binary column + provenance. */
+  case class MediaRow(doc_id: Long, kind: String, media: Array[Byte])
+
+  /** Decoded (stub) metadata for a payload. */
+  case class MediaMeta(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long)
+
+  /** Derive a deterministic media payload per document: the UTF-8 bytes of
+    * the text stand in for the image/audio/video blob, and `source`'s
+    * numeric suffix picks the modality. (Testdata has no real media; the
+    * binary column type and partitioning behavior are what's exercised.)
+    */
+  def attachMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (substring(col("source"), 4, 10).cast("int") % 3) + 1).as("kind"),
+      encode(col("text"), "UTF-8").cast("binary").as("media"))
+
+  /** STUB decoder: deterministic pseudo-metadata from the byte length.
+    * A real implementation would parse the container header (JPEG SOF /
+    * WAV fmt / MP4 moov) right here, per element, inside the partition
+    * iterator.
+    */
+  object MediaDecode {
+    def decodeStub(r: MediaRow): MediaMeta = {
+      val len = r.media.length.toLong
+      MediaMeta(
+        doc_id = r.doc_id,
+        kind = r.kind,
+        n_bytes = len,
+        width = 32 + (len * 7) % 1888,
+        height = 32 + (len * 13) % 1048,
+        n_frames = if (r.kind == "video") 1 + len % 30 else 1)
+    }
+  }
+
+  /** Decode metadata for every payload via `mapPartitions` — the batch
+    * shape a vectorized/native decoder needs (amortize codec init once per
+    * partition, stream rows through it). Narrow: no shuffle.
+    */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // real codecs would initialize their native context here, once
+      rows.map(MediaDecode.decodeStub)
+    }
+  }
+
+  /** Sample every `stride`-th frame of each video payload: explode the
+    * frame index range, slice a deterministic byte window per frame (a real
+    * pipeline would hand each frame to the image path). Output stays
+    * distributed — one row per sampled frame.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
+    val meta = decodeMeta(spark, media).toDF()
+      .filter(col("kind") === "video")
+    meta
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"))
+  }
+}

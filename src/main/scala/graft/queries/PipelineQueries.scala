@@ -1,0 +1,380 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries over `documents` / `embeddings` /
+  * `events` — dedup, similarity search, multimodal plumbing, text
+  * analysis, event-time analytics. These extend the reference surface per
+  * the north star (BASELINE.json).
+  *
+  * Oracle strategy: every deterministic operator ships a DuckDB SQL oracle
+  * computing the SAME arithmetic (polynomial hashes, minhash coefficients,
+  * simhash votes are all plain integer math both engines evaluate
+  * identically). The approximate ANN variants (s2/s3) are rows-only by
+  * design — their value is the plan shape, their baseline (s1) is
+  * hash-checked.
+  */
+object PipelineQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read the raw nanos as long and downconvert to a
+    * microsecond timestamp (exact — testdata timestamps are µs-grained).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle fragments (keep in lockstep with TextFunctions)
+  // ------------------------------------------------------------------
+
+  /** DuckDB: lowercased alnum tokens of expression `e`. */
+  private def sqlToks(e: String) =
+    s"list_filter(regexp_split_to_array(lower($e), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB: polynomial rolling hash of string expression `e` (must match
+    * TextFunctions.polyHash exactly).
+    */
+  private def sqlPolyHash(e: String) =
+    s"""CASE WHEN length($e) = 0 THEN 0 ELSE
+       |  list_reduce(list_transform(range(1, length($e)+1),
+       |                             i -> ascii(substr($e, i, 1))::BIGINT),
+       |              (x, y) -> (x*31 + y) % 1000000007) END""".stripMargin
+
+  /** DuckDB: distinct word 3-gram shingles of token-list expression `w`. */
+  private def sqlShingles(w: String) =
+    s"""CASE WHEN len($w) >= 3 THEN
+       |  list_distinct(list_transform(range(1, len($w)-1),
+       |                               i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]))
+       |  ELSE [] END""".stripMargin
+
+  private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def sqlHits(toks: String, words: Seq[String]) =
+    s"len(list_filter($toks, t -> t IN ${sqlIn(words)}))"
+
+  // ------------------------------------------------------------------
+  // Text analysis
+  // ------------------------------------------------------------------
+
+  private val t1: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      bpeishCount(col("text")).cast("long").as("n_bpeish"),
+      avgTokenLen(col("text")).as("avg_token_len"))
+
+  private val t2: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      alnumRatio(col("text")).as("alnum_ratio"),
+      stopwordRatio(col("text")).as("stop_ratio"),
+      qualityScore(col("text")).as("quality"))
+
+  private val t3: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(langId(col("text")).as("lang_guess"))
+      .groupBy("lang_guess").agg(count(lit(1)).as("n"))
+
+  private val t4: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"), polyHash(col("text")).as("fingerprint"))
+
+  // ------------------------------------------------------------------
+  // Dedup
+  // ------------------------------------------------------------------
+
+  private val d1: Q = (s, dir) =>
+    Dedup.exact(t(s, dir, "documents"), col("text"), col("doc_id"))
+      .select(col("keep_id"), col("n_copies"))
+
+  private val d2: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+      n = 3, minJaccard = 0.5)
+
+  private val d3: Q = (s, dir) =>
+    Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+      n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+
+  private val d4: Q = (s, dir) =>
+    Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+      maxHamming = 3)
+
+  private val d5: Q = (s, dir) =>
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), minCosine = 0.4)
+
+  // ------------------------------------------------------------------
+  // Similarity search
+  // ------------------------------------------------------------------
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") < 5)
+
+  private val s1: Q = (s, dir) =>
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10)
+
+  private val s2: Q = (s, dir) =>
+    Similarity.lshTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, tables = 4, bits = 6)
+
+  private val s3: Q = (s, dir) =>
+    Similarity.ivfTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, centroidStride = 50, nProbe = 2)
+
+  // ------------------------------------------------------------------
+  // Multimodal
+  // ------------------------------------------------------------------
+
+  private val mm1: Q = (s, dir) =>
+    Multimodal.decodeMeta(s, Multimodal.attachMedia(t(s, dir, "documents"))).toDF()
+
+  private val mm2: Q = (s, dir) =>
+    Multimodal.sampleFrames(s, Multimodal.attachMedia(t(s, dir, "documents")), stride = 4)
+
+  // ------------------------------------------------------------------
+  // Events (event-time analytics; streaming variants in graft.streaming)
+  // ------------------------------------------------------------------
+
+  private val e1: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  private val e2: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sec = col("ts").cast("double")
+    val newSession = when(
+      lag(sec, 1).over(byUser).isNull || sec - lag(sec, 1).over(byUser) > 1800.0,
+      1L).otherwise(0L)
+    events(s, dir)
+      .withColumn("is_new", newSession)
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+  }
+
+  private val e3: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("total_k"),
+        count(lit(1)).as("n"))
+
+  val queries: Map[String, Q] = Map(
+    "t1_token_stats" -> t1,
+    "t2_quality" -> t2,
+    "t3_langid" -> t3,
+    "t4_fingerprint" -> t4,
+    "d1_exact_dedup" -> d1,
+    "d2_ngram_jaccard" -> d2,
+    "d3_minhash_lsh" -> d3,
+    "d4_simhash" -> d4,
+    "d5_embedding_neardup" -> d5,
+    "s1_ann_bruteforce" -> s1,
+    "s2_ann_lsh" -> s2,
+    "s3_ann_ivf" -> s3,
+    "mm1_media_meta" -> mm1,
+    "mm2_frame_sample" -> mm2,
+    "e1_window_agg" -> e1,
+    "e2_sessionize" -> e2,
+    "e3_json_props" -> e3)
+
+  // ------------------------------------------------------------------
+  // Oracles
+  // ------------------------------------------------------------------
+
+  private val sqlKind =
+    "CASE (CAST(substr(source, 4) AS INT) % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  private def simhashSelect: String = {
+    val bits = (0 until 32).map { j =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"SELECT doc_id, $bits AS simhash FROM th GROUP BY doc_id"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""WITH toks AS (SELECT doc_id, text, ${sqlToks("text")} AS w FROM documents)
+         |SELECT doc_id,
+         |  len(w)::BIGINT AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpeish,
+         |  CASE WHEN len(w) > 0
+         |    THEN round(list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w), 6)
+         |    ELSE 0.0 END AS avg_token_len
+         |FROM toks""".stripMargin,
+    "t2_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS alnum_len,
+         |    length(text)::BIGINT AS n_chars,
+         |    ${sqlToks("text")} AS w
+         |  FROM documents),
+         |m2 AS (
+         |  SELECT doc_id,
+         |    round(alnum_len::DOUBLE / n_chars, 6) AS alnum_ratio,
+         |    CASE WHEN len(w) > 0
+         |      THEN round(${sqlHits("w", TextFunctions.EnStop)}::DOUBLE / len(w), 6)
+         |      ELSE 0.0 END AS stop_ratio,
+         |    (alnum_len * 1000000) // n_chars AS alnum_ppm,
+         |    CASE WHEN len(w) > 0
+         |      THEN (${sqlHits("w", TextFunctions.EnStop)}::BIGINT * 1000000) // len(w)
+         |      ELSE 0 END AS stop_ppm,
+         |    least(1000000, len(w)::BIGINT * 10000) AS len_ppm
+         |  FROM m)
+         |SELECT doc_id, alnum_ratio, stop_ratio,
+         |  ((len_ppm * 5 + stop_ppm * 3 + alnum_ppm * 2) // 10)::DOUBLE / 1000000.0 AS quality
+         |FROM m2""".stripMargin,
+    "t3_langid" ->
+      s"""WITH g AS (
+         |  SELECT CASE
+         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+         |    WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+         |    WHEN fr >= es AND fr > 0 THEN 'fr'
+         |    WHEN es > 0 THEN 'es'
+         |    ELSE 'unknown' END AS lang_guess
+         |  FROM (
+         |    SELECT text,
+         |      ${sqlHits("w", TextFunctions.EnStop)} AS en,
+         |      ${sqlHits("w", TextFunctions.DeStop)} AS de,
+         |      ${sqlHits("w", TextFunctions.FrStop)} AS fr,
+         |      ${sqlHits("w", TextFunctions.EsStop)} AS es
+         |    FROM (SELECT text, ${sqlToks("text")} AS w FROM documents)))
+         |SELECT lang_guess, count(*) AS n FROM g GROUP BY lang_guess""".stripMargin,
+    "t4_fingerprint" ->
+      s"""SELECT doc_id, ${sqlPolyHash("text")} AS fingerprint FROM documents""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "d2_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = doc_a
+         |JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, ${sqlShingles("w")} AS sh
+         |    FROM (SELECT doc_id, ${sqlToks("text")} AS w FROM documents))
+         |  WHERE len(sh) > 0),
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(range(0, 16), i ->
+         |      list_min(list_transform(sh, s ->
+         |        ((${sqlPolyHash("s")}) * (i*2 + 1) + (i*i*31 + 7)) % 1000000007))) AS sig
+         |  FROM base),
+         |banded AS (
+         |  SELECT doc_id, b AS band, list_slice(sig, b*4 + 1, b*4 + 4) AS bsig
+         |  FROM sig, unnest(range(0, 4)) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |    round(len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))::DOUBLE
+         |          / (len(sa.sh) + len(sb.sh)
+         |             - len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))), 6) AS jaccard
+         |  FROM cand
+         |  JOIN base sa ON sa.doc_id = doc_a
+         |  JOIN base sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin,
+    "d4_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |th AS (
+         |  SELECT doc_id, ${sqlPolyHash("t")} AS h
+         |  FROM (SELECT doc_id, unnest(w) AS t FROM toks)),
+         |fp AS ($simhashSelect)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "d5_embedding_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+    "s1_ann_bruteforce" ->
+      """SELECT q_id, vec_id, cos, rn FROM (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |               b.vec_id ASC) AS rn
+        |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rn <= 10""".stripMargin,
+    "mm1_media_meta" ->
+      s"""SELECT doc_id,
+         |  $sqlKind AS kind,
+         |  length(text)::BIGINT AS n_bytes,
+         |  32 + (length(text) * 7) % 1888 AS width,
+         |  32 + (length(text) * 13) % 1048 AS height,
+         |  CASE WHEN $sqlKind = 'video' THEN 1 + length(text) % 30 ELSE 1 END AS n_frames
+         |FROM documents""".stripMargin,
+    "mm2_frame_sample" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $sqlKind AS kind,
+         |    (1 + length(text) % 30)::BIGINT AS n_frames
+         |  FROM documents)
+         |SELECT doc_id, n_frames, f::BIGINT AS frame_idx
+         |FROM m, unnest(range(0, n_frames, 4)) t(f)
+         |WHERE kind = 'video'""".stripMargin,
+    "e1_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "e2_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch(ts)) OVER w IS NULL
+        |           OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessioned AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM sessioned GROUP BY user_id, session_id""".stripMargin,
+    "e3_json_props" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin)
+}
