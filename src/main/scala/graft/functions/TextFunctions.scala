@@ -108,12 +108,15 @@ object TextFunctions {
       .otherwise(lit("unknown"))
   }
 
-  /** Ratio of alphanumeric characters (lowercased) to total characters. */
+  /** Ratio of alphanumeric characters (lowercased) to total characters;
+    * 0 for the empty string (ANSI mode would otherwise raise on 0/0).
+    */
   def alnumRatio(text: Column): Column =
-    round(
-      length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") /
-        length(text),
-      6)
+    when(length(text) === 0, lit(0.0)).otherwise(
+      round(
+        length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") /
+          length(text),
+        6))
 
   /** English stopword ratio over the token count. */
   def stopwordRatio(text: Column): Column = {
@@ -146,9 +149,9 @@ object TextFunctions {
     def intDiv(a: Column, b: Column): Column = floor(a / b).cast("long")
     val stopPpm = when(nTok > 0,
       intDiv(hitCount(toks, EnStop).cast("long") * 1000000L, nTok)).otherwise(0L)
-    val alnumPpm = intDiv(
+    val alnumPpm = when(length(text) === 0, lit(0L)).otherwise(intDiv(
       length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("long") * 1000000L,
-      length(text).cast("long"))
+      length(text).cast("long")))
     val lenPpm = least(lit(1000000L), nTok * 10000L)
     (intDiv(lenPpm * 5 + stopPpm * 3 + alnumPpm * 2, lit(10L)).cast("double") /
       1000000.0).as("quality")

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // planted corpus: docs 1/2 exact dups, 3 a near-dup of 1 (one word
+  // changed), 4/5 unrelated
+  private val base = "the quick brown fox jumps over the lazy dog while rain falls on the hill"
+  private def docs: DataFrame = Seq(
+    (1L, base),
+    (2L, base),
+    (3L, base.replace("rain", "snow")),
+    (4L, "spark shuffles partitions across executors with hash exchanges every stage"),
+    (5L, "completely different text about cooking pasta with garlic and olive oil tonight"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct text") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L) // docs 1+2 collapse onto keep_id 1
+    assert(out.values.sum == 5L)
+    assert(!out.contains(2L))
+  }
+
+  test("ngram jaccard finds the exact and near pair, nothing else") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhash LSH recovers the same pairs with verified jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 3, 16, 4, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("simhash: identical docs at hamming 0; near pair within budget; banding is lossless") {
+    val fp = Dedup.simhash(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap((1L, 2L)) == 0L)
+    // brute-force ground truth: banded join must find EXACTLY the pairs
+    // with hamming <= 3 (pigeonhole guarantee)
+    val ids = fp.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= 3
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == brute)
+  }
+
+  test("driver testdata: all 25 planted near-dup pairs at sf0.01 are found") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(d, col("doc_id"), col("text"), 3, 16, 4, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 25)
+    assert(lsh == exact) // 16×4 bands reach full recall on this corpus
+  }
+
+  test("embedding near-dup pairs are symmetric-free and thresholded") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, col("vec_id"), col("embedding"), 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs: DataFrame = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f)),
+    (4L, Array(0.7f, 0.7f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine column: identical→1, orthogonal→0, opposite→-1") {
+    val out = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f)),
+      (Array(1.0f, 0.0f), Array(-3.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(round(Similarity.cosine(col("a"), col("b")), 9))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tiebreak, excludes self") {
+    val q = vecs.filter(col("vec_id") === 0L)
+    val got = Similarity.bruteForceTopK(vecs, q, col("vec_id"), col("embedding"), k = 3)
+      .orderBy("rn").select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L, 2L)) // cos: .994, .707, 0 (then -1 cut by k)
+  }
+
+  test("LSH top-k returns a cosine-descending subset of the base (no self)") {
+    val q = vecs.filter(col("vec_id") === 0L)
+    // few coarse buckets: 2-dim toy vectors need collisions to be testable
+    val rows = Similarity.lshTopK(vecs, q, col("vec_id"), col("embedding"), k = 4,
+      tables = 4, bits = 2)
+      .orderBy("rn").select("vec_id", "cos").as[(Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(!rows.map(_._1).contains(0L))
+    assert(rows.map(_._2) == rows.map(_._2).sorted.reverse)
+  }
+
+  test("IVF top-k probes lists and never returns the query itself") {
+    val q = vecs.filter(col("vec_id") < 2)
+    val rows = Similarity.ivfTopK(vecs, q, col("vec_id"), col("embedding"),
+      k = 3, centroidStride = 2, nProbe = 2)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (qid, vid) => qid != vid })
+  }
+
+  test("brute force matches a hand-rolled ranking on driver testdata") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0L)
+    val topk = Similarity.bruteForceTopK(emb, q, col("vec_id"), col("embedding"), k = 5)
+      .orderBy("rn").select("vec_id").as[Long].collect().toSeq
+    // hand-rolled: collect and compute in Scala
+    val all = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val qv = all.find(_._1 == 0L).get._2.map(_.toDouble)
+    def cos(v: Array[Float]) = {
+      val vd = v.map(_.toDouble)
+      val dot = qv.zip(vd).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(vd.map(x => x * x).sum))
+    }
+    val expect = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, BigDecimal(cos(v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+    assert(topk == expect)
+  }
+}

@@ -1,0 +1,32 @@
+package graft.sinks
+
+import graft.TestSpark
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class JsonlSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("writes reference-shaped nested JSONL {col: {table: value}}") {
+    val df = Seq((1L, "ann", 9.5)).toDF("users__uid", "users__name", "orders__amount")
+    val dir = Files.createTempDirectory("jsonl").toString + "/out"
+    val n = JsonlSink.write(df, dir)
+    assert(n == 1)
+    val line = spark.read.text(dir).collect().map(_.getString(0)).mkString
+    // tuple-key analog: column → {table → value} (file_utils.py:36-48)
+    assert(line.contains(""""uid":{"users":1}"""))
+    assert(line.contains(""""name":{"users":"ann"}"""))
+    assert(line.contains(""""amount":{"orders":9.5}"""))
+  }
+
+  test("round-trips through spark.read.json and print() does not throw") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("t__id", "t__v")
+    val dir = Files.createTempDirectory("jsonl2").toString + "/out"
+    JsonlSink.write(df, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    JsonlSink.print(spark, dir, maxRows = 2)
+  }
+}
