@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    warm-up cost is amortized across thousands of queries;
   *  - each query is materialized through the `noop` sink, which forces
   *    computation of EVERY output column (a bare `count()` would let
-  *    Catalyst prune the projection and under-measure).
+  *    Catalyst prune the projection and under-measure);
+  *  - per query: caches cleared, then best-of-two timed runs — the host is
+  *    shared, so single samples carry multi-second noise spikes;
+  *  - cache persistence *inside* a run is part of the measured query (the
+  *    dedup operators legitimately persist reused intermediates).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,13 +36,18 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try run(fn(spark, warmDir)) catch { case _: Throwable => () }
+        try { run(fn(spark, warmDir)); spark.sharedState.cacheManager.clearCache() }
+        catch { case _: Throwable => () }
       }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -48,13 +48,16 @@ object Dedup {
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh = docs
       .select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s"))
-    val filtered =
+    val filtered0 =
       if (maxDocFreq == Int.MaxValue) sh
       else {
         val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDocFreq).select("s")
         sh.join(freq, "s")
       }
+    // the posting rows feed three plan branches (per-doc counts + both join
+    // sides); persist so tokenize+shingle runs once, spilling if large
+    val filtered = filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = filtered.as("a")
       .join(filtered.as("b"),
@@ -87,17 +90,40 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // Persist BEFORE filtering: a filter under the persist would be pushed
+    // past the rebalance into the (single-split) scan and evaluate the
+    // whole shingle expression once per doc on one core; against the cache
+    // it's a cheap array-size check. Reused by the signature build and
+    // twice by the verify join.
     val base = docs.select(id.as("doc_id"), text.as("text"))
       .withColumn("sh", shingles(tokens(col("text")), n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // one row per (doc, band): band b = signature[b*rows, (b+1)*rows)
-    val banded = base.select(
+    // Signature via explode + k min-aggregates: each shingle is hashed
+    // exactly ONCE and the k affine permutations are plain codegen'd
+    // column arithmetic with map-side partial aggregation — the nested
+    // array-lambda formulation recomputes the rolling hash k times per
+    // shingle and resists whole-stage codegen.
+    val hashed = base
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), polyHash(col("s")).as("h"))
+    val minAggs = (0 until numHashes).map { i =>
+      min((col("h") * (i * 2 + 1) + (i * i * 31 + 7)) % graft.functions.TextFunctions.HashP)
+        .as(s"m$i")
+    }
+    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // one row per (doc, band): band b = signature[b*rows, (b+1)*rows).
+    // Persisted: the band self-join would otherwise run the whole
+    // explode+hash+k-min signature pipeline once per join side.
+    val banded = sig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -144,13 +170,19 @@ object Dedup {
   def simhashPairs(docs: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     val width = 32 / bands
+    // the fingerprint table feeds both sides of the band join — persist so
+    // the token explode + 32 vote sums run once
     val fp = simhash(docs, id, text)
-    // one row per (doc, band); shiftright takes a literal shift, so bands
-    // are generated as a unionByName of per-band projections
-    val bandRows = (0 until bands).map { b =>
-      fp.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        shiftright(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1)).as("bsig"))
-    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per (doc, band), via a single generate (shiftright takes a
+    // literal shift amount, so the band structs are built per-band)
+    val bandRows = fp.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * width).bitwiseAND(lit((1L << width) - 1)).as("bsig"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
     bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -161,21 +193,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact embedding near-dup pairs: cosine ≥ `minCosine` over a blocked
-    * self-join. Quadratic by nature (it is the *baseline*; the LSH variant
-    * in [[Similarity]] is the scale path) but expressed as a single Spark
-    * join so it distributes across executors instead of looping on the
-    * driver.
+  /** Exact embedding near-dup pairs: cosine ≥ `minCosine`, all pairs.
+    * Quadratic by nature (it is the *baseline*; the LSH variant in
+    * [[Similarity]] is the scale path), so the physical shape matters: one
+    * side is broadcast as primitive double arrays with pre-computed norms
+    * and the other side streams through a `mapPartitions` JIT loop — the
+    * classic broadcast-block brute force. A Catalyst self-join with
+    * higher-order-function dot products is ~50× slower here because every
+    * pair re-folds both norms through interpreted array lambdas.
+    *
+    * Arithmetic matches the declarative form bit-for-bit: left-to-right
+    * double summation, cos = dot/(√na·√nb), HALF_UP rounding to 6 digits.
     */
   def embeddingNearDupPairs(
       emb: DataFrame,
       id: Column,
       vec: Column,
       minCosine: Double = 0.4): DataFrame = {
-    val e = emb.select(id.as("vec_id"), vec.as("v"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos"))
-      .filter(col("cos") >= minCosine)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(id.cast("long").as("vec_id"), vec.cast("array<float>").as("v"))
+      .as[(Long, Array[Float])]
+    val all = e.collect().sortBy(_._1).map { case (i, v) =>
+      val d = v.map(_.toDouble)
+      var n = 0.0; var j = 0
+      while (j < d.length) { n += d(j) * d(j); j += 1 }
+      (i, d, math.sqrt(n))
+    }
+    val bc = spark.sparkContext.broadcast(all)
+    e.mapPartitions { it =>
+      val others = bc.value
+      it.flatMap { case (ida, va) =>
+        val da = va.map(_.toDouble)
+        var na = 0.0; var j = 0
+        while (j < da.length) { na += da(j) * da(j); j += 1 }
+        val sqa = math.sqrt(na)
+        others.iterator.filter(_._1 > ida).flatMap { case (idb, db, sqb) =>
+          var dot = 0.0; var k = 0
+          while (k < da.length) { dot += da(k) * db(k); k += 1 }
+          val cos = BigDecimal(dot / (sqa * sqb))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cos >= minCosine) Some((ida, idb, cos)) else None
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cos")
   }
 }

