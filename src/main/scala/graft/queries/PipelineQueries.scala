@@ -161,13 +161,10 @@ object PipelineQueries {
   // Events (event-time analytics; streaming variants in graft.streaming)
   // ------------------------------------------------------------------
 
+  // same transform object the streaming path uses (watermark applies only
+  // when the input is a stream) — batch and stream share one code path
   private val e1: Q = (s, dir) =>
-    events(s, dir)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_value"))
+    graft.streaming.EventStreams.windowedTypeCounts(events(s, dir))
 
   private val e2: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window

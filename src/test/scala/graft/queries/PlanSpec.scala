@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.TestSpark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: correctness tests prove WHAT is computed; these
+  * prove the physical plan is the one we'd want at 100 TB — filters reach
+  * the parquet scan, scans are column-pruned, small dimensions broadcast,
+  * and the big fact join shuffles instead of broadcasting.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("j1: residual filter is pushed down to the orders parquet scan") {
+    assume(new java.io.File(s"$dir/orders.parquet").exists())
+    val plan = planOf("j1_inner_hash")
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("GreaterThan(o_totalprice,100000.0)"),
+      "expected o_totalprice > 100000.0 inside PushedFilters")
+  }
+
+  test("p1: scan reads only the selected + key columns (column pruning)") {
+    assume(new java.io.File(s"$dir/customer.parquet").exists())
+    val plan = planOf("p1_projection")
+    // customer has 7 columns; the pruned read schema must not include e.g.
+    // the wide address/comment-ish fields
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.contains("c_custkey") && readSchemas.contains("c_name"))
+    assert(!readSchemas.contains("c_acctbal"),
+      s"customer scan not pruned:\n$readSchemas")
+  }
+
+  test("q3: filtered customer dimension is broadcast, not shuffled") {
+    assume(new java.io.File(s"$dir/customer.parquet").exists())
+    val plan = planOf("q3_revenue")
+    assert(plan.contains("BroadcastHashJoin"), "dimension join should broadcast")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the exchange") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val plan = planOf("q1_agg")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "expected partial aggregation below the shuffle")
+  }
+
+  test("j5: merge hint pins the sort-merge (grace-join analog) path") {
+    assume(new java.io.File(s"$dir/orders.parquet").exists())
+    val plan = planOf("j5_grace_shuffle")
+    assert(plan.contains("SortMergeJoin"), plan.take(400))
+  }
+
+  test("text-analysis pipeline is one narrow projection: no shuffle beyond the rebalance") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // (higher-order array lambdas are not whole-stage-codegen'd in Spark —
+    // the scalable property here is shuffle-freedom, not codegen spans)
+    val plan = planOf("t2_quality")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected only the scan rebalance exchange, got $exchanges")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"))
+  }
+}
