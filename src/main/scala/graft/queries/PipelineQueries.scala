@@ -116,6 +116,13 @@ object PipelineQueries {
   // Jaccard is ~0.2-0.3, and r=4 bands would let J^4 ≈ 1% of ALL pairs
   // through to the exact-verify join; r=8 cuts that to ~1e-4 while keeping
   // ~planted-dup (J ≥ 0.97) recall at 1-(1-J^8)^4 ≈ 0.999.
+  // stop-shingle cap: the skew knob for web-scale corpora (shingles in
+  // >maxDocFreq docs are join-skew, not signal); the oracle applies the
+  // identical cap so the gate stays exact
+  private val d2b: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+      n = 3, minJaccard = 0.5, maxDocFreq = 50)
+
   private val d3: Q = (s, dir) =>
     Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
       n = 3, numHashes = 32, bands = 4, minJaccard = 0.5)
@@ -190,6 +197,12 @@ object PipelineQueries {
       .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("total_k"),
         count(lit(1)).as("n"))
 
+  // two-stage salted aggregation over the 4-value heavy-hitter key —
+  // result is identical to the plain groupBy (the oracle computes that)
+  private val e4: Q = (s, dir) =>
+    graft.operators.SkewAgg.saltedSumCount(events(s, dir), col("event_type"), col("value"))
+      .select(col("key").as("event_type"), col("n"), col("sum_value"))
+
   val queries: Map[String, Q] = Map(
     "t1_token_stats" -> t1,
     "t2_quality" -> t2,
@@ -197,6 +210,7 @@ object PipelineQueries {
     "t4_fingerprint" -> t4,
     "d1_exact_dedup" -> d1,
     "d2_ngram_jaccard" -> d2,
+    "d2b_ngram_capped" -> d2b,
     "d3_minhash_lsh" -> d3,
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
@@ -207,7 +221,8 @@ object PipelineQueries {
     "mm2_frame_sample" -> mm2,
     "e1_window_agg" -> e1,
     "e2_sessionize" -> e2,
-    "e3_json_props" -> e3)
+    "e3_json_props" -> e3,
+    "e4_heavy_hitters_salted" -> e4)
 
   // ------------------------------------------------------------------
   // Oracles
@@ -284,6 +299,23 @@ object PipelineQueries {
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = doc_a
+         |JOIN cnt cb ON cb.doc_id = doc_b
+         |WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5""".stripMargin,
+    "d2b_ngram_capped" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
+         |keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         |         WHERE df <= 50),
+         |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
@@ -387,5 +419,9 @@ object PipelineQueries {
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
         |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "e4_heavy_hitters_salted" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin)
 }
