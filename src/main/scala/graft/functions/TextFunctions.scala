@@ -52,7 +52,17 @@ object TextFunctions {
     * (list_reduce seeds with the first element; our fold seeds with 0, and
     * (0*31 + c1) = c1, so the two agree.)
     */
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PolyHash(ColumnBridge.expression(s)))
+  }
+
+  /** The declarative (higher-order-function) formulation of [[polyHash]] —
+    * semantically identical; kept as the cross-check for the native
+    * expression (see TextFunctionsSpec) and as the reference for the
+    * DuckDB oracle text above.
+    */
+  def polyHashHof(s: Column): Column =
     when(length(s) === 0, lit(0L)).otherwise(
       aggregate(
         transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),

@@ -142,6 +142,25 @@ object ParityQueries {
         col("customer__c_acctbal").as("c_acctbal"),
         col("nation__n_name").as("n_name"))
 
+  // F1/CONTAINS: collection-membership predicate through the facade
+  // (reference: commands.py:73-74 `raw_rhs in raw_lhs`). The testdata has
+  // no native array columns, so the per-order part list is derived first —
+  // which also exercises the resolver seam with a non-parquet table.
+  private val f2contains: Q = (s, dir) => {
+    import graft.sources.InMemoryResolver
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val parts = s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_orderkey")).agg(collect_list(col("l_partkey")).as("parts"))
+    new HashJoinExecutor(s, new InMemoryResolver(Map(
+      "orders" -> orders, "order_parts" -> parts)))
+      .join(TableInfo("orders", "o_orderkey"), TableInfo("order_parts", "l_orderkey"))
+      .filterBy(Condition("order_parts.parts", "CONTAINS", 42L))
+      .execute()
+      .select(
+        col("orders__o_orderkey").as("o_orderkey"),
+        col("orders__o_totalprice").as("o_totalprice"))
+  }
+
   // P1: per-table projection through select() (join keys validated present)
   private val p1: Q = (s, dir) =>
     hash(s, dir)
@@ -178,6 +197,7 @@ object ParityQueries {
     "j6_theta_neq" -> j6neq,
     "j8_chain_multiway" -> j8,
     "f1_filter_algebra" -> f1,
+    "f2_contains" -> f2contains,
     "p1_projection" -> p1,
     "j1_composite_selfjoin" -> jComposite)
 
@@ -216,6 +236,10 @@ object ParityQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE (c_acctbal > 5000.0 OR c_mktsegment = 'BUILDING')
         |  AND NOT (n_name = 'NATION_3')""".stripMargin,
+    "f2_contains" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_partkey = 42)""".stripMargin,
     "p1_projection" ->
       """SELECT c_custkey, c_name, o_custkey, o_orderkey
         |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin,

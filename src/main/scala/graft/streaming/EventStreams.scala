@@ -52,6 +52,16 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen,
+    * with state bounded by the watermark (an id older than the watermark
+    * can no longer collide with an on-time arrival, so its state entry is
+    * dropped). The streaming counterpart of `Dedup.exact` — at-least-once
+    * sources become effectively-once sinks.
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming sessionization: a session closes after `gapSeconds` of
     * user inactivity. Open sessions live in keyed state; the event-time
     * timeout (driven by the watermark) flushes a session once no on-time

@@ -35,6 +35,11 @@ class TextFunctionsSpec extends AnyFunSuite {
       assert(one[Long](s, polyHash) == refPolyHash(s), s"for '$s'")
   }
 
+  test("native PolyHash expression ≡ declarative HOF formulation") {
+    for (s <- Seq("", "a", "hello world!", "ümlaut text", "a b c d e f g"))
+      assert(one[Long](s, polyHash) == one[Long](s, polyHashHof), s"for '$s'")
+  }
+
   test("shingles: distinct word 3-grams, short docs yield none") {
     assert(oneSeq[String]("a b c d", t => shingles(tokens(t), 3)) ==
       Seq("a b c", "b c d"))

@@ -71,6 +71,25 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dedupStream(stream.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // duplicate id in same batch
+        Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      stream.addData(Event(2, ts(3), 1, "view", 2.0)) // duplicate across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("in-session events extend rather than split (unit, via batch path)") {
     // direct check of gap semantics through the batch-equivalent SQL shape
     val df = Seq(
