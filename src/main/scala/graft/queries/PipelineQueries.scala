@@ -203,6 +203,21 @@ object PipelineQueries {
     graft.operators.SkewAgg.saltedSumCount(events(s, dir), col("event_type"), col("value"))
       .select(col("key").as("event_type"), col("n"), col("sum_value"))
 
+  // as-of join: each click picks up the most recent prior (≤ ts) view of
+  // the same user — one shuffle via the union+window composition
+  private val e5: Q = (s, dir) => {
+    val ev = events(s, dir)
+    graft.operators.AsOfJoin.asOf(
+      left = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      right = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("value").as("view_value")),
+      keys = Seq("user_id"), ts = "ts", leftId = "event_id",
+      payload = Seq("view_id", "view_value"), tieBreak = "view_id")
+      .select(col("event_id"), col("user_id"), col("view_id"), col("view_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_token_stats" -> t1,
     "t2_quality" -> t2,
@@ -222,7 +237,8 @@ object PipelineQueries {
     "e1_window_agg" -> e1,
     "e2_sessionize" -> e2,
     "e3_json_props" -> e3,
-    "e4_heavy_hitters_salted" -> e4)
+    "e4_heavy_hitters_salted" -> e4,
+    "e5_asof_join" -> e5)
 
   // ------------------------------------------------------------------
   // Oracles
@@ -423,5 +439,22 @@ object PipelineQueries {
     "e4_heavy_hitters_salted" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "e5_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id,
+        |    NULL::BIGINT AS view_id, NULL::DOUBLE AS view_value,
+        |    1 AS side, event_id AS tb
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, event_id, value, 0, event_id
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT user_id, ts, event_id, side,
+        |    last_value(view_id IGNORE NULLS) OVER win AS view_id,
+        |    last_value(view_value IGNORE NULLS) OVER win AS view_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, tb ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, view_id, view_value FROM w WHERE side = 1""".stripMargin)
 }
