@@ -141,6 +141,29 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Per-document MinHash signatures as `(doc_id, sig: array<long>)` —
+    * the building block for [[minhashLshPairs]] and for incremental
+    * group-level sketches via [[graft.functions.MinHashUnion]] (signatures
+    * union by elementwise min, so they can be maintained across batches).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    val hashed = docs
+      .select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s"))
+      .select(col("doc_id"), polyHash(col("s")).as("h"))
+    val minAggs = (0 until numHashes).map { i =>
+      min((col("h") * (i * 2 + 1) + (i * i * 31 + 7)) % graft.functions.TextFunctions.HashP)
+        .as(s"m$i")
+    }
+    hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** 32-bit SimHash per document: each token votes ±1 on every bit position
     * of its polynomial hash; bit j of the fingerprint is 1 iff the vote sum
     * is positive. Computed in one explode + one aggregation (token count

@@ -135,6 +135,21 @@ object PipelineQueries {
     Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
       col("embedding"), minCosine = 0.4)
 
+  // group-level MinHash sketches: per-doc signatures unioned per source
+  // through the custom typed Aggregator (elementwise min) — the
+  // incremental fleet-dedup building block
+  private val d6: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16)
+    val mhu = udaf(new graft.functions.MinHashUnion(16))
+    docs.select(col("doc_id"), col("source"))
+      .join(sigs, "doc_id")
+      .groupBy(col("source"))
+      .agg(mhu(col("sig")).as("usig"))
+      .select(col("source") +: (0 until 16).map(i =>
+        element_at(col("usig"), i + 1).as(s"m$i")): _*)
+  }
+
   // ------------------------------------------------------------------
   // Similarity search
   // ------------------------------------------------------------------
@@ -227,6 +242,7 @@ object PipelineQueries {
     "d2_ngram_jaccard" -> d2,
     "d2b_ngram_capped" -> d2b,
     "d3_minhash_lsh" -> d3,
+    "d6_source_signatures" -> d6,
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
     "s1_ann_bruteforce" -> s1,
@@ -367,6 +383,16 @@ object PipelineQueries {
          |  JOIN base sa ON sa.doc_id = doc_a
          |  JOIN base sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin,
+    "d6_source_signatures" -> {
+      val mins = (0 until 16).map(i =>
+        s"min((h * ${i * 2 + 1} + ${i * i * 31 + 7}) % 1000000007) AS m$i").mkString(",\n  ")
+      s"""WITH toks AS (SELECT source, ${sqlToks("text")} AS w FROM documents),
+         |sh AS (SELECT source, unnest(${sqlShingles("w")}) AS s FROM toks),
+         |hashed AS (SELECT source, ${sqlPolyHash("s")} AS h FROM sh)
+         |SELECT source,
+         |  $mins
+         |FROM hashed GROUP BY source""".stripMargin
+    },
     "d4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
          |th AS (
