@@ -1,9 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time named SparkEntry queries in isolation.
+  * Usage: runMain graft.Probe <sfDir> <query...>   (2 runs each)
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = args.drop(1)
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -13,10 +17,10 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       (1 to 2).foreach { i =>
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
-        println(f"$n run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
-        spark.sharedState.cacheManager.clearCache()
+        println(f"$n run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     spark.stop()
