@@ -36,6 +36,22 @@ object Demo {
       .join(TableInfo("nation", "n_regionkey"), TableInfo("region", "r_regionkey"), "!=")
     println(s"[demo] theta != rows: ${theta.execute().count()}")
 
+    // pipeline extensions, one-liners over the same testdata
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nearDups = graft.operators.Dedup
+      .minhashLshPairs(docs, col("doc_id"), col("text")).count()
+    println(s"[demo] minhash-LSH near-dup pairs: $nearDups")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ann = graft.operators.Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), col("vec_id"), col("embedding"), k = 3)
+      .orderBy("rn").select("vec_id", "cos").collect()
+      .map(r => s"${r.getLong(0)}@${r.getDouble(1)}").mkString(", ")
+    println(s"[demo] ann top-3 for vec 0: $ann")
+    val lang = graft.functions.TextFunctions.langId(col("text"))
+    println(s"[demo] language guesses: " +
+      docs.groupBy(lang.as("lang")).count().collect().map(_.toString).mkString(" "))
+
     // error paths a user would hit:
     def expectError(label: String)(f: => Any): Unit =
       try { f; println(s"[demo] $label: NO ERROR (unexpected)") }

@@ -141,6 +141,45 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Duplicate-cluster assignment from near-dup pairs: connected
+    * components via iterative hash-min label propagation — each vertex
+    * repeatedly adopts the minimum label among itself and its neighbors
+    * until fixpoint. The step is a join + aggregation (both
+    * shuffle-partitioned on the vertex id), iterations ≈ component
+    * diameter, and duplicate clusters are shallow in practice — this is
+    * the standard "pairs → canonical representative" step after any LSH
+    * dedup. Deterministic: the representative is the minimum doc id of
+    * the component.
+    *
+    * @param pairs edges as (`doc_a`, `doc_b`); output is
+    *              (`doc_id`, `cluster_rep`) for every vertex in `pairs`.
+    */
+  def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("v"))
+        .groupBy(col("dst").as("v2")).agg(min(col("l")).as("nl"))
+      val next = labels.join(neighborMin, col("v") === col("v2"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.l") =!= col("o.l")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("l").as("cluster_rep"))
+  }
+
   /** Per-document MinHash signatures as `(doc_id, sig: array<long>)` —
     * the building block for [[minhashLshPairs]] and for incremental
     * group-level sketches via [[graft.functions.MinHashUnion]] (signatures

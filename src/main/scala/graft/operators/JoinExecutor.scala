@@ -202,12 +202,19 @@ abstract class JoinExecutor(
 
   /** Materialize and write JSONL results (reference: `execute(save_as)` +
     * `__save_result`, hash_join.py:1195-1269). Returns the result row count.
+    * After the action, the executed plan's SQL metrics yield the
+    * `data_fetch` (scan) vs `join` split the reference reports
+    * (join_executor.py:214-231).
     */
   def saveResult(saveAs: String, resultsDir: String = "results"): Long = {
     val df = execute()
     val t0 = System.nanoTime()
     val n = graft.sinks.JsonlSink.write(df, s"$resultsDir/$saveAs")
-    timings("total") = (System.nanoTime() - t0) / 1e9
+    val total = (System.nanoTime() - t0) / 1e9
+    timings("total") = total
+    val fetch = JoinExecutor.scanTimeSec(df.queryExecution.executedPlan)
+    timings("data_fetch") = fetch
+    timings("join") = math.max(0.0, total - fetch)
     n
   }
 
@@ -222,6 +229,26 @@ abstract class JoinExecutor(
 }
 
 object JoinExecutor {
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  /** Sum of the parquet scan-time metrics across the (possibly adaptive)
+    * executed plan — the reference's `data_fetch` phase analog. Valid only
+    * after an action has run.
+    */
+  private[operators] def scanTimeSec(plan: SparkPlan): Double = {
+    val own = plan match {
+      case f: FileSourceScanExec =>
+        f.metrics.get("scanTime").map(_.value.toDouble / 1e3).getOrElse(0.0)
+      case _ => 0.0
+    }
+    val nested = plan match {
+      case a: AdaptiveSparkPlanExec => scanTimeSec(a.executedPlan)
+      case _ => plan.children.map(scanTimeSec).sum
+    }
+    own + nested
+  }
+
   /** Qualified column name — the tuple-key `(column, table)` analog. */
   def qual(table: String, column: String): String = s"${table}__$column"
   def unqual(qualified: String): (String, String) = {

@@ -71,6 +71,18 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact) // 16×4 bands reach full recall on this corpus
   }
 
+  test("clusterPairs finds connected components with min-id representative") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),          // chain component {1,2,3} → rep 1
+      (10L, 11L),                  // pair component {10,11} → rep 10
+      (20L, 21L), (21L, 22L), (20L, 22L)) // triangle {20,21,22} → rep 20
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("embedding near-dup pairs are symmetric-free and thresholded") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

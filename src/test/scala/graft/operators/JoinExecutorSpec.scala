@@ -118,6 +118,16 @@ class JoinExecutorSpec extends AnyFunSuite {
     }
   }
 
+  test("saveResult reports total / data_fetch / join timings (T1 parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-res").toString
+    val ex = hashEx.join(ti("users", "uid"), ti("orders", "uid"))
+    val n = ex.saveResult("t1_timing", dir)
+    assert(n == 3)
+    val t = ex.getTimeElapsed
+    assert(t.contains("total") && t.contains("data_fetch") && t.contains("join"))
+    assert(t("total") > 0.0 && t("join") >= 0.0 && t("data_fetch") >= 0.0)
+  }
+
   test("projection keeps selected + key columns only") {
     val res = hashEx
       .select("users", Seq("uid", "name"))
