@@ -48,6 +48,9 @@ object Dedup {
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh = docs
       .select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s"))
+      // feeds the doc-freq branch AND the join input when capped, plus the
+      // three downstream branches — tokenize once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered0 =
       if (maxDocFreq == Int.MaxValue) sh
       else {
@@ -178,6 +181,17 @@ object Dedup {
       iter += 1
     }
     labels.select(col("v").as("doc_id"), col("l").as("cluster_rep"))
+  }
+
+  /** The keep/drop decision that completes the dedup story: every doc
+    * survives except non-representative members of duplicate clusters.
+    * A broadcast anti-join — the cluster table is tiny relative to the
+    * corpus (it only contains docs that HAVE duplicates).
+    */
+  def keepCanonical(docs: DataFrame, id: Column, clusters: DataFrame): DataFrame = {
+    val drop = clusters.filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as("_drop_id"))
+    docs.join(broadcast(drop), id === col("_drop_id"), "left_anti")
   }
 
   /** Per-document MinHash signatures as `(doc_id, sig: array<long>)` —

@@ -143,6 +143,16 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
         n = 3, minJaccard = 0.5))
 
+  // the keep-set after near-dup clustering: all docs minus non-canonical
+  // cluster members (the end-to-end "dedup this corpus" answer)
+  private val d8: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.clusterPairs(
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), n = 3, minJaccard = 0.5))
+    Dedup.keepCanonical(docs, col("doc_id"), clusters)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   // group-level MinHash sketches: per-doc signatures unioned per source
   // through the custom typed Aggregator (elementwise min) — the
   // incremental fleet-dedup building block
@@ -252,6 +262,7 @@ object PipelineQueries {
     "d3_minhash_lsh" -> d3,
     "d6_source_signatures" -> d6,
     "d7_dup_clusters" -> d7,
+    "d8_dedup_keep" -> d8,
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
     "s1_ann_bruteforce" -> s1,
@@ -413,6 +424,30 @@ object PipelineQueries {
          |  UNION
          |  SELECT e.b AS v, w.l FROM walk w JOIN edges e ON e.a = w.v)
          |SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v""".stripMargin,
+    "d8_dedup_keep" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |p0 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM p0
+         |  JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b
+         |  WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |walk AS (
+         |  SELECT a AS v, a AS l FROM edges
+         |  UNION
+         |  SELECT e.b AS v, w.l FROM walk w JOIN edges e ON e.a = w.v),
+         |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM clusters c
+         |                  WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_rep)""".stripMargin,
     "d6_source_signatures" -> {
       val mins = (0 until 16).map(i =>
         s"min((h * ${i * 2 + 1} + ${i * i * 31 + 7}) % 1000000007) AS m$i").mkString(",\n  ")
