@@ -76,6 +76,19 @@ object AnalyticsQueries {
       .agg(sum(revenueTerm).cast("double").as("revenue"))
   }
 
+  // TPC-H Q4-style: correlated EXISTS subquery through the spark.sql
+  // entry path (decorrelated by Catalyst into a semi-join)
+  private val q4: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders_v
+        |WHERE EXISTS (SELECT 1 FROM lineitem_v
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
   // exact distinct aggregation
   private val aggDistinct: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -153,6 +166,7 @@ object AnalyticsQueries {
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1,
     "q3_revenue" -> q3,
+    "q4_exists_sql" -> q4,
     "q5_nation_revenue" -> q5,
     "agg_distinct" -> aggDistinct,
     "w1_rank" -> w1,
@@ -183,6 +197,12 @@ object AnalyticsQueries {
          |JOIN lineitem ON o_orderkey = l_orderkey
          |WHERE c_mktsegment = 'BUILDING'
          |GROUP BY o_orderkey""".stripMargin,
+    "q4_exists_sql" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q5_nation_revenue" ->
       s"""SELECT n_name, CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue
          |FROM lineitem
