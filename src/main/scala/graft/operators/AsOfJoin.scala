@@ -37,23 +37,28 @@ object AsOfJoin {
       leftId: String,
       payload: Seq[String],
       tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // The payload rides as ONE struct so the attached values always come
+    // from a single right row — independent per-column last(...) would mix
+    // fields across right rows whenever a payload value is null.
+    val pType = StructType(payload.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
     val l = left.select(
-      (keys :+ ts :+ leftId).map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_p_$c")) :+
+      (keys :+ ts :+ leftId).map(col) :+
+        lit(null).cast(pType).as("_p") :+
         lit(1).as("_side") :+ col(leftId).as("_tb"): _*)
     val r = right.select(
-      (keys :+ ts).map(col) ++ Seq(lit(null).cast(left.schema(leftId).dataType).as(leftId)) ++
-        payload.map(c => col(c).as(s"_p_$c")) :+
+      (keys :+ ts).map(col) ++ Seq(lit(null).cast(left.schema(leftId).dataType).as(leftId)) :+
+        struct(payload.map(col): _*).as("_p") :+
         lit(0).as("_side") :+ col(tieBreak).as("_tb"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col("_side").asc, col("_tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
+      .withColumn("_pp", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
       .select(
         (keys :+ ts :+ leftId).map(col) ++
-          payload.map(c => last(col(s"_p_$c"), ignoreNulls = true).over(w).as(c)) :+
-          col("_side"): _*)
-      .filter(col("_side") === 1)
-      .drop("_side")
+          payload.map(c => col(s"_pp.$c").as(c)): _*)
   }
 }

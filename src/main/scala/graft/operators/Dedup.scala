@@ -107,16 +107,10 @@ object Dedup {
     // column arithmetic with map-side partial aggregation — the nested
     // array-lambda formulation recomputes the rolling hash k times per
     // shingle and resists whole-stage codegen.
-    val hashed = base
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), polyHash(col("s")).as("h"))
-    val minAggs = (0 until numHashes).map { i =>
-      min((col("h") * (i * 2 + 1) + (i * i * 31 + 7)) % graft.functions.TextFunctions.HashP)
-        .as(s"m$i")
-    }
-    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    val sig = sigFromHashed(
+      base.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), polyHash(col("s")).as("h")),
+      numHashes)
     // one row per (doc, band): band b = signature[b*rows, (b+1)*rows).
     // Persisted: the band self-join would otherwise run the whole
     // explode+hash+k-min signature pipeline once per join side.
@@ -180,6 +174,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // silent truncation would emit multiple "clusters" for one component
+    // and keepCanonical would then retain duplicates — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs did not converge within $maxIters iterations — " +
+          "a component's diameter exceeds the budget; raise maxIters")
     labels.select(col("v").as("doc_id"), col("l").as("cluster_rep"))
   }
 
@@ -189,9 +189,11 @@ object Dedup {
     * corpus (it only contains docs that HAVE duplicates).
     */
   def keepCanonical(docs: DataFrame, id: Column, clusters: DataFrame): DataFrame = {
+    // no broadcast hint: the drop set scales with the duplicate count, so
+    // let Catalyst/AQE pick broadcast only when it actually fits
     val drop = clusters.filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id").as("_drop_id"))
-    docs.join(broadcast(drop), id === col("_drop_id"), "left_anti")
+    docs.join(drop, id === col("_drop_id"), "left_anti")
   }
 
   /** Per-document MinHash signatures as `(doc_id, sig: array<long>)` —
@@ -204,10 +206,17 @@ object Dedup {
       id: Column,
       text: Column,
       n: Int = 3,
-      numHashes: Int = 16): DataFrame = {
-    val hashed = docs
-      .select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s"))
-      .select(col("doc_id"), polyHash(col("s")).as("h"))
+      numHashes: Int = 16): DataFrame =
+    sigFromHashed(
+      docs.select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s"))
+        .select(col("doc_id"), polyHash(col("s")).as("h")),
+      numHashes)
+
+  /** k-min signature from `(doc_id, h)` shingle-hash rows — the single
+    * home of the affine permutation coefficients, which must stay in
+    * lockstep with the d3/d6 DuckDB oracles.
+    */
+  private def sigFromHashed(hashed: DataFrame, numHashes: Int): DataFrame = {
     val minAggs = (0 until numHashes).map { i =>
       min((col("h") * (i * 2 + 1) + (i * i * 31 + 7)) % graft.functions.TextFunctions.HashP)
         .as(s"m$i")
@@ -223,8 +232,10 @@ object Dedup {
     * shuffles once on doc id — linear, no skew beyond document length).
     */
   def simhash(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // polyHash values are < 2^30, which would leave bits 30-31 constant;
+    // a Knuth multiplicative mix mod 2^32 spreads tokens over all 32 bits
     val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("t"))
-      .withColumn("h", polyHash(col("t")))
+      .withColumn("h", (polyHash(col("t")) * 2654435761L) % 4294967296L)
     val bitSums = (0 until 32).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         .as(s"b$j")

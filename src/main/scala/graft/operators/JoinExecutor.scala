@@ -234,9 +234,13 @@ object JoinExecutor {
 
   /** Sum of the parquet scan-time metrics across the (possibly adaptive)
     * executed plan — the reference's `data_fetch` phase analog. Valid only
-    * after an action has run.
+    * after an action has run. AQE wraps exchanges in QueryStageExec leaf
+    * nodes, so recursion must step through their inner plans or every scan
+    * below a shuffle/broadcast is invisible.
     */
   private[operators] def scanTimeSec(plan: SparkPlan): Double = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val own = plan match {
       case f: FileSourceScanExec =>
         f.metrics.get("scanTime").map(_.value.toDouble / 1e3).getOrElse(0.0)
@@ -244,6 +248,8 @@ object JoinExecutor {
     }
     val nested = plan match {
       case a: AdaptiveSparkPlanExec => scanTimeSec(a.executedPlan)
+      case q: QueryStageExec => scanTimeSec(q.plan)
+      case r: ReusedExchangeExec => scanTimeSec(r.child)
       case _ => plan.children.map(scanTimeSec).sum
     }
     own + nested

@@ -3,27 +3,34 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Skew-mitigated aggregation: a handful of heavy-hitter keys (a 4-value
-  * `event_type` over billions of events, a viral `user_id`) would send all
-  * rows of one key through a single reducer. Salting splits each key into
-  * `salts` sub-keys for a parallel partial aggregate, then a second (tiny)
-  * aggregate merges the partials — the same two-stage shape AQE's skew
-  * mitigation applies to joins, made explicit for aggregations.
+/** Skew-aware aggregation over heavy-hitter keys.
   *
-  * The salt uses `spark_partition_id()`, so stage 1 combines within each
-  * input partition's rows without any extra column entropy, and the merged
-  * result is exactly the unsalted aggregate (sums in exact decimal are
-  * associative).
+  * Algebraic aggregates (sum/count/min/max) do NOT need manual skew
+  * handling: Spark's map-side partial aggregation emits at most one
+  * partial row per (input partition, key), so a hot key's reducer sees
+  * ≤ numPartitions tiny rows no matter how many raw rows it has.
+  *
+  * The genuinely skew-prone shape is *distinct-style* aggregation: a
+  * single-pass `count(DISTINCT v)` must co-locate every (hot key, v)
+  * occurrence. The fix is the explicit two-stage shape below — stage 1
+  * dedups on the COMPOSITE (key, value) key, so the hot key's values hash
+  * across all reducers; stage 2 counts the (already unique, already small)
+  * pairs per key. The same decomposition is what lets multiple distincts
+  * and distinct-plus-algebraic mixes scale.
   */
 object SkewAgg {
 
-  /** count + exact-decimal sum of `value` per `key`, two-stage salted. */
-  def saltedSumCount(df: DataFrame, key: Column, value: Column): DataFrame =
-    df.withColumn("_salt", spark_partition_id())
-      .groupBy(key.as("key"), col("_salt"))
-      .agg(count(lit(1)).as("_n"),
+  /** Per-key totals and exact distinct-value counts, two-stage:
+    * output (key, n, sum_value, n_distinct).
+    */
+  def distinctAndTotals(df: DataFrame, key: Column, value: Column, distinctOn: Column): DataFrame = {
+    val totals = df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"),
         sum(value.cast("decimal(18,2)")).as("_s"))
-      .groupBy(col("key"))
-      .agg(sum(col("_n")).as("n"),
-        sum(col("_s")).cast("double").as("sum_value"))
+    val distincts = df.select(key.as("key"), distinctOn.as("v")).distinct()
+      .groupBy("key").agg(count(lit(1)).as("n_distinct"))
+    totals.join(distincts, "key")
+      .select(col("key"), col("n"), col("_s").cast("double").as("sum_value"),
+        col("n_distinct"))
+  }
 }

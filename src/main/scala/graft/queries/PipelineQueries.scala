@@ -230,11 +230,13 @@ object PipelineQueries {
       .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("total_k"),
         count(lit(1)).as("n"))
 
-  // two-stage salted aggregation over the 4-value heavy-hitter key —
-  // result is identical to the plain groupBy (the oracle computes that)
+  // two-stage skew-aware distinct + totals over the 4-value heavy-hitter
+  // key — distinct dedups on the composite (key, user) so no reducer owns
+  // a whole hot key; the oracle computes the single-pass equivalent
   private val e4: Q = (s, dir) =>
-    graft.operators.SkewAgg.saltedSumCount(events(s, dir), col("event_type"), col("value"))
-      .select(col("key").as("event_type"), col("n"), col("sum_value"))
+    graft.operators.SkewAgg.distinctAndTotals(events(s, dir),
+      col("event_type"), col("value"), col("user_id"))
+      .select(col("key").as("event_type"), col("n"), col("sum_value"), col("n_distinct"))
 
   // as-of join: each click picks up the most recent prior (≤ ts) view of
   // the same user — one shuffle via the union+window composition
@@ -273,7 +275,7 @@ object PipelineQueries {
     "e1_window_agg" -> e1,
     "e2_sessionize" -> e2,
     "e3_json_props" -> e3,
-    "e4_heavy_hitters_salted" -> e4,
+    "e4_heavy_hitter_distinct" -> e4,
     "e5_asof_join" -> e5)
 
   // ------------------------------------------------------------------
@@ -309,11 +311,13 @@ object PipelineQueries {
          |  FROM documents),
          |m2 AS (
          |  SELECT doc_id,
-         |    round(alnum_len::DOUBLE / n_chars, 6) AS alnum_ratio,
+         |    CASE WHEN n_chars = 0 THEN 0.0
+         |         ELSE round(alnum_len::DOUBLE / n_chars, 6) END AS alnum_ratio,
          |    CASE WHEN len(w) > 0
          |      THEN round(${sqlHits("w", TextFunctions.EnStop)}::DOUBLE / len(w), 6)
          |      ELSE 0.0 END AS stop_ratio,
-         |    (alnum_len * 1000000) // n_chars AS alnum_ppm,
+         |    CASE WHEN n_chars = 0 THEN 0
+         |         ELSE (alnum_len * 1000000) // n_chars END AS alnum_ppm,
          |    CASE WHEN len(w) > 0
          |      THEN (${sqlHits("w", TextFunctions.EnStop)}::BIGINT * 1000000) // len(w)
          |      ELSE 0 END AS stop_ppm,
@@ -461,7 +465,7 @@ object PipelineQueries {
     "d4_simhash" ->
       s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
          |th AS (
-         |  SELECT doc_id, ${sqlPolyHash("t")} AS h
+         |  SELECT doc_id, ((${sqlPolyHash("t")}) * 2654435761) % 4294967296 AS h
          |  FROM (SELECT doc_id, unnest(w) AS t FROM toks)),
          |fp AS ($simhashSelect)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -527,25 +531,18 @@ object PipelineQueries {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
-    "e4_heavy_hitters_salted" ->
+    "e4_heavy_hitter_distinct" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type""".stripMargin,
     "e5_asof_join" ->
-      """WITH u AS (
-        |  SELECT user_id, ts, event_id,
-        |    NULL::BIGINT AS view_id, NULL::DOUBLE AS view_value,
-        |    1 AS side, event_id AS tb
-        |  FROM events WHERE event_type = 'click'
-        |  UNION ALL
-        |  SELECT user_id, ts, NULL, event_id, value, 0, event_id
-        |  FROM events WHERE event_type = 'view'),
-        |w AS (
-        |  SELECT user_id, ts, event_id, side,
-        |    last_value(view_id IGNORE NULLS) OVER win AS view_id,
-        |    last_value(view_value IGNORE NULLS) OVER win AS view_value
-        |  FROM u
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, side ASC, tb ASC
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, user_id, view_id, view_value FROM w WHERE side = 1""".stripMargin)
+      """SELECT c.event_id, c.user_id,
+        |  (SELECT v.event_id FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id,
+        |  (SELECT v.value FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_value
+        |FROM events c WHERE c.event_type = 'click'""".stripMargin)
 }

@@ -33,11 +33,17 @@ object EventStreams {
       n_events: Long,
       sum_value: Double)
 
-  /** Keyed state for [[sessionize]]. Public: Spark's generated state
-    * encoder calls the field accessors from compiled bytecode, which a
-    * Scala-private class hides from Janino.
+  /** One buffered event in [[sessionize]] keyed state. Public: Spark's
+    * generated state encoder calls accessors from compiled bytecode, which
+    * a Scala-private class hides from Janino.
     */
-  case class OpenSession(startMs: Long, lastMs: Long, n: Long, total: Double)
+  case class BufferedEvent(tsMs: Long, eventId: Long, value: Double)
+
+  /** Keyed state for [[sessionize]]: events not yet sealed by the
+    * watermark. Bounded — the flush emits and discards everything more
+    * than one gap behind the watermark.
+    */
+  case class SessionBuffer(events: Seq[BufferedEvent])
 
   /** Tumbling 1-hour counts and sums per event type. On a streaming input
     * the watermark lets Spark finalize windows and bound state; on a batch
@@ -63,9 +69,13 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming sessionization: a session closes after `gapSeconds` of
-    * user inactivity. Open sessions live in keyed state; the event-time
-    * timeout (driven by the watermark) flushes a session once no on-time
-    * event can extend it. Emits only closed sessions (Append mode).
+    * user inactivity. Events are BUFFERED in keyed state until the
+    * watermark seals them — a session is only emitted once the watermark
+    * has passed its end + gap, at which point no admissible (on-time)
+    * event can extend or split it. This keeps streaming output identical
+    * to the batch `e2_sessionize` window SQL even for out-of-order arrival
+    * across micro-batches; state per user is bounded by the watermark
+    * horizon. Emits closed sessions only (Append mode).
     *
     * The input must already carry a watermark on `ts`.
     */
@@ -73,46 +83,41 @@ object EventStreams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[SessionBuffer, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (user, batch, state) => updateUser(user, batch, state, gapSeconds * 1000L))
   }
 
-  private def toSession(user: Long, s: OpenSession): Session =
-    Session(user, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
-      s.n, s.total)
-
   private def updateUser(
       user: Long,
       batch: Iterator[Event],
-      state: GroupState[OpenSession],
+      state: GroupState[SessionBuffer],
       gapMs: Long): Iterator[Session] = {
-    if (batch.isEmpty && state.hasTimedOut) {
-      // watermark passed last-event + gap: the open session can't grow
-      val closed = state.getOption.map(toSession(user, _))
-      state.remove()
-      return closed.iterator
+    val buffered = state.getOption.map(_.events).getOrElse(Seq.empty)
+    val incoming = batch.map(e => BufferedEvent(e.ts.getTime, e.event_id, e.value)).toVector
+    val all = (buffered ++ incoming).sortBy(e => (e.tsMs, e.eventId))
+    if (all.isEmpty) { state.remove(); return Iterator.empty }
+
+    // group into gap-delimited sessions over the full (sorted) buffer
+    val sessions = all.foldLeft(Vector.empty[Vector[BufferedEvent]]) { (acc, e) =>
+      if (acc.nonEmpty && e.tsMs - acc.last.last.tsMs <= gapMs)
+        acc.init :+ (acc.last :+ e)
+      else acc :+ Vector(e)
     }
-    // within one micro-batch, order by event time (iterator order is not)
-    val evs = batch.toVector.sortBy(e => (e.ts.getTime, e.event_id))
-    val out = Vector.newBuilder[Session]
-    var cur = state.getOption
-    evs.foreach { e =>
-      val t = e.ts.getTime
-      cur match {
-        case Some(s) if t - s.lastMs <= gapMs =>
-          cur = Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1, s.total + e.value))
-        case Some(s) =>
-          out += toSession(user, s)
-          cur = Some(OpenSession(t, t, 1, e.value))
-        case None =>
-          cur = Some(OpenSession(t, t, 1, e.value))
-      }
+    val wm = state.getCurrentWatermarkMs()
+    // sessions are time-ordered and disjoint by > gap, so the sealed ones
+    // (watermark beyond end + gap: nothing on-time can extend them) form a
+    // prefix
+    val (closed, open) = sessions.partition(s => wm > s.last.tsMs + gapMs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessionBuffer(open.flatten))
+      // wake when the earliest open session becomes sealable
+      state.setTimeoutTimestamp(math.max(open.head.last.tsMs + gapMs + 1, wm + 1))
     }
-    cur.foreach { s =>
-      state.update(s)
-      state.setTimeoutTimestamp(s.lastMs + gapMs)
+    closed.iterator.map { s =>
+      Session(user, new java.sql.Timestamp(s.head.tsMs), new java.sql.Timestamp(s.last.tsMs),
+        s.size.toLong, s.map(_.value).sum)
     }
-    out.result().iterator
   }
 }

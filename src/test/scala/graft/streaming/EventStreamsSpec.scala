@@ -90,6 +90,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize places a cross-batch late event in its own earlier session (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(
+      stream.toDS().withWatermark("ts", "3 hours").as[Event],
+      gapSeconds = 1800)
+    val q = sessions.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 at 02:00; batch 2 delivers a LATE event at 00:00
+      // (within the 3h watermark delay) — batch semantics place it in its
+      // own session, not merged into the 02:00 one
+      stream.addData(Event(1, ts(120), 1, "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(Event(2, ts(0), 1, "view", 2.0))
+      q.processAllAvailable()
+      // advance watermark far enough to seal both sessions, then trigger
+      stream.addData(Event(3, ts(600), 2, "view", 9.0))
+      q.processAllAvailable()
+      stream.addData(Event(4, ts(660), 2, "view", 9.0))
+      q.processAllAvailable()
+      val got = spark.table("late_sessions").as[Session].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(got.length == 2, s"expected two separate sessions, got ${got.mkString(", ")}")
+      assert(got(0).session_start == ts(0) && got(0).n_events == 1)
+      assert(got(1).session_start == ts(120) && got(1).n_events == 1)
+    } finally q.stop()
+  }
+
   test("in-session events extend rather than split (unit, via batch path)") {
     // direct check of gap semantics through the batch-equivalent SQL shape
     val df = Seq(
