@@ -208,11 +208,31 @@ abstract class JoinExecutor(
     */
   def saveResult(saveAs: String, resultsDir: String = "results"): Long = {
     val df = execute()
+    // The write runs its own QueryExecution (the builder df's plan is never
+    // executed directly), so scan metrics must be captured from the actual
+    // execution via a listener — reading df.queryExecution would always
+    // report zero.
+    val captured = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.compareAndSet(null, qe) // first event = the JSONL write job
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
     val t0 = System.nanoTime()
-    val n = graft.sinks.JsonlSink.write(df, s"$resultsDir/$saveAs")
+    val n =
+      try graft.sinks.JsonlSink.write(df, s"$resultsDir/$saveAs")
+      finally {
+        org.apache.spark.graft.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+        spark.listenerManager.unregister(listener)
+      }
     val total = (System.nanoTime() - t0) / 1e9
     timings("total") = total
-    val fetch = JoinExecutor.scanTimeSec(df.queryExecution.executedPlan)
+    val fetch = Option(captured.get())
+      .map(qe => JoinExecutor.scanTimeSec(qe.executedPlan)).getOrElse(0.0)
     timings("data_fetch") = fetch
     timings("join") = math.max(0.0, total - fetch)
     n
