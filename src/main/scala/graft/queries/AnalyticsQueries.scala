@@ -89,6 +89,15 @@ object AnalyticsQueries {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+  // quantile_cont, verified bit-identical on this data)
+  private val a1: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+
   // exact distinct aggregation
   private val aggDistinct: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -168,6 +177,7 @@ object AnalyticsQueries {
     "q3_revenue" -> q3,
     "q4_exists_sql" -> q4,
     "q5_nation_revenue" -> q5,
+    "a1_percentiles" -> a1,
     "agg_distinct" -> aggDistinct,
     "w1_rank" -> w1,
     "w2_running_sum" -> w2,
@@ -213,6 +223,12 @@ object AnalyticsQueries {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name""".stripMargin,
+    "a1_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "agg_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
         |       COUNT(*) AS n_orders
