@@ -12,10 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - each query is materialized through the `noop` sink, which forces
   *    computation of EVERY output column (a bare `count()` would let
   *    Catalyst prune the projection and under-measure);
-  *  - per query: caches cleared, then best-of-two timed runs — the host is
-  *    shared, so single samples carry multi-second noise spikes;
-  *  - cache persistence *inside* a run is part of the measured query (the
-  *    dedup operators legitimately persist reused intermediates).
+  *  - noise robustness: the host is shared, so single samples carry
+  *    multi-second straggler spikes. Three full passes run in
+  *    *randomized query order* (a spike of background load hits different
+  *    queries each pass) and each query reports its MEDIAN sample;
+  *  - failure honesty: a query that throws records -1 and its error in the
+  *    `errors` map — it can never masquerade as a fast success, and its
+  *    sample is excluded from `total`;
+  *  - caches are cleared between samples; cache persistence *inside* a run
+  *    is part of the measured query (the dedup operators legitimately
+  *    persist reused intermediates).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,22 +43,43 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
         try { run(fn(spark, warmDir)); spark.sharedState.cacheManager.clearCache() }
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => () } // warm-up only; timed passes report errors
       }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val names = SparkEntry.queries.keys.toVector.sorted
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible pass orders
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    (1 to 3).foreach { _ =>
+      rnd.shuffle(names).foreach { name =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          run(SparkEntry.queries(name)(spark, sfDir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          samples(name) = samples.getOrElse(name, Vector.empty) :+ sec
+        } catch {
+          case e: Throwable => errors(name) = e.toString
+        }
       }
-      name -> times.min
     }
+    def median(v: Vector[Double]): Double = { val s = v.sorted; s((s.size - 1) / 2) }
+    val results = names.map { n =>
+      n -> samples.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0)
+    }
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      }.take(200)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

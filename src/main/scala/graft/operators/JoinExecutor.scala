@@ -234,6 +234,8 @@ abstract class JoinExecutor(
     val fetch = Option(captured.get())
       .map(qe => JoinExecutor.scanTimeSec(qe.executedPlan)).getOrElse(0.0)
     timings("data_fetch") = fetch
+    // data_fetch is cumulative task time (see scanTimeSec); on wide local
+    // runs it can exceed wall-clock, clamping the derived join phase to 0
     timings("join") = math.max(0.0, total - fetch)
     n
   }
@@ -257,6 +259,15 @@ object JoinExecutor {
     * after an action has run. AQE wraps exchanges in QueryStageExec leaf
     * nodes, so recursion must step through their inner plans or every scan
     * below a shuffle/broadcast is invisible.
+    *
+    * Two measurement caveats, both inherent to SQL metrics:
+    *  - a `ReusedExchangeExec` SHARES the original subtree's metric
+    *    objects, so recursing into it would double-count the same scan —
+    *    reused exchanges contribute 0 here by design;
+    *  - `scanTime` accumulates across concurrent tasks, so `data_fetch` is
+    *    cumulative task time (like Spark UI stage metrics), not wall-clock
+    *    — on a 32-core local run it can legitimately exceed the wall-clock
+    *    total, in which case the derived `join` phase clamps to 0.
     */
   private[operators] def scanTimeSec(plan: SparkPlan): Double = {
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
@@ -269,7 +280,7 @@ object JoinExecutor {
     val nested = plan match {
       case a: AdaptiveSparkPlanExec => scanTimeSec(a.executedPlan)
       case q: QueryStageExec => scanTimeSec(q.plan)
-      case r: ReusedExchangeExec => scanTimeSec(r.child)
+      case _: ReusedExchangeExec => 0.0 // shares the original's metrics
       case _ => plan.children.map(scanTimeSec).sum
     }
     own + nested

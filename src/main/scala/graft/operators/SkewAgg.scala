@@ -22,15 +22,21 @@ object SkewAgg {
 
   /** Per-key totals and exact distinct-value counts, two-stage:
     * output (key, n, sum_value, n_distinct).
+    *
+    * NULL semantics match SQL `COUNT(DISTINCT v)`: null values are excluded
+    * before the stage-1 dedup (a bare `distinct()` would keep one null row
+    * per key and over-count by 1), and a key whose values are ALL null
+    * still appears with n_distinct = 0 via the left join + coalesce.
     */
   def distinctAndTotals(df: DataFrame, key: Column, value: Column, distinctOn: Column): DataFrame = {
     val totals = df.groupBy(key.as("key"))
       .agg(count(lit(1)).as("n"),
         sum(value.cast("decimal(18,2)")).as("_s"))
-    val distincts = df.select(key.as("key"), distinctOn.as("v")).distinct()
+    val distincts = df.select(key.as("key"), distinctOn.as("v"))
+      .filter(col("v").isNotNull).distinct()
       .groupBy("key").agg(count(lit(1)).as("n_distinct"))
-    totals.join(distincts, "key")
+    totals.join(distincts, Seq("key"), "left")
       .select(col("key"), col("n"), col("_s").cast("double").as("sum_value"),
-        col("n_distinct"))
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
 }

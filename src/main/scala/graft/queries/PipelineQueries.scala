@@ -282,8 +282,15 @@ object PipelineQueries {
   // Oracles
   // ------------------------------------------------------------------
 
+  // TRY_CAST (not CAST): attachMedia's substring-cast yields null on a
+  // non-numeric suffix, and with no ELSE branch a null modulus maps to null
+  // kind on both sides. Byte lengths use octet_length(encode(..)) — the
+  // Spark side measures the UTF-8 payload, and char-count length() would
+  // silently diverge on any multibyte text.
   private val sqlKind =
-    "CASE (CAST(substr(source, 4) AS INT) % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+    "CASE (TRY_CAST(substr(source, 4) AS INT) % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'video' END"
+
+  private val sqlNBytes = "octet_length(encode(text))"
 
   private def simhashSelect: String = {
     val bits = (0 until 32).map { j =>
@@ -491,15 +498,15 @@ object PipelineQueries {
     "mm1_media_meta" ->
       s"""SELECT doc_id,
          |  $sqlKind AS kind,
-         |  length(text)::BIGINT AS n_bytes,
-         |  32 + (length(text) * 7) % 1888 AS width,
-         |  32 + (length(text) * 13) % 1048 AS height,
-         |  CASE WHEN $sqlKind = 'video' THEN 1 + length(text) % 30 ELSE 1 END AS n_frames
+         |  $sqlNBytes::BIGINT AS n_bytes,
+         |  32 + ($sqlNBytes * 7) % 1888 AS width,
+         |  32 + ($sqlNBytes * 13) % 1048 AS height,
+         |  CASE WHEN $sqlKind = 'video' THEN 1 + $sqlNBytes % 30 ELSE 1 END AS n_frames
          |FROM documents""".stripMargin,
     "mm2_frame_sample" ->
       s"""WITH m AS (
          |  SELECT doc_id, $sqlKind AS kind,
-         |    (1 + length(text) % 30)::BIGINT AS n_frames
+         |    (1 + $sqlNBytes % 30)::BIGINT AS n_frames
          |  FROM documents)
          |SELECT doc_id, n_frames, f::BIGINT AS frame_idx
          |FROM m, unnest(range(0, n_frames, 4)) t(f)

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
 object JsonlSink {
 
   /** Restructure qualified columns `t__c` into nested `{c: {t: v}}` structs
-    * and write JSON lines. Returns the number of rows written.
+    * and write JSON lines. Returns the number of rows written, observed
+    * in-flight via `Dataset.observe` — NOT by re-reading the output (a
+    * second full pass over the result set, which at 100 TB doubles the
+    * sink cost and showed up as phantom "join" time in the executor's
+    * phase split).
     */
   def write(df: DataFrame, path: String): Long = {
     val grouped = df.columns.toSeq.groupBy(q => unqual(q)._2)
@@ -31,9 +35,11 @@ object JsonlSink {
         df(q).as(if (t.isEmpty) "_" else t)
       }: _*).as(c)
     }
+    val obs = org.apache.spark.sql.Observation()
     df.select(to_json(struct(nested: _*)).as("value"))
+      .observe(obs, count(lit(1)).as("rows_written"))
       .write.mode("overwrite").text(path)
-    df.sparkSession.read.text(path).count()
+    obs.get("rows_written").asInstanceOf[Long]
   }
 
   /** Buffered pretty-print of a saved result
