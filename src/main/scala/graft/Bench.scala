@@ -16,9 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    multi-second straggler spikes. Three full passes run in
   *    *randomized query order* (a spike of background load hits different
   *    queries each pass) and each query reports its MEDIAN sample;
-  *  - failure honesty: a query that throws records -1 and its error in the
-  *    `errors` map — it can never masquerade as a fast success, and its
-  *    sample is excluded from `total`;
+  *  - failure honesty: a query that throws in ANY pass records -1 and its
+  *    last error in the `errors` map — a flaky query can never masquerade
+  *    as a (fast or slow) success, and it is excluded from `total`. A
+  *    query is reported with a positive median iff all its passes
+  *    succeeded;
   *  - caches are cleared between samples; cache persistence *inside* a run
   *    is part of the measured query (the dedup operators legitimately
   *    persist reused intermediates).
@@ -64,8 +66,10 @@ object Bench {
       }
     }
     def median(v: Vector[Double]): Double = { val s = v.sorted; s((s.size - 1) / 2) }
+    // any-pass failure → -1 (partial successes are not trustworthy medians)
     val results = names.map { n =>
-      n -> samples.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0)
+      n -> samples.get(n).filter(_.nonEmpty && !errors.contains(n))
+        .map(median).getOrElse(-1.0)
     }
     def esc(s: String): String =
       s.flatMap {
@@ -74,7 +78,7 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       }.take(200)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"${esc(k)}\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
       .mkString("{", ",", "}")

@@ -23,19 +23,22 @@ object SkewAgg {
   /** Per-key totals and exact distinct-value counts, two-stage:
     * output (key, n, sum_value, n_distinct).
     *
-    * NULL semantics match SQL `COUNT(DISTINCT v)`: null values are excluded
-    * before the stage-1 dedup (a bare `distinct()` would keep one null row
-    * per key and over-count by 1), and a key whose values are ALL null
-    * still appears with n_distinct = 0 via the left join + coalesce.
+    * NULL semantics match SQL `COUNT(DISTINCT v) ... GROUP BY key` on both
+    * axes: null VALUES are excluded before the stage-1 dedup (a bare
+    * `distinct()` would keep one null row per key and over-count by 1); a
+    * key whose values are ALL null still appears with n_distinct = 0 via
+    * the left join + coalesce; and a null KEY is a real SQL group, so the
+    * join is null-safe (`<=>`) — a plain equi-join would never match the
+    * null-key group and silently zero its distinct count.
     */
   def distinctAndTotals(df: DataFrame, key: Column, value: Column, distinctOn: Column): DataFrame = {
     val totals = df.groupBy(key.as("key"))
       .agg(count(lit(1)).as("n"),
         sum(value.cast("decimal(18,2)")).as("_s"))
-    val distincts = df.select(key.as("key"), distinctOn.as("v"))
+    val distincts = df.select(key.as("dkey"), distinctOn.as("v"))
       .filter(col("v").isNotNull).distinct()
-      .groupBy("key").agg(count(lit(1)).as("n_distinct"))
-    totals.join(distincts, Seq("key"), "left")
+      .groupBy("dkey").agg(count(lit(1)).as("n_distinct"))
+    totals.join(distincts, col("key") <=> col("dkey"), "left")
       .select(col("key"), col("n"), col("_s").cast("double").as("sum_value"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
   }
