@@ -57,27 +57,51 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table t, bit h,
+  /** Deterministic pseudo-random hyperplane weight for (table t, bit h,
     * dim d): an integer in [-32768, 32767] from a multiplicative hash —
-    * reproducible anywhere, no RNG state.
+    * reproducible anywhere (the DuckDB oracle recomputes the identical
+    * formula), no RNG state.
     */
-  private def planeWeight(t: Int, h: Int, d: Column): Column =
-    ((lit(t * 7919 + h * 104729 + 1) * (d + 1) * 2654435761L) % 65536L) - 32768L
+  private def planeWeight(t: Int, h: Int, d: Int): Double =
+    (((t * 7919 + h * 104729 + 1).toLong * (d + 1) * 2654435761L) % 65536L - 32768L).toDouble
 
-  /** Sign-bucket id of a vector under `bits` hyperplanes of table `t`. */
-  private def bucketId(v: Column, t: Int, bits: Int): Column =
-    (0 until bits).map { h =>
-      val dotP = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x.cast("double") * planeWeight(t, h, d)),
-        lit(0.0), _ + _)
-      when(dotP > 0, lit(1L << h)).otherwise(0L)
-    }.reduce(_ + _)
+  /** All `tables × bits` hyperplanes as literal weight arrays, dims
+    * 0 until `maxDim` (vectors longer than maxDim are rejected loudly by
+    * the expression). Row `t*bits + h` is plane (t, h).
+    */
+  private def planes(tables: Int, bits: Int, maxDim: Int): Array[Array[Double]] =
+    Array.tabulate(tables * bits) { th =>
+      val (t, h) = (th / bits, th % bits)
+      Array.tabulate(maxDim)(d => planeWeight(t, h, d))
+    }
+
+  /** Sign-bucket ids of a float-vector column for all `tables` hash tables
+    * at once — one codegen'd pass per row (see [[HyperplaneBuckets]]).
+    */
+  private def bucketIds(v: Column, tables: Int, bits: Int, maxDim: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.HyperplaneBuckets(
+      ColumnBridge.expression(v.cast("array<double>")), planes(tables, bits, maxDim), bits))
+  }
 
   /** LSH ANN: `tables` independent hash tables of `bits` hyperplanes each.
     * Candidates = base vectors sharing a bucket with the query in ANY
     * table; exact cosine re-ranks the candidates. Approximate — recall
     * rises with `tables`, per-query cost falls with `bits`.
+    *
+    * Plan shape (the 100 TB story): bucket ids for ALL tables are computed
+    * in ONE codegen'd pass over the base (a per-table union would rescan
+    * and re-hash `tables` times), then exploded to (tbl, bucket) rows; the
+    * query side is broadcast, so the candidate join shuffles NOTHING — the
+    * only shuffle is the dedup + final top-k over the (rare) candidates.
+    * Vectors ride along with their bucket rows, so no second pass over the
+    * base is needed for re-ranking; the dedup is a groupBy+first (not
+    * `distinct`) so map-side partial aggregation collapses a pair's up-to-
+    * `tables` copies before they ever hit the wire.
+    *
+    * Default (tables=24, bits=4) is gated at mean recall@10 ≥ 0.9 against
+    * the exact top-k on the driver testdata (SimilaritySpec); raise `bits`
+    * for denser corpora, `tables` for higher recall.
     */
   def lshTopK(
       base: DataFrame,
@@ -85,22 +109,21 @@ object Similarity {
       id: Column,
       vec: Column,
       k: Int = 10,
-      tables: Int = 4,
-      bits: Int = 6): DataFrame = {
+      tables: Int = 24,
+      bits: Int = 4,
+      maxDim: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = base.select(id.as("vec_id"), vec.as("v"))
-    val q = queries.select(id.as("q_id"), vec.as("qv"))
-    def withBuckets(df: DataFrame, v: String) = (0 until tables).map { t =>
-      df.select(df.columns.map(col): _*)
-        .withColumn("tbl", lit(t))
-        .withColumn("bucket", bucketId(col(v), t, bits))
-    }.reduce(_ unionByName _)
-    val candidates = withBuckets(b, "v").as("a")
-      .join(withBuckets(q, "qv").hint("broadcast").as("qq"),
+    def bucketed(df: DataFrame, idName: String, vName: String) =
+      df.select(col(idName), col(vName),
+          posexplode(bucketIds(col(vName), tables, bits, maxDim)).as(Seq("tbl", "bucket")))
+    val bb = bucketed(base.select(id.as("vec_id"), vec.as("v")), "vec_id", "v")
+    val qb = bucketed(queries.select(id.as("q_id"), vec.as("qv")), "q_id", "qv")
+    val candidates = bb.as("a")
+      .join(qb.hint("broadcast").as("qq"),
         col("a.tbl") === col("qq.tbl") && col("a.bucket") === col("qq.bucket") &&
           col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), col("qv"), col("v"))
-      .distinct()
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(first(col("qv")).as("qv"), first(col("v")).as("v"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     candidates

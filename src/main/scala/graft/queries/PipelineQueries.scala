@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * Oracle strategy: every deterministic operator ships a DuckDB SQL oracle
   * computing the SAME arithmetic (polynomial hashes, minhash coefficients,
   * simhash votes are all plain integer math both engines evaluate
-  * identically). The approximate ANN variants (s2/s3) are rows-only by
-  * design — their value is the plan shape, their baseline (s1) is
-  * hash-checked.
+  * identically). The "approximate" ANN variants (s2/s3) are approximate
+  * w.r.t. the exact top-k but fully DETERMINISTIC algorithms (hyperplanes
+  * and centroids are pure integer math), so they are hash-checked too —
+  * the oracle replays the same bucketing/assignment in SQL.
   */
 object PipelineQueries {
 
@@ -179,9 +180,12 @@ object PipelineQueries {
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
       col("vec_id"), col("embedding"), k = 10)
 
+  // (tables=24, bits=4): gated at mean recall@10 >= 0.9 vs the exact s1
+  // ranking on the driver testdata (SimilaritySpec); the oracle replays
+  // the identical deterministic bucketing, so this is hash-checked too
   private val s2: Q = (s, dir) =>
     Similarity.lshTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
-      col("vec_id"), col("embedding"), k = 10, tables = 4, bits = 6)
+      col("vec_id"), col("embedding"), k = 10, tables = 24, bits = 4)
 
   private val s3: Q = (s, dir) =>
     Similarity.ivfTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
@@ -291,6 +295,24 @@ object PipelineQueries {
     "CASE (TRY_CAST(substr(source, 4) AS INT) % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'video' END"
 
   private val sqlNBytes = "octet_length(encode(text))"
+
+  /** DuckDB: the LSH sign-bucket id of `embedding` for hash table `t` (a
+    * correlated column) — Σ_h (v·plane(t,h) > 0 ? 1<<h : 0). The dot
+    * product replays HyperplaneBuckets' left-to-right double fold exactly:
+    * list_reduce seeds with the FIRST element, Spark's loop seeds with 0.0,
+    * and 0.0 + x == x for every IEEE double (a -0.0 first term flips to
+    * +0.0, which the `> 0` sign test cannot distinguish). The weight
+    * formula must stay in lockstep with Similarity.planeWeight.
+    */
+  private def sqlLshBucket(bits: Int): String =
+    (0 until bits).map { h =>
+      val dot = s"""list_reduce(
+                   |      list_transform(range(1, len(embedding)+1),
+                   |        i -> embedding[i]::DOUBLE *
+                   |             (((t*7919 + ${h * 104729 + 1}) * i * 2654435761) % 65536 - 32768)::DOUBLE),
+                   |      (x, y) -> x + y)""".stripMargin
+      s"(CASE WHEN $dot > 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString("\n    + ")
 
   private def simhashSelect: String = {
     val bits = (0 until 32).map { j =>
@@ -494,6 +516,55 @@ object PipelineQueries {
         |               b.vec_id ASC) AS rn
         |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
         |  WHERE q.vec_id < 5)
+        |WHERE rn <= 10""".stripMargin,
+    "s2_ann_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, t,
+         |    ${sqlLshBucket(4)} AS bucket
+         |  FROM embeddings, unnest(range(0, 24)) tt(t)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS vec_id
+         |  FROM b x JOIN b q ON x.t = q.t AND x.bucket = q.bucket
+         |  WHERE q.vec_id < 5 AND q.vec_id <> x.vec_id),
+         |scored AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.q_id
+         |  JOIN embeddings be ON be.vec_id = c.vec_id)
+         |SELECT q_id, vec_id, cos, rn FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM scored)
+         |WHERE rn <= 10""".stripMargin,
+    "s3_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+        |listed AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT b.vec_id, b.embedding AS v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+        |                 c.c_id ASC) AS crn
+        |    FROM embeddings b CROSS JOIN cents c)
+        |  WHERE crn <= 1),
+        |probed AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+        |                 c.c_id ASC) AS crn
+        |    FROM embeddings q CROSS JOIN cents c
+        |    WHERE q.vec_id < 5)
+        |  WHERE crn <= 2)
+        |SELECT q_id, vec_id, cos, rn FROM (
+        |  SELECT p.q_id, l.vec_id,
+        |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+        |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) DESC,
+        |               l.vec_id ASC) AS rn
+        |  FROM listed l JOIN probed p ON l.c_id = p.c_id
+        |  WHERE p.q_id <> l.vec_id)
         |WHERE rn <= 10""".stripMargin,
     "mm1_media_meta" ->
       s"""SELECT doc_id,

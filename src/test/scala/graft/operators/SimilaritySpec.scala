@@ -55,6 +55,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall { case (qid, vid) => qid != vid })
   }
 
+  test("LSH recall@10 vs exact top-k >= 0.9 on driver testdata (the ANN gate)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = sets(Similarity.bruteForceTopK(emb, q, col("vec_id"), col("embedding"), k = 10))
+    val lsh = sets(Similarity.lshTopK(emb, q, col("vec_id"), col("embedding"),
+      k = 10, tables = 24, bits = 4))
+    val recalls = exact.map { case (qid, ex) =>
+      lsh.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean < 0.9 (per-query: $recalls)")
+  }
+
   test("brute force matches a hand-rolled ranking on driver testdata") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
