@@ -282,47 +282,72 @@ object Dedup {
 
   /** Exact embedding near-dup pairs: cosine ≥ `minCosine`, all pairs.
     * Quadratic by nature (it is the *baseline*; the LSH variant in
-    * [[Similarity]] is the scale path), so the physical shape matters: one
-    * side is broadcast as primitive double arrays with pre-computed norms
-    * and the other side streams through a `mapPartitions` JIT loop — the
-    * classic broadcast-block brute force. A Catalyst self-join with
-    * higher-order-function dot products is ~50× slower here because every
-    * pair re-folds both norms through interpreted array lambdas.
+    * [[Similarity]] is the scale path), so the physical shape matters:
+    * **block-tiled** pair generation. Rows hash into `numBlocks` blocks by
+    * id; every row is replicated to the `numBlocks` tiles (bi ≤ bj) its
+    * block participates in; ONE shuffle groups each tile's two block-sides;
+    * a JIT while-loop kernel scores the tile's cross product. This is the
+    * classic distributed block-nested-loop: no driver-side collect, no
+    * whole-corpus broadcast, per-task memory bounded by two blocks
+    * (size `numBlocks` so a block fits an executor), replication factor
+    * exactly `numBlocks`. A Catalyst self-join with higher-order-function
+    * dot products is ~50× slower because every pair re-folds both norms
+    * through interpreted array lambdas.
     *
-    * Arithmetic matches the declarative form bit-for-bit: left-to-right
-    * double summation, cos = dot/(√na·√nb), HALF_UP rounding to 6 digits.
+    * Arithmetic is bit-for-bit the declarative form: left-to-right double
+    * summation, cos = dot/(√na·√nb), HALF_UP rounding to 6 digits (IEEE
+    * multiplication is commutative, so tile orientation cannot change a
+    * pair's value).
     */
   def embeddingNearDupPairs(
       emb: DataFrame,
       id: Column,
       vec: Column,
-      minCosine: Double = 0.4): DataFrame = {
+      minCosine: Double = 0.4,
+      numBlocks: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(id.cast("long").as("vec_id"), vec.cast("array<float>").as("v"))
-      .as[(Long, Array[Float])]
-    val all = e.collect().sortBy(_._1).map { case (i, v) =>
-      val d = v.map(_.toDouble)
-      var n = 0.0; var j = 0
-      while (j < d.length) { n += d(j) * d(j); j += 1 }
-      (i, d, math.sqrt(n))
-    }
-    val bc = spark.sparkContext.broadcast(all)
-    e.mapPartitions { it =>
-      val others = bc.value
-      it.flatMap { case (ida, va) =>
-        val da = va.map(_.toDouble)
-        var na = 0.0; var j = 0
-        while (j < da.length) { na += da(j) * da(j); j += 1 }
-        val sqa = math.sqrt(na)
-        others.iterator.filter(_._1 > ida).flatMap { case (idb, db, sqb) =>
+    require(numBlocks > 0, s"numBlocks must be positive, got $numBlocks")
+    val b = numBlocks
+    val row = struct(id.cast("long").as("_1"), vec.cast("array<float>").as("_2"))
+    val tiles = emb
+      .select(pmod(id.cast("long"), lit(b)).cast("int").as("blk"), row.as("r"),
+        explode(sequence(lit(0), lit(b - 1))).as("p"))
+      .groupBy(
+        least(col("blk"), col("p")).as("_1"),
+        greatest(col("blk"), col("p")).as("_2"))
+      // a row is the tile's 'a' side iff its block is the tile's low block
+      // (for the diagonal tile both sides coincide and 'b' stays empty);
+      // sort for a deterministic, id-ascending kernel order
+      .agg(
+        sort_array(collect_list(when(col("blk") <= col("p"), col("r")))).as("_3"),
+        sort_array(collect_list(when(col("blk") > col("p"), col("r")))).as("_4"))
+      .as[(Int, Int, Array[(Long, Array[Float])], Array[(Long, Array[Float])])]
+    tiles.flatMap { case (ba, bb, ra, rb) =>
+      def prep(rows: Array[(Long, Array[Float])]): Array[(Long, Array[Double], Double)] =
+        rows.map { case (i, v) =>
+          val d = v.map(_.toDouble)
+          var n = 0.0; var j = 0
+          while (j < d.length) { n += d(j) * d(j); j += 1 }
+          (i, d, math.sqrt(n))
+        }
+      val pa = prep(ra)
+      val diagonal = ba == bb
+      val pb = if (diagonal) pa else prep(rb)
+      val out = Iterator.range(0, pa.length).flatMap { x =>
+        val (ia, da, sqa) = pa(x)
+        Iterator.range(if (diagonal) x + 1 else 0, pb.length).flatMap { y =>
+          val (ib, db, sqb) = pb(y)
           var dot = 0.0; var k = 0
           while (k < da.length) { dot += da(k) * db(k); k += 1 }
           val cos = BigDecimal(dot / (sqa * sqb))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (cos >= minCosine) Some((ida, idb, cos)) else None
+          if (cos >= minCosine)
+            Some(if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
+          else None
         }
       }
+      out
     }.toDF("vec_a", "vec_b", "cos")
   }
 }
