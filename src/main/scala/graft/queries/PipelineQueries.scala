@@ -138,18 +138,21 @@ object PipelineQueries {
 
   // pairs → duplicate clusters → canonical representative (min doc id of
   // the connected component), the step that turns near-dup pairs into a
-  // keep/drop decision
+  // keep/drop decision. Fed from the LSH candidate pairs (the scale path —
+  // banded equi-join, no Σf² posting self-join), same params as d3;
+  // `ngramJaccardPairs` stays the standalone exact baseline in d2.
   private val d7: Q = (s, dir) =>
     Dedup.clusterPairs(
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
-        n = 3, minJaccard = 0.5))
+      Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5))
 
   // the keep-set after near-dup clustering: all docs minus non-canonical
   // cluster members (the end-to-end "dedup this corpus" answer)
   private val d8: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val clusters = Dedup.clusterPairs(
-      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), n = 3, minJaccard = 0.5))
+      Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5))
     Dedup.keepCanonical(docs, col("doc_id"), clusters)
       .select(col("doc_id"), col("lang"), col("source"))
   }
@@ -321,6 +324,54 @@ object PipelineQueries {
     s"SELECT doc_id, $bits AS simhash FROM th GROUP BY doc_id"
   }
 
+  /** DuckDB replay of `Dedup.minhashLshPairs` (n=3, 32 hashes, 4 bands,
+    * minJaccard 0.5): shingle → minhash signature → 8-row bands →
+    * band-equality candidates → exact Jaccard verify. Shared by the d3
+    * pair gate and the d7/d8 cluster oracles so all three stay in
+    * lockstep with the one Spark implementation.
+    */
+  private val sqlLshPairCtes =
+    s"""base AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, ${sqlShingles("w")} AS sh
+       |    FROM (SELECT doc_id, ${sqlToks("text")} AS w FROM documents))
+       |  WHERE len(sh) > 0),
+       |sig AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(range(0, 32), i ->
+       |      list_min(list_transform(sh, s ->
+       |        ((${sqlPolyHash("s")}) * (i*2 + 1) + (i*i*31 + 7)) % 1000000007))) AS sig
+       |  FROM base),
+       |banded AS (
+       |  SELECT doc_id, b AS band, list_slice(sig, b*8 + 1, b*8 + 8) AS bsig
+       |  FROM sig, unnest(range(0, 4)) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    round(len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))::DOUBLE
+       |          / (len(sa.sh) + len(sb.sh)
+       |             - len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))), 6) AS jaccard
+       |  FROM cand
+       |  JOIN base sa ON sa.doc_id = doc_a
+       |  JOIN base sb ON sb.doc_id = doc_b)""".stripMargin
+
+  /** Hash-min connected components over the LSH pairs + canonical-rep
+    * labeling, as a recursive walk (DuckDB side of `Dedup.clusterPairs`).
+    */
+  private val sqlLshClusterCtes =
+    s"""$sqlLshPairCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |walk AS (
+       |  SELECT a AS v, a AS l FROM edges
+       |  UNION
+       |  SELECT e.b AS v, w.l FROM walk w JOIN edges e ON e.a = w.v)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" ->
       s"""WITH toks AS (SELECT doc_id, text, ${sqlToks("text")} AS w FROM documents)
@@ -409,74 +460,13 @@ object PipelineQueries {
          |JOIN cnt cb ON cb.doc_id = doc_b
          |WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5""".stripMargin,
     "d3_minhash_lsh" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, sh FROM (
-         |    SELECT doc_id, ${sqlShingles("w")} AS sh
-         |    FROM (SELECT doc_id, ${sqlToks("text")} AS w FROM documents))
-         |  WHERE len(sh) > 0),
-         |sig AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(range(0, 32), i ->
-         |      list_min(list_transform(sh, s ->
-         |        ((${sqlPolyHash("s")}) * (i*2 + 1) + (i*i*31 + 7)) % 1000000007))) AS sig
-         |  FROM base),
-         |banded AS (
-         |  SELECT doc_id, b AS band, list_slice(sig, b*8 + 1, b*8 + 8) AS bsig
-         |  FROM sig, unnest(range(0, 4)) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT doc_a, doc_b,
-         |    round(len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))::DOUBLE
-         |          / (len(sa.sh) + len(sb.sh)
-         |             - len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))), 6) AS jaccard
-         |  FROM cand
-         |  JOIN base sa ON sa.doc_id = doc_a
-         |  JOIN base sb ON sb.doc_id = doc_b)
+      s"""WITH $sqlLshPairCtes
          |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin,
     "d7_dup_clusters" ->
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
-         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
-         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |p0 AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM p0
-         |  JOIN cnt ca ON ca.doc_id = doc_a
-         |  JOIN cnt cb ON cb.doc_id = doc_b
-         |  WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |walk AS (
-         |  SELECT a AS v, a AS l FROM edges
-         |  UNION
-         |  SELECT e.b AS v, w.l FROM walk w JOIN edges e ON e.a = w.v)
+      s"""WITH RECURSIVE $sqlLshClusterCtes
          |SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v""".stripMargin,
     "d8_dedup_keep" ->
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
-         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
-         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |p0 AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM p0
-         |  JOIN cnt ca ON ca.doc_id = doc_a
-         |  JOIN cnt cb ON cb.doc_id = doc_b
-         |  WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |walk AS (
-         |  SELECT a AS v, a AS l FROM edges
-         |  UNION
-         |  SELECT e.b AS v, w.l FROM walk w JOIN edges e ON e.a = w.v),
+      s"""WITH RECURSIVE $sqlLshClusterCtes,
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v)
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM clusters c
