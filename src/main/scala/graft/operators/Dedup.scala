@@ -22,6 +22,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // Persisted intermediates must outlive the lazily-returned frame until
+  // the CALLER's terminal action, so operators cannot unpersist them on
+  // exit. Every persist below registers here; `unpersistIntermediates()`
+  // is the release handle for long-lived sessions (Verify/Bench simply
+  // clear the whole cache between queries).
+  private val intermediates = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def cached(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    intermediates.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate the dedup operators have cached since the
+    * last call. Call after the terminal action on an operator's result.
+    * Safe while other results are still in flight only if they came from
+    * other operator families. Returns the number of frames released.
+    */
+  def unpersistIntermediates(blocking: Boolean = false): Int = {
+    var n = 0
+    var df = intermediates.poll()
+    while (df != null) { df.unpersist(blocking); n += 1; df = intermediates.poll() }
+    n
+  }
+
   /** Exact dedup: one representative (minimum id) per distinct value of
     * `key`. A single hash aggregation — Spark plans partial aggregation
     * before the shuffle, which is the scalable exact-dedup shape.
@@ -48,19 +73,21 @@ object Dedup {
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh = docs
       .select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s"))
-      // feeds the doc-freq branch AND the join input when capped, plus the
-      // three downstream branches — tokenize once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered0 =
       if (maxDocFreq == Int.MaxValue) sh
-      else {
-        val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFreq).select("s")
-        sh.join(freq, "s")
-      }
-    // the posting rows feed three plan branches (per-doc counts + both join
-    // sides); persist so tokenize+shingle runs once, spilling if large
-    val filtered = filtered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else
+        // doc-freq as a window count over the shingle key: ONE shuffle on s
+        // and one pass over the tokenizer output, vs the groupBy+self-join
+        // formulation that traverses (and therefore re-tokenizes or
+        // re-caches) the posting list twice
+        sh.withColumn("df",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+          .filter(col("df") <= maxDocFreq)
+          .drop("df")
+    // the surviving posting rows feed three plan branches (per-doc counts +
+    // both join sides); the single persist makes tokenize+shingle run once,
+    // spilling if large
+    val filtered = cached(filtered0)
     val counts = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = filtered.as("a")
       .join(filtered.as("b"),
@@ -98,9 +125,8 @@ object Dedup {
     // whole shingle expression once per doc on one core; against the cache
     // it's a cheap array-size check. Reused by the signature build and
     // twice by the verify join.
-    val base = docs.select(id.as("doc_id"), text.as("text"))
-      .withColumn("sh", shingles(tokens(col("text")), n))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = cached(docs.select(id.as("doc_id"), text.as("text"))
+      .withColumn("sh", shingles(tokens(col("text")), n)))
       .filter(size(col("sh")) > 0)
     // Signature via explode + k min-aggregates: each shingle is hashed
     // exactly ONCE and the k affine permutations are plain codegen'd
@@ -120,9 +146,9 @@ object Dedup {
         b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
+    val bandedC = cached(banded)
+    val candidates = bandedC.as("a")
+      .join(bandedC.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -152,9 +178,9 @@ object Dedup {
     *              (`doc_id`, `cluster_rep`) for every vertex in `pairs`.
     */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = cached(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("l"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -180,6 +206,9 @@ object Dedup {
       throw new IllegalStateException(
         s"clusterPairs did not converge within $maxIters iterations — " +
           "a component's diameter exceeds the budget; raise maxIters")
+    // the surviving (already materialized) label cache is released via
+    // unpersistIntermediates like every other intermediate
+    intermediates.add(labels)
     labels.select(col("v").as("doc_id"), col("l").as("cluster_rep"))
   }
 
@@ -259,8 +288,7 @@ object Dedup {
     val width = 32 / bands
     // the fingerprint table feeds both sides of the band join — persist so
     // the token explode + 32 vote sums run once
-    val fp = simhash(docs, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = cached(simhash(docs, id, text))
     // one row per (doc, band), via a single generate (shiftright takes a
     // literal shift amount, so the band structs are built per-band)
     val bandRows = fp.select(

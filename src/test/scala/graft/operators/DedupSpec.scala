@@ -83,6 +83,38 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("clusterPairs fails loudly when a component's diameter exceeds maxIters") {
+    // a 12-vertex path needs ~11 hash-min iterations to converge
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException](Dedup.clusterPairs(chain, maxIters = 3))
+    assert(ex.getMessage.contains("did not converge"))
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
+  test("capped ngram variant caches the posting list exactly once") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val d2b = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5, maxDocFreq = 50)
+    val caches = d2b.queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation => r.cacheBuilder
+    }
+    assert(caches.nonEmpty && caches.distinct.size == 1,
+      s"expected exactly one distinct cached intermediate, got ${caches.distinct.size}")
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
+  test("unpersistIntermediates releases every cache the operators registered") {
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // touch every caching operator family with a terminal action
+    Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 0.5, maxDocFreq = 50).count()
+    val lshPairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 3, 16, 4, 0.5)
+    Dedup.clusterPairs(lshPairs).count()
+    Dedup.simhashPairs(docs, col("doc_id"), col("text"), 3).count()
+    assert(Dedup.unpersistIntermediates(blocking = true) > 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "persisted RDDs leaked past unpersistIntermediates")
+  }
+
   test("embedding near-dup pairs are symmetric-free and thresholded") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
