@@ -47,4 +47,43 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("rid", "rv").as[(Long, Double)].collect()(0)
     assert(out == (9L, 2.0))
   }
+
+  test("property: agrees with brute force on random data incl. null payloads across partitions") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small key/time domains force collisions, ties, and no-match cases;
+    // ~40% of right payload values are null
+    val leftGen = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 9L)
+    } yield (k, t)))
+    val rightGen = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 9L)
+      v <- Gen.frequency(3 -> Gen.choose(0.0, 9.0).map(Some(_)), 2 -> Gen.const(None))
+    } yield (k, t, v)))
+    for (seed <- 1 to 25) {
+      val lRows = leftGen.pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rRows = rightGen.pureApply(Gen.Parameters.default, Seed(5000L + seed))
+        .zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      // repartition both sides so right rows (null payloads included) are
+      // scattered across input partitions — the union/window must reorder
+      val left = lRows.toDF("k", "t", "lid").repartition(4)
+      val right = rRows.toDF("k", "t", "rid", "rv").repartition(3)
+      val got = AsOfJoin.asOf(left, right, Seq("k"), "t", "lid", Seq("rid", "rv"), "rid")
+        .select("lid", "rid", "rv").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      // brute force: newest right row (ts, then tieBreak) with rt <= lt,
+      // its rv taken verbatim (may itself be null)
+      val want = lRows.map { case (k, t, lid) =>
+        rRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption match {
+          case Some((_, _, rid, rv)) => (lid, Some(rid), rv)
+          case None => (lid, None, None)
+        }
+      }.toSet
+      assert(got == want, s"seed $seed diverged from brute force")
+    }
+  }
 }
