@@ -178,9 +178,14 @@ object Dedup {
     *              (`doc_id`, `cluster_rep`) for every vertex in `pairs`.
     */
   def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // both directions via ONE explode — a union of two pair-selects would
+    // evaluate the (potentially expensive) upstream pair pipeline twice
+    // while filling this cache
     val edges = cached(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("l"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -190,11 +195,13 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("src") === labels("v"))
         .groupBy(col("dst").as("v2")).agg(min(col("l")).as("nl"))
+      // carry the old label through so the convergence check is a cheap
+      // aggregate over `next` itself, not another join against `labels`
       val next = labels.join(neighborMin, col("v") === col("v2"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .select(col("v"), col("l").as("ol"),
+          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.l") =!= col("o.l")).count()
+      val changed = next.filter(col("l") =!= col("ol")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
