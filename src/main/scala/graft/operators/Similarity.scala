@@ -92,12 +92,13 @@ object Similarity {
     * Plan shape (the 100 TB story): bucket ids for ALL tables are computed
     * in ONE codegen'd pass over the base (a per-table union would rescan
     * and re-hash `tables` times), then exploded to (tbl, bucket) rows; the
-    * query side is broadcast, so the candidate join shuffles NOTHING — the
-    * only shuffle is the dedup + final top-k over the (rare) candidates.
-    * Vectors ride along with their bucket rows, so no second pass over the
-    * base is needed for re-ranking; the dedup is a groupBy+first (not
-    * `distinct`) so map-side partial aggregation collapses a pair's up-to-
-    * `tables` copies before they ever hit the wire.
+    * query side is broadcast, so the candidate join shuffles NOTHING, and
+    * cosine is scored AT the join so only (q_id, vec_id, cos) doubles ever
+    * shuffle. A pair colliding in several tables yields identical copies;
+    * instead of a dedicated dedup shuffle, the top-k window dedups in
+    * place — `dense_rank` over (cos, vec_id) is exactly the rank among
+    * DISTINCT pairs and a same-window `lag` drops the duplicate copies, so
+    * the whole query costs ONE shuffle, the same as the brute-force scan.
     *
     * Default (tables=24, bits=4) is gated at mean recall@10 ≥ 0.9 against
     * the exact top-k on the driver testdata (SimilaritySpec); raise `bits`
@@ -118,19 +119,22 @@ object Similarity {
           posexplode(bucketIds(col(vName), tables, bits, maxDim)).as(Seq("tbl", "bucket")))
     val bb = bucketed(base.select(id.as("vec_id"), vec.as("v")), "vec_id", "v")
     val qb = bucketed(queries.select(id.as("q_id"), vec.as("qv")), "q_id", "qv")
-    val candidates = bb.as("a")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    bb.as("a")
       .join(qb.hint("broadcast").as("qq"),
         col("a.tbl") === col("qq.tbl") && col("a.bucket") === col("qq.bucket") &&
           col("q_id") =!= col("vec_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(first(col("qv")).as("qv"), first(col("v")).as("v"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    candidates
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+      // duplicate copies of a pair (one per colliding table) are identical
+      // and adjacent under the window order; dense_rank = rank among
+      // distinct pairs, lag keeps only each pair's first copy — both run in
+      // the SAME WindowExec, so dedup costs no extra shuffle
+      .withColumn("rn", dense_rank().over(w).cast("long"))
+      .withColumn("_dup", lag(col("vec_id"), 1).over(w) === col("vec_id"))
+      .filter(col("rn") <= k && !coalesce(col("_dup"), lit(false)))
+      .drop("_dup")
   }
 
   /** IVF ANN: coarse centroids are the base vectors whose id ≡ 0 (mod
