@@ -352,11 +352,13 @@ object Dedup {
         least(col("blk"), col("p")).as("_1"),
         greatest(col("blk"), col("p")).as("_2"))
       // a row is the tile's 'a' side iff its block is the tile's low block
-      // (for the diagonal tile both sides coincide and 'b' stays empty);
-      // sort for a deterministic, id-ascending kernel order
+      // (for the diagonal tile both sides coincide and 'b' stays empty).
+      // No sort: the emitted pair SET and each pair's rounded cosine are
+      // independent of kernel iteration order, and output ids normalize to
+      // (min, max)
       .agg(
-        sort_array(collect_list(when(col("blk") <= col("p"), col("r")))).as("_3"),
-        sort_array(collect_list(when(col("blk") > col("p"), col("r")))).as("_4"))
+        collect_list(when(col("blk") <= col("p"), col("r"))).as("_3"),
+        collect_list(when(col("blk") > col("p"), col("r"))).as("_4"))
       .as[(Int, Int, Array[(Long, Array[Float])], Array[(Long, Array[Float])])]
     tiles.flatMap { case (ba, bb, ra, rb) =>
       def prep(rows: Array[(Long, Array[Float])]): Array[(Long, Array[Double], Double)] =
@@ -375,11 +377,17 @@ object Dedup {
           val (ib, db, sqb) = pb(y)
           var dot = 0.0; var k = 0
           while (k < da.length) { dot += da(k) * db(k); k += 1 }
-          val cos = BigDecimal(dot / (sqa * sqb))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (cos >= minCosine)
-            Some(if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
-          else None
+          val raw = dot / (sqa * sqb)
+          // HALF_UP to 6 digits moves a value by < 1e-6, so anything below
+          // minCosine - 1e-6 cannot round across the threshold — skip the
+          // BigDecimal allocation for the overwhelming non-match majority
+          if (raw >= minCosine - 1e-6) {
+            val cos = BigDecimal(raw)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (cos >= minCosine)
+              Some(if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
+            else None
+          } else None
         }
       }
       out
