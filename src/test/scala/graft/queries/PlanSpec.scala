@@ -56,6 +56,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), plan.take(400))
   }
 
+  test("s2: LSH top-k costs exactly one data shuffle (window), like the exact scan") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    // the candidate join must stay broadcast and the pair dedup must stay
+    // fused into the ranking window — a dedicated dedup exchange here is
+    // the regression this pins against
+    val plan = planOf("s2_ann_lsh")
+    // round-robin rebalances after the single-split scans are free to stay;
+    // the one KEY shuffle allowed is the ranking window's hashpartitioning
+    val keyShuffles = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1,
+      s"expected exactly the window's hash exchange, got $keyShuffles:\n${plan.take(800)}")
+    assert(plan.contains("BroadcastHashJoin"), "query side must broadcast")
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"dedup must share the ranking WindowExec, got $windows")
+  }
+
   test("text-analysis pipeline is one narrow projection: no shuffle beyond the rebalance") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     // (higher-order array lambdas are not whole-stage-codegen'd in Spark —
