@@ -145,6 +145,42 @@ object Similarity {
     * become partition keys of the stored table and probing = partition
     * pruning.
     */
+  private def ivfCentroids(b: DataFrame, centroidStride: Int): DataFrame =
+    b.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+
+  /** Nearest-`keep` centroid assignment of each row in `df` (whose vector
+    * column is `v` and row id is `idc`) — broadcast centroids, window rank.
+    */
+  private def ivfAssignTo(
+      cents: DataFrame, df: DataFrame, v: String, idc: String, keep: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idc))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    df.join(broadcast(cents), col("c_id") =!= lit(-1))
+      .select(df.columns.map(col) :+ col("c_id") :+
+        round(cosine(col(v), col("cv")), 6).as("c_cos"): _*)
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= keep)
+      .drop("c_cos", "crn")
+  }
+
+  /** The IVF inverted-list table `(vec_id, v, c_id)` — every base vector
+    * labeled with its nearest centroid. This IS the stored index: at scale,
+    * write it `partitionBy("c_id")` and probing becomes partition pruning —
+    * a query's `nProbe` lists are the only partitions the scan touches
+    * (proved by `SimilaritySpec`'s partitioned-parquet test). [[ivfTopK]]
+    * is exactly this table joined to the probed queries.
+    */
+  def ivfAssign(
+      base: DataFrame,
+      id: Column,
+      vec: Column,
+      centroidStride: Int = 50): DataFrame = {
+    val b = base.select(id.as("vec_id"), vec.as("v"))
+    ivfAssignTo(ivfCentroids(b, centroidStride), b, "v", "vec_id", 1)
+  }
+
   def ivfTopK(
       base: DataFrame,
       queries: DataFrame,
@@ -155,20 +191,10 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = base.select(id.as("vec_id"), vec.as("v"))
-    val cents = b.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    def assign(df: DataFrame, v: String, idc: String, keep: Int) = {
-      val w = Window.partitionBy(col(idc))
-        .orderBy(col("c_cos").desc, col("c_id").asc)
-      df.join(broadcast(cents), col("c_id") =!= lit(-1))
-        .select(df.columns.map(col) :+ col("c_id") :+
-          round(cosine(col(v), col("cv")), 6).as("c_cos"): _*)
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("c_cos", "crn")
-    }
-    val listed = assign(b, "v", "vec_id", 1)
-    val probed = assign(queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)
+    val cents = ivfCentroids(b, centroidStride)
+    val listed = ivfAssignTo(cents, b, "v", "vec_id", 1)
+    val probed = ivfAssignTo(
+      cents, queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     listed.join(probed, Seq("c_id"))

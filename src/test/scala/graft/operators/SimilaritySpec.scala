@@ -55,6 +55,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall { case (qid, vid) => qid != vid })
   }
 
+  test("IVF index stored partitionBy(c_id): probing = partition pruning (the 100 TB path)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroidStride = 50)
+      .write.mode("overwrite").partitionBy("c_id").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val probe = idx.filter(col("c_id").isin(0L, 50L))
+    val plan = probe.queryExecution.executedPlan.toString
+    // the probed lists must be PARTITION filters (pruned before any IO),
+    // not data filters evaluated per row
+    assert(plan.contains("PartitionFilters") && plan.contains("c_id"),
+      s"probe filter did not reach partition pruning:\n${plan.take(600)}")
+    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(partLine.contains("c_id"), partLine)
+    // and the probed scan touches a strict subset of the index
+    assert(probe.count() > 0 && probe.count() < idx.count())
+    // the stored index round-trips: same assignment as the in-flight table
+    val mem = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), 50)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    val disk = idx.select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(disk == mem)
+  }
+
   test("LSH recall@10 vs exact top-k >= 0.9 on driver testdata (the ANN gate)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
