@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the steps between "deduped documents" and
+  * "training shards" in an LLM data pipeline: leak-proof train/val/test
+  * splitting, stratified sampling, shard planning, and token-budget
+  * sequence packing.
+  *
+  * All assignment decisions are **deterministic hashes of stable ids**
+  * (multiplicative hashing over BIGINT — exact in any engine), never RNG
+  * state: re-running the pipeline on the same corpus yields the same
+  * split/sample/shard, which is what makes incremental corpus refreshes
+  * and cross-engine verification possible. Ids are assumed non-negative
+  * (the `%` convention for negative dividends differs across engines).
+  *
+  * Scale shape: split/sample/shard are narrow per-row maps (no shuffle);
+  * packing shuffles once on the shard key and scans each shard
+  * sequentially — parallelism = number of shards, which at 100 TB is
+  * O(100k) output shards, not O(rows).
+  */
+object Corpus {
+
+  /** Knuth multiplicative constant — split hashing. */
+  val SplitMult = 2654435761L
+
+  /** glibc LCG constants — sample hashing (decorrelated from the split
+    * hash so sampling within a split stays unbiased).
+    */
+  val SampleMult = 1103515245L
+  val SampleInc = 12345L
+
+  /** Prime multiplier — shard hashing. */
+  val ShardMult = 1299709L
+
+  /** Train/val/test split that cannot leak near-duplicates across splits:
+    * the split key of a document is its duplicate-cluster representative
+    * (from [[Dedup.clusterPairs]]) when it has one, else its own id — so
+    * every member of a near-dup cluster lands in the SAME split. Splitting
+    * on raw doc ids instead silently places a train-set paraphrase of every
+    * val/test document, which inflates eval scores; keying on the cluster
+    * rep is the standard guard.
+    *
+    * Buckets are per-mille of the split hash: [0, train) → "train",
+    * [train, train+val) → "val", rest → "test".
+    *
+    * The cluster table only contains docs that HAVE duplicates, so it is
+    * small relative to the corpus; the left join broadcasts under AQE and
+    * the whole operator adds no extra shuffle of the corpus.
+    */
+  def leakproofSplit(
+      docs: DataFrame,
+      id: Column,
+      clusters: DataFrame,
+      trainPerMille: Int = 800,
+      valPerMille: Int = 100): DataFrame = {
+    require(trainPerMille > 0 && valPerMille >= 0 &&
+      trainPerMille + valPerMille < 1000,
+      "per-mille budgets must satisfy 0 < train, 0 <= val, train + val < 1000")
+    val c = clusters.select(col("doc_id").as("_c_doc"), col("cluster_rep").as("_c_rep"))
+    val h = (coalesce(col("_c_rep"), id.cast("long")) * SplitMult) % 1000L
+    docs.join(c, id === col("_c_doc"), "left")
+      .select(id.as("doc_id"),
+        when(h < trainPerMille, "train")
+          .when(h < trainPerMille + valPerMille, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** Deterministic stratified sampling: row kept iff
+    * `(id * SampleMult + SampleInc) % 100 < rate(stratum)`. Per-stratum
+    * percentage rates rebalance a skewed corpus (e.g. downsample the
+    * dominant language); strata absent from `ratesPct` use `defaultPct`.
+    * Pure filter — no shuffle, no state, reproducible on re-run, and the
+    * sample of a subset equals the subset of the sample (hash sampling's
+    * composability property, which RNG sampling lacks).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      id: Column,
+      strata: Column,
+      ratesPct: Map[String, Int],
+      defaultPct: Int): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
+      "rates are percentages in [0, 100]")
+    val rate = coalesce(element_at(typedlit(ratesPct), strata), lit(defaultPct))
+    df.filter((id.cast("long") * SampleMult + SampleInc) % 100L < rate)
+  }
+
+  /** Deterministic shard id of `id` in [0, numShards). */
+  def shardOf(id: Column, numShards: Int): Column =
+    (id.cast("long") * ShardMult) % numShards
+
+  /** Per-shard manifest of a hash-sharded corpus: document count, total
+    * token budget, id range — the planning table a shard writer consumes
+    * (and the balance check: multiplicative hashing keeps shard sizes
+    * within sampling noise of each other). One map + one aggregation with
+    * map-side partials; `numShards` rows out.
+    */
+  def shardManifest(docs: DataFrame, id: Column, text: Column, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    docs
+      .select(shardOf(id, numShards).as("shard"), id.cast("long").as("doc_id"),
+        tokenCount(text).cast("long").as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+  }
+
+  /** Token-budget sequence packing: within each shard, documents in
+    * ascending id order are greedily packed into consecutive packs of at
+    * most `budget` tokens (a document alone longer than the budget gets
+    * its own pack — packing never splits documents). Output is the
+    * document → pack assignment `(shard, doc_id, n_tokens, pack_id)` with
+    * `pack_id` 1-based within its shard.
+    *
+    * The greedy prefix scan carries running state across rows (pack
+    * boundaries depend on every previous row in the shard), which no
+    * window function expresses — this is the one legitimately imperative
+    * loop in the pipeline, and it runs as a `mapPartitions` scan over
+    * shard-sorted partitions: ONE shuffle on the shard key, then each
+    * shard is a sequential in-task scan. Parallelism = shards, cost per
+    * task = shard size — the same contract as writing the shard files
+    * themselves.
+    */
+  def packTokens(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      numShards: Int,
+      budget: Long): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(shardOf(id, numShards).as("shard"), id.cast("long").as("doc_id"),
+        tokenCount(text).cast("long").as("n_tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // rows arrive grouped by shard and id-ordered within it; reset the
+        // running pack state at every shard boundary
+        var shard = Long.MinValue
+        var pack = 0L
+        var used = 0L
+        it.map { case (sh, doc, tok) =>
+          if (sh != shard) { shard = sh; pack = 1L; used = tok }
+          else if (used + tok <= budget) { used += tok }
+          else { pack += 1L; used = tok }
+          (sh, doc, tok, pack)
+        }
+      }
+      .toDF("shard", "doc_id", "n_tokens", "pack_id")
+  }
+}

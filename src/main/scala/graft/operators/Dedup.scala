@@ -232,6 +232,28 @@ object Dedup {
     docs.join(drop, id === col("_drop_id"), "left_anti")
   }
 
+  /** Quality-weighted variant of [[keepCanonical]]: instead of the
+    * min-id representative, each duplicate cluster keeps its member with
+    * the highest `score` (ties broken on ascending id) — "of the N copies
+    * of this page, keep the cleanest one", the keep rule real curation
+    * pipelines use. `score` is evaluated against `docs`' columns; cluster
+    * members are ranked with a window partitioned by the cluster rep —
+    * clusters are small by construction, so the window adds one shuffle of
+    * the (tiny) member set only, and the final anti-join leaves the corpus
+    * unshuffled.
+    */
+  def keepBest(docs: DataFrame, id: Column, clusters: DataFrame, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = docs.select(id.as("_m_id"), score.as("_m_score"))
+      .join(clusters, col("_m_id") === clusters("doc_id"))
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("_m_score").desc, col("_m_id").asc)
+    val drop = members.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select(col("_m_id").as("_drop_id"))
+    docs.join(drop, id === col("_drop_id"), "left_anti")
+  }
+
   /** Per-document MinHash signatures as `(doc_id, sig: array<long>)` —
     * the building block for [[minhashLshPairs]] and for incremental
     * group-level sketches via [[graft.functions.MinHashUnion]] (signatures

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.qualityScore
+import graft.operators.{Corpus, Dedup}
+import graft.queries.PipelineQueries.{sqlHits, sqlLshClusterCtes, sqlToks, t}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries — the dedup-to-training-shards tail of the
+  * pipeline (graft.operators.Corpus + Dedup.keepBest): leak-proof
+  * splitting, stratified sampling, shard manifests, token packing, and
+  * quality-weighted canonical selection.
+  *
+  * Every assignment is a deterministic BIGINT hash or an order-defined
+  * greedy scan, so each query carries a full DuckDB oracle — including the
+  * greedy packer, whose per-shard prefix scan the oracle replays as a
+  * recursive CTE, and the two cluster-consuming queries (c1/d9), which
+  * share PipelineQueries' recursive LSH-cluster CTEs so all cluster
+  * consumers stay in lockstep with the one Spark implementation.
+  */
+object CorpusQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** The duplicate-cluster assignment used by c1/d9 — same pipeline and
+    * parameters as d7/d8 (MinHash 32 hashes, 4 bands, verify ≥ 0.5).
+    */
+  private def lshClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterPairs(
+      Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5))
+
+  private val c1: Q = (s, dir) =>
+    Corpus.leakproofSplit(t(s, dir, "documents"), col("doc_id"),
+      lshClusters(s, dir), trainPerMille = 800, valPerMille = 100)
+
+  // downsample the dominant language (en is ~44% of the corpus) to 20%,
+  // keep half of everything else — the classic language-rebalance step
+  private val c2: Q = (s, dir) =>
+    Corpus.stratifiedSample(t(s, dir, "documents"), col("doc_id"), col("lang"),
+      ratesPct = Map("en" -> 20), defaultPct = 50)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  private val c3: Q = (s, dir) =>
+    Corpus.shardManifest(t(s, dir, "documents"), col("doc_id"), col("text"),
+      numShards = 8)
+
+  private val c4: Q = (s, dir) =>
+    Corpus.packTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
+      numShards = 8, budget = 256L)
+
+  private val d9: Q = (s, dir) =>
+    Dedup.keepBest(t(s, dir, "documents"), col("doc_id"), lshClusters(s, dir),
+      qualityScore(col("text")))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val queries: Map[String, Q] = Map(
+    "c1_leakproof_split" -> c1,
+    "c2_stratified_sample" -> c2,
+    "c3_shard_manifest" -> c3,
+    "c4_token_packing" -> c4,
+    "d9_keep_best" -> d9)
+
+  // ------------------------------------------------------------------
+  // Oracles (keep hash constants in lockstep with Corpus)
+  // ------------------------------------------------------------------
+
+  /** DuckDB: shard id — must match Corpus.shardOf / ShardMult. */
+  private val sqlShard = s"(doc_id * ${Corpus.ShardMult}) % 8"
+
+  /** DuckDB: integer-ppm quality score (ordering key of d9's keep rule) —
+    * must match TextFunctions.qualityScore's ppm arithmetic exactly.
+    */
+  private val sqlQualityCtes =
+    s"""qm AS (
+       |  SELECT doc_id,
+       |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS alnum_len,
+       |    length(text)::BIGINT AS n_chars,
+       |    ${sqlToks("text")} AS w
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    ((least(1000000, len(w)::BIGINT * 10000)) * 5
+       |     + (CASE WHEN len(w) > 0
+       |          THEN (${sqlHits("w", TextFunctions.EnStop)}::BIGINT * 1000000) // len(w)
+       |          ELSE 0 END) * 3
+       |     + (CASE WHEN n_chars = 0 THEN 0
+       |          ELSE (alnum_len * 1000000) // n_chars END) * 2) // 10 AS qual_ppm
+       |  FROM qm)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "c1_leakproof_split" ->
+      s"""WITH RECURSIVE $sqlLshClusterCtes,
+         |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v)
+         |SELECT doc_id,
+         |  CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT d.doc_id,
+         |    (coalesce(c.cluster_rep, d.doc_id) * ${Corpus.SplitMult}) % 1000 AS h
+         |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id) hashed""".stripMargin,
+    "c2_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE (doc_id * ${Corpus.SampleMult} + ${Corpus.SampleInc}) % 100
+         |      < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)""".stripMargin,
+    "c3_shard_manifest" ->
+      s"""WITH s AS (
+         |  SELECT $sqlShard AS shard, doc_id,
+         |         len(${sqlToks("text")})::BIGINT AS n_tokens
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM s GROUP BY shard""".stripMargin,
+    "c4_token_packing" ->
+      s"""WITH RECURSIVE sharded AS (
+         |  SELECT $sqlShard AS shard, doc_id,
+         |         len(${sqlToks("text")})::BIGINT AS n_tokens,
+         |         row_number() OVER (PARTITION BY $sqlShard ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |packed AS (
+         |  SELECT shard, doc_id, n_tokens, rn, 1::BIGINT AS pack_id, n_tokens AS used
+         |  FROM sharded WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+         |    CASE WHEN p.used + d.n_tokens <= 256 THEN p.pack_id ELSE p.pack_id + 1 END,
+         |    CASE WHEN p.used + d.n_tokens <= 256 THEN p.used + d.n_tokens ELSE d.n_tokens END
+         |  FROM packed p JOIN sharded d ON d.shard = p.shard AND d.rn = p.rn + 1)
+         |SELECT shard, doc_id, n_tokens, pack_id FROM packed""".stripMargin,
+    "d9_keep_best" ->
+      s"""WITH RECURSIVE $sqlLshClusterCtes,
+         |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v),
+         |$sqlQualityCtes,
+         |ranked AS (
+         |  SELECT c.doc_id,
+         |    row_number() OVER (PARTITION BY c.cluster_rep
+         |                       ORDER BY q.qual_ppm DESC, c.doc_id ASC) AS rk
+         |  FROM clusters c JOIN q ON q.doc_id = c.doc_id)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM ranked r
+         |                  WHERE r.doc_id = d.doc_id AND r.rk > 1)""".stripMargin)
+}

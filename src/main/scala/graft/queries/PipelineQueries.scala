@@ -33,7 +33,7 @@ object PipelineQueries {
     * a few MB. On production multi-row-group files the scan itself
     * provides the splits and this repartition can be dropped.
     */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
       .repartition(s.sparkContext.defaultParallelism)
 
@@ -51,7 +51,7 @@ object PipelineQueries {
   // ------------------------------------------------------------------
 
   /** DuckDB: lowercased alnum tokens of expression `e`. */
-  private def sqlToks(e: String) =
+  private[queries] def sqlToks(e: String) =
     s"list_filter(regexp_split_to_array(lower($e), '[^a-z0-9]+'), x -> x <> '')"
 
   /** DuckDB: polynomial rolling hash of string expression `e` (must match
@@ -71,7 +71,7 @@ object PipelineQueries {
        |  ELSE [] END""".stripMargin
 
   private def sqlIn(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
-  private def sqlHits(toks: String, words: Seq[String]) =
+  private[queries] def sqlHits(toks: String, words: Seq[String]) =
     s"len(list_filter($toks, t -> t IN ${sqlIn(words)}))"
 
   // ------------------------------------------------------------------
@@ -360,8 +360,10 @@ object PipelineQueries {
 
   /** Hash-min connected components over the LSH pairs + canonical-rep
     * labeling, as a recursive walk (DuckDB side of `Dedup.clusterPairs`).
+    * Shared with the corpus-curation oracles (CorpusQueries c1/d9), which
+    * consume the same cluster assignment.
     */
-  private val sqlLshClusterCtes =
+  private[queries] val sqlLshClusterCtes =
     s"""$sqlLshPairCtes,
        |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
        |edges AS (

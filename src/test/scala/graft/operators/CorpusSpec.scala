@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq.tabulate(60) { i =>
+    (i.toLong, Seq.fill(5 + i % 20)(s"w$i token filler text").mkString(" "),
+      if (i % 3 == 0) "en" else "de")
+  }.toDF("doc_id", "text", "lang")
+
+  test("leakproofSplit keeps every cluster member in one split and covers all docs") {
+    // two clusters: {1,2,9} rep 1, {4,40} rep 4
+    val clusters = Seq((1L, 1L), (2L, 1L), (9L, 1L), (4L, 4L), (40L, 4L))
+      .toDF("doc_id", "cluster_rep")
+    val out = Corpus.leakproofSplit(docs, col("doc_id"), clusters)
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 60)
+    assert(out.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(Set(out(1L), out(2L), out(9L)).size == 1, "cluster {1,2,9} split apart")
+    assert(Set(out(4L), out(40L)).size == 1, "cluster {4,40} split apart")
+    // clustered docs inherit the REP's bucket: doc 2 must land where doc 1's
+    // own hash points, even if 2's own hash says otherwise
+    val h1 = (1L * Corpus.SplitMult) % 1000L
+    val expected = if (h1 < 800) "train" else if (h1 < 900) "val" else "test"
+    assert(out(2L) == expected)
+  }
+
+  test("stratifiedSample applies per-stratum rates, deterministically") {
+    val rates = Map("en" -> 20)
+    val out = Corpus.stratifiedSample(docs, col("doc_id"), col("lang"), rates, 50)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = (0L until 60L).filter { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      (i * Corpus.SampleMult + Corpus.SampleInc) % 100L < rates.getOrElse(lang, 50)
+    }.toSet
+    assert(out == expected)
+    val again = Corpus.stratifiedSample(docs, col("doc_id"), col("lang"), rates, 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out, "hash sampling must be reproducible")
+  }
+
+  test("shardManifest partitions the corpus exactly once") {
+    val m = Corpus.shardManifest(docs, col("doc_id"), col("text"), numShards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(m.map(_._1).toSet.subsetOf((0L until 4L).toSet))
+    assert(m.map(_._2).sum == 60L, "every doc in exactly one shard")
+    val totalTokens = docs
+      .select(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .as[Long].collect().sum
+    assert(m.map(_._3).sum == totalTokens)
+  }
+
+  test("packTokens replays the greedy per-shard prefix scan exactly") {
+    val budget = 40L
+    val out = Corpus.packTokens(docs, col("doc_id"), col("text"), numShards = 4, budget)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 60)
+    // re-simulate the greedy scan on the driver and require exact agreement
+    val byShard = out.groupBy(_._1).map { case (sh, rows) =>
+      sh -> rows.sortBy(_._2)
+    }
+    byShard.foreach { case (_, rows) =>
+      var pack = 1L
+      var used = rows.head._3
+      assert(rows.head._4 == 1L, "first doc of a shard opens pack 1")
+      rows.tail.foreach { case (_, _, tok, packId) =>
+        if (used + tok <= budget) used += tok
+        else { pack += 1L; used = tok }
+        assert(packId == pack, s"greedy assignment diverged at $rows")
+      }
+    }
+    // no pack exceeds the budget unless it is a single oversized doc
+    byShard.values.flatten.groupBy(r => (r._1, r._4)).foreach { case (_, rows) =>
+      val total = rows.map(_._3).sum
+      assert(total <= budget || rows.size == 1,
+        s"pack over budget with ${rows.size} docs: $total")
+    }
+  }
+
+  test("packTokens gives an oversized doc its own pack without stalling the scan") {
+    val d = Seq(
+      (0L, "a b c"), // 3 tokens
+      (4L, Seq.fill(50)("x").mkString(" ")), // 50 tokens > budget
+      (8L, "d e f g")) // 4 tokens
+      .toDF("doc_id", "text")
+    // ShardMult * {0,4,8} are all ≡ 0 mod 4 → one shard, id order preserved
+    val out = Corpus.packTokens(d, col("doc_id"), col("text"), numShards = 4, budget = 10L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(r => r._2 -> r._4).toSeq == Seq(0L -> 1L, 4L -> 2L, 8L -> 3L))
+  }
+
+  test("keepBest keeps the highest-scoring cluster member, ties to min id") {
+    val d = Seq((1L, 10.0), (2L, 30.0), (3L, 30.0), (4L, 99.0))
+      .toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_rep")
+    val kept = Dedup.keepBest(d, col("doc_id"), clusters, col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    // 2 and 3 tie on score → 2 wins on id; 4 is unclustered → kept
+    assert(kept == Set(2L, 4L))
+  }
+}
