@@ -27,7 +27,10 @@ object JsonlSink {
     * sink cost and showed up as phantom "join" time in the executor's
     * phase split).
     */
-  def write(df: DataFrame, path: String): Long = {
+  /** The nested-shape JSON projection shared by both writers: one string
+    * column `value` holding `{col: {table: v}}` per row.
+    */
+  private def jsonLines(df: DataFrame): DataFrame = {
     val grouped = df.columns.toSeq.groupBy(q => unqual(q)._2)
     val nested = grouped.toSeq.sortBy(_._1).map { case (c, qs) =>
       struct(qs.map { q =>
@@ -35,11 +38,38 @@ object JsonlSink {
         df(q).as(if (t.isEmpty) "_" else t)
       }: _*).as(c)
     }
-    val obs = org.apache.spark.sql.Observation()
     df.select(to_json(struct(nested: _*)).as("value"))
+  }
+
+  def write(df: DataFrame, path: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    jsonLines(df)
       .observe(obs, count(lit(1)).as("rows_written"))
       .write.mode("overwrite").text(path)
     obs.get("rows_written").asInstanceOf[Long]
+  }
+
+  /** Reference-compatible single-file sink: appends one JSON line per row
+    * to ONE local file, in append mode across calls — the reference's
+    * `results/<name>.txt` contract (hash_join.py:1195-1269, distributed
+    * gather join_executor.py:297-320). Rows stream through
+    * `toLocalIterator` (one partition in driver memory at a time), so the
+    * driver never holds the result set — but a single file is still an
+    * inherently driver-serial gather, which is exactly the bottleneck the
+    * reference's RabbitMQ append loop has. Ships for API parity and
+    * test-scale convenience; [[write]]'s part-file directory is the scale
+    * path. Returns the number of rows appended by this call.
+    */
+  def appendSingleFile(df: DataFrame, file: String): Long = {
+    val parent = new java.io.File(file).getAbsoluteFile.getParentFile
+    if (parent != null) parent.mkdirs()
+    val out = new java.io.BufferedWriter(new java.io.FileWriter(file, true))
+    try {
+      var n = 0L
+      val it = jsonLines(df).toLocalIterator()
+      while (it.hasNext) { out.write(it.next().getString(0)); out.newLine(); n += 1 }
+      n
+    } finally out.close()
   }
 
   /** Buffered pretty-print of a saved result

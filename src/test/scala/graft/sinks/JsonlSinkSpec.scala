@@ -21,6 +21,18 @@ class JsonlSinkSpec extends AnyFunSuite {
     assert(line.contains(""""amount":{"orders":9.5}"""))
   }
 
+  test("appendSingleFile appends reference-shaped lines across calls") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("t__id", "t__v")
+    val file = Files.createTempDirectory("jsonl1f").toString + "/results/out.txt"
+    assert(JsonlSink.appendSingleFile(df, file) == 2)
+    assert(JsonlSink.appendSingleFile(df.filter($"t__id" === 1), file) == 1)
+    val lines = scala.io.Source.fromFile(file).getLines().toSeq
+    assert(lines.size == 3, "append mode must accumulate across calls")
+    assert(lines.head.contains(""""id":{"t":1}"""))
+    // single file parses back as JSONL
+    assert(spark.read.json(file).count() == 3)
+  }
+
   test("round-trips through spark.read.json and print() does not throw") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("t__id", "t__v")
     val dir = Files.createTempDirectory("jsonl2").toString + "/out"
