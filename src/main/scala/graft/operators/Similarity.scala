@@ -144,6 +144,15 @@ object Similarity {
     * a query probes the `nProbe` nearest lists only. At scale the lists
     * become partition keys of the stored table and probing = partition
     * pruning.
+    *
+    * Recall contract: on well-clustered corpora recall concentrates in the
+    * first probed lists; on (near-)isotropic data — like the driver
+    * testdata, whose intra-label cosine ≈ inter-label — NO coarse
+    * quantizer can beat the scanned fraction (verified empirically:
+    * Lloyd-trained centroids leave recall unchanged there), and `nProbe`
+    * is the recall/cost knob (SimilaritySpec measures ~0.48 → ~0.84 going
+    * 2 → 6 probes of ~10 lists). LSH ([[lshTopK]]) stays accurate on such
+    * data because its `tables` independent partitions multiply coverage.
     */
   private def ivfCentroids(b: DataFrame, centroidStride: Int): DataFrame =
     b.filter(col("vec_id") % centroidStride === 0)

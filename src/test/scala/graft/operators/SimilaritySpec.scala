@@ -98,6 +98,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@10 $mean < 0.9 (per-query: $recalls)")
   }
 
+  test("IVF recall@10 rises with nProbe (the recall knob on weakly-clustered data)") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = sets(Similarity.bruteForceTopK(emb, q, col("vec_id"), col("embedding"), k = 10))
+    def recall(nProbe: Int): Double = {
+      val ivf = sets(Similarity.ivfTopK(emb, q, col("vec_id"), col("embedding"),
+        k = 10, centroidStride = 50, nProbe = nProbe))
+      val rs = exact.map { case (qid, ex) =>
+        ivf.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      rs.sum / rs.size
+    }
+    // this corpus is nearly isotropic (intra-label cosine ≈ inter-label),
+    // so recall tracks the scanned fraction — the honest bound for ANY
+    // coarse quantizer on unclustered data; probing more lists is the knob
+    // (measured here: ~0.48 @ nProbe=2, ~0.84 @ nProbe=6)
+    val (r2, r6) = (recall(2), recall(6))
+    assert(r6 >= r2, s"recall must not fall as nProbe rises: $r2 -> $r6")
+    assert(r2 >= 0.3 && r6 >= 0.7, s"recall out of expected band: $r2, $r6")
+  }
+
   test("brute force matches a hand-rolled ranking on driver testdata") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
