@@ -244,8 +244,13 @@ object Dedup {
     */
   def keepBest(docs: DataFrame, id: Column, clusters: DataFrame, score: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val members = docs.select(id.as("_m_id"), score.as("_m_score"))
-      .join(clusters, col("_m_id") === clusters("doc_id"))
+    // restrict to cluster members BEFORE evaluating the score: clusters only
+    // contain docs that have duplicates, so the (possibly expensive) score
+    // expression runs over the tiny member set, not the whole corpus
+    val members = docs
+      .join(clusters.select(col("doc_id").as("_c_id"), col("cluster_rep")),
+        id === col("_c_id"))
+      .select(id.as("_m_id"), score.as("_m_score"), col("cluster_rep"))
     val w = Window.partitionBy(col("cluster_rep"))
       .orderBy(col("_m_score").desc, col("_m_id").asc)
     val drop = members.withColumn("_rk", row_number().over(w))
