@@ -73,6 +73,37 @@ class PlanSpec extends AnyFunSuite {
     assert(windows == 1, s"dedup must share the ranking WindowExec, got $windows")
   }
 
+  test("c2: stratified sample is a pure filter — no key shuffle, no aggregation") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("c2_stratified_sample")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"hash sampling must not shuffle:\n${plan.take(600)}")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin"))
+  }
+
+  test("c3: shard manifest aggregates map-side before its single key exchange") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("c3_shard_manifest")
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      "expected partial aggregation below the shuffle")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly the aggregation exchange:\n${plan.take(600)}")
+  }
+
+  test("c4: token packing costs one shard exchange + a LOCAL sort feeding mapPartitions") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("c4_token_packing")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly the shard exchange:\n${plan.take(600)}")
+    // sortWithinPartitions → Sort with global=false; a global sort here
+    // would be a second (range) exchange and a scale regression
+    val sortLine = plan.linesIterator.find(_.trim.startsWith("+- Sort")).orElse(
+      plan.linesIterator.find(_.contains("Sort ["))).getOrElse("")
+    assert(sortLine.contains("false"), s"shard sort must be partition-local: $sortLine")
+    assert(!plan.contains("rangepartitioning"), "no global sort exchange allowed")
+    assert(plan.contains("MapPartitions"), "greedy scan must run as mapPartitions")
+  }
+
   test("text-analysis pipeline is one narrow projection: no shuffle beyond the rebalance") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     // (higher-order array lambdas are not whole-stage-codegen'd in Spark —
