@@ -109,6 +109,38 @@ object Corpus {
         min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
   }
 
+  /** Benchmark decontamination: which training documents share at least
+    * `minShared` word n-gram shingles with a benchmark/eval document —
+    * the standard pre-training hygiene check (real deployments use long
+    * n-grams, e.g. 13-grams; the parameter is exposed because this corpus'
+    * documents are short). Output `(bench_id, train_id, n_shared)`.
+    *
+    * Same inverted-index shape as the n-gram dedup: explode both sides'
+    * distinct shingles, equi-join on the shingle — never an N×M document
+    * cross product. The benchmark side is tiny relative to the training
+    * corpus, so AQE broadcasts it and the training side is never
+    * shuffled; cost is one pass over the training shingles. Stop-shingle
+    * skew on the training side is bounded by the benchmark's shingle
+    * vocabulary (the join only keeps training shingles a bench doc
+    * contains).
+    */
+  def contaminationPairs(
+      train: DataFrame,
+      bench: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def sh(df: DataFrame, as: String) =
+      df.select(id.as(as), explode(shingles(tokens(text), n)).as("s"))
+    sh(bench, "bench_id")
+      .join(sh(train, "train_id"), "s")
+      .groupBy("bench_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Token-budget sequence packing: within each shard, documents in
     * ascending id order are greedily packed into consecutive packs of at
     * most `budget` tokens (a document alone longer than the budget gets

@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions.qualityScore
 import graft.operators.{Corpus, Dedup}
-import graft.queries.PipelineQueries.{sqlHits, sqlLshClusterCtes, sqlToks, t}
+import graft.queries.PipelineQueries.{sqlHits, sqlLshClusterCtes, sqlShingles, sqlToks, t}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,6 +51,17 @@ object CorpusQueries {
     Corpus.packTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
       numShards = 8, budget = 256L)
 
+  // every 100th doc plays the benchmark set; flag training docs sharing
+  // >= 2 word 3-grams with any benchmark doc (short synthetic docs — real
+  // deployments use 13-grams and minShared 1)
+  private val c5: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Corpus.contaminationPairs(
+      train = docs.filter(col("doc_id") % 100 =!= 0),
+      bench = docs.filter(col("doc_id") % 100 === 0),
+      col("doc_id"), col("text"), n = 3, minShared = 2L)
+  }
+
   private val d9: Q = (s, dir) =>
     Dedup.keepBest(t(s, dir, "documents"), col("doc_id"), lshClusters(s, dir),
       qualityScore(col("text")))
@@ -61,6 +72,7 @@ object CorpusQueries {
     "c2_stratified_sample" -> c2,
     "c3_shard_manifest" -> c3,
     "c4_token_packing" -> c4,
+    "c5_contamination" -> c5,
     "d9_keep_best" -> d9)
 
   // ------------------------------------------------------------------
@@ -127,6 +139,15 @@ object CorpusQueries {
          |    CASE WHEN p.used + d.n_tokens <= 256 THEN p.used + d.n_tokens ELSE d.n_tokens END
          |  FROM packed p JOIN sharded d ON d.shard = p.shard AND d.rn = p.rn + 1)
          |SELECT shard, doc_id, n_tokens, pack_id FROM packed""".stripMargin,
+    "c5_contamination" ->
+      s"""WITH t0 AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM t0),
+         |bench AS (SELECT * FROM sh WHERE doc_id % 100 = 0),
+         |train AS (SELECT * FROM sh WHERE doc_id % 100 <> 0)
+         |SELECT b.doc_id AS bench_id, tr.doc_id AS train_id, count(*) AS n_shared
+         |FROM bench b JOIN train tr ON b.s = tr.s
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin,
     "d9_keep_best" ->
       s"""WITH RECURSIVE $sqlLshClusterCtes,
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v),

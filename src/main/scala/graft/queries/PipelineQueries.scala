@@ -64,7 +64,7 @@ object PipelineQueries {
        |              (x, y) -> (x*31 + y) % 1000000007) END""".stripMargin
 
   /** DuckDB: distinct word 3-gram shingles of token-list expression `w`. */
-  private def sqlShingles(w: String) =
+  private[queries] def sqlShingles(w: String) =
     s"""CASE WHEN len($w) >= 3 THEN
        |  list_distinct(list_transform(range(1, len($w)-1),
        |                               i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]))

@@ -96,6 +96,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.map(r => r._2 -> r._4).toSeq == Seq(0L -> 1L, 4L -> 2L, 8L -> 3L))
   }
 
+  test("contaminationPairs flags planted benchmark overlap, counts shared shingles") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // shares shingles "alpha beta gamma", "beta gamma delta" → n_shared 2
+      (1L, "alpha beta gamma delta nothing else here at all"),
+      // shares exactly one shingle
+      (2L, "unrelated words then alpha beta gamma"),
+      (3L, "completely disjoint training document text with no overlap"))
+      .toDF("doc_id", "text")
+    val out = Corpus.contaminationPairs(train, bench, col("doc_id"), col("text"),
+      n = 3, minShared = 1L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((100L, 1L)) == 2L)
+    assert(out((100L, 2L)) == 1L)
+    assert(!out.contains((100L, 3L)))
+    val strict = Corpus.contaminationPairs(train, bench, col("doc_id"), col("text"),
+      n = 3, minShared = 2L).as[(Long, Long, Long)].collect()
+    assert(strict.map(r => (r._1, r._2)).toSet == Set((100L, 1L)))
+  }
+
   test("keepBest keeps the highest-scoring cluster member, ties to min id") {
     val d = Seq((1L, 10.0), (2L, 30.0), (3L, 30.0), (4L, 99.0))
       .toDF("doc_id", "score")
