@@ -96,6 +96,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.map(r => r._2 -> r._4).toSeq == Seq(0L -> 1L, 4L -> 2L, 8L -> 3L))
   }
 
+  test("shardManifest describes exactly the files partitionBy(shard) writes (the shard-writer contract)") {
+    val n = 4
+    val outDir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    docs.withColumn("shard", Corpus.shardOf(col("doc_id"), n))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val back = spark.read.parquet(outDir)
+    val manifest = Corpus.shardManifest(docs, col("doc_id"), col("text"), n)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val physical = back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(physical.length == manifest.size)
+    physical.foreach { case (sh, cnt, mn, mx) =>
+      val (_, mDocs, _, mMin, mMax) = manifest(sh)
+      assert(cnt == mDocs && mn == mMin && mx == mMax,
+        s"manifest diverges from written shard $sh")
+    }
+  }
+
+  test("stratifiedSample is a stateless filter — identical rows on a stream (batch/stream parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq.tabulate(40)(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+    val rates = Map("en" -> 30)
+    val batch = Corpus.stratifiedSample(rows.toDF("doc_id", "lang"),
+      col("doc_id"), col("lang"), rates, 60)
+      .select("doc_id").as[Long].collect().toSet
+    val stream = MemoryStream[(Long, String)]
+    val q = Corpus.stratifiedSample(stream.toDF().toDF("doc_id", "lang"),
+      col("doc_id"), col("lang"), rates, 60)
+      .writeStream.format("memory").queryName("sampled").outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sampled").select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.size < rows.size)
+    } finally q.stop()
+  }
+
   test("contaminationPairs flags planted benchmark overlap, counts shared shingles") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
