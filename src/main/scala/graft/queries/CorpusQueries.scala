@@ -62,6 +62,19 @@ object CorpusQueries {
       col("doc_id"), col("text"), n = 3, minShared = 2L)
   }
 
+  // temperature-flattened language rebalance (α = 0.5): rates computed
+  // from the corpus' own language counts — en (~3× the rarest) is kept at
+  // ~sqrt(1/3), the rarest language whole
+  private val c6: Q = (s, dir) =>
+    Corpus.temperatureMix(t(s, dir, "documents"), col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang"), col("rate_ppm"))
+
+  // deterministic epoch-3 training order; the oracle replays the global
+  // rank as a single window, the operator computes it scale-safely
+  // (range partition + per-partition offsets, never a one-task window)
+  private val c7: Q = (s, dir) =>
+    Corpus.epochOrder(t(s, dir, "documents"), col("doc_id"), epoch = 3)
+
   private val d9: Q = (s, dir) =>
     Dedup.keepBest(t(s, dir, "documents"), col("doc_id"), lshClusters(s, dir),
       qualityScore(col("text")))
@@ -73,6 +86,8 @@ object CorpusQueries {
     "c3_shard_manifest" -> c3,
     "c4_token_packing" -> c4,
     "c5_contamination" -> c5,
+    "c6_domain_mix" -> c6,
+    "c7_epoch_order" -> c7,
     "d9_keep_best" -> d9)
 
   // ------------------------------------------------------------------
@@ -148,6 +163,23 @@ object CorpusQueries {
          |FROM bench b JOIN train tr ON b.s = tr.s
          |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin,
+    "c6_domain_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |r AS (
+         |  SELECT lang,
+         |    floor(sqrt((SELECT min(cnt) FROM c)::DOUBLE / cnt::DOUBLE)
+         |          * 1000000.0)::BIGINT AS rate_ppm
+         |  FROM c)
+         |SELECT d.doc_id, d.lang, r.rate_ppm
+         |FROM documents d JOIN r ON r.lang = d.lang
+         |WHERE (d.doc_id * ${Corpus.MixMult} + ${Corpus.MixInc}) % 1000000
+         |      < r.rate_ppm""".stripMargin,
+    "c7_epoch_order" ->
+      s"""SELECT doc_id,
+         |  row_number() OVER (
+         |    ORDER BY (doc_id + ${3L * Corpus.EpochStride}) * ${Corpus.SplitMult}
+         |             % 4294967296 ASC, doc_id ASC) AS epoch_rank
+         |FROM documents""".stripMargin,
     "d9_keep_best" ->
       s"""WITH RECURSIVE $sqlLshClusterCtes,
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v),

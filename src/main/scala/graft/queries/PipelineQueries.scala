@@ -101,6 +101,20 @@ object PipelineQueries {
     t(s, dir, "documents").select(
       col("doc_id"), polyHash(col("text")).as("fingerprint"))
 
+  // Gopher-style repetition/noise filters in exact integer ppm; `keep` is
+  // the composed gate (thresholds picked to split this corpus: top-bigram
+  // p99 ≈ 111k ppm, distinct-token p01 ≈ 293k ppm). Emitted as 1/0 BIGINT
+  // — hash-compare on stringified booleans is representation-fragile.
+  private val t5: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      topBigramPpm(col("text")).as("top_bigram_ppm"),
+      distinctTokenPpm(col("text")).as("distinct_token_ppm"),
+      symbolPpm(col("text")).as("symbol_ppm"))
+      .withColumn("keep",
+        (col("top_bigram_ppm") <= 100000L && col("distinct_token_ppm") >= 300000L &&
+          col("symbol_ppm") <= 100000L).cast("long"))
+
   // ------------------------------------------------------------------
   // Dedup
   // ------------------------------------------------------------------
@@ -194,6 +208,12 @@ object PipelineQueries {
     Similarity.ivfTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
       col("vec_id"), col("embedding"), k = 10, centroidStride = 50, nProbe = 2)
 
+  // int8 quantize → integer-dot candidate ranking → exact rescore of the
+  // k survivors; the integer ranking replays bit-for-bit in the oracle
+  private val s4: Q = (s, dir) =>
+    Similarity.quantizedTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10)
+
   // ------------------------------------------------------------------
   // Multimodal
   // ------------------------------------------------------------------
@@ -265,6 +285,7 @@ object PipelineQueries {
     "t2_quality" -> t2,
     "t3_langid" -> t3,
     "t4_fingerprint" -> t4,
+    "t5_repetition" -> t5,
     "d1_exact_dedup" -> d1,
     "d2_ngram_jaccard" -> d2,
     "d2b_ngram_capped" -> d2b,
@@ -277,6 +298,7 @@ object PipelineQueries {
     "s1_ann_bruteforce" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
+    "s4_ann_quantized" -> s4,
     "mm1_media_meta" -> mm1,
     "mm2_frame_sample" -> mm2,
     "e1_window_agg" -> e1,
@@ -427,6 +449,31 @@ object PipelineQueries {
          |SELECT lang_guess, count(*) AS n FROM g GROUP BY lang_guess""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id, ${sqlPolyHash("text")} AS fingerprint FROM documents""".stripMargin,
+    "t5_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, text, ${sqlToks("text")} AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id, text, w,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |         ELSE [] END AS bg
+         |  FROM toks),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(bg) = 0 THEN 0
+         |         ELSE (list_max(list_transform(list_distinct(bg),
+         |                g -> len(list_filter(bg, x -> x = g))))::BIGINT * 1000000)
+         |              // len(bg) END AS top_bigram_ppm,
+         |    CASE WHEN len(w) = 0 THEN 0
+         |         ELSE (len(list_distinct(w))::BIGINT * 1000000) // len(w)
+         |         END AS distinct_token_ppm,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE (len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::BIGINT * 1000000)
+         |              // length(text) END AS symbol_ppm
+         |  FROM b)
+         |SELECT doc_id, top_bigram_ppm, distinct_token_ppm, symbol_ppm,
+         |  CASE WHEN top_bigram_ppm <= 100000 AND distinct_token_ppm >= 300000
+         |            AND symbol_ppm <= 100000 THEN 1 ELSE 0 END AS keep
+         |FROM m""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
@@ -558,6 +605,37 @@ object PipelineQueries {
         |  FROM listed l JOIN probed p ON l.c_id = p.c_id
         |  WHERE p.q_id <> l.vec_id)
         |WHERE rn <= 10""".stripMargin,
+    "s4_ann_quantized" ->
+      """WITH nb AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+        |                     (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN nrm = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+        |         ELSE list_transform(embedding,
+        |                x -> floor(x::DOUBLE / nrm * 127.0 + 0.5)::BIGINT)
+        |    END AS q
+        |  FROM nb),
+        |cand AS (
+        |  SELECT qq.vec_id AS q_id, bb.vec_id AS vec_id,
+        |    list_reduce(list_transform(range(1, len(bb.q) + 1),
+        |                               i -> qq.q[i] * bb.q[i]),
+        |                (a, b) -> a + b) AS qdot
+        |  FROM qz bb JOIN qz qq ON qq.vec_id < 5 AND qq.vec_id <> bb.vec_id),
+        |top AS (
+        |  SELECT q_id, vec_id, qdot,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY qdot DESC, vec_id ASC) AS rn
+        |  FROM cand)
+        |SELECT t.q_id, t.vec_id, t.qdot,
+        |  round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos,
+        |  t.rn
+        |FROM top t
+        |JOIN embeddings qe ON qe.vec_id = t.q_id
+        |JOIN embeddings be ON be.vec_id = t.vec_id
+        |WHERE t.rn <= 10""".stripMargin,
     "mm1_media_meta" ->
       s"""SELECT doc_id,
          |  $sqlKind AS kind,

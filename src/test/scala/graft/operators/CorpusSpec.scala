@@ -157,6 +157,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(strict.map(r => (r._1, r._2)).toSet == Set((100L, 1L)))
   }
 
+  test("temperatureMix keeps the rarest domain whole and downsamples by sqrt(min/cnt)") {
+    val out = Corpus.temperatureMix(docs, col("doc_id"), col("lang"))
+      .select("doc_id", "lang", "rate_ppm").as[(Long, String, Long)].collect()
+    // docs: 20 en (i%3==0), 40 de → rate(en)=1e6 (min domain), rate(de)=floor(sqrt(20/40)*1e6)
+    val rates = out.map(r => r._2 -> r._3).toMap
+    assert(rates("en") == 1000000L)
+    assert(rates("de") == math.floor(math.sqrt(20.0 / 40.0) * 1000000.0).toLong)
+    // membership replays the hash threshold exactly
+    val expected = (0L until 60L).filter { i =>
+      val rate = if (i % 3 == 0) 1000000L else rates("de")
+      (i * Corpus.MixMult + Corpus.MixInc) % 1000000L < rate
+    }.toSet
+    assert(out.map(_._1).toSet == expected)
+    // every en doc survives (rate 1e6 ≡ keep all)
+    assert(out.count(_._2 == "en") == 20)
+  }
+
+  test("epochOrder is a contiguous deterministic permutation that changes with the epoch") {
+    val r3 = Corpus.epochOrder(docs, col("doc_id"), epoch = 3)
+      .as[(Long, Long)].collect()
+    assert(r3.map(_._1).toSet == (0L until 60L).toSet, "every doc ranked once")
+    assert(r3.map(_._2).sorted.toSeq == (1L to 60L).toSeq, "ranks contiguous 1..N")
+    // matches the single-window oracle ordering
+    val expected = (0L until 60L)
+      .sortBy(i => (((i + 3L * Corpus.EpochStride) * Corpus.SplitMult) % 4294967296L, i))
+      .zipWithIndex.map { case (d, r) => d -> (r + 1L) }.toMap
+    r3.foreach { case (d, r) => assert(r == expected(d), s"rank diverged for doc $d") }
+    // reproducible; and a different epoch yields a different permutation
+    val again = Corpus.epochOrder(docs, col("doc_id"), epoch = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3.toMap == again)
+    val r4 = Corpus.epochOrder(docs, col("doc_id"), epoch = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r3.toMap != r4)
+    assert(Corpus.unpersistIntermediates() >= 1, "epochOrder registers its sorted cache")
+  }
+
   test("keepBest keeps the highest-scoring cluster member, ties to min id") {
     val d = Seq((1L, 10.0), (2L, 30.0), (3L, 30.0), (4L, 99.0))
       .toDF("doc_id", "score")

@@ -124,6 +124,68 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 >= 0.3 && r6 >= 0.7, s"recall out of expected band: $r2, $r6")
   }
 
+  test("quantizedTopK: int8 ranking replays on the driver; rescore equals exact cosine") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val got = Similarity.quantizedTopK(emb, q, col("vec_id"), col("embedding"), k = 5)
+      .select("q_id", "vec_id", "qdot", "cos", "rn")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    // hand-roll the identical quantization + integer dot on the driver
+    val all = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def quant(v: Array[Float]): Array[Long] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      if (n == 0.0) v.map(_ => 0L)
+      else v.map(x => math.floor(x.toDouble / n * 127.0 + 0.5).toLong)
+    }
+    val qz = all.map { case (id, v) => id -> quant(v) }.toMap
+    got.foreach { case (qid, vid, qdot, _, _) =>
+      val expect = qz(qid).zip(qz(vid)).map { case (a, b) => a * b }.sum
+      assert(qdot == expect, s"integer dot diverged for ($qid,$vid)")
+      assert(qz(vid).forall(x => x >= -127L && x <= 127L), "quantized range")
+    }
+    // per query: ranks are 1..k by (qdot desc, id asc), self excluded
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1L to 5L).toSeq)
+      assert(!rows.map(_._2).contains(qid))
+      val pairs = sorted.map(r => (r._3, r._2))
+      assert(pairs.sortBy { case (d, id) => (-d, id) }.toSeq == pairs.toSeq)
+    }
+    // the rescored cosine matches the exact scorer for the same pairs
+    val exact = Similarity.bruteForceTopK(emb, q, col("vec_id"), col("embedding"),
+      k = emb.count().toInt)
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (qid, vid, _, cos, _) =>
+      assert(cos == exact((qid, vid)), s"rescore diverged for ($qid,$vid)")
+    }
+    // int8 ranking is a good proxy: recall@10 vs exact must be near-perfect
+    def sets(rows: Array[(Long, Long)]): Map[Long, Set[Long]] =
+      rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val ex10 = sets(Similarity.bruteForceTopK(emb, q, col("vec_id"), col("embedding"), k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect())
+    val qz10 = sets(Similarity.quantizedTopK(emb, q, col("vec_id"), col("embedding"), k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect())
+    val recalls = ex10.map { case (qid, ex) =>
+      qz10.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"int8 recall@10 $mean < 0.9 (per-query: $recalls)")
+  }
+
+  test("quantization guards zero vectors and clamps to the int8 envelope") {
+    val d = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(3.0f, 4.0f)), (2L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = d.filter(col("vec_id") === 1L)
+    val rows = Similarity.quantizedTopK(d, q, col("vec_id"), col("embedding"), k = 3)
+      .select("vec_id", "qdot").as[(Long, Long)].collect().toMap
+    // zero vector quantizes to zeros → qdot 0; (-1,0)·(3/5,4/5)*127 → -76·76 + 0·102
+    assert(rows(0L) == 0L)
+    assert(rows(2L) == math.floor(-1.0 * 127.0 + 0.5).toLong * math.floor(3.0 / 5.0 * 127.0 + 0.5).toLong)
+  }
+
   test("brute force matches a hand-rolled ranking on driver testdata") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
