@@ -71,30 +71,17 @@ object TextFunctions {
 
   /** Non-distinct word bigram list (repetition metrics need multiplicity —
     * [[shingles]] deduplicates, which is right for Jaccard but would hide
-    * repeats here).
+    * repeats here). The top-bigram metric itself lives in
+    * `Corpus.repetitionProfile`: counting the mode of this list per row is
+    * O(distinct × total) in interpreted lambdas (measured 15 s at sf0.1,
+    * and unbounded for book-sized docs), so it runs as a two-stage
+    * codegen'd aggregation instead of a Column expression.
     */
-  private def bigramList(toks: Column): Column =
+  private[graft] def bigramList(toks: Column): Column =
     when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", slice(toks, i, lit(2)))))
       .otherwise(array().cast("array<string>"))
-
-  /** Fraction (integer ppm) of word bigrams taken by the single most
-    * frequent bigram — the Gopher-style "top n-gram" repetition signal: a
-    * doc whose text loops a phrase scores near 1e6, clean prose scores low.
-    * 0 for docs with fewer than 2 tokens.
-    *
-    * Per-row array arithmetic (count each distinct bigram inside the row),
-    * so it stays a narrow shuffle-free map like the rest of this module;
-    * cost is O(distinct × total) per doc, fine for document-sized inputs.
-    */
-  def topBigramPpm(text: Column): Column = {
-    val b = bigramList(tokens(text))
-    when(size(b) === 0, lit(0L)).otherwise(
-      floor(
-        array_max(transform(array_distinct(b), g => size(filter(b, x => x === g))))
-          .cast("long") * 1000000L / size(b)).cast("long"))
-  }
 
   /** Distinct-token fraction in integer ppm (1e6 = every token unique);
     * 0 for empty docs. The complement of Gopher's repeated-token filter.

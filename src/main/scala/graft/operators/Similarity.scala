@@ -192,7 +192,9 @@ object Similarity {
         aggregate(zip_with(col("qq"), col("qb"), _ * _), lit(0L), _ + _).as("qdot"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-    top
+    // the survivor set is k·|queries| rows by construction — broadcast it
+    // against the base so the rescore never shuffles the full vectors
+    broadcast(top)
       .join(base.select(id.as("vec_id"), vec.as("v")), "vec_id")
       .join(broadcast(queries.select(id.as("q_id"), vec.as("qv"))), "q_id")
       .select(col("q_id"), col("vec_id"), col("qdot"),

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -106,11 +106,7 @@ object PipelineQueries {
   // p99 ≈ 111k ppm, distinct-token p01 ≈ 293k ppm). Emitted as 1/0 BIGINT
   // — hash-compare on stringified booleans is representation-fragile.
   private val t5: Q = (s, dir) =>
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      topBigramPpm(col("text")).as("top_bigram_ppm"),
-      distinctTokenPpm(col("text")).as("distinct_token_ppm"),
-      symbolPpm(col("text")).as("symbol_ppm"))
+    Corpus.repetitionProfile(t(s, dir, "documents"), col("doc_id"), col("text"))
       .withColumn("keep",
         (col("top_bigram_ppm") <= 100000L && col("distinct_token_ppm") >= 300000L &&
           col("symbol_ppm") <= 100000L).cast("long"))

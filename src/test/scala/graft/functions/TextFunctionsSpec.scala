@@ -81,15 +81,6 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[Int]("abc 123 x!", bpeishCount) == 4) // abc, 123, x, !
   }
 
-  test("topBigramPpm: looped phrases score high, clean prose low, short docs zero") {
-    // "a b a b a b": bigrams [a b, b a, a b, b a, a b] → top 3 of 5
-    assert(one[Long]("a b a b a b", topBigramPpm) == 3L * 1000000L / 5L)
-    // all-distinct bigrams → 1 of n
-    assert(one[Long]("a b c d e", topBigramPpm) == 1000000L / 4L)
-    assert(one[Long]("word", topBigramPpm) == 0L)
-    assert(one[Long]("", topBigramPpm) == 0L)
-  }
-
   test("distinctTokenPpm: repetition lowers the ratio; empty is zero") {
     assert(one[Long]("a a b", distinctTokenPpm) == 2L * 1000000L / 3L)
     assert(one[Long]("a b c", distinctTokenPpm) == 1000000L)

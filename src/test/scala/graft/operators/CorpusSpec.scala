@@ -157,6 +157,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(strict.map(r => (r._1, r._2)).toSet == Set((100L, 1L)))
   }
 
+  test("repetitionProfile: looped phrases score high, short/empty docs zero") {
+    val d = Seq(
+      (0L, "a b a b a b"), // bigrams [a b, b a, a b, b a, a b] → top 3 of 5
+      (1L, "a b c d e"), // all-distinct bigrams → 1 of 4
+      (2L, "word"), // no bigrams
+      (3L, ""), // empty doc
+      (4L, "x x y")) // distinct tokens 2 of 3
+      .toDF("doc_id", "text")
+    val out = Corpus.repetitionProfile(d, col("doc_id"), col("text"))
+      .select("doc_id", "top_bigram_ppm", "distinct_token_ppm", "symbol_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 5, "every doc profiled, including bigram-less ones")
+    assert(out(0L)._2 == 3L * 1000000L / 5L)
+    assert(out(1L)._2 == 1000000L / 4L)
+    assert(out(2L)._2 == 0L && out(3L)._2 == 0L)
+    assert(out(4L)._3 == 2L * 1000000L / 3L)
+    assert(out(3L)._3 == 0L && out(3L)._4 == 0L)
+  }
+
   test("temperatureMix keeps the rarest domain whole and downsamples by sqrt(min/cnt)") {
     val out = Corpus.temperatureMix(docs, col("doc_id"), col("lang"))
       .select("doc_id", "lang", "rate_ppm").as[(Long, String, Long)].collect()

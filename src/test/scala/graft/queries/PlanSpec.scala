@@ -104,6 +104,39 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), "greedy scan must run as mapPartitions")
   }
 
+  test("t5: repetition profile is two partial-agg exchanges, no joins (bounded per doc size)") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("t5_repetition")
+    // (doc,bigram) count then per-doc max/total — both with map-side partials;
+    // the per-row lambda alternative is O(distinct×total) interpreted work
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected the two aggregation exchanges:\n${plan.take(600)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      "expected partial aggregation below the shuffles")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
+  }
+
+  test("c6: domain mix broadcasts the rate table — the corpus is never key-shuffled") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("c6_domain_mix")
+    assert(plan.contains("BroadcastHashJoin"), "rate table must broadcast")
+    // the only key exchange allowed is the tiny per-domain count aggregation
+    // (5 langs); the documents themselves flow shuffle-free into the filter
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not be shuffled for the rate join:\n${plan.take(600)}")
+  }
+
+  test("s4: quantized ranking costs one window exchange; rescore joins broadcast") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val plan = planOf("s4_ann_quantized")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "quantized query set must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge allowed in the quantized path:\n${plan.take(600)}")
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"one ranking window expected, got $windows")
+  }
+
   test("text-analysis pipeline is one narrow projection: no shuffle beyond the rebalance") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     // (higher-order array lambdas are not whole-stage-codegen'd in Spark —
