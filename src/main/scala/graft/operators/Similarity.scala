@@ -156,6 +156,19 @@ object Similarity {
       .otherwise(transform(v,
         x => floor(x.cast("double") / norm * 127.0 + 0.5).cast("long")))
 
+  /** The stored int8 index `(vec_id, q: array<tinyint>)` — this is what a
+    * 100 TB deployment writes to parquet: one signed byte per dimension
+    * instead of a 4-byte float, so the candidate-ranking scan reads ~¼ the
+    * bytes (SimilaritySpec measures the on-disk shrink and proves the
+    * stored index re-ranks identically to the in-flight computation).
+    * [[quantizedTopK]] computes the same quantization in-flight; consumers
+    * with a persisted index join queries against this table instead.
+    */
+  def quantizedIndex(base: DataFrame, id: Column, vec: Column): DataFrame =
+    base.select(id.as("vec_id"), l2norm(vec).as("_n"), vec.as("_v"))
+      .select(col("vec_id"),
+        quantizeWith(col("_v"), col("_n")).cast("array<tinyint>").as("q"))
+
   /** Quantized ANN with exact rescoring — the memory-bound tier for
     * 100 TB-scale indexes: base and query vectors are int8-quantized
     * ([[quantizeWith]]), candidates rank by the *integer* dot product

@@ -94,4 +94,54 @@ class CorpusPropertiesSpec extends AnyFunSuite {
         s"case $i: hash sampling must commute with subsetting")
     }
   }
+
+  test("epochOrder: contiguous permutation for random corpora and partition counts") {
+    (1 to 10).foreach { i =>
+      val corpus = sample(200L + i)
+      if (corpus.nonEmpty) {
+        val df = corpus.map { case (id, _) => Tuple1(id) }.toDF("doc_id")
+        // partition counts around and beyond the corpus size exercise empty
+        // range partitions (their zero counts must not shift the offsets)
+        val parts = Seq(1, 3, corpus.size + 5)(i % 3)
+        val out = Corpus.epochOrder(df, col("doc_id"), epoch = i, partitions = parts)
+          .as[(Long, Long)].collect()
+        assert(out.map(_._1).toSet == corpus.map(_._1).toSet, s"case $i: docs lost")
+        assert(out.map(_._2).sorted.toSeq == (1L to corpus.size.toLong).toSeq,
+          s"case $i ($parts partitions): ranks not a contiguous 1..N")
+        // rank order agrees with the hash order (the single-window oracle)
+        val expected = corpus.map(_._1).sortBy(id =>
+          (((id + i.toLong * Corpus.EpochStride) * Corpus.SplitMult) % 4294967296L, id))
+        assert(out.sortBy(_._2).map(_._1).toSeq == expected,
+          s"case $i: permutation diverged from hash order")
+      }
+    }
+    Corpus.unpersistIntermediates()
+  }
+
+  test("temperatureMix: rarest domain kept whole; kept share tracks sqrt-flattened target") {
+    (1 to 10).foreach { i =>
+      val corpus = sample(300L + i)
+      if (corpus.size >= 10) {
+        val df = corpus.map { case (id, k) => (id, s"dom${k % 3}") }
+          .toDF("doc_id", "dom")
+        val counts = corpus.groupBy(t => s"dom${t._2 % 3}").view.mapValues(_.size.toLong).toMap
+        if (counts.size >= 2) {
+          val minCnt = counts.values.min
+          val out = Corpus.temperatureMix(df, col("doc_id"), col("dom"))
+            .select("doc_id", "dom", "rate_ppm").as[(Long, String, Long)].collect()
+          val rates = out.map(r => r._2 -> r._3).toMap
+          rates.foreach { case (dom, rate) =>
+            val expect = math.floor(
+              math.sqrt(minCnt.toDouble / counts(dom).toDouble) * 1000000.0).toLong
+            assert(rate == expect, s"case $i: rate for $dom")
+          }
+          // every member of a minimum-count domain survives (rate ≡ 1e6)
+          counts.filter(_._2 == minCnt).keys.foreach { dom =>
+            assert(out.count(_._2 == dom) == minCnt.toInt,
+              s"case $i: rarest domain $dom must be kept whole")
+          }
+        }
+      }
+    }
+  }
 }

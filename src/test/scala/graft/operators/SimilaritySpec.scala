@@ -175,6 +175,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, s"int8 recall@10 $mean < 0.9 (per-query: $recalls)")
   }
 
+  test("quantizedIndex stored as parquet: ~4x smaller scan, identical ranking (the 100 TB path)") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-q8").toString
+    Similarity.quantizedIndex(emb, col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$idxDir/q8")
+    emb.select("vec_id", "embedding").write.mode("overwrite").parquet(s"$idxDir/f32")
+    def bytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val (q8, f32) = (bytes(s"$idxDir/q8"), bytes(s"$idxDir/f32"))
+    assert(q8 > 0 && q8 < f32 / 2,
+      s"int8 index should scan well under half the bytes: q8=$q8 f32=$f32")
+    // ranking from the STORED index must equal the in-flight computation
+    val stored = spark.read.parquet(s"$idxDir/q8")
+      .select(col("vec_id"), col("q").cast("array<long>").as("qb"))
+    val qq = Similarity.quantizedIndex(q, col("vec_id"), col("embedding"))
+      .select(col("vec_id").as("q_id"), col("q").cast("array<long>").as("qq"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id").asc)
+    val fromDisk = stored.join(broadcast(qq), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(zip_with(col("qq"), col("qb"), _ * _), lit(0L), _ + _).as("qdot"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Long)].collect().toSet
+    val inFlight = Similarity.quantizedTopK(emb, q, col("vec_id"), col("embedding"), k = 10)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Long)].collect().toSet
+    assert(fromDisk == inFlight, "stored index must rank exactly like the in-flight path")
+  }
+
   test("quantization guards zero vectors and clamps to the int8 envelope") {
     val d = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(3.0f, 4.0f)), (2L, Array(-1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
