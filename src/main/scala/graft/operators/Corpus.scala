@@ -213,7 +213,10 @@ object Corpus {
       .select(col("_dom"),
         floor(sqrt(col("_min").cast("double") / col("_cnt").cast("double")) *
           1000000.0).cast("long").as("rate_ppm"))
-    df.join(broadcast(rates), domain === col("_dom"))
+    // null-safe equality: groupBy collects null domains into one group, and
+    // a plain `===` would then silently drop every null-domain row at the
+    // rate join — they must resample like any other domain
+    df.join(broadcast(rates), domain <=> col("_dom"))
       .filter((id.cast("long") * MixMult + MixInc) % 1000000L < col("rate_ppm"))
       .drop("_dom")
   }

@@ -193,6 +193,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.count(_._2 == "en") == 20)
   }
 
+  test("temperatureMix treats null domains as a domain (null-safe rate join)") {
+    val d = Seq((0L, "en"), (1L, "en"), (2L, "en"), (3L, "en"), (4L, null))
+      .toDF("doc_id", "lang")
+    val out = Corpus.temperatureMix(d, col("doc_id"), col("lang"))
+      .select("doc_id", "rate_ppm").as[(Long, Long)].collect().toMap
+    // null is the rarest domain (1 doc) → rate 1e6, kept; en rate = sqrt(1/4)
+    assert(out.contains(4L) && out(4L) == 1000000L)
+    assert(out.filter(_._1 != 4L).values.forall(_ ==
+      math.floor(math.sqrt(1.0 / 4.0) * 1000000.0).toLong))
+  }
+
   test("epochOrder is a contiguous deterministic permutation that changes with the epoch") {
     val r3 = Corpus.epochOrder(docs, col("doc_id"), epoch = 3)
       .as[(Long, Long)].collect()
