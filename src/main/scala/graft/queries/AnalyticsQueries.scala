@@ -89,6 +89,18 @@ object AnalyticsQueries {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  // scalar correlated subquery — the OTHER decorrelation path (q4 covers
+  // EXISTS → semi-join; a correlated scalar aggregate decorrelates into a
+  // grouped aggregate + equi-join). Each customer's maximum-price orders.
+  private val q6: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders_v o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_v o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
   // quantile_cont, verified bit-identical on this data)
   private val a1: Q = (s, dir) =>
@@ -176,6 +188,7 @@ object AnalyticsQueries {
     "q1_agg" -> q1,
     "q3_revenue" -> q3,
     "q4_exists_sql" -> q4,
+    "q6_scalar_subquery" -> q6,
     "q5_nation_revenue" -> q5,
     "a1_percentiles" -> a1,
     "agg_distinct" -> aggDistinct,
@@ -213,6 +226,11 @@ object AnalyticsQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q6_scalar_subquery" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
     "q5_nation_revenue" ->
       s"""SELECT n_name, CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue
          |FROM lineitem
