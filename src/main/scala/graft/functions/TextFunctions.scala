@@ -186,7 +186,15 @@ object TextFunctions {
     * far inside double's exact-integer range, so `floor(a/b)` IS integer
     * division here.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    (qualityScorePpm(text).cast("double") / 1000000.0).as("quality")
+
+  /** [[qualityScore]] as the raw integer micropoints — the form to use
+    * when the score feeds further exact arithmetic (thresholds,
+    * percentile gates): the double form does not round-trip back to the
+    * integer ppm exactly.
+    */
+  def qualityScorePpm(text: Column): Column = {
     val toks = tokens(text)
     val nTok = size(toks).cast("long")
     def intDiv(a: Column, b: Column): Column = floor(a / b).cast("long")
@@ -196,7 +204,6 @@ object TextFunctions {
       length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("long") * 1000000L,
       length(text).cast("long")))
     val lenPpm = least(lit(1000000L), nTok * 10000L)
-    (intDiv(lenPpm * 5 + stopPpm * 3 + alnumPpm * 2, lit(10L)).cast("double") /
-      1000000.0).as("quality")
+    intDiv(lenPpm * 5 + stopPpm * 3 + alnumPpm * 2, lit(10L))
   }
 }

@@ -111,6 +111,19 @@ object PipelineQueries {
         (col("top_bigram_ppm") <= 100000L && col("distinct_token_ppm") >= 300000L &&
           col("symbol_ppm") <= 100000L).cast("long"))
 
+  // global quality gate: drop the bottom decile by quality score — the
+  // exact-percentile threshold is ONE reduce to a single row, broadcast
+  // back over the corpus (no window, no global sort; `percentile` ≡
+  // DuckDB quantile_cont bit-for-bit on integer ppm inputs, cf. a1)
+  private val t6: Q = (s, dir) => {
+    val scored = t(s, dir, "documents").select(col("doc_id"),
+      qualityScorePpm(col("text")).as("qual_ppm"))
+    val thresh = scored.agg(expr("percentile(qual_ppm, 0.1)").as("p10"))
+    scored.crossJoin(broadcast(thresh))
+      .filter(col("qual_ppm") >= col("p10"))
+      .select(col("doc_id"), col("qual_ppm"))
+  }
+
   // ------------------------------------------------------------------
   // Dedup
   // ------------------------------------------------------------------
@@ -282,6 +295,7 @@ object PipelineQueries {
     "t3_langid" -> t3,
     "t4_fingerprint" -> t4,
     "t5_repetition" -> t5,
+    "t6_quality_gate" -> t6,
     "d1_exact_dedup" -> d1,
     "d2_ngram_jaccard" -> d2,
     "d2b_ngram_capped" -> d2b,
@@ -470,6 +484,24 @@ object PipelineQueries {
          |  CASE WHEN top_bigram_ppm <= 100000 AND distinct_token_ppm >= 300000
          |            AND symbol_ppm <= 100000 THEN 1 ELSE 0 END AS keep
          |FROM m""".stripMargin,
+    "t6_quality_gate" ->
+      s"""WITH qm AS (
+         |  SELECT doc_id,
+         |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS alnum_len,
+         |    length(text)::BIGINT AS n_chars,
+         |    ${sqlToks("text")} AS w
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    ((least(1000000, len(w)::BIGINT * 10000)) * 5
+         |     + (CASE WHEN len(w) > 0
+         |          THEN (${sqlHits("w", TextFunctions.EnStop)}::BIGINT * 1000000) // len(w)
+         |          ELSE 0 END) * 3
+         |     + (CASE WHEN n_chars = 0 THEN 0
+         |          ELSE (alnum_len * 1000000) // n_chars END) * 2) // 10 AS qual_ppm
+         |  FROM qm),
+         |t AS (SELECT quantile_cont(qual_ppm, 0.1) AS p10 FROM q)
+         |SELECT doc_id, qual_ppm FROM q, t WHERE qual_ppm >= p10""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
