@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * state: re-running the pipeline on the same corpus yields the same
   * split/sample/shard, which is what makes incremental corpus refreshes
   * and cross-engine verification possible. Ids are assumed non-negative
-  * (the `%` convention for negative dividends differs across engines).
+  * (the `%` convention for negative dividends differs across engines) and
+  * are reduced mod 2^31 before every multiply ([[idHash]]) so no product
+  * can overflow BIGINT — ANSI Spark throws on overflow while DuckDB
+  * errors differently, which would break the cross-engine contract right
+  * at the multi-billion-document scale these operators target.
   *
   * Scale shape: split/sample/shard are narrow per-row maps (no shuffle);
   * packing shuffles once on the shard key and scans each shard
@@ -47,6 +51,22 @@ object Corpus {
     */
   val EpochStride = 1000003L
 
+  /** Pre-multiplication reduction: 2^31. Caps every `idHash` product at
+    * ~2^31 · SplitMult < 2^63 (the largest multiplier), at the price that
+    * ids congruent mod 2^31 share a hash — inherent to any finite hash
+    * and irrelevant below ~2.1 B documents per congruence class.
+    */
+  val IdMod = 2147483648L
+
+  /** The shared keyed-decision hash: `((key mod 2^31) · mult + inc)`.
+    * Callers reduce the result by their own modulus; every multiplier in
+    * this object is odd and coprime to every modulus used on top (1000,
+    * 10^6, 2^32, shard counts via the prime [[ShardMult]]), so residues
+    * cover the full range and per-stratum rates are unbiased.
+    */
+  private def idHash(key: Column, mult: Long, inc: Long = 0L): Column =
+    (key.cast("long") % IdMod) * mult + inc
+
   /** Train/val/test split that cannot leak near-duplicates across splits:
     * the split key of a document is its duplicate-cluster representative
     * (from [[Dedup.clusterPairs]]) when it has one, else its own id — so
@@ -72,7 +92,7 @@ object Corpus {
       trainPerMille + valPerMille < 1000,
       "per-mille budgets must satisfy 0 < train, 0 <= val, train + val < 1000")
     val c = clusters.select(col("doc_id").as("_c_doc"), col("cluster_rep").as("_c_rep"))
-    val h = (coalesce(col("_c_rep"), id.cast("long")) * SplitMult) % 1000L
+    val h = idHash(coalesce(col("_c_rep"), id.cast("long")), SplitMult) % 1000L
     docs.join(c, id === col("_c_doc"), "left")
       .select(id.as("doc_id"),
         when(h < trainPerMille, "train")
@@ -81,12 +101,19 @@ object Corpus {
   }
 
   /** Deterministic stratified sampling: row kept iff
-    * `(id * SampleMult + SampleInc) % 100 < rate(stratum)`. Per-stratum
-    * percentage rates rebalance a skewed corpus (e.g. downsample the
-    * dominant language); strata absent from `ratesPct` use `defaultPct`.
-    * Pure filter — no shuffle, no state, reproducible on re-run, and the
-    * sample of a subset equals the subset of the sample (hash sampling's
-    * composability property, which RNG sampling lacks).
+    * `hash(id) mod 2^32  <  rate% of 2^32` (compared as
+    * `h·100 < rate·2^32`, all-integer and exact in any engine).
+    * Per-stratum percentage rates rebalance a skewed corpus (e.g.
+    * downsample the dominant language); strata absent from `ratesPct` use
+    * `defaultPct`. Pure filter — no shuffle, no state, reproducible on
+    * re-run, and the sample of a subset equals the subset of the sample
+    * (hash sampling's composability property, which RNG sampling lacks).
+    *
+    * The comparison reduces by 2^32, NOT by 100: `SampleMult` shares the
+    * factor 5 with 100, so a `% 100` hash only ever hits multiples of 5 —
+    * rates would silently round up to the next multiple of 5 and the keep
+    * decision would alias on `id mod 20`. Against 2^32 the odd multiplier
+    * is coprime and every integer rate is honored.
     */
   def stratifiedSample(
       df: DataFrame,
@@ -97,12 +124,14 @@ object Corpus {
     require((ratesPct.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
       "rates are percentages in [0, 100]")
     val rate = coalesce(element_at(typedlit(ratesPct), strata), lit(defaultPct))
-    df.filter((id.cast("long") * SampleMult + SampleInc) % 100L < rate)
+    df.filter(
+      (idHash(id, SampleMult, SampleInc) % 4294967296L) * 100L <
+        rate.cast("long") * 4294967296L)
   }
 
   /** Deterministic shard id of `id` in [0, numShards). */
   def shardOf(id: Column, numShards: Int): Column =
-    (id.cast("long") * ShardMult) % numShards
+    idHash(id, ShardMult) % numShards
 
   /** Per-shard manifest of a hash-sharded corpus: document count, total
     * token budget, id range — the planning table a shard writer consumes
@@ -217,13 +246,13 @@ object Corpus {
     // a plain `===` would then silently drop every null-domain row at the
     // rate join — they must resample like any other domain
     df.join(broadcast(rates), domain <=> col("_dom"))
-      .filter((id.cast("long") * MixMult + MixInc) % 1000000L < col("rate_ppm"))
+      .filter(idHash(id, MixMult, MixInc) % 1000000L < col("rate_ppm"))
       .drop("_dom")
   }
 
   /** Deterministic epoch-shuffle order: a contiguous global rank (1-based)
     * of every document under the per-epoch permutation hash
-    * `h = ((id + epoch · EpochStride) · SplitMult) mod 2^32` — the
+    * `h = (((id + epoch · EpochStride) mod 2^31) · SplitMult) mod 2^32` — the
     * reproducible "shuffle the corpus differently each epoch" step of a
     * training-data pipeline. Output `(doc_id, epoch_rank)`.
     *
@@ -245,7 +274,7 @@ object Corpus {
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     val sorted = cached(
       df.select(id.cast("long").as("doc_id"),
-          (((id.cast("long") + epoch.toLong * EpochStride) * SplitMult) %
+          (idHash(id.cast("long") + epoch.toLong * EpochStride, SplitMult) %
             4294967296L).as("h"))
         .repartitionByRange(p, col("h"), col("doc_id"))
         .sortWithinPartitions("h", "doc_id"))

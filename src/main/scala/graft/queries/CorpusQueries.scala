@@ -94,8 +94,10 @@ object CorpusQueries {
   // Oracles (keep hash constants in lockstep with Corpus)
   // ------------------------------------------------------------------
 
-  /** DuckDB: shard id — must match Corpus.shardOf / ShardMult. */
-  private val sqlShard = s"(doc_id * ${Corpus.ShardMult}) % 8"
+  /** DuckDB: shard id — must match Corpus.shardOf / ShardMult (including
+    * the overflow-proof mod-2^31 id reduction every corpus hash applies).
+    */
+  private val sqlShard = s"((doc_id % ${Corpus.IdMod}) * ${Corpus.ShardMult}) % 8"
 
   /** DuckDB: integer-ppm quality score (ordering key of d9's keep rule) —
     * must match TextFunctions.qualityScore's ppm arithmetic exactly.
@@ -125,12 +127,14 @@ object CorpusQueries {
          |  CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
          |FROM (
          |  SELECT d.doc_id,
-         |    (coalesce(c.cluster_rep, d.doc_id) * ${Corpus.SplitMult}) % 1000 AS h
+         |    ((coalesce(c.cluster_rep, d.doc_id) % ${Corpus.IdMod})
+         |     * ${Corpus.SplitMult}) % 1000 AS h
          |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id) hashed""".stripMargin,
     "c2_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE (doc_id * ${Corpus.SampleMult} + ${Corpus.SampleInc}) % 100
-         |      < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)""".stripMargin,
+         |WHERE (((doc_id % ${Corpus.IdMod}) * ${Corpus.SampleMult}
+         |        + ${Corpus.SampleInc}) % 4294967296) * 100
+         |      < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)::BIGINT * 4294967296""".stripMargin,
     "c3_shard_manifest" ->
       s"""WITH s AS (
          |  SELECT $sqlShard AS shard, doc_id,
@@ -171,14 +175,15 @@ object CorpusQueries {
          |          * 1000000.0)::BIGINT AS rate_ppm
          |  FROM c)
          |SELECT d.doc_id, d.lang, r.rate_ppm
-         |FROM documents d JOIN r ON r.lang = d.lang
-         |WHERE (d.doc_id * ${Corpus.MixMult} + ${Corpus.MixInc}) % 1000000
+         |FROM documents d JOIN r ON r.lang IS NOT DISTINCT FROM d.lang
+         |WHERE ((d.doc_id % ${Corpus.IdMod}) * ${Corpus.MixMult}
+         |       + ${Corpus.MixInc}) % 1000000
          |      < r.rate_ppm""".stripMargin,
     "c7_epoch_order" ->
       s"""SELECT doc_id,
          |  row_number() OVER (
-         |    ORDER BY (doc_id + ${3L * Corpus.EpochStride}) * ${Corpus.SplitMult}
-         |             % 4294967296 ASC, doc_id ASC) AS epoch_rank
+         |    ORDER BY ((doc_id + ${3L * Corpus.EpochStride}) % ${Corpus.IdMod})
+         |             * ${Corpus.SplitMult} % 4294967296 ASC, doc_id ASC) AS epoch_rank
          |FROM documents""".stripMargin,
     "d9_keep_best" ->
       s"""WITH RECURSIVE $sqlLshClusterCtes,

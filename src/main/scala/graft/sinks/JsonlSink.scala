@@ -63,7 +63,12 @@ object JsonlSink {
   def appendSingleFile(df: DataFrame, file: String): Long = {
     val parent = new java.io.File(file).getAbsoluteFile.getParentFile
     if (parent != null) parent.mkdirs()
-    val out = new java.io.BufferedWriter(new java.io.FileWriter(file, true))
+    // explicit UTF-8: FileWriter would use the platform charset (JDK 17
+    // predates JEP 400's UTF-8 default), mojibake-ing non-ASCII text on
+    // non-UTF-8 locales — and spark.read.json always reads UTF-8 back
+    val out = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(file), java.nio.charset.StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     try {
       var n = 0L
       val it = jsonLines(df).toLocalIterator()

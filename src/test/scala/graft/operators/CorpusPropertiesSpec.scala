@@ -50,7 +50,8 @@ class CorpusPropertiesSpec extends AnyFunSuite {
       val toks = corpus.toMap
       out.foreach { case (sh, id, n, _) =>
         assert(n == toks(id).toLong, s"case $i: token count mismatch for $id")
-        assert(sh == (id * Corpus.ShardMult) % shards, s"case $i: wrong shard for $id")
+        assert(sh == ((id % Corpus.IdMod) * Corpus.ShardMult) % shards,
+          s"case $i: wrong shard for $id")
       }
 
       out.groupBy(_._1).foreach { case (_, rows) =>
@@ -110,7 +111,8 @@ class CorpusPropertiesSpec extends AnyFunSuite {
           s"case $i ($parts partitions): ranks not a contiguous 1..N")
         // rank order agrees with the hash order (the single-window oracle)
         val expected = corpus.map(_._1).sortBy(id =>
-          (((id + i.toLong * Corpus.EpochStride) * Corpus.SplitMult) % 4294967296L, id))
+          ((((id + i.toLong * Corpus.EpochStride) % Corpus.IdMod) * Corpus.SplitMult)
+            % 4294967296L, id))
         assert(out.sortBy(_._2).map(_._1).toSeq == expected,
           s"case $i: permutation diverged from hash order")
       }

@@ -38,7 +38,8 @@ class CorpusSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     val expected = (0L until 60L).filter { i =>
       val lang = if (i % 3 == 0) "en" else "de"
-      (i * Corpus.SampleMult + Corpus.SampleInc) % 100L < rates.getOrElse(lang, 50)
+      val h = ((i % Corpus.IdMod) * Corpus.SampleMult + Corpus.SampleInc) % 4294967296L
+      h * 100L < rates.getOrElse(lang, 50).toLong * 4294967296L
     }.toSet
     assert(out == expected)
     val again = Corpus.stratifiedSample(docs, col("doc_id"), col("lang"), rates, 50)
@@ -157,6 +158,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(strict.map(r => (r._1, r._2)).toSet == Set((100L, 1L)))
   }
 
+  test("corpus hashes survive multi-billion ids (ANSI overflow) and honor any integer rate") {
+    // ids past 2^31: every hash pre-reduces mod 2^31, so no multiply can
+    // overflow BIGINT (ANSI mode throws on overflow — this test would die)
+    val big = Seq.tabulate(2000)(i => (4000000000L + i.toLong, "en"))
+      .toDF("doc_id", "lang")
+    // rate 37 is NOT a multiple of 5 — the old %100 hash (SampleMult shares
+    // factor 5 with 100) silently rounded it up to 40%
+    val kept = Corpus.stratifiedSample(big, col("doc_id"), col("lang"),
+      Map("en" -> 37), 37).count()
+    assert(math.abs(kept - 740L) < 80, s"rate 37% should keep ~740 of 2000, kept $kept")
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_rep")
+    assert(Corpus.leakproofSplit(big, col("doc_id"), noClusters).count() == 2000)
+    assert(Corpus.shardManifest(big, col("doc_id"), col("lang"), 7)
+      .agg(sum("n_docs")).as[Long].collect()(0) == 2000)
+    assert(Corpus.temperatureMix(big, col("doc_id"), col("lang")).count() == 2000)
+    val ranks = Corpus.epochOrder(big, col("doc_id"), epoch = 2)
+      .agg(min("epoch_rank"), max("epoch_rank")).as[(Long, Long)].collect()(0)
+    assert(ranks == (1L, 2000L))
+    Corpus.unpersistIntermediates()
+  }
+
   test("repetitionProfile: looped phrases score high, short/empty docs zero") {
     val d = Seq(
       (0L, "a b a b a b"), // bigrams [a b, b a, a b, b a, a b] → top 3 of 5
@@ -186,7 +208,7 @@ class CorpusSpec extends AnyFunSuite {
     // membership replays the hash threshold exactly
     val expected = (0L until 60L).filter { i =>
       val rate = if (i % 3 == 0) 1000000L else rates("de")
-      (i * Corpus.MixMult + Corpus.MixInc) % 1000000L < rate
+      ((i % Corpus.IdMod) * Corpus.MixMult + Corpus.MixInc) % 1000000L < rate
     }.toSet
     assert(out.map(_._1).toSet == expected)
     // every en doc survives (rate 1e6 ≡ keep all)
@@ -211,7 +233,8 @@ class CorpusSpec extends AnyFunSuite {
     assert(r3.map(_._2).sorted.toSeq == (1L to 60L).toSeq, "ranks contiguous 1..N")
     // matches the single-window oracle ordering
     val expected = (0L until 60L)
-      .sortBy(i => (((i + 3L * Corpus.EpochStride) * Corpus.SplitMult) % 4294967296L, i))
+      .sortBy(i => ((((i + 3L * Corpus.EpochStride) % Corpus.IdMod) * Corpus.SplitMult)
+        % 4294967296L, i))
       .zipWithIndex.map { case (d, r) => d -> (r + 1L) }.toMap
     r3.foreach { case (d, r) => assert(r == expected(d), s"rank diverged for doc $d") }
     // reproducible; and a different epoch yields a different permutation
