@@ -41,10 +41,20 @@ object Bench {
     def run(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // clearCache drops the cached data; draining the operator registries
+    // releases the retained DataFrame references too (they would otherwise
+    // accumulate one analyzed plan per dedup/corpus query for the JVM's
+    // lifetime)
+    def releaseCaches(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      graft.operators.Dedup.unpersistIntermediates()
+      graft.operators.Corpus.unpersistIntermediates()
+    }
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { run(fn(spark, warmDir)); spark.sharedState.cacheManager.clearCache() }
+        try { run(fn(spark, warmDir)); releaseCaches() }
         catch { case _: Throwable => () } // warm-up only; timed passes report errors
       }
 
@@ -54,7 +64,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     (1 to 3).foreach { _ =>
       rnd.shuffle(names).foreach { name =>
-        spark.sharedState.cacheManager.clearCache()
+        releaseCaches()
         val t0 = System.nanoTime()
         try {
           run(SparkEntry.queries(name)(spark, sfDir))
@@ -71,13 +81,15 @@ object Bench {
       n -> samples.get(n).filter(_.nonEmpty && !errors.contains(n))
         .map(median).getOrElse(-1.0)
     }
+    // truncate BEFORE escaping: cutting after could split an emitted \\ or
+    // \" pair and leave a trailing lone backslash that corrupts the JSON
     def esc(s: String): String =
-      s.flatMap {
+      s.take(200).flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
         case c if c < ' ' => " "
         case c => c.toString
-      }.take(200)
+      }
     val qs = results.map { case (k, v) => s"\"${esc(k)}\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }

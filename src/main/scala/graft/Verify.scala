@@ -22,8 +22,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators legitimately persist shared intermediates; drop them
-      // between queries so 48 pipelines don't stack up in one JVM
+      // between queries so 60+ pipelines don't stack up in one JVM — and
+      // drain the operator registries so the retained plan references go too
       spark.sharedState.cacheManager.clearCache()
+      graft.operators.Dedup.unpersistIntermediates()
+      graft.operators.Corpus.unpersistIntermediates()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

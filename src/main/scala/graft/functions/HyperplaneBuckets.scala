@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * the order the DuckDB oracle's `list_reduce` uses, so bucket ids are
   * deterministic and oracle-checkable.
   *
-  * Input must be `array<double>` with non-null elements; vectors longer
-  * than the precomputed plane dimension are rejected loudly (a silent
+  * A vector containing a NULL element yields all-zero bucket ids — the
+  * same result the declarative fold and the DuckDB oracle produce (the
+  * null poisons every dot product, every sign test fails, every bit stays
+  * 0), so the two paths cannot diverge on dirty data. Vectors longer than
+  * the precomputed plane dimension are rejected loudly (a silent
   * truncation would bucket on a prefix of the vector).
   */
 case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]], bits: Int)
@@ -45,7 +48,16 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]], bi
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val arr = input.asInstanceOf[ArrayData]
+    // null element → null-poisoned dots → every bit 0 (oracle parity);
+    // also guards toDoubleArray, which ignores the null mask on unsafe
+    // rows and NPEs on generic ones
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i)) return new GenericArrayData(new Array[Long](numTables))
+      i += 1
+    }
+    val v = arr.toDoubleArray()
     val out = new Array[Long](numTables)
     var t = 0
     while (t < numTables) {
@@ -79,24 +91,32 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]], bi
       val dot = ctx.freshName("hbDot")
       val bucket = ctx.freshName("hbBucket")
       val d = ctx.freshName("hbD")
+      val hasNull = ctx.freshName("hbHasNull")
+      val i = ctx.freshName("hbI")
       s"""
-         |double[] $v = $c.toDoubleArray();
          |long[] $out = new long[$numTables];
-         |for (int $t = 0; $t < $numTables; $t++) {
-         |  long $bucket = 0L;
-         |  for (int $h = 0; $h < $bits; $h++) {
-         |    double[] $w = $planesRef[$t * $bits + $h];
-         |    if ($v.length > $w.length) {
-         |      throw new IllegalArgumentException(
-         |        "vector dim " + $v.length + " exceeds plane dim " + $w.length);
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if ($c.isNullAt($i)) { $hasNull = true; break; }
+         |}
+         |if (!$hasNull) {
+         |  double[] $v = $c.toDoubleArray();
+         |  for (int $t = 0; $t < $numTables; $t++) {
+         |    long $bucket = 0L;
+         |    for (int $h = 0; $h < $bits; $h++) {
+         |      double[] $w = $planesRef[$t * $bits + $h];
+         |      if ($v.length > $w.length) {
+         |        throw new IllegalArgumentException(
+         |          "vector dim " + $v.length + " exceeds plane dim " + $w.length);
+         |      }
+         |      double $dot = 0.0;
+         |      for (int $d = 0; $d < $v.length; $d++) {
+         |        $dot += $v[$d] * $w[$d];
+         |      }
+         |      if ($dot > 0.0) $bucket |= (1L << $h);
          |    }
-         |    double $dot = 0.0;
-         |    for (int $d = 0; $d < $v.length; $d++) {
-         |      $dot += $v[$d] * $w[$d];
-         |    }
-         |    if ($dot > 0.0) $bucket |= (1L << $h);
+         |    $out[$t] = $bucket;
          |  }
-         |  $out[$t] = $bucket;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

@@ -207,15 +207,17 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // register the surviving label cache BEFORE the convergence check —
+    // on the failure path below the caller can still release it via
+    // unpersistIntermediates (registering after the throw would leak the
+    // final iteration's persist for the session's lifetime)
+    intermediates.add(labels)
     // silent truncation would emit multiple "clusters" for one component
     // and keepCanonical would then retain duplicates — fail loudly instead
     if (!converged)
       throw new IllegalStateException(
         s"clusterPairs did not converge within $maxIters iterations — " +
           "a component's diameter exceeds the budget; raise maxIters")
-    // the surviving (already materialized) label cache is released via
-    // unpersistIntermediates like every other intermediate
-    intermediates.add(labels)
     labels.select(col("v").as("doc_id"), col("l").as("cluster_rep"))
   }
 
@@ -393,6 +395,12 @@ object Dedup {
           val d = v.map(_.toDouble)
           var n = 0.0; var j = 0
           while (j < d.length) { n += d(j) * d(j); j += 1 }
+          // fail loudly on zero/NaN norms: cosine is undefined and the NaN
+          // it produces would otherwise fail every >= test and silently
+          // drop the vector's pairs (corrupt embeddings must surface)
+          if (n == 0.0 || n.isNaN)
+            throw new IllegalArgumentException(
+              s"embedding id=$i has ${if (n == 0.0) "zero" else "NaN"} norm — cosine undefined")
           (i, d, math.sqrt(n))
         }
       val pa = prep(ra)

@@ -209,6 +209,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fromDisk == inFlight, "stored index must rank exactly like the in-flight path")
   }
 
+  test("hyperplane buckets: a null vector element zeroes all buckets on both eval paths") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val planes = Array.tabulate(4)(i => Array.tabulate(3)(d => (i + d + 1).toDouble))
+    def buckets(df: DataFrame): Seq[Long] =
+      df.select(ColumnBridge.column(graft.functions.HyperplaneBuckets(
+          ColumnBridge.expression(col("v").cast("array<double>")), planes, 2)).as("b"))
+        .collect()(0).getSeq[Long](0).toList
+    val clean = Seq(Tuple1(Seq[java.lang.Double](1.0, 2.0))).toDF("v")
+    val dirty = Seq(Tuple1(Seq[java.lang.Double](1.0, null))).toDF("v")
+    assert(buckets(clean).exists(_ != 0L), "positive dots must set bits")
+    assert(buckets(dirty) == Seq(0L, 0L),
+      "null element must poison every dot, matching the declarative fold and the oracle")
+    // interpreted path (GenericArrayData with a null slot must not NPE)
+    val expr = graft.functions.HyperplaneBuckets(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq[java.lang.Double](1.0, null),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      planes, 2)
+    val out = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    assert(out == Seq(0L, 0L))
+  }
+
   test("quantization guards zero vectors and clamps to the int8 envelope") {
     val d = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(3.0f, 4.0f)), (2L, Array(-1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
