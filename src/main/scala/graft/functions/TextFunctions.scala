@@ -151,6 +151,25 @@ object TextFunctions {
       .otherwise(lit("unknown"))
   }
 
+  /** Number of matches of `pattern` in `text` — the detection half of the
+    * scrub/redaction pair. `pattern` is a Java regex; keep it inside the
+    * RE2-compatible subset (no backreferences/lookaround) so the DuckDB
+    * oracle evaluates the identical automaton. Typical instances: PII
+    * shapes (emails `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}`,
+    * IPv4 `\\b\\d{1,3}(\\.\\d{1,3}){3}\\b`) or a `\\b(word|word)\\b`
+    * denylist.
+    */
+  def scrubCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** `text` with every match of `pattern` replaced by `replacement` — a
+    * narrow codegen'd per-row map (no shuffle), the redaction half of the
+    * scrub pair. `replacement` is taken literally; avoid `$`/`\\` which
+    * Java's replacement syntax interprets.
+    */
+  def scrub(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement)
+
   /** Ratio of alphanumeric characters (lowercased) to total characters;
     * 0 for the empty string (ANSI mode would otherwise raise on 0/0).
     */

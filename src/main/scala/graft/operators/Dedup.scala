@@ -103,6 +103,44 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Per-document duplicate-substring coverage against EARLIER documents —
+    * the RefinedWeb/Gopher-style "how much of this page is copied text"
+    * signal, asymmetric where Jaccard ([[ngramJaccardPairs]]) is
+    * symmetric: a short page fully contained in a long one scores ~1e6 ppm
+    * here but a low Jaccard. Each shingle's *owner* is the minimum doc id
+    * containing it; a doc's `dup_ppm` is the fraction (integer ppm) of its
+    * shingles owned by an earlier doc, and `keep` = dup_ppm ≤ threshold.
+    *
+    * Shape: inverted index without the pair join — the owner is a window
+    * `min` over the shingle key, so the whole operator is ONE shuffle on
+    * the shingle plus one aggregation on the doc id; cost is linear in
+    * posting-list size with no f² candidate blowup (this is what makes it
+    * the scale-safe complement of the pairwise operators). Stop-shingle
+    * skew concentrates a hot shingle's postings in one window partition,
+    * same knob as d2b applies upstream if needed. Docs shorter than `n`
+    * tokens keep an empty shingle set (explode_outer) and score 0.
+    */
+  def substringCoverage(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      dupPpmThreshold: Long = 600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(id.as("doc_id"),
+      explode_outer(shingles(tokens(text), n)).as("s"))
+    val owned = sh.withColumn("owner", min(col("doc_id")).over(Window.partitionBy("s")))
+    owned.groupBy("doc_id")
+      .agg(
+        count(col("s")).as("n_shingles"), // count() skips the null-s rows
+        sum(when(col("s").isNotNull && col("owner") < col("doc_id"), 1L)
+          .otherwise(0L)).as("_nd"))
+      .select(col("doc_id"), col("n_shingles"),
+        when(col("n_shingles") === 0, 0L)
+          .otherwise(expr("(_nd * 1000000) div n_shingles")).as("dup_ppm"))
+      .withColumn("keep", (col("dup_ppm") <= dupPpmThreshold).cast("long"))
+  }
+
   /** MinHash + LSH near-dup pairs: k-hash signature per doc → `bands` bands
     * of k/bands rows → shuffle-join docs sharing any band → verify
     * candidates with exact n-gram Jaccard. The band join touches only

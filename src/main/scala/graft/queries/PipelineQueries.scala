@@ -124,6 +124,22 @@ object PipelineQueries {
       .select(col("doc_id"), col("qual_ppm"))
   }
 
+  // denylist scrub: the redaction pipeline stage. The pattern set is the
+  // operator's parameter — PII shapes (emails, IPv4, phone runs) slot in
+  // unchanged (spec-tested on synthetic rows; this corpus contains no
+  // digits, so the oracle-gated instance uses a term denylist that
+  // actually exercises the matcher)
+  private val ScrubPattern = "\\b(customer|order|part)\\b"
+  private val ScrubMark = "[REDACTED]"
+  private val t7: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.scrubCount(col("text"), ScrubPattern).as("n_hits"),
+      length(TextFunctions.scrub(col("text"), ScrubPattern, ScrubMark))
+        .cast("long").as("red_len"),
+      polyHash(TextFunctions.scrub(col("text"), ScrubPattern, ScrubMark))
+        .as("red_fp"))
+
   // ------------------------------------------------------------------
   // Dedup
   // ------------------------------------------------------------------
@@ -179,6 +195,13 @@ object PipelineQueries {
     Dedup.keepCanonical(docs, col("doc_id"), clusters)
       .select(col("doc_id"), col("lang"), col("source"))
   }
+
+  // duplicate-substring coverage vs earlier docs (owner = min doc id per
+  // shingle): one window shuffle + one agg, no pair join — the asymmetric
+  // "page is mostly copied" gate; threshold 600k ppm splits this corpus
+  private val d10: Q = (s, dir) =>
+    Dedup.substringCoverage(t(s, dir, "documents"), col("doc_id"), col("text"),
+      n = 3, dupPpmThreshold = 600000L)
 
   // group-level MinHash sketches: per-doc signatures unioned per source
   // through the custom typed Aggregator (elementwise min) — the
@@ -289,6 +312,35 @@ object PipelineQueries {
       .select(col("event_id"), col("user_id"), col("view_id"), col("view_value"))
   }
 
+  // KMV distinct sketch over user-DAYS per event type (bounded mergeable
+  // state — the scale-out alternative to e4's exact two-stage distinct);
+  // exact count alongside makes the ~1/√k estimator error visible. Day
+  // arithmetic in exact integer micros (unix_micros div), never float
+  // seconds.
+  private val e6: Q = (s, dir) => {
+    val k = 32
+    val kmv = udaf(new graft.functions.KmvSketch(k), org.apache.spark.sql.Encoders.scalaLong)
+    val key = (col("user_id").cast("long") * 100000L +
+      expr("unix_micros(ts) div 86400000000")).as("key")
+    events(s, dir)
+      .select(col("event_type"), key)
+      .select(col("event_type"), col("key"),
+        graft.functions.KmvSketch.hash(col("key")).as("h"))
+      .groupBy("event_type")
+      .agg(kmv(col("h")).as("sk"), countDistinct(col("key")).as("exact_distinct"))
+      .select(col("event_type"),
+        graft.functions.KmvSketch.kthValue(col("sk")).as("kth_hash"),
+        graft.functions.KmvSketch.estimate(col("sk"), k).as("est_distinct"),
+        col("exact_distinct"))
+  }
+
+  // ordered signup→click→purchase funnel, each hop within one day — one
+  // user-keyed aggregation per step, nulls from the stall point onward
+  private val e7: Q = (s, dir) =>
+    graft.operators.Funnel.funnel(events(s, dir), col("user_id"), col("ts"),
+      col("event_type"), Seq("signup", "click", "purchase"),
+      maxGapSeconds = Some(86400L))
+
   val queries: Map[String, Q] = Map(
     "t1_token_stats" -> t1,
     "t2_quality" -> t2,
@@ -296,6 +348,7 @@ object PipelineQueries {
     "t4_fingerprint" -> t4,
     "t5_repetition" -> t5,
     "t6_quality_gate" -> t6,
+    "t7_scrub" -> t7,
     "d1_exact_dedup" -> d1,
     "d2_ngram_jaccard" -> d2,
     "d2b_ngram_capped" -> d2b,
@@ -305,6 +358,7 @@ object PipelineQueries {
     "d8_dedup_keep" -> d8,
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
+    "d10_substring_coverage" -> d10,
     "s1_ann_bruteforce" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -315,7 +369,9 @@ object PipelineQueries {
     "e2_sessionize" -> e2,
     "e3_json_props" -> e3,
     "e4_heavy_hitter_distinct" -> e4,
-    "e5_asof_join" -> e5)
+    "e5_asof_join" -> e5,
+    "e6_kmv_distinct" -> e6,
+    "e7_funnel" -> e7)
 
   // ------------------------------------------------------------------
   // Oracles
@@ -481,8 +537,8 @@ object PipelineQueries {
          |              // length(text) END AS symbol_ppm
          |  FROM b)
          |SELECT doc_id, top_bigram_ppm, distinct_token_ppm, symbol_ppm,
-         |  CASE WHEN top_bigram_ppm <= 100000 AND distinct_token_ppm >= 300000
-         |            AND symbol_ppm <= 100000 THEN 1 ELSE 0 END AS keep
+         |  (CASE WHEN top_bigram_ppm <= 100000 AND distinct_token_ppm >= 300000
+         |             AND symbol_ppm <= 100000 THEN 1 ELSE 0 END)::BIGINT AS keep
          |FROM m""".stripMargin,
     "t6_quality_gate" ->
       s"""WITH qm AS (
@@ -502,9 +558,30 @@ object PipelineQueries {
          |  FROM qm),
          |t AS (SELECT quantile_cont(qual_ppm, 0.1) AS p10 FROM q)
          |SELECT doc_id, qual_ppm FROM q, t WHERE qual_ppm >= p10""".stripMargin,
+    "t7_scrub" -> {
+      val red = s"regexp_replace(text, '$ScrubPattern', '$ScrubMark', 'g')"
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$ScrubPattern'))::BIGINT AS n_hits,
+         |  length($red)::BIGINT AS red_len,
+         |  ${sqlPolyHash(red)} AS red_fp
+         |FROM documents""".stripMargin
+    },
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "d10_substring_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
+         |own AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS owner FROM sh),
+         |agg AS (SELECT doc_id, count(*) AS n_shingles,
+         |          sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END)::BIGINT AS nd
+         |        FROM own GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_shingles, 0)::BIGINT AS n_shingles,
+         |  coalesce((a.nd * 1000000) // a.n_shingles, 0)::BIGINT AS dup_ppm,
+         |  (CASE WHEN coalesce((a.nd * 1000000) // a.n_shingles, 0) <= 600000
+         |        THEN 1 ELSE 0 END)::BIGINT AS keep
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
     "d2_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
          |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
@@ -720,5 +797,55 @@ object PipelineQueries {
         |  (SELECT v.value FROM events v
         |   WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts
         |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_value
-        |FROM events c WHERE c.event_type = 'click'""".stripMargin)
+        |FROM events c WHERE c.event_type = 'click'""".stripMargin,
+    // epoch_us (not epoch::BIGINT — DuckDB's double→int cast ROUNDS where
+    // Spark's truncates); hash/estimate arithmetic all-integer, in
+    // lockstep with KmvSketch.{hash,estimate}
+    "e6_kmv_distinct" ->
+      """WITH k AS (
+        |  SELECT DISTINCT event_type,
+        |    user_id * 100000 + epoch_us(ts) // 86400000000 AS key
+        |  FROM events),
+        |h AS (
+        |  SELECT DISTINCT event_type,
+        |    ((key % 2147483648) * 2654435761 + 104729) % 4294967296 AS h
+        |  FROM k),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h),
+        |agg AS (
+        |  SELECT event_type,
+        |    max(h) FILTER (rn <= 32) AS kth_hash,
+        |    max(nd) AS nd
+        |  FROM r GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type,
+        |    count(DISTINCT user_id * 100000 + epoch_us(ts) // 86400000000) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT a.event_type, a.kth_hash,
+        |  CASE WHEN a.nd < 32 THEN a.nd
+        |       ELSE (31 * 4294967296) // a.kth_hash END AS est_distinct,
+        |  ex.exact_distinct
+        |FROM agg a JOIN ex USING (event_type)""".stripMargin,
+    "e7_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS ts_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s1 AS (
+        |  SELECT s0.user_id, ts_signup, min(e.ts) AS ts_click
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.user_id AND e.event_type = 'click'
+        |    AND e.ts > s0.ts_signup
+        |    AND epoch_us(e.ts) - epoch_us(s0.ts_signup) <= 86400000000
+        |  GROUP BY s0.user_id, ts_signup),
+        |s2 AS (
+        |  SELECT s1.user_id, ts_signup, ts_click, min(e.ts) AS ts_purchase
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+        |    AND e.ts > s1.ts_click
+        |    AND epoch_us(e.ts) - epoch_us(s1.ts_click) <= 86400000000
+        |  GROUP BY s1.user_id, ts_signup, ts_click)
+        |SELECT user_id, ts_signup, ts_click, ts_purchase FROM s2""".stripMargin)
 }

@@ -92,4 +92,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[Long]("clean text here", symbolPpm) == 0L)
     assert(one[Long]("", symbolPpm) == 0L)
   }
+
+  test("scrub redacts PII-shaped patterns: emails and IPv4") {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+    val s = "contact bob@example.com or alice@corp.io from 10.0.0.1 today"
+    assert(one[Long](s, scrubCount(_, email)) == 2L)
+    assert(one[Long](s, scrubCount(_, ip)) == 1L)
+    assert(one[String](s, scrub(_, email, "<EMAIL>")) ==
+      "contact <EMAIL> or <EMAIL> from 10.0.0.1 today")
+    assert(one[String](s, scrub(_, ip, "<IP>")) ==
+      "contact bob@example.com or alice@corp.io from <IP> today")
+    assert(one[Long]("no pii here", scrubCount(_, email)) == 0L)
+    assert(one[String]("no pii here", scrub(_, email, "<EMAIL>")) == "no pii here")
+  }
+
+  test("scrub denylist: word boundaries protect substrings") {
+    val deny = "\\b(customer|order|part)\\b"
+    // 'partition' and 'orders' must NOT match inside word boundaries
+    val s = "customer order partition orders part"
+    assert(one[Long](s, scrubCount(_, deny)) == 3L)
+    assert(one[String](s, scrub(_, deny, "[X]")) == "[X] [X] partition orders [X]")
+  }
 }

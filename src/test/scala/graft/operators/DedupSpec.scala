@@ -115,6 +115,29 @@ class DedupSpec extends AnyFunSuite {
       "persisted RDDs leaked past unpersistIntermediates")
   }
 
+  test("substring coverage: containment scores 1e6 ppm where jaccard is low") {
+    // doc 6 is a verbatim chunk of doc 1 (substring): every one of its
+    // shingles is owned by doc 1 → 1e6 ppm; its Jaccard vs doc 1 is only
+    // ~0.4, which the pairwise operators would pass — the asymmetric
+    // coverage signal is exactly what catches it. doc 7 is too short to
+    // shingle.
+    val plus = docs.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "two words")).toDF("doc_id", "text"))
+    val out = Dedup.substringCoverage(plus, col("doc_id"), col("text"), 3, 600000L)
+      .select("doc_id", "n_shingles", "dup_ppm", "keep")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.size == 7)
+    assert(out(1L)._2 == 0L && out(1L)._3 == 1L) // first owner of its shingles
+    assert(out(2L)._2 == 1000000L && out(2L)._3 == 0L) // exact dup of 1
+    assert(out(6L)._2 == 1000000L && out(6L)._3 == 0L) // contained in 1
+    assert(out(4L)._2 == 0L && out(5L)._2 == 0L) // unrelated
+    // doc 3 shares all but the 3 shingles through the changed word
+    assert(out(3L)._2 > 600000L && out(3L)._3 == 0L)
+    assert(out(7L) == ((0L, 0L, 1L))) // degenerate: no shingles, kept
+  }
+
   test("embedding near-dup pairs are symmetric-free and thresholded") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
