@@ -101,6 +101,59 @@ object AnalyticsQueries {
         |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  // TPC-H Q7-style: nation-pair trade flow — the same dimension table
+  // (nation) joined twice under different aliases, supplier side and
+  // customer side, both broadcast; the fact table shuffles once for the
+  // final (supp_nation, cust_nation) aggregation
+  private val q7: Q = (s, dir) => {
+    val nation = t(s, dir, "nation")
+    val n1 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation")) // cross-border only
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(sum(revenueTerm).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // TPC-H Q10-style: returned-items revenue per customer, top 20 — an
+  // aggregate-then-top-k pipeline (grouped agg, deterministic
+  // double-sort with unique tiebreak, limit)
+  private val q10: Q = (s, dir) =>
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .agg(sum(revenueTerm).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  // window: bounded-frame moving sum/average (3 preceding .. current) —
+  // the frame variant w2's unbounded prefix sum doesn't cover. The sum
+  // is exact decimal; the average divides two exactly-equal operands in
+  // both engines, rounded to 6 digits for the hash compare.
+  private val w3: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(-3, Window.currentRow)
+    t(s, dir, "lineitem")
+      .withColumn("msum",
+        sum(col("l_quantity").cast("decimal(12,2)")).over(w).cast("double"))
+      .withColumn("mavg", round(col("msum") / count(lit(1)).over(w), 6))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("msum"), col("mavg"))
+  }
+
   // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
   // quantile_cont, verified bit-identical on this data)
   private val a1: Q = (s, dir) =>
@@ -190,10 +243,13 @@ object AnalyticsQueries {
     "q4_exists_sql" -> q4,
     "q6_scalar_subquery" -> q6,
     "q5_nation_revenue" -> q5,
+    "q7_nation_flow" -> q7,
+    "q10_returned_top" -> q10,
     "a1_percentiles" -> a1,
     "agg_distinct" -> aggDistinct,
     "w1_rank" -> w1,
     "w2_running_sum" -> w2,
+    "w3_moving_avg" -> w3,
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
@@ -241,6 +297,37 @@ object AnalyticsQueries {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name""".stripMargin,
+    "q7_nation_flow" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name <> n2.n_name
+         |GROUP BY n1.n_name, n2.n_name""".stripMargin,
+    "q10_returned_top" ->
+      s"""SELECT c_custkey, c_name, c_acctbal,
+         |  CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin,
+    "w3_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE) AS msum,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE)
+        |        / (COUNT(*) OVER w), 6) AS mavg
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
     "a1_percentiles" ->
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS median_price,

@@ -68,6 +68,31 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(estSmall == 10L)
   }
 
+  test("streaming: the sketch maintains incrementally across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val kBig = 16
+    val sk = udaf(new KmvSketch(kBig), Encoders.scalaLong)
+    val stream = MemoryStream[(String, Long)]
+    val q = stream.toDF().toDF("grp", "key")
+      .select(col("grp"), KmvSketch.hash(col("key")).as("h"))
+      .groupBy("grp").agg(sk(col("h")).as("sk"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      // two triggers with overlapping keys — the merge path must dedup
+      stream.addData((0 until 40).map(i => ("a", i.toLong)): _*)
+      q.processAllAvailable()
+      stream.addData((20 until 60).map(i => ("a", i.toLong)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream").select("sk").as[Seq[Long]].head()
+      val batch = (0 until 60).map(_.toLong).toDF("key")
+        .select(KmvSketch.hash(col("key")).as("h"))
+        .agg(sk(col("h"))).as[Seq[Long]].head()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("partial aggregation across partitions matches a single-partition run") {
     val keys = (0 until 500).map(_.toLong)
     val sk = udaf(new KmvSketch(16), Encoders.scalaLong)
