@@ -88,6 +88,121 @@ object EventStreams {
         (user, batch, state) => updateUser(user, batch, state, gapSeconds * 1000L))
   }
 
+  /** One buffered step event in [[funnelStream]] keyed state. */
+  case class StepEvent(tsMs: Long, step: Int)
+
+  /** Keyed state for [[funnelStream]]: step events not yet sealed, plus
+    * the emitted tombstone (batch funnel semantics are one earliest chain
+    * per user — `done` stops a second funnel from ever re-emitting).
+    */
+  case class FunnelBuffer(events: Seq[StepEvent], done: Boolean)
+
+  /** A user's funnel outcome: how many steps of the chain completed, the
+    * chain's start, and the conversion time when all steps completed.
+    */
+  case class FunnelOutcome(
+      user_id: Long,
+      steps_completed: Int,
+      ts_start: java.sql.Timestamp,
+      ts_converted: Option[java.sql.Timestamp])
+
+  /** Streaming counterpart of [[graft.operators.Funnel.funnel]]: the
+    * earliest strictly-ordered `steps` chain per user, each hop within
+    * `gapSeconds`. Events are BUFFERED until the watermark passes the
+    * chain's last possible deadline (`first-step ts + (n-1)·gap`) — only
+    * then is the outcome emitted, so out-of-order arrival across
+    * micro-batches cannot change an emitted chain (any event that could
+    * have altered it is, by construction, late). The gap budget is what
+    * makes every funnel finalizable: an open-ended funnel never seals.
+    *
+    * State bounds: while no first-step event exists, buffered later-step
+    * events older than the watermark are pruned (an on-time first step
+    * must arrive after the watermark, and later steps must follow it);
+    * once sealed, state collapses to a tombstone so each user emits at
+    * most one outcome (the batch semantics) — one flag per converted
+    * user, the inherent floor for a per-user lifetime metric.
+    *
+    * The input must already carry a watermark on `ts`. Note Catalyst
+    * pushes the step-type filter BELOW the watermark node, so only
+    * step-typed events advance the watermark here — on a stream of mostly
+    * other event types this delays sealing (a latency effect only; the
+    * watermark is a lower bound, so emitted outcomes are still final).
+    */
+  def funnelStream(
+      events: Dataset[Event],
+      steps: Seq[String],
+      gapSeconds: Long): Dataset[FunnelOutcome] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"steps must be distinct, got $steps")
+    import events.sparkSession.implicits._
+    val n = steps.size
+    val gapMs = gapSeconds * 1000L
+    // column ops (not a typed flatMap): an object transform would strip
+    // the event-time watermark metadata off `ts`, which the event-time
+    // timeout below requires
+    val stepExpr = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    events.toDF()
+      .withColumn("_step", stepExpr)
+      .filter(col("_step") >= 0)
+      .select(col("user_id"), col("ts"), col("_step"))
+      .as[(Long, java.sql.Timestamp, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuffer, FunnelOutcome](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user, batch, state) => updateFunnel(user, batch, state, n, gapMs))
+  }
+
+  private def updateFunnel(
+      user: Long,
+      batch: Iterator[(Long, java.sql.Timestamp, Int)],
+      state: GroupState[FunnelBuffer],
+      n: Int,
+      gapMs: Long): Iterator[FunnelOutcome] = {
+    val prev = state.getOption.getOrElse(FunnelBuffer(Seq.empty, done = false))
+    if (prev.done) { batch.foreach(_ => ()); return Iterator.empty }
+    val all = prev.events ++ batch.map { case (_, ts, i) => StepEvent(ts.getTime, i) }
+    val wm = state.getCurrentWatermarkMs()
+    val firsts = all.filter(_.step == 0)
+    if (firsts.isEmpty) {
+      // no chain can start before the watermark anymore — prune dead events
+      // (an on-time first step must arrive with ts > wm, and every later
+      // hop strictly follows it), and wake again when the survivors age out
+      val live = all.filter(_.tsMs > wm)
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(FunnelBuffer(live, done = false))
+        state.setTimeoutTimestamp(math.max(live.map(_.tsMs).max + 1, wm + 1))
+      }
+      return Iterator.empty
+    }
+    val t0 = firsts.map(_.tsMs).min
+    val sealMs = t0 + (n - 1).toLong * gapMs
+    if (wm > sealMs) {
+      // outcome is final: any event that could extend/lower the chain has
+      // ts <= sealMs < watermark, i.e. would be late
+      var prevTs = t0
+      var completed = 1
+      var i = 1
+      while (i < n) {
+        val cand = all.collect {
+          case e if e.step == i && e.tsMs > prevTs && e.tsMs - prevTs <= gapMs => e.tsMs
+        }
+        if (cand.isEmpty) i = n
+        else { prevTs = cand.min; completed += 1; i += 1 }
+      }
+      state.update(FunnelBuffer(Seq.empty, done = true))
+      Iterator.single(FunnelOutcome(user, completed, new java.sql.Timestamp(t0),
+        if (completed == n) Some(new java.sql.Timestamp(prevTs)) else None))
+    } else {
+      state.update(FunnelBuffer(all, done = false))
+      state.setTimeoutTimestamp(math.max(sealMs + 1, wm + 1))
+      Iterator.empty
+    }
+  }
+
   private def updateUser(
       user: Long,
       batch: Iterator[Event],

@@ -119,6 +119,59 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel matches the batch operator under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val steps = Seq("signup", "click", "purchase")
+    val out = EventStreams.funnelStream(
+      stream.toDS().withWatermark("ts", "10 minutes").as[Event],
+      steps, gapSeconds = 3600)
+    val q = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // user 1 converts; the CLICK arrives one batch before the signup
+      // (out of order) — sealing by watermark must still find the chain.
+      // user 2 signs up, clicks, never purchases (stall at 2 steps).
+      stream.addData(Event(1, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(
+        Event(2, ts(5), 1, "signup", 1.0),
+        Event(3, ts(30), 1, "purchase", 1.0),
+        Event(4, ts(5), 2, "signup", 1.0),
+        Event(5, ts(40), 2, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").isEmpty, "nothing seals before the watermark")
+      // advance the watermark past both chains' deadlines (t0 + 2*gap =
+      // 00:05 + 2h; +10min delay) and let the event-time timeout fire.
+      // Must be STEP-typed events: the step filter sits below the
+      // watermark node after pushdown, so other types don't advance it.
+      stream.addData(Event(6, ts(300), 9, "click", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(7, ts(310), 9, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").as[EventStreams.FunnelOutcome]
+        .collect().map(o => o.user_id -> o).toMap
+      assert(got(1L).steps_completed == 3 && got(1L).ts_converted.contains(ts(30)))
+      assert(got(1L).ts_start == ts(5))
+      assert(got(2L).steps_completed == 2 && got(2L).ts_converted.isEmpty)
+      assert(!got.contains(9L), "clicks without a first step emit nothing")
+
+      // batch parity on the identical event set
+      val batchDf = Seq(
+        Event(1, ts(10), 1, "click", 1.0), Event(2, ts(5), 1, "signup", 1.0),
+        Event(3, ts(30), 1, "purchase", 1.0), Event(4, ts(5), 2, "signup", 1.0),
+        Event(5, ts(40), 2, "click", 1.0), Event(6, ts(300), 9, "click", 0.0),
+        Event(7, ts(310), 9, "click", 0.0)).toDF()
+      val batch = graft.operators.Funnel.funnel(batchDf, col("user_id"), col("ts"),
+        col("event_type"), steps, Some(3600L))
+        .select(col("user_id"), col("ts_signup"), col("ts_click"), col("ts_purchase"))
+        .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp], Option[java.sql.Timestamp])]
+        .collect().map(r => r._1 -> r).toMap
+      assert(batch(1L)._4.contains(ts(30)) && batch(2L)._4.isEmpty && !batch.contains(9L))
+      assert(batch(1L)._2.contains(got(1L).ts_start))
+    } finally q.stop()
+  }
+
   test("in-session events extend rather than split (unit, via batch path)") {
     // direct check of gap semantics through the batch-equivalent SQL shape
     val df = Seq(
