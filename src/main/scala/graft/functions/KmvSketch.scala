@@ -74,23 +74,28 @@ object KmvSketch {
   /** Odd multiplier (Knuth's 2654435761), coprime to the 2^32 modulus. */
   val Mult = 2654435761L
   val Inc = 104729L
-  /** Pre-multiplication reduction (2^31) caps the product below 2^63. */
-  val IdMod = 2147483648L
   /** Hash range: [0, 2^32). */
   val HashMod = 4294967296L
 
-  /** Uniform-ish 32-bit hash of an integer key — plain 64-bit integer
-    * arithmetic so the oracle replays it exactly.
+  /** Uniform-ish 32-bit hash of an integer key — the shared
+    * [[KeyedHash.idHash]] convention reduced mod 2^32, all floored
+    * (`pmod`) so negative keys land in [0, 2^32) too. On non-negative
+    * keys this is plain integer `%` arithmetic, which the oracle replays
+    * exactly.
     */
   def hash(key: Column): Column =
-    ((key.cast("long") % IdMod) * Mult + Inc) % HashMod
+    pmod(KeyedHash.idHash(key, Mult, Inc), lit(HashMod))
 
   /** Distinct-count estimate from a KMV sketch array: exact below `k`
     * entries, else `(k-1)·2^32 div h_k`. The division must be *integer*
     * division (the oracle uses `//`); `(a - a mod b) / b` is exact here
-    * because both operands are exact-in-double integers.
+    * because both operands are exact-in-double integers. `h_k = 0` cannot
+    * occur at k ≥ 2: sketch values are distinct and non-negative, so the
+    * k-th smallest is ≥ k-1 ≥ 1.
     */
   def estimate(sketch: Column, k: Int): Column = {
+    require(k >= 2,
+      s"estimate needs k >= 2 (with k = 1 the (k-1)-scaled estimator is degenerately 0), got $k")
     val a = lit((k - 1L) * HashMod)
     val hk = element_at(sketch, k)
     when(size(sketch) < k, size(sketch).cast("long"))

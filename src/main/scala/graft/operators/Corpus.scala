@@ -56,16 +56,17 @@ object Corpus {
     * ids congruent mod 2^31 share a hash — inherent to any finite hash
     * and irrelevant below ~2.1 B documents per congruence class.
     */
-  val IdMod = 2147483648L
+  val IdMod = graft.functions.KeyedHash.IdMod
 
-  /** The shared keyed-decision hash: `((key mod 2^31) · mult + inc)`.
-    * Callers reduce the result by their own modulus; every multiplier in
-    * this object is odd and coprime to every modulus used on top (1000,
-    * 10^6, 2^32, shard counts via the prime [[ShardMult]]), so residues
-    * cover the full range and per-stratum rates are unbiased.
+  /** The shared keyed-decision hash ([[graft.functions.KeyedHash]] is the
+    * single implementation): `((key mod 2^31) · mult + inc)`. Callers
+    * reduce the result by their own modulus; every multiplier in this
+    * object is odd and coprime to every modulus used on top (1000, 10^6,
+    * 2^32, shard counts via the prime [[ShardMult]]), so residues cover
+    * the full range and per-stratum rates are unbiased.
     */
   private def idHash(key: Column, mult: Long, inc: Long = 0L): Column =
-    (key.cast("long") % IdMod) * mult + inc
+    graft.functions.KeyedHash.idHash(key, mult, inc)
 
   /** Train/val/test split that cannot leak near-duplicates across splits:
     * the split key of a document is its duplicate-cluster representative

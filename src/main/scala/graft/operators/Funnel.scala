@@ -3,16 +3,22 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Ordered-step funnel analysis over an event log: for each user, the
-  * earliest chain of timestamps completing `steps` in order — step i's
-  * timestamp is the minimum event time of that step STRICTLY after the
-  * user's step-(i-1) timestamp (optionally within `maxGapSeconds`). Users
-  * who stall at step i carry nulls from step i on, so per-step conversion
-  * is `count(ts_step)`.
+/** Ordered-step funnel analysis over an event log with greedy-earliest
+  * ("first touch") semantics: step i's timestamp is the minimum event
+  * time of that step STRICTLY after the user's step-(i-1) timestamp
+  * (optionally within `maxGapSeconds` of it). Users who stall at step i
+  * carry nulls from step i on, so per-step conversion is
+  * `count(ts_step)`.
   *
-  * Greedy-earliest is the standard funnel semantics and is exact here:
-  * taking the earliest qualifying event at every step dominates any other
-  * choice (a later step-i event only shrinks step i+1's search window).
+  * Greedy-earliest is the CONTRACT, not an approximation of one. Without
+  * a gap budget it coincides with "does any ordered chain exist"
+  * (an earlier step-i pick never shrinks step i+1's unbounded search
+  * space). WITH a gap budget the two differ: each hop's window starts at
+  * the greedily-chosen previous step, so a user whose only within-gap
+  * chains skip an early qualifying event (signup, click@+10s,
+  * click@+500s, purchase@+600s under a 550 s gap) counts as stalled —
+  * the first-touch rule attribution products apply. The DuckDB oracle
+  * and the streaming variant implement the identical rule.
   *
   * Scale shape: one aggregation per step, each a shuffle keyed on the
   * user id — state per user is a single row of timestamps (no
@@ -43,6 +49,11 @@ object Funnel {
       maxGapSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, s"steps must be distinct, got $steps")
+    require(steps.forall(!_.contains("`")), "step names must not contain backticks")
+    // output columns are named after user-supplied steps, which may carry
+    // dots ("page.view") — quote every reference so col() never parses a
+    // step name as a struct-field access
+    def q(name: String): Column = col(s"`$name`")
     val base = events.select(user.as("user_id"), ts.as("_ts"), step.as("_step"))
     var acc = base.filter(col("_step") === steps.head)
       .groupBy("user_id").agg(min(col("_ts")).as(s"ts_${steps.head}"))
@@ -51,14 +62,14 @@ object Funnel {
       val nxt = base.filter(col("_step") === stp)
         .select(col("user_id").as("_u"), col("_ts"))
       val inGap = maxGapSeconds
-        .map(g => unix_micros(col("_ts")) - unix_micros(col(prev)) <= g * 1000000L)
+        .map(g => unix_micros(col("_ts")) - unix_micros(q(prev)) <= g * 1000000L)
         .getOrElse(lit(true))
       val carried = acc.columns // user_id + the ts columns settled so far
       // a user who stalled earlier has a null `prev`; `_ts > null` is null,
       // the join finds nothing, and the left join carries the null forward
       acc = acc.join(nxt,
-          col("user_id") === col("_u") && col("_ts") > col(prev) && inGap, "left")
-        .groupBy(carried.map(col): _*)
+          col("user_id") === col("_u") && col("_ts") > q(prev) && inGap, "left")
+        .groupBy(carried.map(q): _*)
         .agg(min(col("_ts")).as(s"ts_$stp"))
       prev = s"ts_$stp"
     }

@@ -88,8 +88,13 @@ object EventStreams {
         (user, batch, state) => updateUser(user, batch, state, gapSeconds * 1000L))
   }
 
-  /** One buffered step event in [[funnelStream]] keyed state. */
-  case class StepEvent(tsMs: Long, step: Int)
+  /** One buffered step event in [[funnelStream]] keyed state. Event time
+    * is carried in exact MICROseconds: the batch operator and the e7
+    * oracle compare `unix_micros`, and a millisecond truncation here
+    * would flip strict-after and gap decisions for same-millisecond
+    * events, silently breaking the advertised batch parity.
+    */
+  case class StepEvent(tsUs: Long, step: Int)
 
   /** Keyed state for [[funnelStream]]: step events not yet sealed, plus
     * the emitted tombstone (batch funnel semantics are one earliest chain
@@ -136,7 +141,7 @@ object EventStreams {
     require(steps.distinct == steps, s"steps must be distinct, got $steps")
     import events.sparkSession.implicits._
     val n = steps.size
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
     // column ops (not a typed flatMap): an object transform would strip
     // the event-time watermark metadata off `ts`, which the event-time
     // timeout below requires
@@ -152,7 +157,19 @@ object EventStreams {
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelBuffer, FunnelOutcome](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        (user, batch, state) => updateFunnel(user, batch, state, n, gapMs))
+        (user, batch, state) => updateFunnel(user, batch, state, n, gapUs))
+  }
+
+  /** `java.sql.Timestamp` → exact epoch microseconds (the nanos field
+    * carries the sub-millisecond part).
+    */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
   }
 
   private def updateFunnel(
@@ -160,45 +177,49 @@ object EventStreams {
       batch: Iterator[(Long, java.sql.Timestamp, Int)],
       state: GroupState[FunnelBuffer],
       n: Int,
-      gapMs: Long): Iterator[FunnelOutcome] = {
+      gapUs: Long): Iterator[FunnelOutcome] = {
     val prev = state.getOption.getOrElse(FunnelBuffer(Seq.empty, done = false))
     if (prev.done) { batch.foreach(_ => ()); return Iterator.empty }
-    val all = prev.events ++ batch.map { case (_, ts, i) => StepEvent(ts.getTime, i) }
-    val wm = state.getCurrentWatermarkMs()
+    val all = prev.events ++ batch.map { case (_, ts, i) => StepEvent(micros(ts), i) }
+    // the watermark API is milliseconds; comparing in µs after a floor
+    // conversion only DELAYS sealing/pruning by < 1 ms (never unsound)
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
     val firsts = all.filter(_.step == 0)
     if (firsts.isEmpty) {
       // no chain can start before the watermark anymore — prune dead events
       // (an on-time first step must arrive with ts > wm, and every later
       // hop strictly follows it), and wake again when the survivors age out
-      val live = all.filter(_.tsMs > wm)
+      val live = all.filter(_.tsUs > wmUs)
       if (live.isEmpty) state.remove()
       else {
         state.update(FunnelBuffer(live, done = false))
-        state.setTimeoutTimestamp(math.max(live.map(_.tsMs).max + 1, wm + 1))
+        state.setTimeoutTimestamp(
+          math.max(live.map(_.tsUs).max / 1000L + 1, state.getCurrentWatermarkMs() + 1))
       }
       return Iterator.empty
     }
-    val t0 = firsts.map(_.tsMs).min
-    val sealMs = t0 + (n - 1).toLong * gapMs
-    if (wm > sealMs) {
+    val t0 = firsts.map(_.tsUs).min
+    val sealUs = t0 + (n - 1).toLong * gapUs
+    if (wmUs > sealUs) {
       // outcome is final: any event that could extend/lower the chain has
-      // ts <= sealMs < watermark, i.e. would be late
+      // ts <= sealUs < watermark, i.e. would be late
       var prevTs = t0
       var completed = 1
       var i = 1
       while (i < n) {
         val cand = all.collect {
-          case e if e.step == i && e.tsMs > prevTs && e.tsMs - prevTs <= gapMs => e.tsMs
+          case e if e.step == i && e.tsUs > prevTs && e.tsUs - prevTs <= gapUs => e.tsUs
         }
         if (cand.isEmpty) i = n
         else { prevTs = cand.min; completed += 1; i += 1 }
       }
       state.update(FunnelBuffer(Seq.empty, done = true))
-      Iterator.single(FunnelOutcome(user, completed, new java.sql.Timestamp(t0),
-        if (completed == n) Some(new java.sql.Timestamp(prevTs)) else None))
+      Iterator.single(FunnelOutcome(user, completed, fromMicros(t0),
+        if (completed == n) Some(fromMicros(prevTs)) else None))
     } else {
       state.update(FunnelBuffer(all, done = false))
-      state.setTimeoutTimestamp(math.max(sealMs + 1, wm + 1))
+      state.setTimeoutTimestamp(
+        math.max(sealUs / 1000L + 1, state.getCurrentWatermarkMs() + 1))
       Iterator.empty
     }
   }

@@ -93,6 +93,15 @@ class KmvSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("negative keys hash into [0, 2^32) and estimate rejects k < 2") {
+    val hs = Seq(-5L, -2147483649L, 0L, 7L).toDF("key")
+      .select(KmvSketch.hash(col("key"))).as[Long].collect()
+    assert(hs.forall(h => h >= 0L && h < KmvSketch.HashMod), hs.mkString(","))
+    intercept[IllegalArgumentException] {
+      KmvSketch.estimate(col("s"), 1)
+    }
+  }
+
   test("partial aggregation across partitions matches a single-partition run") {
     val keys = (0 until 500).map(_.toLong)
     val sk = udaf(new KmvSketch(16), Encoders.scalaLong)

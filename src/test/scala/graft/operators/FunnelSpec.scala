@@ -65,4 +65,34 @@ class FunnelSpec extends AnyFunSuite {
         Seq("signup", "signup"))
     }
   }
+
+  test("step names with dots resolve (quoted output columns)") {
+    val dotted = Seq(
+      (1L, ts(100L), "page.view"), (1L, ts(200L), "add.cart"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(dotted, col("user_id"), col("ts"), col("event_type"),
+      Seq("page.view", "add.cart"), Some(1000L))
+      .select(col("user_id"), col("`ts_page.view`").cast("long"),
+        col("`ts_add.cart`").cast("long"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+    assert(out.toSeq == Seq((1L, Some(100L), Some(200L))))
+  }
+
+  test("strict-after and gap compare at exact microseconds") {
+    def tsUs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    // all inside ONE millisecond: signup at 100µs, clicks at 100µs (tie —
+    // excluded) and 900µs (counts)
+    val fine = Seq(
+      (1L, tsUs(100L), "signup"), (1L, tsUs(100L), "click"), (1L, tsUs(900L), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(fine, col("user_id"), col("ts"), col("event_type"),
+      Seq("signup", "click"), Some(1L))
+      .select(unix_micros(col("ts_signup")), unix_micros(col("ts_click")))
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((100L, 900L)))
+  }
 }
