@@ -46,6 +46,12 @@ object Corpus {
   val MixMult = 1566083941L
   val MixInc = 1013904223L
 
+  /** quota-sampling order hash (odd, distinct from the other families so
+    * quota decisions are independent of split/sample/mix decisions)
+    */
+  val QuotaMult = 22695477L
+  val QuotaInc = 1L
+
   /** Knuth multiplicative constant (shared with [[SplitMult]]) and epoch
     * stride for the epoch-shuffle hash.
     */
@@ -148,6 +154,63 @@ object Corpus {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
         min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+  }
+
+  /** Exact per-stratum quota: keep at most `cap` rows per stratum,
+    * chosen deterministically by hash order (ties broken on the id) — the
+    * "no domain exceeds N documents" cap, complementing the rate-based
+    * samplers ([[stratifiedSample]] scales each stratum, [[temperatureMix]]
+    * flattens the distribution; this TRUNCATES, which is what robots.txt-
+    * style per-site limits and eval-set caps ask for). Hash order (not id
+    * order) so the kept subset is an unbiased sample of the stratum, and
+    * re-running on a grown corpus keeps a stable prefix preference.
+    *
+    * Shape: one shuffle on the stratum key + a per-partition rank. An
+    * extremely hot stratum concentrates its rank in one task — if a
+    * single stratum approaches a task's memory, apply a rate-based
+    * pre-cut ([[stratifiedSample]]) first and quota the remainder; the
+    * composition stays deterministic because both decisions are pure
+    * hash functions of the id.
+    */
+  def quotaSample(df: DataFrame, id: Column, strata: Column, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_q_stratum"))
+      .orderBy(col("_q_ord").asc, col("_q_id").asc)
+    df.withColumn("_q_stratum", strata)
+      .withColumn("_q_id", id.cast("long"))
+      .withColumn("_q_ord", idHash(id, QuotaMult, QuotaInc) % 4294967296L)
+      .withColumn("_q_rn", row_number().over(w))
+      .filter(col("_q_rn") <= cap)
+      .drop("_q_stratum", "_q_id", "_q_ord", "_q_rn")
+  }
+
+  /** Corpus-frequency commonness profile per document — the cheap
+    * unigram-LM stand-in for perplexity filtering: a document made of the
+    * corpus' most frequent tokens scores high `mean_freq_ppm`
+    * (boilerplate-ish), one full of rare tokens scores low (jargon,
+    * mojibake, other languages). All arithmetic is exact integer ppm
+    * (`div`), so the oracle replays it bit-for-bit — a real log-prob
+    * would not cross engines exactly (SURVEY §8.16).
+    *
+    * Shape: one vocabulary aggregation (map-side partials absorb hot
+    * tokens), the scalar total broadcast back, one equi-join of the
+    * posting rows against the per-token frequency (AQE broadcasts the
+    * vocabulary when it fits; at web scale it shuffles — either way no
+    * N² and no driver state), one per-doc aggregation. The exploded
+    * posting list is cached once and feeds both the vocabulary and the
+    * join side.
+    */
+  def tokenRarity(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = cached(docs.select(id.as("doc_id"), explode(tokens(text)).as("t")))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val freq = vocab.crossJoin(broadcast(total))
+      .select(col("t"), expr("cnt * 1000000 div total").as("freq_ppm"))
+    toks.join(freq, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(freq_ppm) div count(1)").as("mean_freq_ppm"))
   }
 
   /** Benchmark decontamination: which training documents share at least

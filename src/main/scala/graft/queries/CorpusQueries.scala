@@ -80,6 +80,12 @@ object CorpusQueries {
       qualityScore(col("text")))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  // hard per-source cap (30 docs each), hash-ordered so the kept subset
+  // is an unbiased sample of the source
+  private val c8: Q = (s, dir) =>
+    Corpus.quotaSample(t(s, dir, "documents"), col("doc_id"), col("source"), cap = 30)
+      .select(col("doc_id"), col("source"))
+
   val queries: Map[String, Q] = Map(
     "c1_leakproof_split" -> c1,
     "c2_stratified_sample" -> c2,
@@ -88,6 +94,7 @@ object CorpusQueries {
     "c5_contamination" -> c5,
     "c6_domain_mix" -> c6,
     "c7_epoch_order" -> c7,
+    "c8_quota_sample" -> c8,
     "d9_keep_best" -> d9)
 
   // ------------------------------------------------------------------
@@ -185,6 +192,17 @@ object CorpusQueries {
          |    ORDER BY ((doc_id + ${3L * Corpus.EpochStride}) % ${Corpus.IdMod})
          |             * ${Corpus.SplitMult} % 4294967296 ASC, doc_id ASC) AS epoch_rank
          |FROM documents""".stripMargin,
+    "c8_quota_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    ((doc_id % ${Corpus.IdMod}) * ${Corpus.QuotaMult}
+         |     + ${Corpus.QuotaInc}) % 4294967296 AS ord
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY ord ASC, doc_id ASC) AS rn
+         |  FROM h)
+         |SELECT doc_id, source FROM r WHERE rn <= 30""".stripMargin,
     "d9_keep_best" ->
       s"""WITH RECURSIVE $sqlLshClusterCtes,
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v),

@@ -124,6 +124,12 @@ object PipelineQueries {
       .select(col("doc_id"), col("qual_ppm"))
   }
 
+  // corpus-frequency commonness profile — the exact-integer unigram
+  // stand-in for perplexity filtering (SURVEY §8.16: a real log-prob
+  // would not replay across engines)
+  private val t8: Q = (s, dir) =>
+    Corpus.tokenRarity(t(s, dir, "documents"), col("doc_id"), col("text"))
+
   // denylist scrub: the redaction pipeline stage. The pattern set is the
   // operator's parameter — PII shapes (emails, IPv4, phone runs) slot in
   // unchanged (spec-tested on synthetic rows; this corpus contains no
@@ -349,6 +355,7 @@ object PipelineQueries {
     "t5_repetition" -> t5,
     "t6_quality_gate" -> t6,
     "t7_scrub" -> t7,
+    "t8_token_rarity" -> t8,
     "d1_exact_dedup" -> d1,
     "d2_ngram_jaccard" -> d2,
     "d2b_ngram_capped" -> d2b,
@@ -566,6 +573,16 @@ object PipelineQueries {
          |  ${sqlPolyHash(red)} AS red_fp
          |FROM documents""".stripMargin
     },
+    "t8_token_rarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${sqlToks("text")}) AS t FROM documents),
+         |vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+         |tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+         |freq AS (SELECT t, (cnt * 1000000) // total AS freq_ppm FROM vocab, tot)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  (sum(freq_ppm) // count(*))::BIGINT AS mean_freq_ppm
+         |FROM toks JOIN freq USING (t)
+         |GROUP BY doc_id""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

@@ -47,6 +47,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == out, "hash sampling must be reproducible")
   }
 
+  test("quotaSample caps each stratum at the hash-order prefix") {
+    val out = Corpus.quotaSample(docs, col("doc_id"), col("lang"), cap = 15)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // en has 20 docs (capped to 15), de has 40 (capped to 15)
+    assert(byLang("en").size == 15 && byLang("de").size == 15)
+    // kept set = the cap-smallest by (quota hash, id) within each stratum
+    def ord(i: Long) =
+      ((i % Corpus.IdMod) * Corpus.QuotaMult + Corpus.QuotaInc) % 4294967296L
+    val expectEn = (0L until 60L).filter(_ % 3 == 0)
+      .sortBy(i => (ord(i), i)).take(15).toSet
+    assert(byLang("en") == expectEn)
+    // a cap above the stratum size keeps everything
+    val all = Corpus.quotaSample(docs, col("doc_id"), col("lang"), cap = 100).count()
+    assert(all == 60L)
+  }
+
+  test("tokenRarity: exact integer-ppm commonness per document") {
+    val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1, total 5 → freq_ppm a=400000 b=400000 c=200000
+    val out = Corpus.tokenRarity(tiny, col("doc_id"), col("text"))
+      .select("doc_id", "n_tokens", "mean_freq_ppm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((3L, 400000L)))            // (400000*3)/3
+    assert(out(2L) == ((2L, 300000L)))            // (400000+200000)/2
+    Corpus.unpersistIntermediates(blocking = true)
+  }
+
   test("shardManifest partitions the corpus exactly once") {
     val m = Corpus.shardManifest(docs, col("doc_id"), col("text"), numShards = 4)
       .as[(Long, Long, Long, Long, Long)].collect()
