@@ -137,6 +137,46 @@ class PlanSpec extends AnyFunSuite {
     assert(windows == 1, s"one ranking window expected, got $windows")
   }
 
+  test("t7: scrub/redaction is a narrow map — no key shuffle, no aggregation") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("t7_scrub")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"redaction must not shuffle:\n${plan.take(600)}")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin"))
+  }
+
+  test("d10: substring coverage is one shingle exchange (window) + one doc aggregation") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("d10_substring_coverage")
+    // owner-as-window-min is the whole point: a groupBy+join formulation
+    // would add a third exchange and traverse the posting list twice
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected the shingle window exchange + the doc agg exchange:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "no pair join allowed in the coverage path")
+  }
+
+  test("q7: both nation aliases broadcast; the fact table never broadcasts") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val plan = planOf("q7_nation_flow")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"supplier + both nation aliases should broadcast:\n${plan.take(800)}")
+    assert(plan.contains("partial_sum"), "pair aggregation must be partial first")
+  }
+
+  test("e6: KMV sketch aggregates partially below its single key exchange") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = planOf("e6_kmv_distinct")
+    // the typed Aggregator must run map-side (ObjectHashAggregate partial),
+    // shipping k-long sketches — not raw rows — through the shuffle;
+    // countDistinct adds its Expand-based exchanges, so assert the partial
+    // sketch explicitly rather than an exchange count
+    assert(plan.contains("ObjectHashAggregate"), s"sketch agg missing:\n${plan.take(600)}")
+    assert(plan.contains("partial_kmvsketch") || plan.contains("partial_KmvSketch")
+      || plan.toLowerCase.contains("partial_kmv"),
+      s"sketch must partially aggregate map-side:\n${plan.take(800)}")
+  }
+
   test("text-analysis pipeline is one narrow projection: no shuffle beyond the rebalance") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     // (higher-order array lambdas are not whole-stage-codegen'd in Spark —
