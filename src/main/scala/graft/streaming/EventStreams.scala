@@ -160,6 +160,98 @@ object EventStreams {
         (user, batch, state) => updateFunnel(user, batch, state, n, gapUs))
   }
 
+  /** One buffered row in [[asOfStream]] keyed state: a pending left-side
+    * event awaiting seal, or a candidate right-side row.
+    */
+  case class AsOfEvent(tsUs: Long, eventId: Long, value: Double, isLeft: Boolean)
+
+  /** Keyed state for [[asOfStream]]: unsealed events of both sides plus
+    * the single compacted best sealed right-side row (older sealed rows
+    * can never beat it for any future left event, so they are dropped —
+    * this is what keeps state O(open window) instead of O(history)).
+    */
+  case class AsOfBuffer(pending: Seq[AsOfEvent], sealedRight: Option[AsOfEvent])
+
+  /** The streaming point-in-time enrichment emitted by [[asOfStream]]. */
+  case class AsOfRow(
+      event_id: Long,
+      user_id: Long,
+      view_id: Option[Long],
+      view_value: Option[Double])
+
+  /** Streaming counterpart of [[graft.operators.AsOfJoin]] (the `e5`
+    * batch query): each left-side event (`leftType`) picks up the most
+    * recent right-side event (`rightType`) of the same user with
+    * `right.ts <= left.ts`, ties on the greater event id. A left event is
+    * emitted only once the watermark passes its timestamp — any
+    * right-side row that could still change its answer would have
+    * `ts <= left.ts <= watermark`, i.e. be late — so out-of-order arrival
+    * across micro-batches cannot produce a different enrichment than the
+    * batch operator.
+    *
+    * State per user: the not-yet-sealed events of both sides (bounded by
+    * the watermark horizon) plus ONE compacted sealed right-side row —
+    * every sealed right row is `<=` the watermark, so only the maximal
+    * one can ever win for a future (necessarily `> watermark`) left
+    * event. This is the feature-store serve pattern ("latest feature
+    * value as of event time") with exact event-time semantics.
+    *
+    * The input must already carry a watermark on `ts`; only rows of the
+    * two named types advance it here (same pushdown note as
+    * [[funnelStream]]).
+    */
+  def asOfStream(
+      events: Dataset[Event],
+      leftType: String,
+      rightType: String): Dataset[AsOfRow] = {
+    require(leftType != rightType, "left and right event types must differ")
+    import events.sparkSession.implicits._
+    events.toDF()
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        (col("event_type") === leftType).as("is_left"))
+      .as[(Long, java.sql.Timestamp, Long, Double, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfBuffer, AsOfRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateAsOf)
+  }
+
+  private def updateAsOf(
+      user: Long,
+      batch: Iterator[(Long, java.sql.Timestamp, Long, Double, Boolean)],
+      state: GroupState[AsOfBuffer]): Iterator[AsOfRow] = {
+    val prev = state.getOption.getOrElse(AsOfBuffer(Seq.empty, None))
+    val all = prev.pending ++ batch.map { case (_, ts, id, v, isL) =>
+      AsOfEvent(micros(ts), id, v, isL)
+    }
+    // STRICT inequality: an event with ts == watermark can still arrive
+    // on time, so only ts < wm rows are final
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (closed, open) = all.partition(_.tsUs < wmUs)
+    // order within the sealed prefix is total — (ts, event_id) — so the
+    // best candidate for each sealed left event is well-defined
+    val rightOrd = Ordering.by[AsOfEvent, (Long, Long)](e => (e.tsUs, e.eventId))
+    val sealedRights = closed.filter(!_.isLeft) ++ prev.sealedRight
+    val out = closed.filter(_.isLeft).map { l =>
+      // most recent right row at or before the left event; ties on the
+      // greater event id (max over the (ts, id) order) — e5's exact rule
+      val best = sealedRights.filter(_.tsUs <= l.tsUs).reduceOption(rightOrd.max(_, _))
+      AsOfRow(l.eventId, user, best.map(_.eventId), best.map(_.value))
+    }
+    val compacted = sealedRights.reduceOption(rightOrd.max(_, _))
+    if (open.isEmpty && compacted.isEmpty) state.remove()
+    else {
+      state.update(AsOfBuffer(open, compacted))
+      // wake when the earliest open event becomes sealable; a state of
+      // only the compacted right row needs no wakeup (left events drive
+      // emission)
+      if (open.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(open.map(_.tsUs).min / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+    }
+    out.iterator
+  }
+
   /** `java.sql.Timestamp` → exact epoch microseconds (the nanos field
     * carries the sub-millisecond part).
     */

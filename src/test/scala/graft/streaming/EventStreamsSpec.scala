@@ -172,6 +172,62 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join seals by watermark and matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val out = EventStreams.asOfStream(
+      stream.toDS().withWatermark("ts", "10 minutes").as[Event],
+      leftType = "click", rightType = "view")
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // u1: click@20 arrives BEFORE the view@15 that should win for it
+      stream.addData(Event(100, ts(0), 1, "view", 1.5), Event(200, ts(20), 1, "click", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("asof_out").isEmpty,
+        "click@20 must not emit while a better view can still arrive")
+      stream.addData(
+        Event(101, ts(15), 1, "view", 2.5),    // on-time, beats view@0
+        Event(400, ts(30), 3, "view", 7.0),    // same-ts tie with the click below
+        Event(500, ts(30), 3, "click", 0.0),
+        Event(300, ts(25), 2, "click", 0.0))   // u2 has no view at all
+      q.processAllAvailable()
+      // advance the watermark past every left event, then let timeouts fire
+      stream.addData(Event(900, ts(120), 9, "view", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(901, ts(130), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_out").as[EventStreams.AsOfRow].collect()
+        .map(r => r.event_id -> r).toMap
+      assert(got(200L).view_id.contains(101L) && got(200L).view_value.contains(2.5),
+        s"click@20 must pick the late-arriving view@15: ${got.get(200L)}")
+      assert(got(500L).view_id.contains(400L), "same-timestamp view qualifies (<=)")
+      assert(got(300L).view_id.isEmpty && got(300L).view_value.isEmpty)
+
+      // batch parity on the identical event set
+      val batchDf = Seq(
+        Event(100, ts(0), 1, "view", 1.5), Event(200, ts(20), 1, "click", 0.0),
+        Event(101, ts(15), 1, "view", 2.5), Event(400, ts(30), 3, "view", 7.0),
+        Event(500, ts(30), 3, "click", 0.0), Event(300, ts(25), 2, "click", 0.0),
+        Event(900, ts(120), 9, "view", 0.0), Event(901, ts(130), 9, "view", 0.0)).toDF()
+      val batch = graft.operators.AsOfJoin.asOf(
+        left = batchDf.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        right = batchDf.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+            col("value").as("view_value")),
+        keys = Seq("user_id"), ts = "ts", leftId = "event_id",
+        payload = Seq("view_id", "view_value"), tieBreak = "view_id")
+        .select(col("event_id"), col("view_id"), col("view_value"))
+        .as[(Long, Option[Long], Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      got.foreach { case (id, r) =>
+        assert(batch(id) == ((r.view_id, r.view_value)),
+          s"stream/batch divergence for click $id: ${batch(id)} vs $r")
+      }
+    } finally q.stop()
+  }
+
   test("in-session events extend rather than split (unit, via batch path)") {
     // direct check of gap semantics through the batch-equivalent SQL shape
     val df = Seq(
