@@ -237,6 +237,14 @@ object AnalyticsQueries {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"))
 
+  // full cube — all 2^2 grouping sets in one pass (Spark plans one Expand
+  // + one aggregation, not four scans); exact decimal for the measure
+  private val cubeQ: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1,
     "q3_revenue" -> q3,
@@ -256,7 +264,8 @@ object AnalyticsQueries {
     "j_semi" -> jSemi,
     "j_anti" -> jAnti,
     "topk_orders" -> topK,
-    "rollup_counts" -> rollupQ)
+    "rollup_counts" -> rollupQ,
+    "cube_agg" -> cubeQ)
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -378,5 +387,9 @@ object AnalyticsQueries {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "rollup_counts" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
 }

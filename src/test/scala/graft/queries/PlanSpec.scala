@@ -177,6 +177,15 @@ class PlanSpec extends AnyFunSuite {
       s"sketch must partially aggregate map-side:\n${plan.take(800)}")
   }
 
+  test("q10: aggregate-then-top-k plans TakeOrderedAndProject, not a global sort") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val plan = planOf("q10_returned_top")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy().limit() must not globally sort:\n${plan.take(600)}")
+    assert(!plan.contains("rangepartitioning"),
+      "a range-partitioned global sort is the scale regression this pins against")
+  }
+
   test("text-analysis pipeline is one narrow projection: no shuffle beyond the rebalance") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     // (higher-order array lambdas are not whole-stage-codegen'd in Spark —
