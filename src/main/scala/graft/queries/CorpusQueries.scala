@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions
-import graft.functions.TextFunctions.qualityScore
+import graft.functions.TextFunctions.{qualityScore, qualityScorePpm}
 import graft.operators.{Corpus, Dedup}
 import graft.queries.PipelineQueries.{sqlHits, sqlLshClusterCtes, sqlShingles, sqlToks, t}
 
@@ -86,6 +86,27 @@ object CorpusQueries {
     Corpus.quotaSample(t(s, dir, "documents"), col("doc_id"), col("source"), cap = 30)
       .select(col("doc_id"), col("source"))
 
+  // end-to-end curation capstone: quality gate → near-dup dedup (clusters
+  // computed on the GATED corpus — a different cluster set than d7's) →
+  // leak-proof split, composed into ONE declarative plan from the same
+  // already-verified operators. Composability is the point: Catalyst sees
+  // the whole chain, and the oracle replays the full composition
+  // (quality CTEs → gated source → LSH cluster CTEs over it → keep → split)
+  private val c9: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("text"),
+      qualityScorePpm(col("text")).as("qual_ppm"))
+    val thresh = scored.agg(expr("percentile(qual_ppm, 0.1)").as("p10"))
+    val gated = scored.crossJoin(broadcast(thresh))
+      .filter(col("qual_ppm") >= col("p10"))
+      .select(col("doc_id"), col("text"))
+    val clusters = Dedup.clusterPairs(
+      Dedup.minhashLshPairs(gated, col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5))
+    val kept = Dedup.keepCanonical(gated, col("doc_id"), clusters)
+    Corpus.leakproofSplit(kept, col("doc_id"), clusters)
+  }
+
   val queries: Map[String, Q] = Map(
     "c1_leakproof_split" -> c1,
     "c2_stratified_sample" -> c2,
@@ -95,6 +116,7 @@ object CorpusQueries {
     "c6_domain_mix" -> c6,
     "c7_epoch_order" -> c7,
     "c8_quota_sample" -> c8,
+    "c9_curation_pipeline" -> c9,
     "d9_keep_best" -> d9)
 
   // ------------------------------------------------------------------
@@ -128,7 +150,7 @@ object CorpusQueries {
 
   val oracleSql: Map[String, String] = Map(
     "c1_leakproof_split" ->
-      s"""WITH RECURSIVE $sqlLshClusterCtes,
+      s"""WITH RECURSIVE ${sqlLshClusterCtes()},
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v)
          |SELECT doc_id,
          |  CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
@@ -192,6 +214,26 @@ object CorpusQueries {
          |    ORDER BY ((doc_id + ${3L * Corpus.EpochStride}) % ${Corpus.IdMod})
          |             * ${Corpus.SplitMult} % 4294967296 ASC, doc_id ASC) AS epoch_rank
          |FROM documents""".stripMargin,
+    "c9_curation_pipeline" ->
+      s"""WITH RECURSIVE $sqlQualityCtes,
+         |thr AS (SELECT quantile_cont(qual_ppm, 0.1) AS p10 FROM q),
+         |gated AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN q ON q.doc_id = d.doc_id, thr
+         |  WHERE q.qual_ppm >= thr.p10),
+         |${sqlLshClusterCtes("gated")},
+         |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v),
+         |kept AS (
+         |  SELECT g.doc_id FROM gated g
+         |  WHERE NOT EXISTS (SELECT 1 FROM clusters c
+         |                    WHERE c.doc_id = g.doc_id AND c.doc_id <> c.cluster_rep))
+         |SELECT doc_id,
+         |  CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT k.doc_id,
+         |    ((coalesce(c.cluster_rep, k.doc_id) % ${Corpus.IdMod})
+         |     * ${Corpus.SplitMult}) % 1000 AS h
+         |  FROM kept k LEFT JOIN clusters c ON c.doc_id = k.doc_id) hashed""".stripMargin,
     "c8_quota_sample" ->
       s"""WITH h AS (
          |  SELECT doc_id, source,
@@ -204,7 +246,7 @@ object CorpusQueries {
          |  FROM h)
          |SELECT doc_id, source FROM r WHERE rn <= 30""".stripMargin,
     "d9_keep_best" ->
-      s"""WITH RECURSIVE $sqlLshClusterCtes,
+      s"""WITH RECURSIVE ${sqlLshClusterCtes()},
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v),
          |$sqlQualityCtes,
          |ranked AS (

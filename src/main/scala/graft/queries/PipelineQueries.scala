@@ -340,6 +340,23 @@ object PipelineQueries {
         col("exact_distinct"))
   }
 
+  // weekly cohort retention: users bucketed by signup week, counted in
+  // each later week they were active. The activity set dedups to
+  // (user, week) FIRST — one row per user-week regardless of event
+  // volume — then a user-keyed join and a tiny (cohort, offset) agg;
+  // week arithmetic in exact integer micros (no float epoch)
+  private val e8: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val week = expr("unix_micros(ts) div 604800000000") // resolves against each frame's ts
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(week).as("cohort_week"))
+    val activity = ev.select(col("user_id").as("_u"), week.as("week")).distinct()
+    cohort.join(activity,
+        col("user_id") === col("_u") && col("week") >= col("cohort_week"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   // ordered signup→click→purchase funnel, each hop within one day — one
   // user-keyed aggregation per step, nulls from the stall point onward
   private val e7: Q = (s, dir) =>
@@ -378,7 +395,8 @@ object PipelineQueries {
     "e4_heavy_hitter_distinct" -> e4,
     "e5_asof_join" -> e5,
     "e6_kmv_distinct" -> e6,
-    "e7_funnel" -> e7)
+    "e7_funnel" -> e7,
+    "e8_retention" -> e8)
 
   // ------------------------------------------------------------------
   // Oracles
@@ -425,11 +443,11 @@ object PipelineQueries {
     * pair gate and the d7/d8 cluster oracles so all three stay in
     * lockstep with the one Spark implementation.
     */
-  private val sqlLshPairCtes =
+  private def sqlLshPairCtes(src: String = "documents") =
     s"""base AS (
        |  SELECT doc_id, sh FROM (
        |    SELECT doc_id, ${sqlShingles("w")} AS sh
-       |    FROM (SELECT doc_id, ${sqlToks("text")} AS w FROM documents))
+       |    FROM (SELECT doc_id, ${sqlToks("text")} AS w FROM $src))
        |  WHERE len(sh) > 0),
        |sig AS (
        |  SELECT doc_id, sh,
@@ -458,8 +476,8 @@ object PipelineQueries {
     * Shared with the corpus-curation oracles (CorpusQueries c1/d9), which
     * consume the same cluster assignment.
     */
-  private[queries] val sqlLshClusterCtes =
-    s"""$sqlLshPairCtes,
+  private[queries] def sqlLshClusterCtes(src: String = "documents"): String =
+    s"""${sqlLshPairCtes(src)},
        |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -631,13 +649,13 @@ object PipelineQueries {
          |JOIN cnt cb ON cb.doc_id = doc_b
          |WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5""".stripMargin,
     "d3_minhash_lsh" ->
-      s"""WITH $sqlLshPairCtes
+      s"""WITH ${sqlLshPairCtes()}
          |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin,
     "d7_dup_clusters" ->
-      s"""WITH RECURSIVE $sqlLshClusterCtes
+      s"""WITH RECURSIVE ${sqlLshClusterCtes()}
          |SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v""".stripMargin,
     "d8_dedup_keep" ->
-      s"""WITH RECURSIVE $sqlLshClusterCtes,
+      s"""WITH RECURSIVE ${sqlLshClusterCtes()},
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v)
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM clusters c
@@ -846,6 +864,19 @@ object PipelineQueries {
         |       ELSE (31 * 4294967296) // a.kth_hash END AS est_distinct,
         |  ex.exact_distinct
         |FROM agg a JOIN ex USING (event_type)""".stripMargin,
+    "e8_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(epoch_us(ts) // 604800000000) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |r AS (
+        |  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset, a.user_id
+        |  FROM cohort c JOIN activity a ON a.user_id = c.user_id
+        |  WHERE a.week >= c.cohort_week)
+        |SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+        |FROM r GROUP BY cohort_week, week_offset""".stripMargin,
     "e7_funnel" ->
       """WITH s0 AS (
         |  SELECT user_id, min(ts) AS ts_signup FROM events
