@@ -15,8 +15,13 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // PROBE_PLAN=1 prints the executed plan instead of timing
+    val planOnly = sys.env.get("PROBE_PLAN").contains("1")
     names.foreach { n =>
-      (1 to 2).foreach { i =>
+      if (planOnly) {
+        println(s"===== $n =====")
+        println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
+      } else (1 to 2).foreach { i =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()

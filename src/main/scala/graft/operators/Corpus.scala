@@ -371,6 +371,13 @@ object Corpus {
     c
   }
 
+  /** Register a caller-built frame in the corpus cache registry — for
+    * multi-operator compositions whose shared intermediate (e.g. a scored
+    * corpus feeding both a percentile reduce and the gated pipeline) lives
+    * outside any single operator. Released by [[unpersistIntermediates]].
+    */
+  private[graft] def cacheIntermediate(df: DataFrame): DataFrame = cached(df)
+
   /** Release every intermediate the corpus operators have cached since the
     * last call; returns the number of frames released.
     */

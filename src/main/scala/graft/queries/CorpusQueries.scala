@@ -94,8 +94,14 @@ object CorpusQueries {
   // (quality CTEs → gated source → LSH cluster CTEs over it → keep → split)
   private val c9: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val scored = docs.select(col("doc_id"), col("text"),
-      qualityScorePpm(col("text")).as("qual_ppm"))
+    // persist the scored corpus: the heavy qual_ppm expression feeds three
+    // consumers (percentile reduce, gate filter, and — via the gated frame —
+    // the whole LSH pipeline); without the cache each branch re-evaluates it
+    // over the full corpus, and the gate's isnotnull pre-filter gets pushed
+    // into the scan for a fourth evaluation
+    val scored = Corpus.cacheIntermediate(
+      docs.select(col("doc_id"), col("text"),
+        qualityScorePpm(col("text")).as("qual_ppm")))
     val thresh = scored.agg(expr("percentile(qual_ppm, 0.1)").as("p10"))
     val gated = scored.crossJoin(broadcast(thresh))
       .filter(col("qual_ppm") >= col("p10"))

@@ -351,10 +351,15 @@ object PipelineQueries {
     val cohort = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(week).as("cohort_week"))
     val activity = ev.select(col("user_id").as("_u"), week.as("week")).distinct()
+    // count(*) here IS count(distinct user_id): activity is deduped to one
+    // row per (user, week), and within a user cohort_week is fixed — so each
+    // user hits a given (cohort_week, week_offset) group at most once. The
+    // oracle states the distinct-count intent; this side skips the two
+    // distinct-agg passes a countDistinct would replan
     cohort.join(activity,
         col("user_id") === col("_u") && col("week") >= col("cohort_week"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   // ordered signup→click→purchase funnel, each hop within one day — one

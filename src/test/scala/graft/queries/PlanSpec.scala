@@ -186,6 +186,40 @@ class PlanSpec extends AnyFunSuite {
       "a range-partitioned global sort is the scale regression this pins against")
   }
 
+  test("e8: retention is three partial-agg key exchanges, no distinct replanning") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = planOf("e8_retention")
+    // cohort agg (user_id) + activity dedup (user_id, week) + final group agg;
+    // activity is pre-deduped so the final count must plan as count(1) with a
+    // map-side partial — a count(distinct) here would add two extra agg passes
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 3,
+      s"expected the three aggregation exchanges:\n${plan.take(800)}")
+    assert(plan.contains("partial_count"), "final agg must combine map-side")
+    assert(!plan.contains("count(distinct"),
+      "distinct is established upstream; the final agg must not replan it")
+    assert(plan.contains("EqualTo(event_type,signup)"),
+      "cohort scan must push the signup filter into parquet")
+  }
+
+  test("c9: curation pipeline caches the scored corpus; no sort-merge, no global sort") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("c9_curation_pipeline")
+    // the heavy qual_ppm projection must be served from the persisted scored
+    // frame (one evaluation), the percentile threshold and the dup-drop set
+    // must broadcast, and the corpus must never be key-shuffled for the gate.
+    // Only the OUTER gate/split tree is pinned — everything printed after the
+    // first InMemoryRelation is a cached child dump (the LSH/CC pipeline,
+    // whose own shuffles are pinned by the d3/d7 plans and legitimate here)
+    val outer = plan.split("InMemoryRelation", 2).head
+    assert(plan.contains("InMemoryTableScan"),
+      s"scored corpus must be cached:\n${plan.take(600)}")
+    assert(outer.contains("BroadcastNestedLoopJoin"), "threshold must broadcast")
+    assert(outer.contains("LeftAnti"), "dup drop must be an anti join")
+    assert(!outer.contains("SortMergeJoin"),
+      s"no shuffle join allowed in the gate/split path:\n${outer.take(600)}")
+    assert(!outer.contains("rangepartitioning"), "no global sort allowed")
+  }
+
   test("text-analysis pipeline is one narrow projection: no shuffle beyond the rebalance") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     // (higher-order array lambdas are not whole-stage-codegen'd in Spark —
