@@ -21,6 +21,12 @@ object Probe {
       if (planOnly) {
         println(s"===== $n =====")
         println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
+        // building a plan can eagerly run + persist operator intermediates
+        // (cluster convergence loops, epoch ranking); drop them so a later
+        // query's printed plan can't silently reuse an earlier query's cache
+        spark.sharedState.cacheManager.clearCache()
+        graft.operators.Dedup.unpersistIntermediates()
+        graft.operators.Corpus.unpersistIntermediates()
       } else (1 to 2).foreach { i =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()

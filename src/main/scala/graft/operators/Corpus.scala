@@ -107,6 +107,22 @@ object Corpus {
           .otherwise("test").as("split"))
   }
 
+  /** Global exact-percentile gate: keep rows whose `score` is at or above
+    * the `quantile`-th percentile of the whole frame. ONE reduce to a
+    * single-row threshold, broadcast back over the corpus — no window, no
+    * global sort, so the corpus itself is never key-shuffled. Spark's
+    * exact `percentile` is bit-for-bit `quantile_cont` on integer inputs,
+    * which is what keeps the t6/c9 oracles replayable; feed it integer-ppm
+    * scores, not doubles. The threshold column is internal and dropped.
+    */
+  def percentileGate(df: DataFrame, score: Column, quantile: Double): DataFrame = {
+    val thresh = df.agg(
+      call_function("percentile", score, lit(quantile)).as("_gate_thr"))
+    df.crossJoin(broadcast(thresh))
+      .filter(score >= col("_gate_thr"))
+      .drop("_gate_thr")
+  }
+
   /** Deterministic stratified sampling: row kept iff
     * `hash(id) mod 2^32  <  rate% of 2^32` (compared as
     * `h·100 < rate·2^32`, all-integer and exact in any engine).

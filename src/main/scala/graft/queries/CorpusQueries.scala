@@ -24,17 +24,19 @@ object CorpusQueries {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  /** The duplicate-cluster assignment used by c1/d9 — same pipeline and
-    * parameters as d7/d8 (MinHash 32 hashes, 4 bands, verify ≥ 0.5).
+  /** The duplicate-cluster assignment used by c1/d9/c9 — same pipeline and
+    * parameters as d7/d8 (MinHash 32 hashes, 4 bands, verify ≥ 0.5). The
+    * parameter set lives HERE only; pass the corpus frame (c9 clusters the
+    * quality-gated corpus, not the raw table).
     */
-  private def lshClusters(s: SparkSession, dir: String): DataFrame =
+  private def lshClusters(docs: DataFrame): DataFrame =
     Dedup.clusterPairs(
-      Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+      Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
         n = 3, numHashes = 32, bands = 4, minJaccard = 0.5))
 
   private val c1: Q = (s, dir) =>
     Corpus.leakproofSplit(t(s, dir, "documents"), col("doc_id"),
-      lshClusters(s, dir), trainPerMille = 800, valPerMille = 100)
+      lshClusters(t(s, dir, "documents")), trainPerMille = 800, valPerMille = 100)
 
   // downsample the dominant language (en is ~44% of the corpus) to 20%,
   // keep half of everything else — the classic language-rebalance step
@@ -76,7 +78,7 @@ object CorpusQueries {
     Corpus.epochOrder(t(s, dir, "documents"), col("doc_id"), epoch = 3)
 
   private val d9: Q = (s, dir) =>
-    Dedup.keepBest(t(s, dir, "documents"), col("doc_id"), lshClusters(s, dir),
+    Dedup.keepBest(t(s, dir, "documents"), col("doc_id"), lshClusters(t(s, dir, "documents")),
       qualityScore(col("text")))
       .select(col("doc_id"), col("lang"), col("source"))
 
@@ -102,13 +104,9 @@ object CorpusQueries {
     val scored = Corpus.cacheIntermediate(
       docs.select(col("doc_id"), col("text"),
         qualityScorePpm(col("text")).as("qual_ppm")))
-    val thresh = scored.agg(expr("percentile(qual_ppm, 0.1)").as("p10"))
-    val gated = scored.crossJoin(broadcast(thresh))
-      .filter(col("qual_ppm") >= col("p10"))
+    val gated = Corpus.percentileGate(scored, col("qual_ppm"), 0.1)
       .select(col("doc_id"), col("text"))
-    val clusters = Dedup.clusterPairs(
-      Dedup.minhashLshPairs(gated, col("doc_id"), col("text"),
-        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5))
+    val clusters = lshClusters(gated)
     val kept = Dedup.keepCanonical(gated, col("doc_id"), clusters)
     Corpus.leakproofSplit(kept, col("doc_id"), clusters)
   }

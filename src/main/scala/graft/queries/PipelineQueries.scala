@@ -118,9 +118,7 @@ object PipelineQueries {
   private val t6: Q = (s, dir) => {
     val scored = t(s, dir, "documents").select(col("doc_id"),
       qualityScorePpm(col("text")).as("qual_ppm"))
-    val thresh = scored.agg(expr("percentile(qual_ppm, 0.1)").as("p10"))
-    scored.crossJoin(broadcast(thresh))
-      .filter(col("qual_ppm") >= col("p10"))
+    graft.operators.Corpus.percentileGate(scored, col("qual_ppm"), 0.1)
       .select(col("doc_id"), col("qual_ppm"))
   }
 

@@ -32,6 +32,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L) == expected)
   }
 
+  test("percentileGate keeps exactly the rows at or above the exact percentile") {
+    val scored = Seq.tabulate(100)(i => (i.toLong, (i * 10).toLong))
+      .toDF("id", "score")
+    val kept = Corpus.percentileGate(scored, col("score"), 0.1)
+      .select("id").as[Long].collect().toSet
+    // scores 0..990 step 10: the exact 10th percentile of 100 values is
+    // interpolated at 99*0.1 = index 9.9 → 99.0, so ids 10.. survive
+    assert(kept == (10L until 100L).toSet)
+    assert(Corpus.percentileGate(scored, col("score"), 0.0).count() == 100)
+    // threshold column must not leak into the output schema
+    assert(Corpus.percentileGate(scored, col("score"), 0.1).columns.toSeq
+      == Seq("id", "score"))
+  }
+
   test("stratifiedSample applies per-stratum rates, deterministically") {
     val rates = Map("en" -> 20)
     val out = Corpus.stratifiedSample(docs, col("doc_id"), col("lang"), rates, 50)
