@@ -367,6 +367,26 @@ object PipelineQueries {
       col("event_type"), Seq("signup", "click", "purchase"),
       maxGapSeconds = Some(86400L))
 
+  // keyless interval join: clicks inside each purchase's 30-minute
+  // attribution window. Bucket width = window length (µs), so each
+  // interval explodes to ≤ 2 bucket rows and the join is a plain
+  // equi-join on bucket id — never the BroadcastNestedLoopJoin Spark
+  // would plan for the raw range predicate
+  private val e9: Q = (s, dir) => {
+    val winUs = 1800000000L // 30 min in µs
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"),
+        unix_micros(col("ts")).as("_s"),
+        (unix_micros(col("ts")) + winUs).as("_e"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("_p"))
+    graft.operators.IntervalJoin.bucketed(
+        clicks, purchases, "_p", "_s", "_e", winUs)
+      .groupBy("p_event_id")
+      .agg(count(lit(1)).as("n_clicks"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_token_stats" -> t1,
     "t2_quality" -> t2,
@@ -399,7 +419,8 @@ object PipelineQueries {
     "e5_asof_join" -> e5,
     "e6_kmv_distinct" -> e6,
     "e7_funnel" -> e7,
-    "e8_retention" -> e8)
+    "e8_retention" -> e8,
+    "e9_interval_join" -> e9)
 
   // ------------------------------------------------------------------
   // Oracles
@@ -898,5 +919,12 @@ object PipelineQueries {
         |    AND e.ts > s1.ts_click
         |    AND epoch_us(e.ts) - epoch_us(s1.ts_click) <= 86400000000
         |  GROUP BY s1.user_id, ts_signup, ts_click)
-        |SELECT user_id, ts_signup, ts_click, ts_purchase FROM s2""".stripMargin)
+        |SELECT user_id, ts_signup, ts_click, ts_purchase FROM s2""".stripMargin,
+    "e9_interval_join" ->
+      """SELECT p.event_id AS p_event_id, count(*) AS n_clicks
+        |FROM events p JOIN events c
+        |  ON epoch_us(c.ts) >= epoch_us(p.ts)
+        | AND epoch_us(c.ts) < epoch_us(p.ts) + 1800000000
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY p.event_id""".stripMargin)
 }
