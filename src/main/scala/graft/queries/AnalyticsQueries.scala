@@ -124,6 +124,23 @@ object AnalyticsQueries {
         count(lit(1)).as("n_items"))
   }
 
+  // bloom-prefiltered dimension join: the filtered part slice's key SET
+  // rides to the fact scan as a few KB of codegen'd bloom bits, so
+  // lineitem is cut to ~matching rows BEFORE the join shuffle; the exact
+  // join then kills the bloom's false positives, making the result
+  // identical to the plain join the oracle runs
+  private val q8: Q = (s, dir) => {
+    val dim = t(s, dir, "part")
+      .filter(col("p_size") <= 5)
+      .select("p_partkey", "p_brand")
+    graft.operators.BloomJoin.innerJoin(
+        t(s, dir, "lineitem"), "l_partkey", dim, "p_partkey",
+        expectedItems = 200000)
+      .groupBy(col("p_brand"))
+      .agg(sum(revenueTerm).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   // TPC-H Q10-style: returned-items revenue per customer, top 20 — an
   // aggregate-then-top-k pipeline (grouped agg, deterministic
   // double-sort with unique tiebreak, limit)
@@ -252,6 +269,7 @@ object AnalyticsQueries {
     "q6_scalar_subquery" -> q6,
     "q5_nation_revenue" -> q5,
     "q7_nation_flow" -> q7,
+    "q8_bloom_join" -> q8,
     "q10_returned_top" -> q10,
     "a1_percentiles" -> a1,
     "agg_distinct" -> aggDistinct,
@@ -318,6 +336,16 @@ object AnalyticsQueries {
          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
          |WHERE n1.n_name <> n2.n_name
          |GROUP BY n1.n_name, n2.n_name""".stripMargin,
+    // the bloom prefilter is result-invisible (false positives die in the
+    // exact join), so the oracle is the plain join
+    "q8_bloom_join" ->
+      s"""SELECT p_brand,
+         |  CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE p_size <= 5
+         |GROUP BY p_brand""".stripMargin,
     "q10_returned_top" ->
       s"""SELECT c_custkey, c_name, c_acctbal,
          |  CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BloomJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("innerJoin equals the plain join (long keys, negatives and misses included)") {
+    val rnd = new scala.util.Random(11)
+    val fact = Seq.fill(500)((rnd.nextLong() % 100L, rnd.nextInt(1000)))
+      .toDF("fk", "v")
+    val dim = (-20L to 20L by 4L).map(k => (k, s"d$k")).toDF("dk", "name")
+    val got = BloomJoin.innerJoin(fact, "fk", dim, "dk", expectedItems = 100)
+      .select("fk", "v", "name").as[(Long, Int, String)].collect().sorted.toSeq
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "v", "name").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(got == want)
+  }
+
+  test("string keys route through the xxhash64 path and still join exactly") {
+    val fact = Seq("a", "b", "c", "zz", "a").toDF("fk")
+    val dim = Seq(("a", 1), ("c", 2), ("nope", 3)).toDF("dk", "n")
+    val got = BloomJoin.innerJoin(fact, "fk", dim, "dk", expectedItems = 10)
+      .select("fk", "n").as[(String, Int)].collect().sorted.toSeq
+    assert(got == Seq(("a", 1), ("a", 1), ("c", 2)))
+  }
+
+  test("prefilter keeps every true match and drops almost all of a disjoint fact side") {
+    val fact = (1000L to 3000L).toDF("fk") // disjoint from dim
+    val dim = (1L to 100L).toDF("dk")
+    val survivors = BloomJoin.prefilter(fact, "fk", dim, "dk",
+      expectedItems = 100, fpp = 0.01).count()
+    // 2001 disjoint keys at fpp=0.01 → expect ~20 false positives; 10×
+    // headroom keeps the assertion noise-proof while still proving the
+    // filter actually filters
+    assert(survivors <= 200, s"bloom let $survivors of 2001 impostors through")
+
+    val matches = (50L to 150L).toDF("fk")
+    val kept = BloomJoin.prefilter(matches, "fk", dim, "dk", expectedItems = 100)
+      .as[Long].collect().toSet
+    assert((50L to 100L).forall(kept), "bloom dropped a true match")
+  }
+
+  test("probe is a codegen'd might_contain predicate, not a UDF") {
+    // a real file scan keeps the predicate in the executed plan — over a
+    // LocalRelation the optimizer evaluates it at plan time (even through
+    // a repartition) and leaves nothing to assert on
+    val dir = java.nio.file.Files.createTempDirectory("bloomspec").toString
+    Seq(1L, 2L).toDF("fk").write.mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Seq(1L).toDF("dk")
+    val plan = BloomJoin.prefilter(fact, "fk", dim, "dk", expectedItems = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"), plan)
+  }
+}
