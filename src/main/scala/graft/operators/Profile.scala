@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table profiling — per-column row/null/distinct counts and min/max in
+  * ONE aggregation pass over the data (the ANALYZE/data-quality staple a
+  * curation pipeline runs before trusting a new 100 TB drop).
+  *
+  * All requested columns' statistics are computed in a single `agg` (one
+  * scan; Catalyst plans the multi-distinct via one Expand + partial
+  * aggregation), then the flat single row is exploded into one row per
+  * column. Min/max keep their values in typed slots — numerics (and
+  * timestamps, as epoch micros) in doubles, strings in strings — rather
+  * than a rendered string, because cross-engine float/timestamp
+  * FORMATTING differs even when the values are identical and the oracle
+  * gate hashes values.
+  *
+  * Scale note: k exact distincts make Expand replicate the scan k-fold
+  * before the partial agg — the honest exact shape. At 100 TB with many
+  * columns, swap `countDistinct` for `approx_count_distinct` (one pass,
+  * no Expand, HLL-mergeable) — kept exact here so the DuckDB oracle can
+  * replay the result bit-for-bit.
+  *
+  * Extension operator — the reference reads `system_schema.columns` for
+  * schema (reference: hash_join.py:184-196) but has no data statistics
+  * of any kind.
+  */
+object Profile {
+
+  /** @param df   input table
+    * @param cols columns to profile (numeric, string, boolean, or
+    *             timestamp type)
+    * @return one row per profiled column:
+    *         (col_name, n, n_null, n_distinct, min_num, max_num,
+    *          min_str, max_str) — the num slots null for string columns
+    *         and vice versa
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    // typed min/max slots: _num for numerics/timestamps/booleans, _str
+    // for strings — one pair of null lits keeps the struct shape uniform
+    def slots(name: String): (Column, Column, Column, Column) = {
+      val c = col(name)
+      df.schema(name).dataType match {
+        case StringType =>
+          (lit(null).cast("double"), lit(null).cast("double"),
+            min(c), max(c))
+        case TimestampType | TimestampNTZType =>
+          // NTZ routes through TimestampType first; with the engine-wide
+          // UTC session timezone the wall-clock reading IS the instant,
+          // matching the oracle's epoch_us on the naive value
+          val m = unix_micros(c.cast(TimestampType))
+          (min(m).cast("double"), max(m).cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case _: NumericType | BooleanType =>
+          (min(c).cast("double"), max(c).cast("double"),
+            lit(null).cast("string"), lit(null).cast("string"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"profile: unsupported type $other for column $name")
+      }
+    }
+    val aggs = cols.flatMap { name =>
+      val c = col(name)
+      val (mn, mx, ms, xs) = slots(name)
+      Seq(
+        count(c).as(s"_nn_$name"), // non-null count; n comes from count(*)
+        countDistinct(c).as(s"_nd_$name"),
+        mn.as(s"_mn_$name"), mx.as(s"_mx_$name"),
+        ms.as(s"_ms_$name"), xs.as(s"_xs_$name"))
+    }
+    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val structs = cols.map { name =>
+      struct(
+        lit(name).as("col_name"),
+        col("_n").as("n"),
+        (col("_n") - col(s"_nn_$name")).as("n_null"),
+        col(s"_nd_$name").as("n_distinct"),
+        col(s"_mn_$name").as("min_num"), col(s"_mx_$name").as("max_num"),
+        col(s"_ms_$name").as("min_str"), col(s"_xs_$name").as("max_str"))
+    }
+    one.select(explode(array(structs: _*)).as("p")).select("p.*")
+  }
+}

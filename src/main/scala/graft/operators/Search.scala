@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword relevance search — exact-integer TF-IDF-shaped scoring over an
+  * inverted posting list, the lexical complement to the embedding ANN tier
+  * ([[Similarity]]): the "find the training docs about X" workhorse where
+  * the query is words, not a vector.
+  *
+  * Score is pure integer arithmetic so every engine reproduces it bit-for-
+  * bit (the oracle gate hash-compares): each query term contributes
+  * `tf(doc, term) × (ppmScale div df(term))` — term frequency weighted by
+  * an integer inverse document frequency. Rarer terms weigh more; a term
+  * in every doc still carries `ppmScale div N ≥ 1` when N ≤ ppmScale.
+  * Deliberately NOT float BM25: log/over-length normalization would hang
+  * the correctness gate on cross-engine libm rounding. The ranking
+  * behavior (rare-term dominance) is the same shape.
+  *
+  * Scale path: tokenize+explode is a narrow map; postings are filtered to
+  * the query's terms BEFORE any shuffle, so the aggregation handles
+  * |docs containing a query term| rows, not the corpus; document
+  * frequency is a per-term window count over those same rows (skew
+  * bounded: a term's partition is its posting list); top-k is
+  * Spark's TakeOrderedAndProject (per-partition heaps, no global sort).
+  * No state grows with corpus size except the posting slice itself.
+  *
+  * Extension operator — the reference has no text scoring of any kind
+  * (its only string predicate is CONTAINS, reference: commands.py:109-147).
+  */
+object Search {
+
+  /** Weight scale: df=1 terms score 1,000,000 per occurrence. */
+  val PpmScale = 1000000L
+
+  /** Top-k docs for a bag-of-words query.
+    *
+    * @param docs   corpus; one row per document
+    * @param id     unique document id column
+    * @param text   document text column
+    * @param terms  query terms (matched against lowercased alnum tokens;
+    *               callers pass lowercase)
+    * @param k      result size
+    * @return (doc_id, score) — matched docs ranked by
+    *         (score desc, doc_id asc), ties deterministic
+    */
+  def keywordTopK(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "query needs at least one term")
+    // df via a window over the tf rows (one row per matching doc×term, so
+    // count(*) per term IS document frequency) — the tokenize+explode
+    // pipeline is evaluated exactly once; a join against a separate df
+    // aggregate would re-derive it per plan branch
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    docs
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("term"))
+      .filter(col("term").isin(terms: _*)) // before the shuffle: posting slice only
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(s"tf * ($PpmScale div df)")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

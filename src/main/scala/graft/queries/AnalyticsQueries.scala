@@ -180,6 +180,12 @@ object AnalyticsQueries {
         expr("percentile(o_totalprice, 0.9)").as("p90_price"),
         count(lit(1)).as("n"))
 
+  // one-pass table profile across the four column types (int, double,
+  // string, timestamp) — the pre-ingest data-quality sweep
+  private val a2: Q = (s, dir) =>
+    graft.operators.Profile.profile(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"))
+
   // exact distinct aggregation
   private val aggDistinct: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -272,6 +278,7 @@ object AnalyticsQueries {
     "q8_bloom_join" -> q8,
     "q10_returned_top" -> q10,
     "a1_percentiles" -> a1,
+    "a2_profile" -> a2,
     "agg_distinct" -> aggDistinct,
     "w1_rank" -> w1,
     "w2_running_sum" -> w2,
@@ -371,6 +378,30 @@ object AnalyticsQueries {
         |  quantile_cont(o_totalprice, 0.9) AS p90_price,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "a2_profile" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n,
+        |  count(*) - count(o_orderkey) AS n_null,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  min(o_totalprice), max(o_totalprice), NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), NULL, NULL,
+        |  min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |  count(DISTINCT o_orderdate),
+        |  CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+        |  CAST(epoch_us(max(o_orderdate)) AS DOUBLE), NULL, NULL
+        |FROM orders""".stripMargin,
     "agg_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
         |       COUNT(*) AS n_orders

@@ -250,6 +250,13 @@ object PipelineQueries {
     Similarity.quantizedTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
       col("vec_id"), col("embedding"), k = 10)
 
+  // lexical search over the corpus: rare-term-weighted exact-integer
+  // relevance ("dup" hits ~5% of docs and dominates; "spark"/"merge"
+  // are near-ubiquitous ballast), deterministic top-25
+  private val s5: Q = (s, dir) =>
+    graft.operators.Search.keywordTopK(t(s, dir, "documents"),
+      col("doc_id"), col("text"), Seq("dup", "spark", "merge"), k = 25)
+
   // ------------------------------------------------------------------
   // Multimodal
   // ------------------------------------------------------------------
@@ -410,6 +417,7 @@ object PipelineQueries {
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_quantized" -> s4,
+    "s5_keyword_search" -> s5,
     "mm1_media_meta" -> mm1,
     "mm2_frame_sample" -> mm2,
     "e1_window_agg" -> e1,
@@ -800,6 +808,17 @@ object PipelineQueries {
         |JOIN embeddings qe ON qe.vec_id = t.q_id
         |JOIN embeddings be ON be.vec_id = t.vec_id
         |WHERE t.rn <= 10""".stripMargin,
+    "s5_keyword_search" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(${sqlToks("text")}) AS term FROM documents)
+         |  WHERE term IN ('dup', 'spark', 'merge')
+         |  GROUP BY doc_id, term),
+         |wtf AS (
+         |  SELECT doc_id, tf, count(*) OVER (PARTITION BY term) AS df FROM tf)
+         |SELECT doc_id, sum(tf * (1000000 // df)) AS score
+         |FROM wtf GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin,
     "mm1_media_meta" ->
       s"""SELECT doc_id,
          |  $sqlKind AS kind,

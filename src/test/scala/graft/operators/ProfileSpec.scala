@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfileSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("counts, nulls, distincts, and typed min/max per column") {
+    val df = Seq(
+      (Some(3L), Some("b")),
+      (Some(1L), None),
+      (None, Some("a")),
+      (Some(3L), Some("a"))).toDF("num", "s")
+    val rows = Profile.profile(df, Seq("num", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val n = rows("num")
+    assert(n.getLong(1) == 4 && n.getLong(2) == 1) // n, n_null
+    assert(n.getLong(3) == 2)                      // distinct {3,1}
+    assert(n.getDouble(4) == 1.0 && n.getDouble(5) == 3.0)
+    assert(n.isNullAt(6) && n.isNullAt(7))         // no string slots
+
+    val s = rows("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert(s.getString(6) == "a" && s.getString(7) == "b")
+  }
+
+  test("timestamp columns profile as epoch micros") {
+    val df = Seq("2024-01-01 00:00:01", "2024-01-01 00:00:02")
+      .toDF("raw").selectExpr("CAST(raw AS TIMESTAMP) AS ts")
+    val r = Profile.profile(df, Seq("ts")).collect()(0)
+    assert(r.getDouble(4) == 1.704067201e15 && r.getDouble(5) == 1.704067202e15)
+  }
+
+  test("all-null column: distinct 0, min/max null") {
+    val df = Seq((1, None: Option[String]), (2, None)).toDF("i", "s")
+    val r = Profile.profile(df, Seq("s")).collect()(0)
+    assert(r.getLong(2) == 2 && r.getLong(3) == 0)
+    assert(r.isNullAt(6) && r.isNullAt(7))
+  }
+
+  test("single scan: exactly one aggregation over the input") {
+    val df = Seq((1, "a"), (2, "b")).toDF("i", "s").repartition(2)
+    val plan = Profile.profile(df, Seq("i", "s"))
+      .queryExecution.optimizedPlan.toString
+    // the multi-distinct rides ONE Expand — the input is not unioned
+    // per-column
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("unsupported column types are rejected loudly") {
+    val df = Seq((1, Seq(1, 2))).toDF("i", "arr")
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("arr"))
+    }
+  }
+}
