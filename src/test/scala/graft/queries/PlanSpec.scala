@@ -220,6 +220,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!outer.contains("rangepartitioning"), "no global sort allowed")
   }
 
+  test("e9: interval join is an equi-join on bucket id — never a nested loop") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = planOf("e9_interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"raw range predicates plan as BNL; the bucket join must not:\n${plan.take(600)}")
+    assert(plan.contains("EqualTo(event_type,purchase)") ||
+      plan.contains("EqualTo(event_type,click)"),
+      "the side filters must push into the events scan")
+  }
+
+  test("q8: bloom probe reaches the lineitem scan side; dim key set never shuffles the fact early") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val plan = planOf("q8_bloom_join")
+    assert(plan.contains("might_contain"),
+      s"the bloom predicate must survive into the executed plan:\n${plan.take(600)}")
+    assert(plan.contains("partial_sum"), "revenue agg must combine map-side")
+  }
+
+  test("s5: keyword search filters postings before the shuffle and plans TakeOrdered top-k") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("s5_keyword_search")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n${plan.take(600)}")
+    // the term IN (...) slice must sit under the first aggregation, not
+    // after it — i.e. no aggregation below the filter
+    val filterIdx = plan.indexOf("dup")
+    assert(filterIdx >= 0, "expected the term filter in the plan")
+    assert(!plan.contains("rangepartitioning"), "no global sort allowed")
+  }
+
+  test("a2: profile is one scan — the multi-distinct rides a single Expand, no Union") {
+    assume(new java.io.File(s"$dir/orders.parquet").exists())
+    val plan = planOf("a2_profile")
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"profile must not rescan per column:\n${plan.take(600)}")
+    assert(plan.contains("Expand"), "exact multi-distinct plans via Expand")
+    assert(!plan.contains("Union"), "per-column UNION is the shape this pins against")
+  }
+
   test("text-analysis pipeline is one narrow projection: no shuffle beyond the rebalance") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     // (higher-order array lambdas are not whole-stage-codegen'd in Spark —
