@@ -181,9 +181,13 @@ object AnalyticsQueries {
         count(lit(1)).as("n"))
 
   // one-pass table profile across the four column types (int, double,
-  // string, timestamp) — the pre-ingest data-quality sweep
+  // string, timestamp) — the pre-ingest data-quality sweep. The scan is
+  // rebalanced first: the testdata file is one row group = one task, and
+  // the ×(cols+1) Expand + dedup aggregate is the per-row-heavy stage
+  // that must not run on a single core (SURVEY §8.1)
   private val a2: Q = (s, dir) =>
-    graft.operators.Profile.profile(t(s, dir, "orders"),
+    graft.operators.Profile.profile(
+      t(s, dir, "orders").repartition(s.sparkContext.defaultParallelism),
       Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"))
 
   // exact distinct aggregation
