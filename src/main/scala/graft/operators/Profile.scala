@@ -83,4 +83,38 @@ object Profile {
     }
     one.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
+
+  /** Equi-width histogram of a numeric column over `[lo, hi]`: one
+    * grouped count on the bucket id (map-side partial, `buckets` groups —
+    * never a shuffle of the data itself), left-joined onto the full
+    * bucket range so EMPTY buckets appear with n = 0. Values outside
+    * `[lo, hi]` are dropped (profile() supplies the bounds); `hi` itself
+    * clamps into the last bucket, closing the top edge.
+    *
+    * All bucket arithmetic is IEEE double (`floor((x-lo)/width)`), which
+    * DuckDB reproduces bit-for-bit — the oracle gate hash-compares.
+    *
+    * @return (bucket, bucket_lo, n) — `buckets` rows, bucket_lo =
+    *         lo + bucket × width
+    */
+  def histogram(
+      df: DataFrame,
+      c: Column,
+      lo: Double,
+      hi: Double,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"need at least one bucket, got $buckets")
+    require(hi > lo, s"empty range [$lo, $hi]")
+    val width = (hi - lo) / buckets
+    val counts = df
+      .filter(c.isNotNull && c >= lo && c <= hi)
+      .groupBy(least(lit(buckets - 1L),
+        floor((c.cast("double") - lo) / width).cast("long")).as("bucket"))
+      .agg(count(lit(1)).as("_cnt"))
+    df.sparkSession.range(buckets).toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("bucket_lo"),
+        coalesce(col("_cnt"), lit(0L)).as("n"))
+  }
 }

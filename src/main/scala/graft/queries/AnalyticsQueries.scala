@@ -190,6 +190,12 @@ object AnalyticsQueries {
       t(s, dir, "orders").repartition(s.sparkContext.defaultParallelism),
       Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"))
 
+  // equi-width price histogram with zero-filled empty buckets — the
+  // distribution half of the profiling tier (a2 is the summary half)
+  private val a3: Q = (s, dir) =>
+    graft.operators.Profile.histogram(t(s, dir, "orders"),
+      col("o_totalprice"), lo = 0.0, hi = 600000.0, buckets = 20)
+
   // exact distinct aggregation
   private val aggDistinct: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -283,6 +289,7 @@ object AnalyticsQueries {
     "q10_returned_top" -> q10,
     "a1_percentiles" -> a1,
     "a2_profile" -> a2,
+    "a3_histogram" -> a3,
     "agg_distinct" -> aggDistinct,
     "w1_rank" -> w1,
     "w2_running_sum" -> w2,
@@ -406,6 +413,18 @@ object AnalyticsQueries {
         |  CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
         |  CAST(epoch_us(max(o_orderdate)) AS DOUBLE), NULL, NULL
         |FROM orders""".stripMargin,
+    "a3_histogram" ->
+      """WITH b AS (SELECT CAST(unnest(range(20)) AS BIGINT) AS bucket),
+        |c AS (
+        |  SELECT CAST(LEAST(19, floor((o_totalprice - 0.0) / 30000.0)) AS BIGINT) AS bucket,
+        |         count(*) AS n
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND o_totalprice >= 0.0 AND o_totalprice <= 600000.0
+        |  GROUP BY 1)
+        |SELECT b.bucket, 0.0 + b.bucket * 30000.0 AS bucket_lo,
+        |       coalesce(c.n, 0) AS n
+        |FROM b LEFT JOIN c USING (bucket)""".stripMargin,
     "agg_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
         |       COUNT(*) AS n_orders

@@ -52,6 +52,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), plan)
   }
 
+  test("histogram: counts per bucket, empty buckets zero-filled, hi clamps into last") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(0.0, 0.5, 0.9, 1.0, 3.9, 4.0, -1.0, 5.0).toDF("x")
+    val rows = Profile.histogram(df, col("x"), 0.0, 4.0, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    // -1 and 5 out of range; 4.0 clamps into bucket 3
+    assert(rows.toSeq == Seq(
+      (0L, 0.0, 3L), (1L, 1.0, 1L), (2L, 2.0, 0L), (3L, 3.0, 2L)))
+  }
+
+  test("histogram: null values are ignored") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Some(1.0), None, Some(2.5)).toDF("x")
+    val total = Profile.histogram(df, col("x"), 0.0, 4.0, 2)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(total == 2)
+  }
+
   test("unsupported column types are rejected loudly") {
     val df = Seq((1, Seq(1, 2))).toDF("i", "arr")
     intercept[IllegalArgumentException] {
