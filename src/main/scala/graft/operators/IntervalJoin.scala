@@ -38,7 +38,7 @@ object IntervalJoin {
     * round above 2^53; `pmod` keeps negative coordinates floored, not
     * truncated toward zero).
     */
-  private def bucketOf(x: Column, w: Long): Column =
+  private[graft] def bucketOf(x: Column, w: Long): Column =
     x - pmod(x, lit(w))
 
   /** @param points      side holding the point coordinate; column names

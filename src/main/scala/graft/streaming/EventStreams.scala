@@ -216,6 +216,55 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateAsOf)
   }
 
+  /** Streaming counterpart of [[graft.operators.IntervalJoin]] (the `e9`
+    * batch query): every point-type event joined to each interval-type
+    * event whose `[ts, ts + window)` contains it, on Spark's native
+    * stream-stream join machinery. Spark REQUIRES an equality predicate
+    * for stream-stream joins (a pure range join is rejected at analysis),
+    * so the batch operator's bucket decomposition is load-bearing here,
+    * not just an optimization: intervals explode to their ≤ 2 covered
+    * bucket ids, points map to one, and the join is bucket-equality plus
+    * the exact event-time range residual. The range constraint between
+    * the two watermarked time columns is also what lets Spark bound and
+    * evict join state; results append as soon as both rows have arrived —
+    * an inner-join emission is final regardless of later input, so no
+    * sealing wait is needed (unlike [[asOfStream]]).
+    *
+    * The two sides are branches of the SAME input stream (a supported
+    * stream self-join); each carries its own watermark.
+    *
+    * @return (interval_id, point_id, start_ts, point_ts)
+    */
+  def intervalStream(
+      events: Dataset[Event],
+      intervalType: String,
+      pointType: String,
+      windowSeconds: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(intervalType != pointType, "interval and point types must differ")
+    val w = windowSeconds * 1000000L // bucket width = window length, µs
+    def bucket(c: org.apache.spark.sql.Column) =
+      graft.operators.IntervalJoin.bucketOf(unix_micros(c), w)
+    val intervals = events.toDF()
+      .filter(col("event_type") === intervalType)
+      .select(col("event_id").as("interval_id"), col("ts").as("start_ts"))
+      .withWatermark("start_ts", watermarkDelay)
+      .withColumn("_gb", explode(sequence(
+        bucket(col("start_ts")),
+        graft.operators.IntervalJoin.bucketOf(unix_micros(col("start_ts")) + w - 1, w),
+        lit(w))))
+    val points = events.toDF()
+      .filter(col("event_type") === pointType)
+      .select(col("event_id").as("point_id"), col("ts").as("point_ts"))
+      .withWatermark("point_ts", watermarkDelay)
+      .withColumn("_gb", bucket(col("point_ts")))
+    points.join(intervals,
+      points("_gb") === intervals("_gb") &&
+        col("point_ts") >= col("start_ts") &&
+        col("point_ts") < col("start_ts") + expr(s"INTERVAL $windowSeconds SECOND"))
+      .drop("_gb")
+  }
+
   private def updateAsOf(
       user: Long,
       batch: Iterator[(Long, java.sql.Timestamp, Long, Double, Boolean)],

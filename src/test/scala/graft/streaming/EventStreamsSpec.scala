@@ -243,4 +243,46 @@ class EventStreamsSpec extends AnyFunSuite {
       .groupBy("user_id", "sid").count()
     assert(sessions.select("count").as[Long].collect().toSeq.sorted == Seq(1L, 2L))
   }
+
+  test("streaming interval join matches the batch bucketed operator under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // purchases at 10 and 40, each with a 30-min window; clicks at
+    // 9 (before any window), 10 (edge: == start, included), 39
+    // (in the first window, arrives LATE in a later micro-batch),
+    // 40 (first window's exclusive end AND second's inclusive start), 75
+    val all = Seq(
+      Event(1, ts(10), 1, "purchase", 0.0),
+      Event(2, ts(40), 1, "purchase", 0.0),
+      Event(10, ts(9), 1, "click", 0.0),
+      Event(11, ts(10), 1, "click", 0.0),
+      Event(12, ts(39), 1, "click", 0.0),
+      Event(13, ts(40), 1, "click", 0.0),
+      Event(14, ts(75), 1, "click", 0.0))
+    val out = EventStreams.intervalStream(
+      stream.toDS(), "purchase", "click", windowSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(all(0), all(2), all(3), all(6)) // click@39 held back
+      q.processAllAvailable()
+      stream.addData(all(1), all(4), all(5)) // late click@39 + purchase@40
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .select("interval_id", "point_id").as[(Long, Long)].collect().toSet
+      // batch truth via the bucketed operator on identical data
+      val batch = all.toDF()
+      val want = graft.operators.IntervalJoin.bucketed(
+        batch.filter(col("event_type") === "click")
+          .select(col("event_id").as("point_id"), unix_micros(col("ts")).as("p")),
+        batch.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("interval_id"), unix_micros(col("ts")).as("s"),
+            (unix_micros(col("ts")) + 1800000000L).as("e")),
+        "p", "s", "e", 1800000000L)
+        .select("interval_id", "point_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"stream=$got batch=$want")
+      assert(got == Set((1L, 11L), (1L, 12L), (2L, 13L)),
+        "edges: start inclusive, end exclusive, adjacent windows disjoint")
+    } finally q.stop()
+  }
 }
