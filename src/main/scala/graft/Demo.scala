@@ -24,7 +24,7 @@ object Demo {
     spark.sparkContext.setLogLevel("WARN")
     val resolver = new ParquetResolver(sfDir)
 
-    val ex = new HashJoinExecutor(spark, resolver)
+    val ex: HashJoinExecutor = new HashJoinExecutor(spark, resolver)
       .join(TableInfo("customer", "c_custkey"), TableInfo("orders", "o_custkey"))
       .join(TableInfo("orders", "o_orderkey"), TableInfo("lineitem", "l_orderkey"))
       .filterBy(Condition("orders.o_totalprice", ">", 100000.0))

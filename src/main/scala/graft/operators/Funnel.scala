@@ -69,7 +69,7 @@ object Funnel {
       // the join finds nothing, and the left join carries the null forward
       acc = acc.join(nxt,
           col("user_id") === col("_u") && col("_ts") > q(prev) && inGap, "left")
-        .groupBy(carried.map(q): _*)
+        .groupBy(carried.toIndexedSeq.map(q): _*)
         .agg(min(col("_ts")).as(s"ts_$stp"))
       prev = s"ts_$stp"
     }

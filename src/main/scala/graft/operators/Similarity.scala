@@ -244,7 +244,7 @@ object Similarity {
     val w = Window.partitionBy(col(idc))
       .orderBy(col("c_cos").desc, col("c_id").asc)
     df.join(broadcast(cents), col("c_id") =!= lit(-1))
-      .select(df.columns.map(col) :+ col("c_id") :+
+      .select(df.columns.toIndexedSeq.map(col) :+ col("c_id") :+
         round(cosine(col(v), col("cv")), 6).as("c_cos"): _*)
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") <= keep)
