@@ -68,4 +68,44 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Batch retrieval: top-k docs for EVERY query in one pass over the
+    * corpus — the production shape (N retrieval requests amortize one
+    * posting-list build; running [[keywordTopK]] N times would re-scan
+    * the corpus N times).
+    *
+    * tf/df are computed once on the union of all query terms (df stays
+    * GLOBAL per term — a term shared by two queries weighs the same in
+    * both), then the tiny query table broadcasts onto the postings and
+    * each query ranks independently via a windowed row_number — per-query
+    * partitions, no global sort.
+    *
+    * @param queries (query_id, term) rows; one row per query term
+    * @return (query_id, doc_id, score, rank) with rank ≤ k per query,
+    *         ties deterministic on ascending doc id
+    */
+  def keywordTopKBatch(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val terms = queries.select(col("term")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    docs
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(text)).as("term"))
+      .join(broadcast(terms), Seq("term"), "left_semi") // slice before any shuffle
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(w))
+      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr(s"tf * ($PpmScale div df)")).as("score"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

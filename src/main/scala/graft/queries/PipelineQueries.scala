@@ -257,6 +257,18 @@ object PipelineQueries {
     graft.operators.Search.keywordTopK(t(s, dir, "documents"),
       col("doc_id"), col("text"), Seq("dup", "spark", "merge"), k = 25)
 
+  // batch retrieval: three queries amortize one posting-list build; the
+  // shared term ("dup") must carry the same global df in both queries
+  private val s6: Q = (s, dir) => {
+    import s.implicits._
+    val qs = Seq(
+      (1L, "dup"), (1L, "scan"),
+      (2L, "dup"), (2L, "vector"),
+      (3L, "spark"), (3L, "merge")).toDF("query_id", "term")
+    graft.operators.Search.keywordTopKBatch(t(s, dir, "documents"),
+      col("doc_id"), col("text"), qs, k = 10)
+  }
+
   // ------------------------------------------------------------------
   // Multimodal
   // ------------------------------------------------------------------
@@ -418,6 +430,7 @@ object PipelineQueries {
     "s3_ann_ivf" -> s3,
     "s4_ann_quantized" -> s4,
     "s5_keyword_search" -> s5,
+    "s6_keyword_batch" -> s6,
     "mm1_media_meta" -> mm1,
     "mm2_frame_sample" -> mm2,
     "e1_window_agg" -> e1,
@@ -819,6 +832,26 @@ object PipelineQueries {
          |SELECT doc_id, sum(tf * (1000000 // df)) AS score
          |FROM wtf GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin,
+    "s6_keyword_batch" ->
+      s"""WITH q(query_id, term) AS (
+         |  VALUES (1, 'dup'), (1, 'scan'), (2, 'dup'), (2, 'vector'),
+         |         (3, 'spark'), (3, 'merge')),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(${sqlToks("text")}) AS term FROM documents)
+         |  WHERE term IN (SELECT term FROM q)
+         |  GROUP BY doc_id, term),
+         |wtf AS (
+         |  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df
+         |  FROM tf),
+         |sc AS (
+         |  SELECT q.query_id, w.doc_id, sum(tf * (1000000 // df)) AS score
+         |  FROM wtf w JOIN q USING (term) GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         |      FROM sc)
+         |WHERE rank <= 10""".stripMargin,
     "mm1_media_meta" ->
       s"""SELECT doc_id,
          |  $sqlKind AS kind,

@@ -47,6 +47,27 @@ class SearchSpec extends AnyFunSuite {
     assert(search(Seq("zzz")).isEmpty)
   }
 
+  test("batch search: per-query ranking, GLOBAL df for shared terms, k per query") {
+    val queries = Seq(
+      (1L, "alpha"), (1L, "beta"),
+      (2L, "beta"), (2L, "delta"),
+      (3L, "zzz")).toDF("query_id", "term")
+    val got = Search.keywordTopKBatch(corpus, col("id"), col("txt"), queries, k = 2)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // df(alpha)=2, df(beta)=2, df(delta)=1 — identical to the single-query
+    // runs even though beta appears in two queries
+    assert(got == Set(
+      (1L, 1L, 1500000L, 1L), (1L, 2L, 500000L, 2L), // q1: alpha+beta
+      (2L, 3L, 3500000L, 1L), (2L, 1L, 1000000L, 2L) // q2: beta+delta
+    )) // q3 matches nothing
+
+    // parity with N single-query runs at the same k
+    val single = Search.keywordTopK(corpus, col("id"), col("txt"),
+      Seq("alpha", "beta"), 2).as[(Long, Long)].collect().toSet
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)) == single)
+  }
+
   test("tokenization is lowercased alnum: punctuation splits, case folds") {
     val docs = Seq((1L, "Alpha, ALPHA! beta-2")).toDF("id", "txt")
     val got = Search.keywordTopK(docs, col("id"), col("txt"), Seq("alpha", "2"), 5)
