@@ -74,4 +74,44 @@ object IntervalJoin {
       .filter(col(point) >= col(start) && col(point) < col(end))
       .drop("_gb")
   }
+
+  /** Interval × interval OVERLAP join under the same bucket scheme: every
+    * left/right pair of half-open intervals with
+    * `lStart < rEnd AND rStart < lEnd`. Both sides explode to their
+    * covered buckets; a pair sharing several buckets would surface once
+    * per shared bucket, so the residual keeps it only in the bucket of
+    * `greatest(lStart, rStart)` — the first bucket where both intervals
+    * are present — making each overlapping pair appear EXACTLY once with
+    * no downstream distinct.
+    *
+    * Same scale shape as [[bucketed]]: linear shuffled rows, plain
+    * equi-join, explosion bounded by interval length / bucketWidth.
+    *
+    * @param left      intervals with `[lStart, lEnd)` long columns
+    * @param right     intervals with `[rStart, rEnd)` long columns
+    *                  (column names must be disjoint from `left`'s)
+    * @return inner join of all overlapping pairs (all left + right cols)
+    */
+  def overlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def explodeSide(df: DataFrame, s: String, e: String) =
+      df.filter(col(e) > col(s))
+        .withColumn("_gb", explode(sequence(
+          bucketOf(col(s), bucketWidth),
+          bucketOf(col(e) - 1, bucketWidth),
+          lit(bucketWidth))))
+    explodeSide(left, lStart, lEnd)
+      .join(explodeSide(right, rStart, rEnd), Seq("_gb") ++ keys)
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("_gb") === bucketOf(greatest(col(lStart), col(rStart)), bucketWidth))
+      .drop("_gb")
+  }
 }

@@ -406,6 +406,22 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_clicks"))
   }
 
+  // interval×interval overlap: purchase windows that co-occur (pairs
+  // counted once, a_id < b_id) — same bucket scheme as e9, self-joined
+  private val e10: Q = (s, dir) => {
+    val winUs = 1800000000L
+    def side(p: String) = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as(s"${p}_id"),
+        unix_micros(col("ts")).as(s"${p}_s"),
+        (unix_micros(col("ts")) + winUs).as(s"${p}_e"))
+    graft.operators.IntervalJoin.overlap(
+        side("a"), side("b"), "a_s", "a_e", "b_s", "b_e", winUs)
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id")
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_token_stats" -> t1,
     "t2_quality" -> t2,
@@ -441,7 +457,8 @@ object PipelineQueries {
     "e6_kmv_distinct" -> e6,
     "e7_funnel" -> e7,
     "e8_retention" -> e8,
-    "e9_interval_join" -> e9)
+    "e9_interval_join" -> e9,
+    "e10_overlap_join" -> e10)
 
   // ------------------------------------------------------------------
   // Oracles
@@ -978,5 +995,13 @@ object PipelineQueries {
         |  ON epoch_us(c.ts) >= epoch_us(p.ts)
         | AND epoch_us(c.ts) < epoch_us(p.ts) + 1800000000
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-        |GROUP BY p.event_id""".stripMargin)
+        |GROUP BY p.event_id""".stripMargin,
+    "e10_overlap_join" ->
+      """SELECT a.event_id AS a_id, count(*) AS n_overlaps
+        |FROM events a JOIN events b
+        |  ON a.event_id < b.event_id
+        | AND epoch_us(a.ts) < epoch_us(b.ts) + 1800000000
+        | AND epoch_us(b.ts) < epoch_us(a.ts) + 1800000000
+        |WHERE a.event_type = 'purchase' AND b.event_type = 'purchase'
+        |GROUP BY a.event_id""".stripMargin)
 }

@@ -68,6 +68,37 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got == Set((5L, 1L, 10L)))
   }
 
+  test("overlap matches brute force, each pair exactly once, several widths") {
+    val rnd = new scala.util.Random(13)
+    def ivs(n: Int, idBase: Long) = (1 to n).map { i =>
+      val s = rnd.nextLong() % 500L
+      (idBase + i, s, s + 1 + rnd.nextInt(200).toLong)
+    }
+    val ls = ivs(50, 1000L)
+    val rs = ivs(60, 2000L)
+    val want = (for {
+      (lid, ls1, le) <- ls
+      (rid, rs1, re) <- rs
+      if ls1 < re && rs1 < le
+    } yield (lid, rid)).toSet
+    val lDf = ls.toDF("lid", "ls", "le")
+    val rDf = rs.toDF("rid", "rs", "re")
+    for (w <- Seq(1L, 9L, 64L, 1000L)) {
+      val rows = IntervalJoin.overlap(lDf, rDf, "ls", "le", "rs", "re", w)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(rows.length == rows.toSet.size, s"duplicate pairs at width=$w")
+      assert(rows.toSet == want, s"width=$w")
+    }
+  }
+
+  test("overlap: touching intervals ([0,10) and [10,20)) do not overlap") {
+    val l = Seq((1L, 0L, 10L)).toDF("lid", "ls", "le")
+    val r = Seq((2L, 10L, 20L), (3L, 9L, 11L)).toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlap(l, r, "ls", "le", "rs", "re", 4L)
+      .select("rid").as[Long].collect().toSet
+    assert(got == Set(3L))
+  }
+
   test("plan is an equi-join, not a nested loop") {
     val points = Seq(1L, 2L).toDF("p")
     val intervals = Seq((1L, 0L, 10L)).toDF("iid", "s", "e")
