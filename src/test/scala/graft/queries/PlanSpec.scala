@@ -250,6 +250,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), "no global sort allowed")
   }
 
+  test("e10: overlap join is bucket-equality, not a nested loop; pairs agg combines map-side") {
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val plan = planOf("e10_overlap_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"overlap must ride the bucket equi-join:\n${plan.take(600)}")
+    assert(plan.contains("partial_count"), "overlap counts must combine map-side")
+  }
+
+  test("s6: batch retrieval ranks per query via window — no global sort, no per-query rescan") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("s6_keyword_batch")
+    assert(!plan.contains("rangepartitioning"),
+      s"per-query window rank must not global-sort:\n${plan.take(600)}")
+    assert(plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents")) <= 1,
+      "one corpus scan for all queries")
+  }
+
   test("a2: profile is one scan — the multi-distinct rides a single Expand, no Union") {
     assume(new java.io.File(s"$dir/orders.parquet").exists())
     val plan = planOf("a2_profile")
