@@ -15,7 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev shortcut: trailing args restrict the dump to named queries
+    // dev shortcut: trailing args restrict the dump to named queries;
+    // unknown names fail fast — silently filtering to nothing would
+    // exit 0 with an empty dump on a typo
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap

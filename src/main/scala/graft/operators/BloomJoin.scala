@@ -38,14 +38,24 @@ import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType, LongType, 
 object BloomJoin {
 
   /** Probe representation: integral keys go in as longs (the sketch's
-    * native `putLong`); anything else is hashed to a long with xxhash64
-    * — build and probe sides MUST agree, which this one helper enforces.
+    * native `putLong`); other types hash to a long with xxhash64. Build
+    * and probe sides MUST map equal keys to equal longs, so the decision
+    * is made over BOTH types at once — and mixed numeric types (e.g.
+    * double fact key vs int dim key, where SQL equality coerces but both
+    * long-cast and xxhash64 representations diverge) are rejected loudly
+    * instead of silently dropping true matches.
     */
-  private def asLong(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
-    dt match {
-      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
-      case _ => xxhash64(c)
-    }
+  private def keyRepr(
+      factType: org.apache.spark.sql.types.DataType,
+      dimType: org.apache.spark.sql.types.DataType): Column => Column = {
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    if (integral(factType) && integral(dimType)) c => c.cast("long")
+    else if (factType == dimType) c => xxhash64(c)
+    else throw new IllegalArgumentException(
+      s"bloom join keys must both be integral or share one type, got " +
+        s"$factType vs $dimType — cast both sides to a common type first")
+  }
 
   /** Build a bloom sketch of `dim`'s `dimKey` values and return `fact`
     * reduced to rows whose `factKey` might be in it. Exact-superset
@@ -63,16 +73,16 @@ object BloomJoin {
       dimKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
-    val bf = dim.stat.bloomFilter(
-      asLong(col(dimKey), dim.schema(dimKey).dataType), expectedItems, fpp)
+    val repr = keyRepr(
+      fact.schema(factKey).dataType, dim.schema(dimKey).dataType)
+    val bf = dim.stat.bloomFilter(repr(col(dimKey)), expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray
     }
-    val probe = asLong(col(factKey), fact.schema(factKey).dataType)
     val mightContain = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType), ColumnBridge.expression(probe)))
+      Literal(bytes, BinaryType), ColumnBridge.expression(repr(col(factKey)))))
     fact.filter(mightContain)
   }
 

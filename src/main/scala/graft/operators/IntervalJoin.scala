@@ -33,10 +33,13 @@ import org.apache.spark.sql.functions._
 object IntervalJoin {
 
   /** Bucket id of coordinate `x` = the bucket's start coordinate
-    * `x - (x floormod w)` — pure long arithmetic, exact for the full long
-    * range (Spark's `/` on longs goes through double and `floor` would
-    * round above 2^53; `pmod` keeps negative coordinates floored, not
-    * truncated toward zero).
+    * `x - (x floormod w)` — pure long arithmetic (Spark's `/` on longs
+    * goes through double and `floor` would round above 2^53; `pmod`
+    * keeps negative coordinates floored, not truncated toward zero).
+    * Exact everywhere except the pathological bottom edge: coordinates
+    * in `[Long.MinValue, Long.MinValue + x floormod w)` underflow the
+    * subtraction — irrelevant for any physical axis (epoch micros,
+    * offsets), noted for the generic contract.
     */
   private[graft] def bucketOf(x: Column, w: Long): Column =
     x - pmod(x, lit(w))

@@ -45,6 +45,21 @@ class BloomJoinSpec extends AnyFunSuite {
     assert((50L to 100L).forall(kept), "bloom dropped a true match")
   }
 
+  test("mixed numeric key types are rejected loudly (silent match loss otherwise)") {
+    // double 5.0 equals int 5 under SQL coercion, but no common long
+    // representation exists for the sketch — must throw, not drop matches
+    val fact = Seq(5.0).toDF("fk")
+    val dim = Seq(5).toDF("dk")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.prefilter(fact, "fk", dim, "dk", expectedItems = 10)
+    }
+    assert(e.getMessage.contains("common type"))
+    // mixed integral widths remain fine (both cast to long)
+    val ok = BloomJoin.innerJoin(Seq(5L).toDF("fk"), "fk",
+      Seq(5).toDF("dk"), "dk", expectedItems = 10).count()
+    assert(ok == 1)
+  }
+
   test("probe is a codegen'd might_contain predicate, not a UDF") {
     // a real file scan keeps the predicate in the executed plan — over a
     // LocalRelation the optimizer evaluates it at plan time (even through

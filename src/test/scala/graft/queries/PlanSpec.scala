@@ -243,10 +243,15 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf("s5_keyword_search")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must not globally sort:\n${plan.take(600)}")
-    // the term IN (...) slice must sit under the first aggregation, not
-    // after it — i.e. no aggregation below the filter
-    val filterIdx = plan.indexOf("dup")
-    assert(filterIdx >= 0, "expected the term filter in the plan")
+    // the term IN (...) slice must sit BELOW every aggregation (deeper
+    // nodes print later): a filter hoisted above the tf aggregation
+    // would re-aggregate the whole corpus before slicing
+    val lines = plan.linesIterator.toVector
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("dup"))
+    val lastAggIdx = lines.lastIndexWhere(_.contains("Aggregate"))
+    assert(filterIdx >= 0, s"expected the term filter in the plan:\n${plan.take(600)}")
+    assert(lastAggIdx >= 0 && lastAggIdx < filterIdx,
+      s"term slice must sit below every aggregation (filter@$filterIdx, lastAgg@$lastAggIdx)")
     assert(!plan.contains("rangepartitioning"), "no global sort allowed")
   }
 
