@@ -200,6 +200,26 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  // the dedup-impact report a curation run publishes: per source, how
+  // many docs, how many sit in a duplicate cluster, how many get dropped,
+  // and the integer-ppm keep rate — one left join of the corpus against
+  // the (duplicates-only, hence small) cluster table + one source agg
+  private val d11: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.clusterPairs(
+      Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5))
+      .select(col("doc_id").as("_cid"), col("cluster_rep").as("_rep"))
+    docs.join(clusters, col("doc_id") === col("_cid"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("_cid")).as("n_dup_members"),
+        count(when(col("_cid") =!= col("_rep"), lit(1))).as("n_dropped"))
+      .withColumn("kept_ppm",
+        expr("(n_docs - n_dropped) * 1000000 div n_docs"))
+  }
+
   // duplicate-substring coverage vs earlier docs (owner = min doc id per
   // shingle): one window shuffle + one agg, no pair join — the asymmetric
   // "page is mostly copied" gate; threshold 600k ppm splits this corpus
@@ -441,6 +461,7 @@ object PipelineQueries {
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
     "d10_substring_coverage" -> d10,
+    "d11_dedup_report" -> d11,
     "s1_ann_bruteforce" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -722,6 +743,19 @@ object PipelineQueries {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM clusters c
          |                  WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_rep)""".stripMargin,
+    "d11_dedup_report" ->
+      s"""WITH RECURSIVE ${sqlLshClusterCtes()},
+         |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v),
+         |r AS (
+         |  SELECT d.source,
+         |    count(*) AS n_docs,
+         |    count(c.doc_id) AS n_dup_members,
+         |    count(CASE WHEN c.doc_id <> c.cluster_rep THEN 1 END) AS n_dropped
+         |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+         |  GROUP BY d.source)
+         |SELECT source, n_docs, n_dup_members, n_dropped,
+         |  (n_docs - n_dropped) * 1000000 // n_docs AS kept_ppm
+         |FROM r""".stripMargin,
     "d6_source_signatures" -> {
       val mins = (0 until 16).map(i =>
         s"min((h * ${i * 2 + 1} + ${i * i * 31 + 7}) % 1000000007) AS m$i").mkString(",\n  ")
