@@ -880,7 +880,7 @@ object PipelineQueries {
          |  GROUP BY doc_id, term),
          |wtf AS (
          |  SELECT doc_id, tf, count(*) OVER (PARTITION BY term) AS df FROM tf)
-         |SELECT doc_id, sum(tf * (1000000 // df)) AS score
+         |SELECT doc_id, sum(tf * (1000000 // df))::BIGINT AS score
          |FROM wtf GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin,
     "s6_keyword_batch" ->
@@ -896,7 +896,7 @@ object PipelineQueries {
          |  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df
          |  FROM tf),
          |sc AS (
-         |  SELECT q.query_id, w.doc_id, sum(tf * (1000000 // df)) AS score
+         |  SELECT q.query_id, w.doc_id, sum(tf * (1000000 // df))::BIGINT AS score
          |  FROM wtf w JOIN q USING (term) GROUP BY 1, 2)
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
          |FROM (SELECT *, row_number() OVER (
