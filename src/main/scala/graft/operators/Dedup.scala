@@ -479,4 +479,49 @@ object Dedup {
       out
     }.toDF("vec_a", "vec_b", "cos")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings by nearest coarse centroid, then prune *within*
+    * each cluster — a row is dropped iff some earlier-id member of its
+    * cluster is semantically close (rounded cosine ≥ `minCosine`). Returns
+    * the kept rows as `(vec_id, c_id)`.
+    *
+    * This is the scale path [[embeddingNearDupPairs]] (exact all-pairs
+    * baseline) deliberately is not: candidate pairs are confined to
+    * clusters, so with centroid count ∝ N the pair count stays ~N ×
+    * avg-cluster-size — linear in corpus size with the cluster size as
+    * the knob (`centroidStride`, avg cluster size ≈ stride) — and the
+    * within-cluster self-join shuffles on `c_id`, never a cross product.
+    * Cross-cluster near-dups are invisible by construction; that recall
+    * trade IS SemDeDup, priced against the exact baseline the same way
+    * LSH is priced against brute force.
+    *
+    * Centroids are the deterministic `id % centroidStride == 0` rows
+    * ([[Similarity.ivfAssign]] — same contract as the IVF index, same
+    * oracle replay), so the kept set is bit-stable. Per-pair cosine is the
+    * native codegen'd [[Similarity.cosine]], rounded to 6 digits before
+    * the threshold so both engines agree at the boundary. Drop rule keeps
+    * the LOWEST id of each close pair (transitivity-free: x survives iff
+    * NO earlier close neighbor exists — an EXISTS, not a union-find; the
+    * connected-component treatment stays [[clusterPairs]]' job).
+    */
+  def semanticKeep(
+      emb: DataFrame,
+      id: Column,
+      vec: Column,
+      minCosine: Double = 0.4,
+      centroidStride: Int = 50): DataFrame = {
+    // three consumers (both join sides + the anti-join probe): persist the
+    // centroid assignment or each branch re-runs the broadcast-rank pass
+    val assigned = cached(
+      Similarity.ivfAssign(emb, id, vec, centroidStride))
+    val m = assigned.select(col("c_id"), col("vec_id"), col("v"))
+    val dropped = m.as("x")
+      .join(m.as("y"),
+        col("x.c_id") === col("y.c_id") && col("y.vec_id") < col("x.vec_id"))
+      .filter(round(Similarity.cosine(col("x.v"), col("y.v")), 6) >= minCosine)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("c_id"))
+  }
 }

@@ -179,6 +179,13 @@ object PipelineQueries {
     Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
       col("embedding"), minCosine = 0.4)
 
+  // SemDeDup: coarse-cluster by nearest deterministic centroid, prune
+  // within clusters — the linear-scale semantic-dedup path beside d5's
+  // exact all-pairs baseline (same 0.4 threshold, same testdata dups)
+  private val d12: Q = (s, dir) =>
+    Dedup.semanticKeep(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), minCosine = 0.4, centroidStride = 50)
+
   // pairs → duplicate clusters → canonical representative (min doc id of
   // the connected component), the step that turns near-dup pairs into a
   // keep/drop decision. Fed from the LSH candidate pairs (the scale path —
@@ -460,6 +467,7 @@ object PipelineQueries {
     "d8_dedup_keep" -> d8,
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
+    "d12_semdedup" -> d12,
     "d10_substring_coverage" -> d10,
     "d11_dedup_report" -> d11,
     "s1_ann_bruteforce" -> s1,
@@ -781,6 +789,23 @@ object PipelineQueries {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+    "d12_semdedup" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+        |listed AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT b.vec_id, b.embedding AS v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+        |                 c.c_id ASC) AS crn
+        |    FROM embeddings b CROSS JOIN cents c)
+        |  WHERE crn <= 1),
+        |dropped AS (
+        |  SELECT DISTINCT x.vec_id
+        |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
+        |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
+        |SELECT vec_id, c_id FROM listed
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "s1_ann_bruteforce" ->
       """SELECT q_id, vec_id, cos, rn FROM (
         |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,

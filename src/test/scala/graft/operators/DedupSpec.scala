@@ -148,4 +148,36 @@ class DedupSpec extends AnyFunSuite {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("semanticKeep drops the later id of each within-cluster close pair") {
+    // stride 5 → the only centroid is id 0, every row lands in cluster 0
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f)), // cos(0,1) ≈ 0.99995 → dropped (0 earlier)
+      (2L, Array(0.0f, 1.0f)), // orthogonal to everything kept
+      (3L, Array(-1.0f, 0.0f)), // opposite
+      (4L, Array(0.7f, 0.7f))) // cos(0,4) ≈ 0.707 < 0.95 → kept
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticKeep(emb, col("vec_id"), col("embedding"),
+      minCosine = 0.95, centroidStride = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((0L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
+  }
+
+  test("semanticKeep cannot see cross-cluster dups (the documented recall trade)") {
+    // stride 2 → centroids {0, 2}; 1 and 3 are near-identical
+    // (cos ≈ 0.9999) but straddle the centroid boundary: 1 leans to
+    // centroid 0, 3 to centroid 2 → different clusters → both survive.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.71f, 0.70f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.70f, 0.71f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticKeep(emb, col("vec_id"), col("embedding"),
+      minCosine = 0.99, centroidStride = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L)) // nothing dropped at 0.99
+    assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 2L && out(3L) == 2L)
+  }
 }
