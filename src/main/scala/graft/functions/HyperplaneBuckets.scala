@@ -44,7 +44,7 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]], bi
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects array<double>, got ${other.simpleString(10)}")
+        s"$prettyName expects array<double>, got ${other.simpleString}")
   }
 
   override protected def nullSafeEval(input: Any): Any = {

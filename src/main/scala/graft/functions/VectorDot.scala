@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.TypeBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst dot product of two array columns — the hot per-pair
@@ -27,7 +28,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *  - mismatched lengths → NULL (`zip_with` pads with null, which poisons
   *    the fold); a NULL element in either array → NULL; empty arrays → 0.
   */
-case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   private def elementType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
@@ -35,6 +37,13 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   override def dataType: DataType = elementType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_vector_dot"
+
+  // SQL callers get analyzer coercion: int arrays widen to long, float
+  // arrays to double (long tried first so integral input stays exact);
+  // the expected-type vocabulary is private[sql], hence the bridge and
+  // the inferred result type
+  override def inputTypes =
+    Seq(TypeBridge.longOrDoubleArray, TypeBridge.longOrDoubleArray)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -44,7 +53,7 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects two array<double> or two array<long> inputs, " +
-            s"got ${l.simpleString(10)} and ${r.simpleString(10)}")
+            s"got ${l.simpleString} and ${r.simpleString}")
     }
 
   private def anyNullElement(a: ArrayData, b: ArrayData): Boolean = {
@@ -137,11 +146,16 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   * empty or all-zero vectors → NaN (0/0), exactly as the declarative
   * division produces.
   */
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine_sim"
+
+  // SQL callers get analyzer coercion: float arrays widen to double
+  override def inputTypes =
+    Seq(TypeBridge.doubleArray, TypeBridge.doubleArray)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -150,7 +164,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName expects two array<double> inputs, " +
-            s"got ${l.simpleString(10)} and ${r.simpleString(10)}")
+            s"got ${l.simpleString} and ${r.simpleString}")
     }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
