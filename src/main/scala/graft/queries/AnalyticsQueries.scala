@@ -180,6 +180,30 @@ object AnalyticsQueries {
         expr("percentile(o_totalprice, 0.9)").as("p90_price"),
         count(lit(1)).as("n"))
 
+  // quantiles over a deterministic bottom-k-by-hash row sample — the
+  // bounded-state scale path beside a1's exact percentile, whose
+  // per-group buffer holds every distinct value (unbounded at 100 TB).
+  // Sample and interpolation replay exactly in the oracle (k rows with
+  // the smallest id hashes; explicit quantile_cont formula on both sides)
+  private val a4: Q = (s, dir) => {
+    import graft.functions.{KmvSketch, QuantileSample}
+    val k = 256
+    val qs = udaf(new QuantileSample(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Double)]())
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        KmvSketch.hash(col("o_orderkey")).as("h"),
+        col("o_orderkey").as("id"), col("o_totalprice").as("v"))
+      .groupBy(col("o_orderpriority"))
+      .agg(qs(col("h"), col("id"), col("v")).as("sample"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        round(QuantileSample.quantileCont(col("sample"), 0.5), 6).as("median_est"),
+        round(QuantileSample.quantileCont(col("sample"), 0.9), 6).as("p90_est"),
+        size(col("sample")).cast("long").as("sample_n"),
+        col("n"))
+  }
+
   // one-pass table profile across the four column types (int, double,
   // string, timestamp) — the pre-ingest data-quality sweep. The scan is
   // rebalanced first: the testdata file is one row group = one task, and
@@ -288,6 +312,7 @@ object AnalyticsQueries {
     "q8_bloom_join" -> q8,
     "q10_returned_top" -> q10,
     "a1_percentiles" -> a1,
+    "a4_quantile_sketch" -> a4,
     "a2_profile" -> a2,
     "a3_histogram" -> a3,
     "agg_distinct" -> aggDistinct,
@@ -389,6 +414,39 @@ object AnalyticsQueries {
         |  quantile_cont(o_totalprice, 0.9) AS p90_price,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // identical bottom-k sample (hash formula in lockstep with
+    // KmvSketch.hash) and the identical spelled-out interpolation — NOT
+    // the builtin quantile_cont, whose interpolation algebra could differ
+    // in the last bit
+    "a4_quantile_sketch" ->
+      """WITH hashed AS (
+        |  SELECT o_orderpriority, o_totalprice AS v, o_orderkey AS id,
+        |    ((o_orderkey % 2147483648) * 2654435761 + 104729) % 4294967296 AS h
+        |  FROM orders),
+        |sampled AS (
+        |  SELECT o_orderpriority, v,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h, id) AS rn
+        |  FROM hashed),
+        |grp AS (
+        |  SELECT o_orderpriority,
+        |    list(v ORDER BY v ASC) FILTER (WHERE rn <= 256) AS sample,
+        |    count(*) AS n
+        |  FROM sampled GROUP BY o_orderpriority)
+        |SELECT o_orderpriority,
+        |  round(sample[flo5 + 1] +
+        |    (pos5 - flo5) * (sample[least(flo5 + 2, sn)] - sample[flo5 + 1]), 6)
+        |    AS median_est,
+        |  round(sample[flo9 + 1] +
+        |    (pos9 - flo9) * (sample[least(flo9 + 2, sn)] - sample[flo9 + 1]), 6)
+        |    AS p90_est,
+        |  sn::BIGINT AS sample_n, n
+        |FROM (
+        |  SELECT *, len(sample) AS sn,
+        |    0.5::DOUBLE * (len(sample) - 1)::DOUBLE AS pos5,
+        |    floor(0.5::DOUBLE * (len(sample) - 1)::DOUBLE)::INT AS flo5,
+        |    0.9::DOUBLE * (len(sample) - 1)::DOUBLE AS pos9,
+        |    floor(0.9::DOUBLE * (len(sample) - 1)::DOUBLE)::INT AS flo9
+        |  FROM grp)""".stripMargin,
     "a2_profile" ->
       """SELECT 'o_orderkey' AS col_name, count(*) AS n,
         |  count(*) - count(o_orderkey) AS n_null,
