@@ -58,4 +58,28 @@ class QuantileSampleSpec extends AnyFunSuite {
       assert(math.abs(est(g)._2 - e90) < 100.0, s"p90 group $g: ${est(g)._2} vs $e90")
     }
   }
+
+  test("streaming: the sample maintains incrementally across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val qs = udaf(new QuantileSample(16), ExpressionEncoder[(Long, Long, Double)]())
+    def prepped(df: DataFrame) =
+      df.select(col("g"), KmvSketch.hash(col("id")).as("h"), col("id"), col("v"))
+        .groupBy("g").agg(qs(col("h"), col("id"), col("v")).as("sample"))
+    val stream = MemoryStream[(String, Long, Double)]
+    val q = prepped(stream.toDF().toDF("g", "id", "v"))
+      .writeStream.format("memory").queryName("qs_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData((0 until 40).map(i => ("a", i.toLong, i * 2.0)): _*)
+      q.processAllAvailable()
+      stream.addData((40 until 80).map(i => ("a", i.toLong, i * 2.0)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qs_stream").select("sample").as[Seq[Double]].head()
+      val batch = prepped(
+        (0 until 80).map(i => ("a", i.toLong, i * 2.0)).toDF("g", "id", "v"))
+        .select("sample").as[Seq[Double]].head()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
