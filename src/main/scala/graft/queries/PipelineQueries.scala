@@ -128,6 +128,32 @@ object PipelineQueries {
   private val t8: Q = (s, dir) =>
     Corpus.tokenRarity(t(s, dir, "documents"), col("doc_id"), col("text"))
 
+  // Count-Min frequency sketch over the token stream: one bounded-state
+  // pass (depth×width longs) instead of a full-vocab groupBy — probed for
+  // a fixed term set and reported next to the exact counts, so the
+  // one-sided over-count contract is visible in the output itself
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val t9: Q = (s, dir) => {
+    import graft.functions.CountMinSketch
+    val cms = udaf(new CountMinSketch(CmsDepth, CmsWidth),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val toks = t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+    val sk = toks.agg(cms(polyHash(col("term"))).as("sk"))
+    val probes = s.createDataFrame(
+      Seq("dup", "spark", "merge", "data", "the", "absent_term").map(Tuple1(_)))
+      .toDF("term")
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_count"))
+    probes.crossJoin(broadcast(sk))
+      .select(col("term"),
+        CountMinSketch.estimate(col("sk"), polyHash(col("term")),
+          CmsDepth, CmsWidth).as("est_count"))
+      .join(exact, Seq("term"), "left")
+      .select(col("term"), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+  }
+
   // denylist scrub: the redaction pipeline stage. The pattern set is the
   // operator's parameter — PII shapes (emails, IPv4, phone runs) slot in
   // unchanged (spec-tested on synthetic rows; this corpus contains no
@@ -458,6 +484,7 @@ object PipelineQueries {
     "t6_quality_gate" -> t6,
     "t7_scrub" -> t7,
     "t8_token_rarity" -> t8,
+    "t9_freq_sketch" -> t9,
     "d1_exact_dedup" -> d1,
     "d2_ngram_jaccard" -> d2,
     "d2b_ngram_capped" -> d2b,
@@ -692,6 +719,34 @@ object PipelineQueries {
          |  (sum(freq_ppm) // count(*))::BIGINT AS mean_freq_ppm
          |FROM toks JOIN freq USING (t)
          |GROUP BY doc_id""".stripMargin,
+    // every sketch cell is a sum of integer bucket hits and the estimate
+    // is a min over 4 cells — all exact int64 arithmetic in lockstep with
+    // CountMinSketch.{bucket,estimate}
+    "t9_freq_sketch" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${sqlToks("text")}) AS term FROM documents),
+         |th AS (
+         |  SELECT term, ${sqlPolyHash("term")} AS h FROM toks),
+         |cells AS (
+         |  SELECT t.i AS i,
+         |    ((h * (2*t.i + 1) + (31*t.i*t.i + 7)) % 1000000007) % $CmsWidth AS bucket,
+         |    count(*) AS c
+         |  FROM th, unnest(range(0, $CmsDepth)) t(i)
+         |  GROUP BY 1, 2),
+         |probe(term) AS (VALUES ('dup'), ('spark'), ('merge'), ('data'), ('the'), ('absent_term')),
+         |ph AS (SELECT term, ${sqlPolyHash("term")} AS h FROM probe),
+         |pb AS (
+         |  SELECT ph.term, t.i AS i,
+         |    ((h * (2*t.i + 1) + (31*t.i*t.i + 7)) % 1000000007) % $CmsWidth AS bucket
+         |  FROM ph, unnest(range(0, $CmsDepth)) t(i)),
+         |est AS (
+         |  SELECT pb.term, min(coalesce(c.c, 0))::BIGINT AS est_count
+         |  FROM pb LEFT JOIN cells c ON c.i = pb.i AND c.bucket = pb.bucket
+         |  GROUP BY pb.term),
+         |exact AS (SELECT term, count(*) AS exact_count FROM toks GROUP BY term)
+         |SELECT e.term, e.est_count,
+         |  coalesce(x.exact_count, 0)::BIGINT AS exact_count
+         |FROM est e LEFT JOIN exact x USING (term)""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
