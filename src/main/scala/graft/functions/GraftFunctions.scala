@@ -25,6 +25,11 @@ object GraftFunctions {
 
   type Description = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  // arity violations surface as the builder's IllegalArgumentException
+  // (message names the function and both counts) rather than Spark's
+  // positioned WRONG_NUM_ARGS — acceptable for this small surface, noted
+  // here so the trade is deliberate
+
   private def fn(name: String, clazz: Class[_], arity: Int)(
       build: Seq[Expression] => Expression): Description =
     (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),

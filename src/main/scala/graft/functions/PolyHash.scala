@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the polynomial rolling hash
@@ -24,6 +25,16 @@ import org.apache.spark.unsafe.types.UTF8String
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_polyhash"
+
+  // SQL exposure (GraftFunctions) means arbitrary argument types reach
+  // this expression: reject non-strings at analysis time instead of a
+  // ClassCastException in the executor
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string argument, got ${other.simpleString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     PolyHash.hash(input.asInstanceOf[UTF8String].toString)

@@ -98,7 +98,9 @@ object QuantileSample {
     * the `quantile_cont` definition, spelled out so the DuckDB oracle can
     * evaluate the byte-identical expression: `pos = q·(n-1)` (0-based),
     * `v = s[⌊pos⌋] + (pos-⌊pos⌋)·(s[min(⌊pos⌋+1, n-1)] - s[⌊pos⌋])`.
-    * Empty samples yield NULL (`element_at` past the end).
+    * Empty samples yield NULL via the explicit guard (without it,
+    * `⌊q·(0-1)⌋ = -1` would drive `element_at` to index 0, which Spark
+    * rejects at runtime).
     */
   def quantileCont(sample: Column, q: Double): Column = {
     val n = size(sample)
@@ -107,6 +109,7 @@ object QuantileSample {
     val frac = pos - lo.cast("double")
     val vlo = element_at(sample, lo + 1) // element_at is 1-based
     val vhi = element_at(sample, least(lo + lit(2), n))
-    vlo + frac * (vhi - vlo)
+    when(n === 0, lit(null).cast("double"))
+      .otherwise(vlo + frac * (vhi - vlo))
   }
 }

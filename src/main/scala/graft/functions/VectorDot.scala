@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *    overflows only past 2^44 dimensions);
   *  - mismatched lengths → NULL (`zip_with` pads with null, which poisons
   *    the fold); a NULL element in either array → NULL; empty arrays → 0.
+  *
+  * SQL note: each argument coerces independently (int→long, float→double),
+  * so MIXED element types like `(array<int>, array<double>)` land on
+  * different targets and fail analysis with the type-check message below —
+  * cast both sides to one element type explicitly.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

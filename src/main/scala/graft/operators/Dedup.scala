@@ -511,6 +511,15 @@ object Dedup {
       vec: Column,
       minCosine: Double = 0.4,
       centroidStride: Int = 50): DataFrame = {
+    // fail loudly when the stride matches NO id: the empty centroid set
+    // would otherwise flow through the inner assignment join and silently
+    // return an empty keep-set — a dedup operator deleting 100% of the
+    // corpus. limit(1) keeps the eager probe cheap: the scan stops at the
+    // first matching row in the (overwhelmingly common) non-empty case
+    require(!emb.filter(id.cast("long") % centroidStride === 0).limit(1).isEmpty,
+      s"semanticKeep: no id is a multiple of centroidStride=$centroidStride — " +
+        "the centroid set is empty and every row would be dropped; pick a " +
+        "stride that selects some ids")
     // three consumers (both join sides + the anti-join probe): persist the
     // centroid assignment or each branch re-runs the broadcast-rank pass
     val assigned = cached(

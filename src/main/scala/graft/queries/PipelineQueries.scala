@@ -138,8 +138,10 @@ object PipelineQueries {
     import graft.functions.CountMinSketch
     val cms = udaf(new CountMinSketch(CmsDepth, CmsWidth),
       org.apache.spark.sql.Encoders.scalaLong)
-    val toks = t(s, dir, "documents")
-      .select(explode(tokens(col("text"))).as("term"))
+    // two consumers (sketch agg + exact probe counts): persist the token
+    // stream or both branches re-scan and re-tokenize the corpus
+    val toks = Corpus.cacheIntermediate(
+      t(s, dir, "documents").select(explode(tokens(col("text"))).as("term")))
     val sk = toks.agg(cms(polyHash(col("term"))).as("sk"))
     val probes = s.createDataFrame(
       Seq("dup", "spark", "merge", "data", "the", "absent_term").map(Tuple1(_)))

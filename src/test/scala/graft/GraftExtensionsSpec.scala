@@ -41,6 +41,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     checkSql(s)
   }
 
+  test("misuse fails at analysis, not in the executor") {
+    val s = TestSpark.spark
+    graft.functions.GraftFunctions.register(s)
+    val typeErr = intercept[Exception](s.sql("SELECT graft_polyhash(123)").collect())
+    assert(typeErr.getMessage.contains("string"), typeErr.getMessage)
+    val arityErr = intercept[Exception](s.sql("SELECT graft_cosine_sim(array(1.0D))").collect())
+    assert(arityErr.getMessage.contains("2 arguments"), arityErr.getMessage)
+  }
+
   test("build-time registration: SparkSession.builder().withExtensions(new GraftExtensions)") {
     // `spark.sql.extensions` is a STATIC conf — read from the
     // SparkContext's conf at launch, so it cannot be exercised against the

@@ -59,6 +59,16 @@ class QuantileSampleSpec extends AnyFunSuite {
     }
   }
 
+  test("empty input yields an empty sample and NULL quantiles (not a runtime error)") {
+    val qs = udaf(new QuantileSample(8), ExpressionEncoder[(Long, Long, Double)]())
+    val r = Seq.empty[(Long, Long, Double)].toDF("h", "id", "v")
+      .agg(qs(col("h"), col("id"), col("v")).as("sample"))
+      .select(size(col("sample")).as("sn"),
+        QuantileSample.quantileCont(col("sample"), 0.5).as("p50"))
+      .collect()(0)
+    assert(r.getAs[Int]("sn") == 0 && r.isNullAt(1))
+  }
+
   test("streaming: the sample maintains incrementally across triggers") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -164,6 +164,16 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set((0L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)))
   }
 
+  test("semanticKeep fails loudly when the stride selects no centroid ids") {
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticKeep(emb, col("vec_id"), col("embedding"),
+        minCosine = 0.9, centroidStride = 50)
+    }
+    assert(e.getMessage.contains("centroidStride"))
+  }
+
   test("semanticKeep cannot see cross-cluster dups (the documented recall trade)") {
     // stride 2 → centroids {0, 2}; 1 and 3 are near-identical
     // (cos ≈ 0.9999) but straddle the centroid boundary: 1 leans to
