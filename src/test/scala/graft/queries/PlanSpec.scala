@@ -292,6 +292,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("HashAggregate"))
   }
 
+  test("s1: rank filter plans WindowGroupLimit — map-side top-k pruning before the shuffle") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val plan = planOf("s1_ann_bruteforce")
+    // Partial mode prunes each map partition to k rows per query BEFORE
+    // the window exchange — at scale the shuffle carries ~k·|queries| rows
+    // instead of the full candidate set. The rn cast must not break the
+    // optimizer's rank-filter pattern match.
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-filter pruning must fire:\n${plan.take(600)}")
+    assert(plan.contains("Partial"), "expected the map-side (Partial) group limit")
+  }
+
   test("d12: SemDeDup pairs join on c_id equality, score with the native cosine, reuse the cached assignment") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val plan = planOf("d12_semdedup")
