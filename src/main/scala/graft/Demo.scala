@@ -51,6 +51,15 @@ object Demo {
     val lang = graft.functions.TextFunctions.langId(col("text"))
     println(s"[demo] language guesses: " +
       docs.groupBy(lang.as("lang")).count().collect().map(_.toString).mkString(" "))
+    val semKept = graft.operators.Dedup
+      .semanticKeep(emb, col("vec_id"), col("embedding")).count()
+    println(s"[demo] SemDeDup kept ${semKept} of ${emb.count()} embeddings")
+    // the SQL surface: runtime registration of the native expressions
+    graft.functions.GraftFunctions.register(spark)
+    val sqlCos = spark.sql(
+      "SELECT round(graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 1.0D)), 6) AS c")
+      .collect()(0).getDouble(0)
+    println(s"[demo] SQL graft_cosine_sim([1,0],[1,1]) = $sqlCos")
 
     // error paths a user would hit:
     def expectError(label: String)(f: => Any): Unit =
