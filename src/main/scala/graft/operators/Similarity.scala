@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (`array<float>`), three tiers:
+  * (`array<float>`), five tiers (plus [[quantizedTopK]] and [[pqTopK]]
+  * below):
   *
   *  1. [[bruteForceTopK]] — exact cosine top-k, the correctness baseline.
   *     One broadcast of the (small) query set, zero shuffles of the base
@@ -278,6 +279,82 @@ object Similarity {
       centroidStride: Int = 50): DataFrame = {
     val b = base.select(id.as("vec_id"), vec.as("v"))
     ivfAssignTo(ivfCentroids(b, centroidStride), b, "v", "vec_id", 1)
+  }
+
+  /** Flat product-quantization ANN (Jégou et al., "Product quantization
+    * for nearest neighbor search", TPAMI 2011): base vectors are PQ-coded
+    * (`numSubspaces` sub-vectors, each snapped to its nearest codebook
+    * entry — [[graft.functions.PqEncode]], one fused codegen pass),
+    * queries carry an asymmetric-distance lookup table
+    * ([[graft.functions.PqLut]]), candidates rank by the ADC estimate
+    * `Σ_s lut[s·codes + code_s]` (a codegen'd 8-term sum over two array
+    * reads — no vector arithmetic per pair at all), and the top `pool`
+    * survivors get an exact cosine rescore.
+    *
+    * The 100 TB story: the stored index is `numSubspaces` SMALL ints per
+    * vector (m=8, k=16 → 8 nibbles vs 256 float bytes, 32×), so candidate
+    * ranking reads almost nothing and full-precision vectors are touched
+    * only for `pool·|queries|` rows — the same quantize-then-rescore
+    * shape as [[quantizedTopK]] with a far coarser, cheaper first pass.
+    * Composes with [[ivfAssign]]'s partition pruning for IVF-PQ (coarse
+    * list = partition key, PQ codes inside each list).
+    *
+    * Codebook: code `j` of subspace `s` is the `s`-th slice of the base
+    * vector with id `j·codeStride` — deterministic, training-free (the
+    * production path swaps in k-means codebooks; plan shape and oracle
+    * replay are identical). Config-scale only (m×k×subDim doubles), so
+    * collecting it to the driver is loading a model artifact, not a data
+    * collect; the operator fails loudly if any code id is missing.
+    */
+  def pqTopK(
+      base: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 10,
+      numSubspaces: Int = 8,
+      numCodes: Int = 16,
+      codeStride: Int = 16,
+      pool: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.ColumnBridge
+    val cbRows = base
+      .select(id.cast("long").as("cid"), vec.cast("array<double>").as("cv"))
+      .filter(col("cid") % codeStride === 0 && col("cid") / codeStride < numCodes)
+      .collect()
+      .map(r => r.getLong(0) / codeStride -> r.getSeq[Double](1).toArray).toMap
+    require(cbRows.size == numCodes,
+      s"pqTopK: codebook needs ids {0, $codeStride, …, ${(numCodes - 1) * codeStride}} " +
+        s"in the base table; found ${cbRows.size} of $numCodes")
+    val dim = cbRows(0L).length
+    require(dim % numSubspaces == 0,
+      s"pqTopK: dim $dim not divisible by numSubspaces=$numSubspaces")
+    val subDim = dim / numSubspaces
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(numSubspaces) { s =>
+      Array.tabulate(numCodes)(j => cbRows(j.toLong).slice(s * subDim, (s + 1) * subDim))
+    }
+    def enc(v: Column) = ColumnBridge.column(
+      graft.functions.PqEncode(ColumnBridge.expression(v.cast("array<double>")), cb))
+    def lut(v: Column) = ColumnBridge.column(
+      graft.functions.PqLut(ColumnBridge.expression(v.cast("array<double>")), cb))
+    val b = base.select(id.as("vec_id"), vec.as("v"), enc(vec).as("codes"))
+    val q = queries.select(id.as("q_id"), vec.as("qv"), lut(vec).as("lut"))
+    // ADC estimate summed in subspace order (left-to-right fold — the
+    // oracle replays the identical sequence via list_reduce over ORDER BY s)
+    val est = (0 until numSubspaces)
+      .map(s => element_at(col("lut"),
+        element_at(col("codes"), s + 1) + s * numCodes + 1))
+      .reduce(_ + _)
+    val wEst = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id").asc)
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    b.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("v"), col("qv"), est.as("est"))
+      .withColumn("ern", row_number().over(wEst))
+      .filter(col("ern") <= pool)
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wCos).cast("long"))
+      .filter(col("rn") <= k)
   }
 
   def ivfTopK(

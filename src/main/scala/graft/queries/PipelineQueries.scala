@@ -503,6 +503,9 @@ object PipelineQueries {
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_quantized" -> s4,
+    "s7_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+        col("vec_id"), col("embedding"), k = 10)),
     "s5_keyword_search" -> s5,
     "s6_keyword_batch" -> s6,
     "mm1_media_meta" -> mm1,
@@ -954,6 +957,55 @@ object PipelineQueries {
         |JOIN embeddings qe ON qe.vec_id = t.q_id
         |JOIN embeddings be ON be.vec_id = t.vec_id
         |WHERE t.rn <= 10""".stripMargin,
+    // PQ replay: codebook slices, per-(vector, subspace, code) squared-L2
+    // folds (left-to-right — list_reduce's first-element seed equals the
+    // 0.0 seed on non-negative squared terms), argmin encode, ADC sum in
+    // subspace order (list_reduce over ORDER BY s matches Spark's
+    // first-element reduce), pool rank, exact cosine rescore — all in
+    // lockstep with PqEncode/PqLut/Similarity.pqTopK
+    "s7_ann_pq" ->
+      """WITH cbv AS (
+        |  SELECT vec_id // 16 AS j, embedding AS cv FROM embeddings
+        |  WHERE vec_id % 16 = 0 AND vec_id // 16 < 16),
+        |sub AS (
+        |  SELECT t.s AS s, j, list_slice(cv, t.s*8 + 1, t.s*8 + 8) AS c
+        |  FROM cbv, unnest(range(0, 8)) t(s)),
+        |dist AS (
+        |  SELECT b.vec_id, sub.s, sub.j,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)
+        |           * (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)),
+        |      (x, y) -> x + y) AS d
+        |  FROM embeddings b CROSS JOIN sub),
+        |enc AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+        |    FROM dist)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT qd.q_id, e.vec_id,
+        |    list_reduce(list(qd.d ORDER BY qd.s), (x, y) -> x + y) AS est
+        |  FROM (SELECT vec_id AS q_id, s, j, d FROM dist WHERE vec_id < 5) qd
+        |  JOIN enc e ON e.s = qd.s AND e.code = qd.j
+        |  WHERE e.vec_id <> qd.q_id
+        |  GROUP BY qd.q_id, e.vec_id),
+        |pool AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id ASC) AS ern
+        |    FROM cand)
+        |  WHERE ern <= 50)
+        |SELECT q_id, vec_id, cos, rn FROM (
+        |  SELECT p.q_id, p.vec_id,
+        |    round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+        |      ORDER BY round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) DESC,
+        |               p.vec_id ASC) AS rn
+        |  FROM pool p
+        |  JOIN embeddings qv ON qv.vec_id = p.q_id
+        |  JOIN embeddings bv ON bv.vec_id = p.vec_id)
+        |WHERE rn <= 10""".stripMargin,
     "s5_keyword_search" ->
       s"""WITH tf AS (
          |  SELECT doc_id, term, count(*) AS tf FROM (

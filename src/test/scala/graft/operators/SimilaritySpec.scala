@@ -124,6 +124,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 >= 0.3 && r6 >= 0.7, s"recall out of expected band: $r2, $r6")
   }
 
+  test("PQ ADC recall@10 vs exact top-k (pool=50 of 500 rows) on driver testdata") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = sets(Similarity.bruteForceTopK(emb, q, col("vec_id"), col("embedding"), k = 10))
+    val pq = Similarity.pqTopK(emb, q, col("vec_id"), col("embedding"), k = 10)
+    val pqSets = sets(pq)
+    // structural invariants: k rows per query, no self, cosine-descending
+    val rows = pq.orderBy("q_id", "rn")
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+    assert(rows.groupBy(_._1).forall(_._2.length == 10))
+    assert(rows.forall { case (qid, vid, _) => qid != vid })
+    rows.groupBy(_._1).values.foreach { g =>
+      val cs = g.map(_._3).toSeq
+      assert(cs == cs.sorted.reverse)
+    }
+    def meanRecall(sets10: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (qid, ex) =>
+        sets10.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      rs.sum / rs.size
+    }
+    val r50 = meanRecall(pqSets)
+    val r150 = meanRecall(sets(Similarity.pqTopK(emb, q, col("vec_id"),
+      col("embedding"), k = 10, pool = 150)))
+    info(s"PQ mean recall@10: pool=50 → $r50, pool=150 → $r150")
+    // near-normalized vectors: squared-L2 ADC ranking tracks cosine, and
+    // the candidate pool is the recall knob (same honest contract as
+    // IVF's nProbe on this near-isotropic corpus — a training-free 8×16
+    // codebook cannot beat the data geometry; measured ~0.52 @ 50,
+    // ~0.8 @ 150 of 500 rows)
+    assert(r150 >= r50, s"recall must not fall as pool rises: $r50 -> $r150")
+    assert(r50 >= 0.4 && r150 >= 0.6, s"recall out of expected band: $r50, $r150")
+  }
+
+  test("pqTopK fails loudly when codebook ids are missing") {
+    val tiny = Seq((0L, Array.fill(64)(1.0f)), (1L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(tiny, tiny, col("vec_id"), col("embedding"))
+    }
+    assert(e.getMessage.contains("codebook"))
+  }
+
   test("quantizedTopK: int8 ranking replays on the driver; rescore equals exact cosine") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
