@@ -304,6 +304,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Partial"), "expected the map-side (Partial) group limit")
   }
 
+  test("s7: PQ plan — native encode in the scan projection, broadcast queries, pruned rank windows") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val plan = planOf("s7_ann_pq")
+    assert(plan.contains("graft_pq_encode") && plan.contains("graft_pq_lut"),
+      s"both PQ expressions must survive into the executed plan:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastExchange"),
+      "the tiny coded query side must broadcast — the base never shuffles for the join")
+    assert(plan.contains("WindowGroupLimit"),
+      "both rank filters must prune map-side (pool and k)")
+    assert(!plan.contains("Cartesian"), "no cross product")
+  }
+
   test("d12: SemDeDup pairs join on c_id equality, score with the native cosine, reuse the cached assignment") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val plan = planOf("d12_semdedup")
