@@ -315,10 +315,14 @@ object Similarity {
       numSubspaces: Int = 8,
       numCodes: Int = 16,
       codeStride: Int = 16,
-      pool: Int = 50): DataFrame = {
+      pool: Int = 50,
+      codebookFrom: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.ColumnBridge
-    val cbRows = base
+    // IVF-PQ composition: when `base` is a probed (partition-pruned)
+    // subset, the codebook must still come from the full corpus — pass it
+    // via codebookFrom, exactly as a trained-codebook deployment would
+    val cbRows = codebookFrom.getOrElse(base)
       .select(id.cast("long").as("cid"), vec.cast("array<double>").as("cv"))
       .filter(col("cid") % codeStride === 0 && col("cid") / codeStride < numCodes)
       .collect()

@@ -163,6 +163,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r50 >= 0.4 && r150 >= 0.6, s"recall out of expected band: $r50, $r150")
   }
 
+  test("IVF-PQ composition: PQ over a partition-pruned probed subset (the 100 TB layout)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroidStride = 50)
+      .write.mode("overwrite").partitionBy("c_id").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    // probe two lists; candidates scan ONLY those partitions, while the
+    // codebook still comes from the full corpus (the trained artifact)
+    val probed = idx.filter(col("c_id").isin(0L, 50L)).select(col("vec_id"), col("v"))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("c_id"))
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val got = Similarity.pqTopK(probed, q, col("vec_id"), col("v"),
+      k = 5, pool = 20, codebookFrom = Some(emb.select(col("vec_id"), col("embedding").as("v"))))
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+    assert(got.length == 5)
+    assert(got.forall { case (qid, vid, _) => qid != vid })
+    // every result must come from the probed lists
+    val probedIds = probed.select("vec_id").as[Long].collect().toSet
+    assert(got.forall { case (_, vid, _) => probedIds.contains(vid) })
+  }
+
   test("pqTopK fails loudly when codebook ids are missing") {
     val tiny = Seq((0L, Array.fill(64)(1.0f)), (1L, Array.fill(64)(0.5f)))
       .toDF("vec_id", "embedding")
