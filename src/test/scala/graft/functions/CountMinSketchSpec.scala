@@ -42,6 +42,27 @@ class CountMinSketchSpec extends AnyFunSuite {
     assert(sk(1) == sk(13))
   }
 
+  test("streaming: the sketch maintains incrementally across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val cms = udaf(new CountMinSketch(depth, width), Encoders.scalaLong)
+    val stream = MemoryStream[(String, Long)]
+    val q = stream.toDF().toDF("g", "h")
+      .groupBy("g").agg(cms(col("h")).as("sk"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData((0 until 50).map(i => ("a", (i % 9).toLong)): _*)
+      q.processAllAvailable()
+      stream.addData((50 until 100).map(i => ("a", (i % 9).toLong)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").select("sk").as[Seq[Long]].head()
+      val batch = (0 until 100).map(i => (i % 9).toLong).toDF("h")
+        .agg(cms(col("h"))).as[Seq[Long]].head()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("cell arithmetic matches the column form") {
     (0 until depth).foreach { i =>
       Seq(0L, 1L, 999999999L, 123456789L).foreach { h =>
