@@ -480,6 +480,95 @@ object Dedup {
     }.toDF("vec_a", "vec_b", "cos")
   }
 
+  /** Persistable MinHash signature store `(doc_id, sig)` — what a
+    * continuous-ingestion deployment writes after admitting a batch, so
+    * the next batch's dedup ([[incrementalDedup]]) costs the INCREMENT,
+    * not the corpus. Same hash-once explode + k min-aggs pipeline (and
+    * the same affine coefficients) as [[minhashLshPairs]], so a store
+    * built here is band-compatible with the batch path and the DuckDB
+    * oracle. Shingle-less docs carry no signature and are absent (they
+    * can never match anything).
+    */
+  def minhashStore(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      numHashes: Int = 16): DataFrame =
+    sigFromHashed(
+      docs.select(id.as("doc_id"), text.as("text"))
+        .withColumn("sh", shingles(tokens(col("text")), n))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), polyHash(col("s")).as("h")),
+      numHashes)
+
+  /** Incremental dedup decision for a NEW batch against an existing
+    * [[minhashStore]]: output one row per increment doc —
+    * `(doc_id, dup_of)` where `dup_of` is the smallest matching partner
+    * (any store doc, or an earlier-id doc of the same increment) and
+    * NULL means keep.
+    *
+    * The continuous-ingestion contract: per batch, signatures are
+    * computed for the increment ONLY; the store contributes its (already
+    * persisted) signatures to the band join, so cost tracks increment
+    * size + matched candidates — at 100 TB the store band table is a
+    * bucketed/bloom-prunable index, never recomputed. Verification uses
+    * the signature-agreement estimate (matching components ≥ `minAgree`
+    * of `numHashes` — the unbiased MinHash Jaccard estimator) because an
+    * incremental system does not retain old shingle sets; the batch path
+    * ([[minhashLshPairs]]) keeps its exact-Jaccard verify. All integer
+    * arithmetic, oracle-replayable.
+    *
+    * Increment and store ids must be disjoint (the caller's id
+    * discipline, same as every keep operator here).
+    */
+  def incrementalDedup(
+      increment: DataFrame,
+      store: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minAgree: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(minAgree >= 1 && minAgree <= numHashes,
+      s"minAgree must be in [1, $numHashes], got $minAgree")
+    val rows = numHashes / bands
+    val incSig = cached(minhashStore(increment, id, text, n, numHashes))
+    def bandTable(sig: DataFrame) = sig.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val incBands = bandTable(incSig)
+    // store partners always count; within-increment only earlier ids do
+    val candidates = incBands.as("a")
+      .join(bandTable(store).as("s"),
+        col("a.band") === col("s.band") && col("a.bsig") === col("s.bsig"))
+      .select(col("a.doc_id").as("doc_id"), col("s.doc_id").as("partner"))
+      .union(incBands.as("a")
+        .join(bandTable(incSig).as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+            col("b.doc_id") < col("a.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner")))
+      .distinct()
+    // verify on signature agreement; candidate-bounded, so the array
+    // lambda stays off the corpus-sized hot path
+    val sigs = store.union(incSig)
+    val dup = candidates
+      .join(sigs.select(col("doc_id"), col("sig").as("_sa")), Seq("doc_id"))
+      .join(sigs.select(col("doc_id").as("partner"), col("sig").as("_sb")), Seq("partner"))
+      .filter(size(filter(zip_with(col("_sa"), col("_sb"), _ === _),
+        x => x)) >= minAgree)
+      .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_of"))
+    increment.select(id.as("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster embeddings by nearest coarse centroid, then prune *within*
     * each cluster — a row is dropped iff some earlier-id member of its

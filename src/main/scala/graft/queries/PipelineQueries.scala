@@ -207,6 +207,18 @@ object PipelineQueries {
     Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), col("vec_id"),
       col("embedding"), minCosine = 0.4)
 
+  // incremental dedup: every 5th doc arrives as the new batch, the rest
+  // are the standing corpus whose persisted signature store is all the
+  // batch joins against — the continuous-ingestion path where cost
+  // tracks the increment, not the corpus
+  private val d13: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val store = Dedup.minhashStore(docs.filter(col("doc_id") % 5 =!= 0),
+      col("doc_id"), col("text"), n = 3, numHashes = 32)
+    Dedup.incrementalDedup(docs.filter(col("doc_id") % 5 === 0), store,
+      col("doc_id"), col("text"), n = 3, numHashes = 32, bands = 4, minAgree = 16)
+  }
+
   // SemDeDup: coarse-cluster by nearest deterministic centroid, prune
   // within clusters — the linear-scale semantic-dedup path beside d5's
   // exact all-pairs baseline (same 0.4 threshold, same testdata dups)
@@ -497,6 +509,7 @@ object PipelineQueries {
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
     "d12_semdedup" -> d12,
+    "d13_incremental_dedup" -> d13,
     "d10_substring_coverage" -> d10,
     "d11_dedup_report" -> d11,
     "s1_ann_bruteforce" -> s1,
@@ -849,6 +862,40 @@ object PipelineQueries {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+    // incremental replay: shared sig/band CTEs (same affine family as d3),
+    // candidates = increment × (store ∪ earlier increment), verification
+    // by signature-agreement count (the MinHash Jaccard estimator, ≥16/32)
+    "d13_incremental_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, ${sqlShingles("w")} AS sh
+         |    FROM (SELECT doc_id, ${sqlToks("text")} AS w FROM documents))
+         |  WHERE len(sh) > 0),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 32), i ->
+         |      list_min(list_transform(sh, s ->
+         |        ((${sqlPolyHash("s")}) * (i*2 + 1) + (i*i*31 + 7)) % 1000000007))) AS sig
+         |  FROM base),
+         |banded AS (
+         |  SELECT doc_id, b AS band, list_slice(sig, b*8 + 1, b*8 + 8) AS bsig
+         |  FROM sig, unnest(range(0, 4)) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS partner
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+         |  WHERE a.doc_id % 5 = 0
+         |    AND (b.doc_id % 5 <> 0 OR b.doc_id < a.doc_id)),
+         |ver AS (
+         |  SELECT c.doc_id, c.partner
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_id
+         |  JOIN sig sb ON sb.doc_id = c.partner
+         |  WHERE len(list_filter(range(1, 33),
+         |          i -> sa.sig[i::INT] = sb.sig[i::INT])) >= 16),
+         |dup AS (SELECT doc_id, min(partner) AS dup_of FROM ver GROUP BY doc_id)
+         |SELECT i.doc_id, d.dup_of
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) i
+         |LEFT JOIN dup d USING (doc_id)""".stripMargin,
     "d12_semdedup" ->
       """WITH cents AS (
         |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),

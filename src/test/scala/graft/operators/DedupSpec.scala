@@ -149,6 +149,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("incrementalDedup: batch docs match the store and earlier batch docs only") {
+    val store = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "completely unrelated existing content about spark engines"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 10
+      (21L, "novel text that matches nothing else in any corpus batch"),
+      (22L, "novel text that matches nothing else in any corpus batch"), // dup of 21 (same batch)
+      (23L, "xy")) // shingle-less: trivially kept
+      .toDF("doc_id", "text")
+    val sigStore = Dedup.minhashStore(store, col("doc_id"), col("text"))
+    val got = Dedup.incrementalDedup(inc, sigStore, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(20L -> Some(10L), 21L -> None, 22L -> Some(21L), 23L -> None))
+    // later store ids still count as partners (the store is canonical)
+    val gotRev = Dedup.incrementalDedup(
+      inc.filter(col("doc_id") === 20L),
+      Dedup.minhashStore(
+        store.withColumn("doc_id", col("doc_id") + 100L), col("doc_id"), col("text")),
+      col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotRev == Map(20L -> 110L))
+  }
+
   test("semanticKeep drops the later id of each within-cluster close pair") {
     // stride 5 → the only centroid is id 0, every row lands in cluster 0
     val emb = Seq(
