@@ -451,4 +451,55 @@ object Corpus {
       }
       .toDF("shard", "doc_id", "n_tokens", "pack_id")
   }
+
+  /** Fixed-size token chunking with overlap — the preprocessing step that
+    * turns variable-length documents into training/retrieval windows.
+    * Chunk `i` covers tokens `[i·stride, i·stride + chunkSize)` where
+    * `stride = chunkSize - overlap`; the last chunk is truncated at the
+    * document end. A document with `0 < n ≤ overlap` tokens still yields
+    * one (short) chunk; an empty document yields none.
+    *
+    * The chunk count is all-integer —
+    * `ceil((n - overlap) / stride)` computed as
+    * `(n - overlap + stride - 1) div stride` — so any engine replays the
+    * same boundaries bit-for-bit (no float ceil).
+    *
+    * Scale shape: narrow map + explode, NO shuffle — each document's
+    * chunks are produced where the document is read, and output size is
+    * `≈ n/stride` rows per doc regardless of corpus size. The explode
+    * multiplies rows ~(1 + overlap/stride)×, which is the storage price
+    * of overlap, paid here once instead of at every training epoch.
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val w = col("_chunk_w")
+    val n = size(w).cast("long")
+    // floor at 1 so the sequence stop is never negative (Spark's
+    // sequence(0, -1) DESCENDS); the spurious chunk this floor generates
+    // for an empty doc is killed by the `start < n` filter below. That
+    // filter references the GENERATED column, so Catalyst cannot push it
+    // through the explode into the scan — a `size(tokens(text)) > 0`
+    // pre-filter would be pushed there and tokenize the corpus inside the
+    // (possibly single-split) scan, serially (§8.2's trap).
+    val k = greatest(lit(1L),
+      expr(s"(size(_chunk_w) - $overlap + ${stride - 1}) div $stride"))
+    val start = col("_chunk_i") * stride // 0-based token offset
+    docs
+      .select(id.cast("long").as("doc_id"), tokens(text).as("_chunk_w"))
+      .withColumn("_chunk_i", explode(sequence(lit(0L), k - 1L)))
+      .where(start < n)
+      .select(col("doc_id"),
+        col("_chunk_i").as("chunk_id"),
+        array_join(slice(w, (start + 1L).cast("int"),
+          least(lit(chunkSize.toLong), n - start).cast("int")), " ").as("chunk_text"),
+        least(lit(chunkSize.toLong), n - start).as("n_tokens"))
+  }
 }

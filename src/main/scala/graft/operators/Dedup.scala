@@ -498,8 +498,16 @@ object Dedup {
     sigFromHashed(
       docs.select(id.as("doc_id"), text.as("text"))
         .withColumn("sh", shingles(tokens(col("text")), n))
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), explode(col("sh")).as("s"))
+        // explode_OUTER, not explode: for a plain explode Catalyst's
+        // InferFiltersFromGenerate adds `size(sh) > 0` below the Generate
+        // and pushes it — whole shingle pipeline inlined — below the
+        // rebalance into the (single-split) scan, where it evaluates
+        // serially per row (§8.2's trap; measured 7.3 s vs 1.4 s for this
+        // frame at sf0.1). The outer variant infers no such constraint;
+        // the null rows it emits for shingle-less docs are dropped by a
+        // filter on the GENERATED column, which cannot be pushed down.
+        .select(col("doc_id"), explode_outer(col("sh")).as("s"))
+        .filter(col("s").isNotNull)
         .select(col("doc_id"), polyHash(col("s")).as("h")),
       numHashes)
 
@@ -537,30 +545,37 @@ object Dedup {
       s"minAgree must be in [1, $numHashes], got $minAgree")
     val rows = numHashes / bands
     val incSig = cached(minhashStore(increment, id, text, n, numHashes))
+    // the band table carries the FULL signature beside each band slice, so
+    // the verify step below reads it straight off the band-join output —
+    // the store is traversed exactly ONCE (band probe), never re-joined
+    // for signatures. That is the at-scale contract: one pass over the
+    // persisted index per batch. The ~numHashes ints of extra shuffle
+    // width per band row is the price, and it is bounded by the
+    // increment's candidate fan-out, not the store size.
     def bandTable(sig: DataFrame) = sig.select(
-      col("doc_id"),
+      col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig"))))
         .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
     val incBands = bandTable(incSig)
     // store partners always count; within-increment only earlier ids do
     val candidates = incBands.as("a")
       .join(bandTable(store).as("s"),
         col("a.band") === col("s.band") && col("a.bsig") === col("s.bsig"))
-      .select(col("a.doc_id").as("doc_id"), col("s.doc_id").as("partner"))
+      .select(col("a.doc_id").as("doc_id"), col("s.doc_id").as("partner"),
+        col("a.sig").as("_sa"), col("s.sig").as("_sb"))
       .union(incBands.as("a")
-        .join(bandTable(incSig).as("b"),
+        .join(incBands.as("b"),
           col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
             col("b.doc_id") < col("a.doc_id"))
-        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner")))
-      .distinct()
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"),
+          col("a.sig").as("_sa"), col("b.sig").as("_sb")))
+      .distinct() // (doc_id, partner) determine the sigs; no extra rows
     // verify on signature agreement; candidate-bounded, so the array
     // lambda stays off the corpus-sized hot path
-    val sigs = store.union(incSig)
     val dup = candidates
-      .join(sigs.select(col("doc_id"), col("sig").as("_sa")), Seq("doc_id"))
-      .join(sigs.select(col("doc_id").as("partner"), col("sig").as("_sb")), Seq("partner"))
       .filter(size(filter(zip_with(col("_sa"), col("_sb"), _ === _),
         x => x)) >= minAgree)
       .groupBy(col("doc_id")).agg(min(col("partner")).as("dup_of"))

@@ -384,4 +384,29 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** Recall@k of an approximate ranking against the exact one — the eval
+    * harness that gates an index swap ("measure, don't guess" as a
+    * library operator, not a test-only assertion). Both inputs are
+    * rankings in this module's output shape (`q_id`, `vec_id`, `rn`);
+    * output is one row per query in the EXACT ranking —
+    * `(q_id, hits, k, recall_ppm)` with all-integer ppm so any engine
+    * replays it bit-for-bit. Queries the approximate index missed
+    * entirely still appear, with 0 hits.
+    *
+    * Scale shape: both sides are pre-truncated to rank ≤ k, so the join
+    * carries k·|queries| rows regardless of corpus size — the eval costs
+    * the rankings, never a corpus pass of its own.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val e = exact.filter(col("rn") <= k).select(col("q_id"), col("vec_id"))
+    val a = approx.filter(col("rn") <= k)
+      .select(col("q_id").as("_aq"), col("vec_id").as("_av"))
+    e.join(a, col("q_id") === col("_aq") && col("vec_id") === col("_av"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("_av")).as("hits"))
+      .select(col("q_id"), col("hits"), lit(k.toLong).as("k"),
+        expr(s"(hits * 1000000) div $k").as("recall_ppm"))
+  }
 }

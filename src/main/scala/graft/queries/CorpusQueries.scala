@@ -111,8 +111,15 @@ object CorpusQueries {
     Corpus.leakproofSplit(kept, col("doc_id"), clusters)
   }
 
+  // fixed 48-token chunks with an 8-token overlap — the doc→training-window
+  // explode; boundaries are all-integer so the oracle replays them exactly
+  private val c10: Q = (s, dir) =>
+    Corpus.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
+      chunkSize = 48, overlap = 8)
+
   val queries: Map[String, Q] = Map(
     "c1_leakproof_split" -> c1,
+    "c10_chunking" -> c10,
     "c2_stratified_sample" -> c2,
     "c3_shard_manifest" -> c3,
     "c4_token_packing" -> c4,
@@ -163,6 +170,20 @@ object CorpusQueries {
          |    ((coalesce(c.cluster_rep, d.doc_id) % ${Corpus.IdMod})
          |     * ${Corpus.SplitMult}) % 1000 AS h
          |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id) hashed""".stripMargin,
+    "c10_chunking" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${sqlToks("text")} AS w, len(${sqlToks("text")})::BIGINT AS n
+         |  FROM documents),
+         |nc AS (
+         |  SELECT doc_id, w, n,
+         |    greatest(1, (n - 8 + 39) // 40) AS k
+         |  FROM toks),
+         |ex AS (
+         |  SELECT doc_id, w, n, unnest(generate_series(0, k - 1)) AS i FROM nc)
+         |SELECT doc_id, i AS chunk_id,
+         |  array_to_string(w[(i*40 + 1):least(i*40 + 48, n)], ' ') AS chunk_text,
+         |  least(i*40 + 48, n) - i*40 AS n_tokens
+         |FROM ex WHERE i*40 < n""".stripMargin,
     "c2_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE (((doc_id % ${Corpus.IdMod}) * ${Corpus.SampleMult}

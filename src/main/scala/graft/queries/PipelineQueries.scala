@@ -521,6 +521,11 @@ object PipelineQueries {
         col("vec_id"), col("embedding"), k = 10)),
     "s5_keyword_search" -> s5,
     "s6_keyword_batch" -> s6,
+    // index-swap eval: the LSH tier's recall@10 vs the exact ranking,
+    // per query, in integer ppm — both rankings truncated to k before
+    // the join, so the eval never costs a corpus pass of its own
+    "s8_recall_eval" -> ((s, dir) => Similarity.recallAtK(
+      s1(s, dir), s2(s, dir), k = 10)),
     "mm1_media_meta" -> mm1,
     "mm2_frame_sample" -> mm2,
     "e1_window_agg" -> e1,
@@ -622,6 +627,41 @@ object PipelineQueries {
        |  SELECT a AS v, a AS l FROM edges
        |  UNION
        |  SELECT e.b AS v, w.l FROM walk w JOIN edges e ON e.a = w.v)""".stripMargin
+
+  /** s1's exact-ranking replay — also the ground truth inside s8. */
+  private val sqlS1Exact =
+    """SELECT q_id, vec_id, cos, rn FROM (
+      |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+      |    round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY q.vec_id
+      |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+      |               b.vec_id ASC) AS rn
+      |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+      |  WHERE q.vec_id < 5)
+      |WHERE rn <= 10""".stripMargin
+
+  /** s2's LSH-ranking replay — also the candidate side of s8. */
+  private val sqlS2Lsh =
+    s"""WITH b AS (
+       |  SELECT vec_id, t,
+       |    ${sqlLshBucket(4)} AS bucket
+       |  FROM embeddings, unnest(range(0, 24)) tt(t)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS vec_id
+       |  FROM b x JOIN b q ON x.t = q.t AND x.bucket = q.bucket
+       |  WHERE q.vec_id < 5 AND q.vec_id <> x.vec_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings be ON be.vec_id = c.vec_id)
+       |SELECT q_id, vec_id, cos, rn FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -913,37 +953,18 @@ object PipelineQueries {
         |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
         |SELECT vec_id, c_id FROM listed
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
-    "s1_ann_bruteforce" ->
-      """SELECT q_id, vec_id, cos, rn FROM (
-        |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
-        |    round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
-        |    ROW_NUMBER() OVER (
-        |      PARTITION BY q.vec_id
-        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
-        |               b.vec_id ASC) AS rn
-        |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
-        |  WHERE q.vec_id < 5)
-        |WHERE rn <= 10""".stripMargin,
-    "s2_ann_lsh" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, t,
-         |    ${sqlLshBucket(4)} AS bucket
-         |  FROM embeddings, unnest(range(0, 24)) tt(t)),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS vec_id
-         |  FROM b x JOIN b q ON x.t = q.t AND x.bucket = q.bucket
-         |  WHERE q.vec_id < 5 AND q.vec_id <> x.vec_id),
-         |scored AS (
-         |  SELECT c.q_id, c.vec_id,
-         |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos
-         |  FROM cand c
-         |  JOIN embeddings qe ON qe.vec_id = c.q_id
-         |  JOIN embeddings be ON be.vec_id = c.vec_id)
-         |SELECT q_id, vec_id, cos, rn FROM (
-         |  SELECT q_id, vec_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
-         |  FROM scored)
-         |WHERE rn <= 10""".stripMargin,
+    "s1_ann_bruteforce" -> sqlS1Exact,
+    "s2_ann_lsh" -> sqlS2Lsh,
+    // recall@10 of the LSH ranking vs exact, composed from the same two
+    // replays so the eval oracle can never drift from the ranker oracles
+    "s8_recall_eval" ->
+      s"""WITH exact AS (SELECT * FROM ($sqlS1Exact)),
+         |approx AS (SELECT * FROM ($sqlS2Lsh))
+         |SELECT e.q_id, count(a.vec_id)::BIGINT AS hits, 10::BIGINT AS k,
+         |  (count(a.vec_id) * 1000000) // 10 AS recall_ppm
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |GROUP BY e.q_id""".stripMargin,
     "s3_ann_ivf" ->
       """WITH cents AS (
         |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),

@@ -289,6 +289,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.unpersistIntermediates() >= 1, "epochOrder registers its sorted cache")
   }
 
+  test("chunkTokens boundaries: stride coverage, short docs, empty docs") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // 2 tokens <= overlap
+      (3L, ""),                                       // empty → no chunks
+      (4L, (1 to 8).map(i => s"x$i").mkString(" "))   // exactly chunkSize
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkTokens(d, col("doc_id"), col("text"),
+      chunkSize = 8, overlap = 2)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    // doc 1: stride 6 → chunks [0,8) and [6,10)
+    assert(out(1L).map(c => (c._3, c._4)).toSeq == Seq(
+      ((1 to 8).map(i => s"w$i").mkString(" "), 8L),
+      ((7 to 10).map(i => s"w$i").mkString(" "), 4L)))
+    // overlap region w7..w8 appears in both chunks
+    assert(out(1L)(0)._3.endsWith("w7 w8") && out(1L)(1)._3.startsWith("w7 w8"))
+    assert(out(2L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0L, "a b", 2L)))
+    assert(!out.contains(3L), "empty doc yields no chunks")
+    assert(out(4L).map(c => (c._2, c._4)).toSeq == Seq((0L, 8L)),
+      "doc of exactly chunkSize tokens yields one chunk, not a dangling tail")
+    // reconstruction: dropping each chunk's leading overlap re-yields the doc
+    val rebuilt = out(1L).zipWithIndex.map { case ((_, _, txt, _), i) =>
+      if (i == 0) txt else txt.split(" ").drop(2).mkString(" ")
+    }.mkString(" ")
+    assert(rebuilt == (1 to 10).map(i => s"w$i").mkString(" "))
+  }
+
   test("keepBest keeps the highest-scoring cluster member, ties to min id") {
     val d = Seq((1L, 10.0), (2L, 30.0), (3L, 30.0), (4L, 99.0))
       .toDF("doc_id", "score")

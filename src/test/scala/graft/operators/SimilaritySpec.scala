@@ -316,6 +316,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(2L) == math.floor(-1.0 * 127.0 + 0.5).toLong * math.floor(3.0 / 5.0 * 127.0 + 0.5).toLong)
   }
 
+  test("recallAtK: per-query hits in ppm, zero-hit queries kept, rank-truncated") {
+    val exact = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+      (3L, 30L, 1L), (3L, 31L, 2L), (3L, 32L, 3L))
+      .toDF("q_id", "vec_id", "rn")
+    val approx = Seq(
+      (1L, 10L, 1L), (1L, 12L, 2L), (1L, 99L, 3L), // 2 of 3
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L), // 3 of 3
+      // q 3 absent entirely; and a rank-4 hit that must NOT count at k=3
+      (1L, 11L, 4L))
+      .toDF("q_id", "vec_id", "rn")
+    val out = Similarity.recallAtK(exact, approx, k = 3)
+      .select("q_id", "hits", "k", "recall_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 3L, 666666L)))
+    assert(out(2L) == ((2L, 3L, 3L, 1000000L)))
+    assert(out(3L) == ((3L, 0L, 3L, 0L)), "missing query surfaces with 0 hits")
+    assert(out.size == 3)
+  }
+
   test("brute force matches a hand-rolled ranking on driver testdata") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
