@@ -175,6 +175,35 @@ class DedupSpec extends AnyFunSuite {
     assert(gotRev == Map(20L -> 110L))
   }
 
+  test("incrementalDedup two-batch flow: admitted survivors extend the store") {
+    // the deployment loop: dedup batch 1, admit its keepers' signatures
+    // (plain union — minhashStore output IS the store format), then batch 2
+    // must catch dups of batch-1 admissions and of the original store alike
+    val store0 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (20L, "a genuinely new document admitted in the first ingestion batch"),
+      (21L, "the quick brown fox jumps over the lazy dog again and again")) // dup of 10
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (30L, "a genuinely new document admitted in the first ingestion batch"), // dup of 20
+      (31L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 10
+      (32L, "still unseen content that should sail through both gates"))
+      .toDF("doc_id", "text")
+    val sig0 = Dedup.minhashStore(store0, col("doc_id"), col("text"))
+    val d1 = Dedup.incrementalDedup(batch1, sig0, col("doc_id"), col("text"))
+    val kept1 = batch1.join(
+      d1.filter(col("dup_of").isNull).select("doc_id"), Seq("doc_id"))
+    val sig1 = sig0.union(Dedup.minhashStore(kept1, col("doc_id"), col("text")))
+    val d2 = Dedup.incrementalDedup(batch2, sig1, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(d2 == Map(30L -> Some(20L), 31L -> Some(10L), 32L -> None))
+    // the rejected batch-1 doc (21) was never admitted: nothing can dup to it
+    assert(!d2.values.flatten.toSet.contains(21L))
+  }
+
   test("semanticKeep drops the later id of each within-cluster close pair") {
     // stride 5 → the only centroid is id 0, every row lands in cluster 0
     val emb = Seq(

@@ -330,4 +330,43 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), "the keep-set is an anti-join")
     graft.operators.Dedup.unpersistIntermediates()
   }
+
+  test("c10: chunking is a narrow map + explode — no key shuffle, no join, no agg") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("c10_chunking")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"chunk explode must stay shuffle-free:\n${plan.take(600)}")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"))
+    assert(plan.contains("Generate explode"), "chunk ids come from one explode")
+  }
+
+  test("d13: the store signature build keeps the shingle pipeline OFF the scan filter") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("d13_incremental_dedup")
+    // InferFiltersFromGenerate + pushdown once inlined size(shingles(...))>0
+    // into the (single-split) parquet scan's data filter, serializing the
+    // whole tokenize/shingle pipeline (10.6 s -> 1.9 s at sf0.1 when fixed).
+    // Pin: no Filter that sits directly on a parquet scan mentions split().
+    val lines = plan.linesIterator.toSeq
+    val scanFilterIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Filter ") && l.contains("split(") => i
+    }
+    val offenders = scanFilterIdx.filter { i =>
+      lines.drop(i + 1).take(3).exists(_.contains("FileScan parquet"))
+    }
+    assert(offenders.isEmpty,
+      s"shingle expression leaked into a scan-side filter:\n${offenders.map(lines).mkString("\n")}")
+    graft.operators.Dedup.unpersistIntermediates()
+  }
+
+  test("s8: recall eval joins two rank-truncated frames — no corpus-wide agg of its own") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val plan = planOf("s8_recall_eval")
+    // the eval itself adds one aggregation over k*|queries| rows; both
+    // ranker inputs already end in rank filters, so no global sort and no
+    // cartesian may appear anywhere in the composed plan
+    assert(!plan.contains("Cartesian"), s"no cross product:\n${plan.take(600)}")
+    assert(!plan.contains("rangepartitioning"), "no global sort in the eval path")
+    graft.operators.Dedup.unpersistIntermediates()
+  }
 }
