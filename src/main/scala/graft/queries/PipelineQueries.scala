@@ -116,8 +116,13 @@ object PipelineQueries {
   // back over the corpus (no window, no global sort; `percentile` ≡
   // DuckDB quantile_cont bit-for-bit on integer ppm inputs, cf. a1)
   private val t6: Q = (s, dir) => {
-    val scored = t(s, dir, "documents").select(col("doc_id"),
-      qualityScorePpm(col("text")).as("qual_ppm"))
+    // cache the scored frame (as c9 does): the gate consumes it twice
+    // (percentile reduce + filter), and without the cache boundary the
+    // filter's inferred isnotnull(qualityScorePpm(text)) is pushed into
+    // the single-split scan — the whole tokenize pipeline, serially
+    val scored = graft.operators.Corpus.cacheIntermediate(
+      t(s, dir, "documents").select(col("doc_id"),
+        qualityScorePpm(col("text")).as("qual_ppm")))
     graft.operators.Corpus.percentileGate(scored, col("qual_ppm"), 0.1)
       .select(col("doc_id"), col("qual_ppm"))
   }

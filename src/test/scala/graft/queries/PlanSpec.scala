@@ -340,23 +340,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), "chunk ids come from one explode")
   }
 
-  test("d13: the store signature build keeps the shingle pipeline OFF the scan filter") {
+  test("ALL queries: no tokenize/shingle/sequence expression in a scan-side filter") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
-    val plan = planOf("d13_incremental_dedup")
-    // InferFiltersFromGenerate + pushdown once inlined size(shingles(...))>0
-    // into the (single-split) parquet scan's data filter, serializing the
-    // whole tokenize/shingle pipeline (10.6 s -> 1.9 s at sf0.1 when fixed).
-    // Pin: no Filter that sits directly on a parquet scan mentions split().
-    val lines = plan.linesIterator.toSeq
-    val scanFilterIdx = lines.zipWithIndex.collect {
-      case (l, i) if l.contains("Filter ") && l.contains("split(") => i
-    }
-    val offenders = scanFilterIdx.filter { i =>
-      lines.drop(i + 1).take(3).exists(_.contains("FileScan parquet"))
+    // InferFiltersFromGenerate (explode → size(e) > 0) and constraint
+    // inference (x >= y → isnotnull(x)) both push inferred predicates
+    // below rebalances into the parquet scan's data filter, inlining the
+    // full defining expression — which then evaluates serially inside a
+    // single-split scan AND re-evaluates downstream (d13: 10.6 → 1.9 s at
+    // sf0.1; t6 paid the same trap via isnotnull(qualityScorePpm)). Sweep
+    // every registered query: an expensive expression may never sit in a
+    // Filter directly above a FileScan.
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val lines = try {
+        graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString.linesIterator.toSeq
+      } finally {
+        graft.operators.Dedup.unpersistIntermediates()
+        graft.operators.Corpus.unpersistIntermediates()
+        spark.sharedState.cacheManager.clearCache()
+      }
+      lines.zipWithIndex.collect {
+        case (l, i) if l.contains("Filter ") &&
+          (l.contains("split(") || l.contains("transform(") ||
+            l.contains("sequence(")) &&
+          lines.drop(i + 1).take(3).exists(_.contains("FileScan parquet")) =>
+          s"$name: ${l.trim.take(160)}"
+      }
     }
     assert(offenders.isEmpty,
-      s"shingle expression leaked into a scan-side filter:\n${offenders.map(lines).mkString("\n")}")
-    graft.operators.Dedup.unpersistIntermediates()
+      s"expensive expression leaked into a scan-side filter:\n${offenders.mkString("\n")}")
   }
 
   test("s8: recall eval joins two rank-truncated frames — no corpus-wide agg of its own") {
