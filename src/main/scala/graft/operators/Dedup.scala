@@ -560,10 +560,15 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.bsig").as("bsig"))
     val incBands = bandTable(incSig)
-    // store partners always count; within-increment only earlier ids do
+    // store partners always count; within-increment only earlier ids do.
+    // The =!= guard is a no-op under the documented disjoint-id contract,
+    // but makes a REPLAYED batch idempotent (streaming retry: survivors
+    // are already in the store under their own ids and must not count as
+    // their own duplicates)
     val candidates = incBands.as("a")
       .join(bandTable(store).as("s"),
-        col("a.band") === col("s.band") && col("a.bsig") === col("s.bsig"))
+        col("a.band") === col("s.band") && col("a.bsig") === col("s.bsig") &&
+          col("a.doc_id") =!= col("s.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("s.doc_id").as("partner"),
         col("a.sig").as("_sa"), col("s.sig").as("_sb"))
       .union(incBands.as("a")

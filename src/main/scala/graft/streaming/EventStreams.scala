@@ -397,4 +397,68 @@ object EventStreams {
         s.size.toLong, s.map(_.value).sum)
     }
   }
+
+  /** Continuous-ingestion dedup: each micro-batch of `(doc_id, text)` docs
+    * is deduped against the persisted MinHash signature store at
+    * `storePath` ([[graft.operators.Dedup.minhashStore]]-format parquet,
+    * bootstrapped empty if absent), decisions are handed to `onDecisions`
+    * as `(doc_id, dup_of)` with NULL = admit, and the admitted survivors'
+    * signatures are appended to the store — so the store a batch job
+    * builds and the store this stream grows are the same artifact.
+    *
+    * `foreachBatch` (not a stateful operator) is the right Spark shape
+    * here: the store must outlive the query, be shared with batch
+    * pipelines, and stay readable mid-stream — external transactional
+    * state, not keyed in-query state. Replays (foreachBatch is
+    * at-least-once) are safe end-to-end: decisions are deterministic, a
+    * replayed survivor never matches its own admitted signature (the
+    * store probe excludes equal ids), and double-appended signature rows
+    * only duplicate candidate pairs, which the verify step's distinct +
+    * min(partner) collapse to the same decision.
+    *
+    * Scale shape is [[graft.operators.Dedup.incrementalDedup]]'s: per
+    * batch, one pass over the store index and signature work proportional
+    * to the increment. The store append is survivors-only.
+    */
+  def ingestDedupStream(
+      docs: DataFrame,
+      storePath: String,
+      onDecisions: (DataFrame, Long) => Unit,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minAgree: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val path = new org.apache.hadoop.fs.Path(storePath)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        val store =
+          if (fs.exists(path)) spark.read.parquet(storePath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("sig",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType)))))
+        val decisions = Dedup.incrementalDedup(batch, store,
+          col("doc_id"), col("text"), n, numHashes, bands, minAgree)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          onDecisions(decisions, batchId)
+          val kept = batch.join(
+            decisions.filter(col("dup_of").isNull).select("doc_id"), Seq("doc_id"))
+          Dedup.minhashStore(kept, col("doc_id"), col("text"), n, numHashes)
+            .write.mode("append").parquet(storePath)
+        } finally {
+          decisions.unpersist()
+          Dedup.unpersistIntermediates()
+        }
+      }
+      .start()
+  }
 }

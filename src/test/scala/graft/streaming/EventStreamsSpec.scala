@@ -285,4 +285,50 @@ class EventStreamsSpec extends AnyFunSuite {
         "edges: start inclusive, end exclusive, adjacent windows disjoint")
     } finally q.stop()
   }
+
+  test("ingestDedupStream: per-batch dedup vs a growing persisted store") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ingest").toFile
+    val storePath = new java.io.File(storeDir, "sig_store.parquet").getAbsolutePath
+    val decisions = scala.collection.mutable.Map[Long, Map[Long, Option[Long]]]()
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.ingestDedupStream(
+      stream.toDF().toDF("doc_id", "text"), storePath,
+      (df, id) => decisions(id) = df.collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap)
+    try {
+      stream.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+        (3L, "some wholly different text that matches nothing anywhere else"))
+      q.processAllAvailable()
+      // batch 0: 1 admitted, 2 dups to 1 in-batch, 3 admitted
+      assert(decisions(0L) == Map(1L -> None, 2L -> Some(1L), 3L -> None))
+      val store1 = spark.read.parquet(storePath)
+      assert(store1.count() == 2, "only survivors' signatures are admitted")
+      stream.addData(
+        (4L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1 (via store)
+        (5L, "some wholly different text that matches nothing anywhere else"), // dup of 3 (via store)
+        (6L, "and one more genuinely novel doc arriving in the second batch"))
+      q.processAllAvailable()
+      assert(decisions(1L) == Map(4L -> Some(1L), 5L -> Some(3L), 6L -> None))
+      assert(spark.read.parquet(storePath).count() == 3, "store grew by batch 2's one survivor")
+      // replay safety: re-running batch 2's docs against the updated store
+      // (their own ids now admitted) must not mark survivors as self-dups
+      val replay = graft.operators.Dedup.incrementalDedup(
+        Seq((6L, "and one more genuinely novel doc arriving in the second batch"))
+          .toDF("doc_id", "text"),
+        spark.read.parquet(storePath), col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+      assert(replay == Map(6L -> true), "replayed survivor must not match itself")
+      graft.operators.Dedup.unpersistIntermediates()
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(storeDir)
+    }
+  }
 }
