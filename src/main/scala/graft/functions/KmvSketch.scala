@@ -70,6 +70,23 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }
 
+/** Null-skipping adapter over [[KmvSketch]] for columns that may carry
+  * NULLs (the profiling use: nulls are counted separately and must not
+  * occupy a sketch slot). Input is boxed (`Encoders.LONG`) precisely so
+  * NULL survives to [[reduce]], where it is dropped.
+  */
+class KmvSketchNullable(k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+  private val inner = new KmvSketch(k)
+  def zero: Array[Long] = inner.zero
+  def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
+    if (h == null) buf else inner.reduce(buf, h.longValue())
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+  def finish(r: Array[Long]): Array[Long] = inner.finish(r)
+  def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+  def outputEncoder: Encoder[Array[Long]] = inner.outputEncoder
+}
+
 object KmvSketch {
   /** Odd multiplier (Knuth's 2654435761), coprime to the 2^32 modulus. */
   val Mult = 2654435761L

@@ -84,6 +84,54 @@ object Profile {
     one.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
 
+  /** Sketch-tier profile — [[profile]]'s scale companion: per-column
+    * row/null counts plus a KMV **approximate** distinct count, in one
+    * aggregation pass with NO Expand (exact multi-distinct replicates the
+    * scan k-fold for k columns; the sketch keeps `k` longs of mergeable
+    * state per column instead). This is the shape a 100 TB pre-ingest
+    * sweep wants: cost is one linear scan regardless of column count, and
+    * the deterministic KMV estimator (unlike HLL) replays bit-for-bit in
+    * the oracle.
+    *
+    * Column keys: integral/boolean columns hash their value, string
+    * columns hash their [[graft.functions.TextFunctions.polyHash]] — both
+    * deterministic cross-engine. `kth_hash` (the sketch threshold) is
+    * NULL for an all-null column; `est_distinct` is exact below `k`
+    * distinct values.
+    */
+  def profileSketch(df: DataFrame, cols: Seq[String], k: Int = 32): DataFrame = {
+    require(cols.nonEmpty, "profileSketch needs at least one column")
+    import graft.functions.{KmvSketch, KmvSketchNullable}
+    val kmv = udaf(new KmvSketchNullable(k),
+      org.apache.spark.sql.Encoders.LONG)
+    def key(name: String): Column = df.schema(name).dataType match {
+      case StringType => graft.functions.TextFunctions.polyHash(col(name))
+      case LongType | IntegerType | ShortType | ByteType | BooleanType =>
+        col(name).cast("long")
+      case other =>
+        throw new IllegalArgumentException(
+          s"profileSketch: unsupported type $other for column $name " +
+            "(hash a derived integer/string column instead)")
+    }
+    val aggs = cols.flatMap { name =>
+      Seq(
+        count(col(name)).as(s"_nn_$name"),
+        kmv(KmvSketch.hash(key(name))).as(s"_sk_$name"))
+    }
+    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val structs = cols.map { name =>
+      val sk = col(s"_sk_$name")
+      struct(
+        lit(name).as("col_name"),
+        col("_n").as("n"),
+        (col("_n") - col(s"_nn_$name")).as("n_null"),
+        when(size(sk) === 0, lit(null).cast("long"))
+          .otherwise(KmvSketch.kthValue(sk)).as("kth_hash"),
+        KmvSketch.estimate(sk, k).as("est_distinct"))
+    }
+    one.select(explode(array(structs: _*)).as("p")).select("p.*")
+  }
+
   /** Equi-width histogram of a numeric column over `[lo, hi]`: one
     * grouped count on the bucket id (map-side partial, `buckets` groups —
     * never a shuffle of the data itself), left-joined onto the full

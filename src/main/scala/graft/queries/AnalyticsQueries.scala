@@ -214,6 +214,14 @@ object AnalyticsQueries {
       t(s, dir, "orders").repartition(s.sparkContext.defaultParallelism),
       Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"))
 
+  // sketch-tier profile: one pass, NO Expand — per-column null counts +
+  // KMV approximate distincts (32 longs of mergeable state per column);
+  // a2's exact-distinct companion for the 100 TB pre-ingest sweep
+  private val a5: Q = (s, dir) =>
+    graft.operators.Profile.profileSketch(
+      t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+      Seq("doc_id", "lang", "source", "n_chars"), k = 32)
+
   // equi-width price histogram with zero-filled empty buckets — the
   // distribution half of the profiling tier (a2 is the summary half)
   private val a3: Q = (s, dir) =>
@@ -314,6 +322,7 @@ object AnalyticsQueries {
     "a1_percentiles" -> a1,
     "a4_quantile_sketch" -> a4,
     "a2_profile" -> a2,
+    "a5_profile_sketch" -> a5,
     "a3_histogram" -> a3,
     "agg_distinct" -> aggDistinct,
     "w1_rank" -> w1,
@@ -327,6 +336,25 @@ object AnalyticsQueries {
     "topk_orders" -> topK,
     "rollup_counts" -> rollupQ,
     "cube_agg" -> cubeQ)
+
+  /** One column block of the a5 oracle — the KMV replay must match
+    * KmvSketch.{hash,estimate} and KeyedHash.idHash exactly: distinct
+    * 32-bit hashes of the non-null keys, kth smallest as the threshold,
+    * exact count below k, (k-1)·2^32 integer-div threshold above.
+    */
+  private def sqlSketchCol(name: String, key: String): String =
+    s"""SELECT '$name' AS col_name,
+       |  (SELECT count(*) FROM documents) AS n,
+       |  (SELECT count(*) - count($name) FROM documents) AS n_null,
+       |  kth AS kth_hash,
+       |  CASE WHEN nd < 32 THEN nd ELSE (31 * 4294967296) // kth END AS est_distinct
+       |FROM (
+       |  SELECT max(h) FILTER (rn <= 32) AS kth, coalesce(max(nd), 0) AS nd
+       |  FROM (
+       |    SELECT h, row_number() OVER (ORDER BY h) AS rn,
+       |           count(*) OVER () AS nd
+       |    FROM (SELECT DISTINCT ((($key) % 2147483648) * 2654435761 + 104729) % 4294967296 AS h
+       |          FROM documents WHERE $name IS NOT NULL)))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -447,6 +475,13 @@ object AnalyticsQueries {
         |    0.9::DOUBLE * (len(sample) - 1)::DOUBLE AS pos9,
         |    floor(0.9::DOUBLE * (len(sample) - 1)::DOUBLE)::INT AS flo9
         |  FROM grp)""".stripMargin,
+    "a5_profile_sketch" ->
+      Seq(
+        sqlSketchCol("doc_id", "doc_id"),
+        sqlSketchCol("lang", PipelineQueries.sqlPolyHash("lang")),
+        sqlSketchCol("source", PipelineQueries.sqlPolyHash("source")),
+        sqlSketchCol("n_chars", "n_chars"))
+        .mkString("\nUNION ALL\n"),
     "a2_profile" ->
       """SELECT 'o_orderkey' AS col_name, count(*) AS n,
         |  count(*) - count(o_orderkey) AS n_null,

@@ -57,7 +57,7 @@ object PipelineQueries {
   /** DuckDB: polynomial rolling hash of string expression `e` (must match
     * TextFunctions.polyHash exactly).
     */
-  private def sqlPolyHash(e: String) =
+  private[queries] def sqlPolyHash(e: String) =
     s"""CASE WHEN length($e) = 0 THEN 0 ELSE
        |  list_reduce(list_transform(range(1, length($e)+1),
        |                             i -> ascii(substr($e, i, 1))::BIGINT),

@@ -76,4 +76,39 @@ class ProfileSpec extends AnyFunSuite {
       Profile.profile(df, Seq("arr"))
     }
   }
+
+  test("profileSketch: nulls skipped, exact below k, all-null column safe") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some(1L), Some("a"), None: Option[String]),
+      (Some(2L), Some("b"), None),
+      (Some(1L), None, None),
+      (None, Some("a"), None))
+      .toDF("id", "s", "empty")
+    val rows = Profile.profileSketch(df, Seq("id", "s", "empty"), k = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).toMap
+    // below k the estimate IS the exact distinct count of non-null values
+    assert(rows("id") == ((4L, 1L, rows("id")._3, 2L)))
+    assert(rows("s") == ((4L, 1L, rows("s")._3, 2L)))
+    assert(rows("empty") == ((4L, 4L, None, 0L)),
+      "all-null column: zero estimate, null threshold, no crash")
+    assert(rows("id")._3.nonEmpty && rows("s")._3.nonEmpty)
+    // deterministic: a second run returns the identical sketch outputs
+    val again = Profile.profileSketch(df, Seq("id", "s", "empty"), k = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).toMap
+    assert(rows == again)
+  }
+
+  test("profileSketch: estimate within ~3/sqrt(k) of truth above k") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 5000L).map(i => Tuple1(i)).toDF("id")
+    val est = Profile.profileSketch(df, Seq("id"), k = 64)
+      .collect()(0).getLong(4)
+    assert(math.abs(est - 5000L) < 5000 * 3.0 / math.sqrt(64),
+      s"KMV estimate $est too far from 5000")
+  }
 }

@@ -331,6 +331,18 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Dedup.unpersistIntermediates()
   }
 
+  test("a5: sketch profile is ONE pass — no Expand, single partial-agg exchange") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("a5_profile_sketch")
+    // a2's exact multi-distinct replicates the scan per column via Expand;
+    // the whole point of the sketch tier is that it never does
+    assert(!plan.contains("Expand"), s"sketch profile must not Expand:\n${plan.take(600)}")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2,
+      "one rebalance + one single-partition agg exchange at most")
+    assert(plan.contains("partial_count") || plan.contains("ObjectHashAggregate"),
+      "KMV sketches aggregate map-side before the exchange")
+  }
+
   test("c10: chunking is a narrow map + explode — no key shuffle, no join, no agg") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = planOf("c10_chunking")
