@@ -452,6 +452,25 @@ object Corpus {
       .toDF("shard", "doc_id", "n_tokens", "pack_id")
   }
 
+  /** Physically lay training shards on disk: the output side of
+    * [[shardManifest]]/[[packTokens]]. One hash exchange co-locates each
+    * shard, a partition-LOCAL sort orders rows `(pack_id, doc_id)` inside
+    * it, and `partitionBy` writes one `shard=N/` directory with exactly
+    * one file per shard — the layout a training loader wants (open shard,
+    * stream packs in order), produced with no global sort and no driver
+    * involvement.
+    *
+    * Scale: parallelism = shard count (same contract as [[packTokens]],
+    * whose output this writes); file count is bounded by construction, so
+    * no small-files problem and no post-hoc compaction job. At 100 TB,
+    * shard count is sized so one shard ≈ one HDFS-block-friendly file.
+    */
+  def writeShards(packed: DataFrame, outDir: String): Unit =
+    packed
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pack_id", "doc_id")
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+
   /** Fixed-size token chunking with overlap — the preprocessing step that
     * turns variable-length documents into training/retrieval windows.
     * Chunk `i` covers tokens `[i·stride, i·stride + chunkSize)` where

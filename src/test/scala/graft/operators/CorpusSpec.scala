@@ -289,6 +289,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.unpersistIntermediates() >= 1, "epochOrder registers its sorted cache")
   }
 
+  test("writeShards: one sorted file per shard, all rows preserved") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toFile
+    try {
+      val packed = Corpus.packTokens(docs, col("doc_id"), col("text"),
+        numShards = 4, budget = 64L)
+      val expected = packed.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      Corpus.writeShards(packed, out.getAbsolutePath)
+      val shardDirs = out.listFiles().filter(_.getName.startsWith("shard="))
+      assert(shardDirs.length == 4, "one directory per shard")
+      shardDirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"${d.getName}: exactly one data file, got ${files.length}")
+        val rows = spark.read.parquet(files(0).getAbsolutePath)
+          .select("pack_id", "doc_id").as[(Long, Long)].collect()
+        assert(rows.sortBy(identity).toSeq == rows.toSeq,
+          s"${d.getName}: rows must arrive (pack_id, doc_id)-sorted")
+      }
+      val back = spark.read.parquet(out.getAbsolutePath)
+        .select("shard", "doc_id", "n_tokens", "pack_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(back == expected, "roundtrip preserves every packed row")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out)
+    }
+  }
+
   test("chunkTokens boundaries: stride coverage, short docs, empty docs") {
     val d = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
