@@ -531,6 +531,12 @@ object Dedup {
     * Increment and store ids must be disjoint (the caller's id
     * discipline, same as every keep operator here).
     */
+  /** @param withinBatch when true (default, the ingestion semantics),
+    *   earlier-id docs of the same increment also count as partners; set
+    *   false for pure batch-vs-store matching — cross-corpus
+    *   decontamination, where increment-internal duplicates are the
+    *   dedup pass's business, not the contamination gate's.
+    */
   def incrementalDedup(
       increment: DataFrame,
       store: DataFrame,
@@ -539,7 +545,8 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      minAgree: Int = 8): DataFrame = {
+      minAgree: Int = 8,
+      withinBatch: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(minAgree >= 1 && minAgree <= numHashes,
       s"minAgree must be in [1, $numHashes], got $minAgree")
@@ -565,18 +572,19 @@ object Dedup {
     // but makes a REPLAYED batch idempotent (streaming retry: survivors
     // are already in the store under their own ids and must not count as
     // their own duplicates)
-    val candidates = incBands.as("a")
+    val storeCands = incBands.as("a")
       .join(bandTable(store).as("s"),
         col("a.band") === col("s.band") && col("a.bsig") === col("s.bsig") &&
           col("a.doc_id") =!= col("s.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("s.doc_id").as("partner"),
         col("a.sig").as("_sa"), col("s.sig").as("_sb"))
-      .union(incBands.as("a")
+    val candidates = (if (!withinBatch) storeCands
+      else storeCands.union(incBands.as("a")
         .join(incBands.as("b"),
           col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
             col("b.doc_id") < col("a.doc_id"))
         .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("partner"),
-          col("a.sig").as("_sa"), col("b.sig").as("_sb")))
+          col("a.sig").as("_sa"), col("b.sig").as("_sb"))))
       .distinct() // (doc_id, partner) determine the sigs; no extra rows
     // verify on signature agreement; candidate-bounded, so the array
     // lambda stays off the corpus-sized hot path

@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions.{qualityScore, qualityScorePpm}
 import graft.operators.{Corpus, Dedup}
-import graft.queries.PipelineQueries.{sqlHits, sqlLshClusterCtes, sqlShingles, sqlToks, t}
+import graft.queries.PipelineQueries.{sqlHits, sqlLshClusterCtes, sqlPolyHash, sqlShingles, sqlToks, t}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -111,6 +111,22 @@ object CorpusQueries {
     Corpus.leakproofSplit(kept, col("doc_id"), clusters)
   }
 
+  // c5's LSH-scale companion: decontaminate train against the benchmark
+  // via its MinHash signature store — near-dup-level contamination, cost
+  // bounded by the band probe instead of the shared-shingle posting join;
+  // withinBatch=false keeps train-internal dups out (that is d8's job)
+  private val c11: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      Dedup.minhashStore(docs.filter(col("doc_id") % 7 === 0),
+        col("doc_id"), col("text"), n = 3, numHashes = 32),
+      col("doc_id"), col("text"), n = 3, numHashes = 32, bands = 4,
+      minAgree = 16, withinBatch = false)
+      .filter(col("dup_of").isNotNull)
+      .select(col("doc_id"), col("dup_of").as("bench_id"))
+  }
+
   // fixed 48-token chunks with an 8-token overlap — the doc→training-window
   // explode; boundaries are all-integer so the oracle replays them exactly
   private val c10: Q = (s, dir) =>
@@ -120,6 +136,7 @@ object CorpusQueries {
   val queries: Map[String, Q] = Map(
     "c1_leakproof_split" -> c1,
     "c10_chunking" -> c10,
+    "c11_contamination_minhash" -> c11,
     "c2_stratified_sample" -> c2,
     "c3_shard_manifest" -> c3,
     "c4_token_packing" -> c4,
@@ -170,6 +187,33 @@ object CorpusQueries {
          |    ((coalesce(c.cluster_rep, d.doc_id) % ${Corpus.IdMod})
          |     * ${Corpus.SplitMult}) % 1000 AS h
          |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id) hashed""".stripMargin,
+    "c11_contamination_minhash" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, ${sqlShingles("w")} AS sh
+         |    FROM (SELECT doc_id, ${sqlToks("text")} AS w FROM documents))
+         |  WHERE len(sh) > 0),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 32), i ->
+         |      list_min(list_transform(sh, s ->
+         |        ((${sqlPolyHash("s")}) * (i*2 + 1) + (i*i*31 + 7)) % 1000000007))) AS sig
+         |  FROM base),
+         |banded AS (
+         |  SELECT doc_id, b AS band, list_slice(sig, b*8 + 1, b*8 + 8) AS bsig
+         |  FROM sig, unnest(range(0, 4)) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS partner
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+         |  WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0),
+         |ver AS (
+         |  SELECT c.doc_id, c.partner
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_id
+         |  JOIN sig sb ON sb.doc_id = c.partner
+         |  WHERE len(list_filter(range(1, 33),
+         |          i -> sa.sig[i::INT] = sb.sig[i::INT])) >= 16)
+         |SELECT doc_id, min(partner) AS bench_id FROM ver GROUP BY doc_id""".stripMargin,
     "c10_chunking" ->
       s"""WITH toks AS (
          |  SELECT doc_id, ${sqlToks("text")} AS w, len(${sqlToks("text")})::BIGINT AS n

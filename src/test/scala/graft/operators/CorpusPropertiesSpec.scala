@@ -146,4 +146,50 @@ class CorpusPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunkTokens: coverage, bounds, and overlap reconstruction (random corpora)") {
+    val docGen: Gen[List[(Long, Int)]] = Gen.choose(1, 15).flatMap { n =>
+      Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 200L)
+        tok <- Gen.choose(0, 40)
+      } yield (id, tok))
+    }.map(_.groupBy(_._1).map { case (id, rs) => (id, rs.head._2) }.toList)
+    (1 to 15).foreach { i =>
+      val corpus = docGen.pureApply(Gen.Parameters.default, Seed(1000L + i))
+      val chunkSize = 2 + i % 9
+      val overlap = i % chunkSize
+      val stride = chunkSize - overlap
+      val df = corpus.map { case (id, tok) =>
+        (id, (0 until tok).map(j => s"t$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = Corpus.chunkTokens(df, col("doc_id"), col("text"), chunkSize, overlap)
+        .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+        .as[(Long, Long, String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      corpus.foreach { case (id, tok) =>
+        val chunks = out.getOrElse(id, Array.empty[(Long, Long, String, Long)])
+        if (tok == 0) assert(chunks.isEmpty, s"case $i: empty doc $id must yield no chunks")
+        else {
+          val expectK = math.max(1L, (tok - overlap + stride - 1L) / stride)
+          assert(chunks.map(_._2).toSeq == (0L until expectK),
+            s"case $i doc $id: chunk ids must be contiguous 0..${expectK - 1}")
+          chunks.foreach { case (_, cid, txt, nt) =>
+            assert(nt >= 1 && nt <= chunkSize, s"case $i doc $id chunk $cid: size $nt")
+            assert(txt.split(" ").length == nt)
+            // chunk content is exactly tokens [cid*stride, cid*stride+nt)
+            val start = (cid * stride).toInt
+            assert(txt == (start until start + nt.toInt).map(j => s"t$j").mkString(" "),
+              s"case $i doc $id chunk $cid: wrong window")
+          }
+          // stitching chunks (dropping each later chunk's overlap) == doc
+          val stitched = chunks.zipWithIndex.flatMap { case ((_, _, txt, _), j) =>
+            val ws = txt.split(" ").toSeq
+            if (j == 0) ws else ws.drop(overlap)
+          }
+          assert(stitched.toSeq == (0 until tok).map(j => s"t$j"),
+            s"case $i doc $id: chunks must reconstruct the document")
+        }
+      }
+    }
+  }
 }
