@@ -60,6 +60,30 @@ object Demo {
       "SELECT round(graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 1.0D)), 6) AS c")
       .collect()(0).getDouble(0)
     println(s"[demo] SQL graft_cosine_sim([1,0],[1,1]) = $sqlCos")
+    // the curation tail: chunk → pack → physical shards on disk
+    val chunks = graft.operators.Corpus
+      .chunkTokens(docs, col("doc_id"), col("text"), chunkSize = 48, overlap = 8)
+    val shardDir = java.nio.file.Files.createTempDirectory("demo_shards").toString
+    graft.operators.Corpus.writeShards(
+      graft.operators.Corpus.packTokens(docs, col("doc_id"), col("text"),
+        numShards = 4, budget = 256L), shardDir)
+    println(s"[demo] chunked ${docs.count()} docs into ${chunks.count()} windows; " +
+      s"wrote ${new java.io.File(shardDir).listFiles().count(_.getName.startsWith("shard="))} shard dirs")
+    // continuous ingestion: dedup a pretend batch against the admitted corpus
+    val incDup = graft.operators.Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 5 === 0),
+      graft.operators.Dedup.minhashStore(
+        docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), col("text")),
+      col("doc_id"), col("text")).filter(col("dup_of").isNotNull).count()
+    println(s"[demo] incremental dedup flagged $incDup batch docs against the store")
+    // measure, don't guess: LSH tier recall@10 vs the exact ranking
+    val queriesDf = emb.filter(col("vec_id") < 5)
+    val recall = graft.operators.Similarity.recallAtK(
+      graft.operators.Similarity.bruteForceTopK(emb, queriesDf, col("vec_id"), col("embedding"), k = 10),
+      graft.operators.Similarity.lshTopK(emb, queriesDf, col("vec_id"), col("embedding"), k = 10),
+      k = 10)
+      .agg(avg(col("recall_ppm"))).collect()(0).getDouble(0)
+    println(f"[demo] LSH recall@10 vs exact: ${recall / 10000}%.1f%%")
 
     // error paths a user would hit:
     def expectError(label: String)(f: => Any): Unit =
