@@ -377,6 +377,74 @@ object Corpus {
     spark.createDataset(ranked).toDF("doc_id", "epoch_rank")
   }
 
+  /** Scale used by [[balancedOrder]] keys: positions land in [0, 10^9).
+    * `(k · BalanceScale)` must stay under 2^63 — fine below ~9.2 B docs
+    * per domain.
+    */
+  val BalanceScale = 1000000000L
+
+  /** Domain-balanced training order: an interleave key under which the
+    * k-th document (0-based, hash-ordered) of a domain with `n_d` members
+    * sits at `(k · BalanceScale) div n_d` — every domain's documents
+    * spread uniformly over the same [0, BalanceScale) axis, so consuming
+    * the corpus in `(order_key, doc_id)` order yields each domain at its
+    * corpus-proportional rate with no clumping (the training-stream
+    * mixing step after [[temperatureMix]] decides the rates). All-integer
+    * and hash-driven, so the order is reproducible and oracle-replayable.
+    * Output `(doc_id, dom, order_key)`.
+    *
+    * Scale shape: the naive intra-domain rank is
+    * `row_number() OVER (PARTITION BY domain ...)` — one task per domain,
+    * serialized on the dominant domain precisely when the corpus is
+    * skewed enough to need mixing. This uses [[epochOrder]]'s two-job
+    * range-rank generalized to per-domain offsets: range-partition by
+    * `(domain, hash)`, count rows per (partition, domain) — a
+    * partitions × domains driver array, tiny — then assign
+    * `offset + local position` in one `mapPartitions` pass. Parallelism
+    * is the partition count regardless of domain skew.
+    */
+  def balancedOrder(df: DataFrame, id: Column, domain: Column,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val sorted = cached(
+      df.select(id.cast("long").as("doc_id"), domain.cast("string").as("dom"),
+          (idHash(id.cast("long"), SplitMult) % 4294967296L).as("h"))
+        .repartitionByRange(p, col("dom"), col("h"), col("doc_id"))
+        .sortWithinPartitions("dom", "h", "doc_id"))
+    val rdd = sorted.as[(Long, String, Long)].rdd
+    // job 1: per-(partition, domain) counts; domains are contiguous within
+    // a partition after the range sort, so one fold per partition
+    val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, dom, _) => m.update(dom, m.getOrElse(dom, 0L) + 1L) }
+      Iterator.single((i, m.toSeq))
+    }.collect().sortBy(_._1).map(_._2)
+    // driver: domain totals + the starting intra-domain position of each
+    // partition's slice of each domain
+    val totals = scala.collection.mutable.HashMap.empty[String, Long]
+    val offsets = perPart.map { counts =>
+      counts.map { case (dom, c) =>
+        val off = totals.getOrElse(dom, 0L)
+        totals.update(dom, off + c)
+        dom -> off
+      }.toMap
+    }
+    val totalsB = spark.sparkContext.broadcast(totals.toMap)
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+    // job 2: key = (intra-domain position · BalanceScale) div n_d
+    val keyed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val pos = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (doc, dom, _) =>
+        val k = pos.getOrElse(dom, offsetsB.value(pid)(dom))
+        pos.update(dom, k + 1L)
+        (doc, dom, k * BalanceScale / totalsB.value(dom))
+      }
+    }
+    spark.createDataset(keyed).toDF("doc_id", "dom", "order_key")
+  }
+
   // Cache registry for epochOrder's two-job sorted intermediate — same
   // contract as Dedup's: callers (or Verify/Bench via clearCache) release.
   private val intermediates = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]

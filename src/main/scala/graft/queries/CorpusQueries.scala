@@ -127,6 +127,13 @@ object CorpusQueries {
       .select(col("doc_id"), col("dup_of").as("bench_id"))
   }
 
+  // domain-balanced training order: every language's docs spread uniformly
+  // over one integer axis, so consuming in (order_key, doc_id) order mixes
+  // domains at their corpus-proportional rate — scale-safely ranked (per-
+  // domain two-job range-rank, never a one-task-per-domain window)
+  private val c12: Q = (s, dir) =>
+    Corpus.balancedOrder(t(s, dir, "documents"), col("doc_id"), col("lang"))
+
   // fixed 48-token chunks with an 8-token overlap — the doc→training-window
   // explode; boundaries are all-integer so the oracle replays them exactly
   private val c10: Q = (s, dir) =>
@@ -137,6 +144,7 @@ object CorpusQueries {
     "c1_leakproof_split" -> c1,
     "c10_chunking" -> c10,
     "c11_contamination_minhash" -> c11,
+    "c12_balanced_order" -> c12,
     "c2_stratified_sample" -> c2,
     "c3_shard_manifest" -> c3,
     "c4_token_packing" -> c4,
@@ -214,6 +222,18 @@ object CorpusQueries {
          |  WHERE len(list_filter(range(1, 33),
          |          i -> sa.sig[i::INT] = sb.sig[i::INT])) >= 16)
          |SELECT doc_id, min(partner) AS bench_id FROM ver GROUP BY doc_id""".stripMargin,
+    "c12_balanced_order" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang AS dom,
+         |    ((doc_id % ${Corpus.IdMod}) * ${Corpus.SplitMult}) % 4294967296 AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, dom,
+         |    row_number() OVER (PARTITION BY dom ORDER BY h, doc_id) - 1 AS k,
+         |    count(*) OVER (PARTITION BY dom) AS nd
+         |  FROM h)
+         |SELECT doc_id, dom, (k * ${Corpus.BalanceScale}) // nd AS order_key
+         |FROM r""".stripMargin,
     "c10_chunking" ->
       s"""WITH toks AS (
          |  SELECT doc_id, ${sqlToks("text")} AS w, len(${sqlToks("text")})::BIGINT AS n

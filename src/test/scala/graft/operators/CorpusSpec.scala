@@ -289,6 +289,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.unpersistIntermediates() >= 1, "epochOrder registers its sorted cache")
   }
 
+  test("balancedOrder: proportional keys, hash-ordered within domain, partition-invariant") {
+    val d = ((0L until 12L).map(i => (i, "big")) ++
+      (100L until 103L).map(i => (i, "small")) :+ (200L, null: String))
+      .toDF("doc_id", "dom")
+    def run(p: Int) = Corpus.balancedOrder(d, col("doc_id"), col("dom"), partitions = p)
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val out = run(4)
+    // the per-domain keys are exactly (0..n-1)·SCALE div n, assigned in
+    // (hash, id) order — recompute by hand
+    def expectKeys(ids: Seq[Long]): Map[Long, Long] = {
+      val n = ids.size
+      ids.sortBy(i => (((i % Corpus.IdMod) * Corpus.SplitMult) % 4294967296L, i))
+        .zipWithIndex.map { case (id, k) => id -> k.toLong * Corpus.BalanceScale / n }
+        .toMap
+    }
+    val big = expectKeys(0L until 12L)
+    val small = expectKeys(100L until 103L)
+    out.foreach {
+      case (id, "big", key) => assert(key == big(id), s"doc $id")
+      case (id, "small", key) => assert(key == small(id), s"doc $id")
+      case (200L, nullDom, key) => assert(nullDom == null && key == 0L,
+        "single null-domain doc sits at position 0 of its own domain")
+      case other => fail(s"unexpected row $other")
+    }
+    // the offsets machinery must not depend on the partition count
+    assert(run(1) == out && run(3) == out)
+    assert(Corpus.unpersistIntermediates() >= 1)
+  }
+
   test("writeShards: one sorted file per shard, all rows preserved") {
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toFile
     try {
