@@ -407,6 +407,25 @@ object PipelineQueries {
       .select(col("event_id"), col("user_id"), col("view_id"), col("view_value"))
   }
 
+  // forward as-of with a 2-hour tolerance: each view attaches the NEXT
+  // purchase of the same user within the window ("did this view convert,
+  // and to what") — same one-shuffle union+window shape scanned in
+  // reverse time order; out-of-tolerance matches null out, not fall back
+  private val e11: Q = (s, dir) => {
+    val ev = events(s, dir)
+    graft.operators.AsOfJoin.asOf(
+      left = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value")),
+      keys = Seq("user_id"), ts = "ts", leftId = "event_id",
+      payload = Seq("purchase_id", "purchase_value"), tieBreak = "purchase_id",
+      direction = "forward", toleranceMicros = Some(7200000000L))
+      .select(col("event_id"), col("user_id"),
+        col("purchase_id"), col("purchase_value"))
+  }
+
   // KMV distinct sketch over user-DAYS per event type (bounded mergeable
   // state — the scale-out alternative to e4's exact two-stage distinct);
   // exact count alongside makes the ~1/√k estimator error visible. Day
@@ -538,6 +557,7 @@ object PipelineQueries {
     "e3_json_props" -> e3,
     "e4_heavy_hitter_distinct" -> e4,
     "e5_asof_join" -> e5,
+    "e11_asof_forward" -> e11,
     "e6_kmv_distinct" -> e6,
     "e7_funnel" -> e7,
     "e8_retention" -> e8,
@@ -1167,6 +1187,22 @@ object PipelineQueries {
         |   WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts
         |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_value
         |FROM events c WHERE c.event_type = 'click'""".stripMargin,
+    // forward + tolerance: filter-then-nearest ≡ nearest-then-discard for
+    // a one-sided direction (if the nearest future row is beyond the
+    // window, every later row is too), so the oracle can put the
+    // tolerance in WHERE; ts ASC + id DESC replays the op's largest-
+    // tie-break-wins convention
+    "e11_asof_forward" ->
+      """SELECT v.event_id, v.user_id,
+        |  (SELECT p.event_id FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        |     AND p.ts >= v.ts AND epoch_us(p.ts) - epoch_us(v.ts) <= 7200000000
+        |   ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS purchase_id,
+        |  (SELECT p.value FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        |     AND p.ts >= v.ts AND epoch_us(p.ts) - epoch_us(v.ts) <= 7200000000
+        |   ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS purchase_value
+        |FROM events v WHERE v.event_type = 'view'""".stripMargin,
     // epoch_us (not epoch::BIGINT — DuckDB's double→int cast ROUNDS where
     // Spark's truncates); hash/estimate arithmetic all-integer, in
     // lockstep with KmvSketch.{hash,estimate}

@@ -86,4 +86,54 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(got == want, s"seed $seed diverged from brute force")
     }
   }
+
+  test("property: forward direction + tolerance agree with brute force") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val leftGen = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 9L)
+    } yield (k, t)))
+    val rightGen = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 9L)
+      v <- Gen.frequency(3 -> Gen.choose(0.0, 9.0).map(Some(_)), 2 -> Gen.const(None))
+    } yield (k, t, v)))
+    for (seed <- 1 to 25) {
+      val lRows = leftGen.pureApply(Gen.Parameters.default, Seed(100L + seed))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rRows = rightGen.pureApply(Gen.Parameters.default, Seed(7000L + seed))
+        .zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val tol = (seed % 4).toLong // 0 (exact-ts only) through 3
+      val left = lRows.toDF("k", "t", "lid").repartition(4)
+      val right = rRows.toDF("k", "t", "rid", "rv").repartition(3)
+      val got = AsOfJoin.asOf(left, right, Seq("k"), "t", "lid", Seq("rid", "rv"),
+        "rid", direction = "forward", toleranceMicros = Some(tol))
+        .select("lid", "rid", "rv").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      // brute force: EARLIEST right row with rt >= lt (ties: largest rid),
+      // discarded — not replaced — if beyond the tolerance
+      val want = lRows.map { case (k, t, lid) =>
+        rRows.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(r => (r._2, -r._3)).headOption match {
+          case Some((_, rt, rid, rv)) if rt - t <= tol => (lid, Some(rid), rv)
+          case _ => (lid, None, None)
+        }
+      }.toSet
+      assert(got == want, s"seed $seed (tol $tol) diverged from brute force")
+    }
+  }
+
+  test("backward tolerance discards stale matches instead of falling back") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    // nearest prior is at t=4 (distance 6); an older one at t=9? no —
+    // make nearest t=4 and tolerance 3: match discarded, NOT the t=1 row
+    val right = Seq((1L, 1L, 7L, Some(1.0)), (1L, 4L, 8L, Some(2.0)))
+      .toDF("k", "t", "rid", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "lid", Seq("rid", "rv"),
+      "rid", toleranceMicros = Some(3L))
+      .select("rid").collect()
+    assert(out.length == 1 && out(0).isNullAt(0),
+      "stale nearest match must null the payload, not fall back to older rows")
+  }
 }
