@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model document scoring — the CCNet-style "perplexity
+  * filter" tier of a pretraining pipeline: score every document by how
+  * well a reference corpus's bigram statistics predict it, then gate or
+  * bucket on the score (Wenzek et al., "CCNet", LREC 2020 filter shape;
+  * reference repo has no text tier at all — this extends the surface).
+  *
+  * Everything is exact integer arithmetic on the established ppm scale so
+  * any engine replays it bit-for-bit — no floating log-space perplexity
+  * (libm log() differs across engines in the last bits; a monotone
+  * integer surrogate gates identically):
+  *
+  *  - the model is the reference corpus's bigram and unigram counts over
+  *    [[TextFunctions.tokens]] (the corpus-wide token normalization);
+  *  - a document pair (w1, w2) scores the add-one-smoothed conditional
+  *    `ppm = (c(w1,w2) + 1) · 10⁶ div (c(w1) + V)` — V the reference
+  *    vocabulary size, unseen words fall back to the uniform prior;
+  *  - the document score is the integer mean `Σppm div n_pairs` — the
+  *    higher, the more LM-natural; documents with < 2 tokens surface with
+  *    `n_pairs = 0` and a NULL score (no silent drop).
+  *
+  * Scale shape: the model tables are corpus-bounded (vocab + distinct
+  * bigrams), NOT corpus-sized. The bigram probe joins on (w1, w2) —
+  * well-spread keys. The unigram probe joins on w1, which IS stopword-
+  * skewed: at 100 TB broadcast the unigram table when the vocab fits
+  * (tens of MB for a 10⁶-word vocab) or let AQE's skew-join split the hot
+  * keys; both joins carry one row per document PAIR, never per
+  * (pair × model row). V rides along as a broadcast scalar.
+  */
+object NgramLm {
+
+  /** Adjacent-token pairs of a token-array column as
+    * `struct(w1, w2)` — empty for arrays shorter than 2.
+    */
+  private def bigrams(tk: Column): Column = {
+    val n1 = greatest(size(tk) - 1, lit(0))
+    zip_with(slice(tk, lit(1), n1), slice(tk, lit(2), n1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** Per-document bigram-LM score of `docs` against the reference corpus
+    * `lmDocs`: output `(doc_id, n_pairs, lm_ppm)`.
+    */
+  def bigramScore(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      lmDocs: DataFrame,
+      lmText: Column): DataFrame = {
+    // explode_OUTER + filter on the GENERATED column throughout: a plain
+    // explode lets InferFiltersFromGenerate push `size(zip_with(split(…)))
+    // > 0` — the whole tokenizer inlined — into the scan-side filter
+    // (§8.2's trap, swept by PlanSpec)
+    val lmTk = lmDocs.select(TextFunctions.tokens(lmText).as("tk"))
+    val lmBi = lmTk.select(explode_outer(bigrams(col("tk"))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.w1").as("bw1"), col("p.w2").as("bw2"))
+      .agg(count(lit(1)).as("cb"))
+    val lmUni = lmTk.select(explode_outer(col("tk")).as("uw"))
+      .filter(col("uw").isNotNull)
+      .groupBy(col("uw")).agg(count(lit(1)).as("cu"))
+    val vocab = lmUni.agg(count(lit(1)).as("v"))
+    val pairs = docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("tk"))
+      .select(col("doc_id"), explode_outer(bigrams(col("tk"))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    pairs
+      .join(lmBi, col("w1") === col("bw1") && col("w2") === col("bw2"), "left")
+      .join(lmUni, col("w1") === col("uw"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("w1"),
+        expr("(coalesce(cb, 0) + 1) * 1000000 div (coalesce(cu, 0) + v)").as("ppm"))
+      .groupBy(col("doc_id"))
+      // count(w1), not count(*): the explode_outer row of a <2-token doc
+      // must not count as a pair
+      .agg(count(col("w1")).as("n_pairs"), sum(col("ppm")).as("_s"))
+      .select(col("doc_id"), col("n_pairs"),
+        expr("CASE WHEN n_pairs > 0 THEN _s div n_pairs END").as("lm_ppm"))
+  }
+}

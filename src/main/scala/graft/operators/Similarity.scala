@@ -361,6 +361,11 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** `centroids`: optional trained coarse quantizer `(c_id, cv)` — e.g.
+    * [[kmeansCentroids]] of [[kmeansTrain]] — replacing the stride-picked
+    * default. Same plan either way; centroids are config-scale and
+    * broadcast.
+    */
   def ivfTopK(
       base: DataFrame,
       queries: DataFrame,
@@ -368,10 +373,13 @@ object Similarity {
       vec: Column,
       k: Int = 10,
       centroidStride: Int = 50,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = base.select(id.as("vec_id"), vec.as("v"))
-    val cents = ivfCentroids(b, centroidStride)
+    val cents = centroids
+      .map(_.select(col("c_id"), col("cv")))
+      .getOrElse(ivfCentroids(b, centroidStride))
     val listed = ivfAssignTo(cents, b, "v", "vec_id", 1)
     val probed = ivfAssignTo(
       cents, queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)
@@ -409,4 +417,113 @@ object Similarity {
       .select(col("q_id"), col("hits"), lit(k.toLong).as("k"),
         expr(s"(hits * 1000000) div $k").as("recall_ppm"))
   }
+
+  /** Deterministic distributed Lloyd k-means over a float-vector column —
+    * the trainer that produces REAL coarse centroids for [[ivfTopK]] and
+    * codebooks for [[pqTopK]] (both default to stride-picked rows with the
+    * identical plan shape; this closes the "production would train"
+    * loop). Reference has no ANN tier at all — this extends the surface.
+    *
+    * Everything is exact integer arithmetic so any engine replays it
+    * bit-for-bit (the established micros pattern):
+    *  - vectors land in integer micros: `floor(x·10⁶ + 0.5)` per component
+    *    (half-up via floor — `round()` half-up/half-even conventions
+    *    differ across engines, floor never does);
+    *  - assignment is exact squared-L2 over longs, computed as
+    *    `‖a‖² + ‖c‖² − 2·a·c` with three codegen'd [[VectorDot]] folds —
+    *    no per-pair difference array is ever materialized; ties break on
+    *    ascending centroid id;
+    *  - the update is the floored integer mean per component
+    *    (`floor(Σ/n)`, exact: |Σ| < 2⁵³ through any realistic corpus ×
+    *    micros range);
+    *  - a cluster that captures no vectors keeps its previous centroid
+    *    (the standard empty-cluster rule, and the deterministic one).
+    *
+    * Seeds are the `k` stride-picked base vectors (id ≡ 0 mod
+    * `seedStride`, id/seedStride < k) — deterministic init, no RNG state.
+    *
+    * Plan shape per iteration (×`iters`, unrolled into ONE lazy plan — no
+    * driver collect anywhere): centroids are config-scale so they
+    * BROADCAST to the scored join (narrow); the argmin is a `groupBy` on
+    * the vector id — `min(struct(dist, c_id, mv))` — so map-side partial
+    * aggregation collapses the k scored copies of each vector before the
+    * exchange (a window would shuffle all N·k rows); the component sums
+    * explode to (c_id, pos) AFTER the argmin and partial-aggregate
+    * map-side to ≤ k·dim rows per task, so the update exchange is
+    * config-sized regardless of corpus size. At 100 TB: 2 exchanges per
+    * iteration, one of N rows, one of k·dim·tasks partials.
+    *
+    * Output: the trained centroids EXPLODED to scalars
+    * `(c_id, pos (1-based), val)` in micros — config-scale, directly
+    * comparable across engines (no array-format ambiguity), and
+    * reassembled by [[kmeansCentroids]] for consumption by the ANN tiers.
+    */
+  def kmeansTrain(
+      base: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 8,
+      iters: Int = 2,
+      seedStride: Int = 50): DataFrame = {
+    require(k > 0 && iters > 0, s"k and iters must be positive, got k=$k iters=$iters")
+    val mv = transform(vec.cast("array<double>"),
+      x => floor(x * 1e6 + lit(0.5)).cast("long"))
+    val b = base.select(id.as("vec_id"), mv.as("mv"))
+      .withColumn("n2", dotNative(col("mv"), col("mv")))
+    var cents: DataFrame = b
+      .filter(col("vec_id") % seedStride === 0 &&
+        expr(s"vec_id div $seedStride") < k)
+      .select(expr(s"vec_id div $seedStride").as("c_id"), col("mv").as("cv"))
+    (1 to iters).foreach { _ =>
+      val c = cents.withColumn("cn2", dotNative(col("cv"), col("cv")))
+      val scored = b.join(broadcast(c), col("c_id") =!= lit(-1))
+        .select(col("vec_id"), col("c_id"), col("mv"),
+          (col("n2") + col("cn2") - lit(2L) * dotNative(col("mv"), col("cv")))
+            .as("dist"))
+      // min over (dist, c_id, mv): (dist, c_id) is unique per vector, so
+      // mv never participates in the comparison — it just rides along,
+      // avoiding both a re-join against the base and a non-deterministic
+      // first()
+      val assigned = scored.groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("c_id"), col("mv"))).as("best"))
+        .select(col("best.c_id").as("c_id"), col("best.mv").as("mv"))
+      // posexplode_OUTER everywhere, filtering on the GENERATED column:
+      // plain posexplode lets InferFiltersFromGenerate push
+      // `size(transform(...)) > 0` — micros conversion inlined — into the
+      // seed branch's scan-side filter (§8.2's trap, swept by PlanSpec)
+      val sums = assigned
+        .select(col("c_id"), posexplode_outer(col("mv")).as(Seq("p0", "val")))
+        .filter(col("val").isNotNull)
+        .groupBy(col("c_id"), (col("p0") + 1).as("pos"))
+        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+        .select(col("c_id"), col("pos"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("uval"))
+      val prev = cents
+        .select(col("c_id"), posexplode_outer(col("cv")).as(Seq("p0", "pval")))
+        .filter(col("pval").isNotNull)
+        .select(col("c_id"), (col("p0") + 1).as("pos"), col("pval"))
+      cents = prev.join(sums, Seq("c_id", "pos"), "left")
+        .select(col("c_id"), col("pos"),
+          coalesce(col("uval"), col("pval")).as("val"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("val")))).as("pv"))
+        .select(col("c_id"), transform(col("pv"), p => p.getField("val")).as("cv"))
+    }
+    cents.select(col("c_id"), posexplode_outer(col("cv")).as(Seq("p0", "val")))
+      .filter(col("val").isNotNull)
+      .select(col("c_id"), (col("p0") + 1).cast("long").as("pos"), col("val"))
+  }
+
+  /** Reassemble [[kmeansTrain]]'s exploded micros output into the
+    * `(c_id, cv: array<double>)` shape the ANN tiers consume (components
+    * back on the float scale). Pass the result to [[ivfTopK]]'s
+    * `centroids` to swap the stride-picked coarse quantizer for the
+    * trained one — the index layout, probing, and plan are unchanged.
+    */
+  def kmeansCentroids(trained: DataFrame): DataFrame =
+    trained
+      .groupBy(col("c_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("val")))).as("pv"))
+      .select(col("c_id"),
+        transform(col("pv"), p => p.getField("val").cast("double") / 1e6).as("cv"))
 }

@@ -177,6 +177,16 @@ object PipelineQueries {
       polyHash(TextFunctions.scrub(col("text"), ScrubPattern, ScrubMark))
         .as("red_fp"))
 
+  // CCNet-shaped LM filter: every 10th doc plays the clean reference
+  // corpus, the rest score against its bigram model — exact integer ppm,
+  // add-one smoothing, so the oracle replays the model AND the scoring
+  private val t10: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.operators.NgramLm.bigramScore(
+      docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+      docs.filter(col("doc_id") % 10 === 0), col("text"))
+  }
+
   // ------------------------------------------------------------------
   // Dedup
   // ------------------------------------------------------------------
@@ -321,6 +331,23 @@ object PipelineQueries {
   private val s4: Q = (s, dir) =>
     Similarity.quantizedTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
       col("vec_id"), col("embedding"), k = 10)
+
+  // deterministic Lloyd k-means in exact integer micros — the coarse-
+  // quantizer/codebook trainer; the oracle replays both unrolled
+  // iterations (assign → floored-integer-mean update → empty-cluster
+  // coalesce) CTE by CTE
+  private val s9: Q = (s, dir) =>
+    Similarity.kmeansTrain(t(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), k = 8, iters = 2, seedStride = 50)
+
+  // s3's IVF with the TRAINED coarse quantizer swapped in — the full
+  // production loop (train → index → probe) as one declarative plan
+  private val s10: Q = (s, dir) =>
+    Similarity.ivfTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2,
+      centroids = Some(Similarity.kmeansCentroids(
+        Similarity.kmeansTrain(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), k = 8, iters = 2, seedStride = 50))))
 
   // lexical search over the corpus: rare-term-weighted exact-integer
   // relevance ("dup" hits ~5% of docs and dominates; "spark"/"merge"
@@ -523,6 +550,7 @@ object PipelineQueries {
     "t7_scrub" -> t7,
     "t8_token_rarity" -> t8,
     "t9_freq_sketch" -> t9,
+    "t10_lm_score" -> t10,
     "d1_exact_dedup" -> d1,
     "d2_ngram_jaccard" -> d2,
     "d2b_ngram_capped" -> d2b,
@@ -540,6 +568,8 @@ object PipelineQueries {
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_quantized" -> s4,
+    "s9_kmeans_codebook" -> s9,
+    "s10_ann_ivf_trained" -> s10,
     "s7_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
         col("vec_id"), col("embedding"), k = 10)),
@@ -665,6 +695,51 @@ object PipelineQueries {
       |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
       |  WHERE q.vec_id < 5)
       |WHERE rn <= 10""".stripMargin
+
+  /** One Lloyd iteration of the s9/s10 k-means replay (oracle side of
+    * [[graft.operators.Similarity.kmeansTrain]]): exact squared-L2
+    * assignment over integer micros, argmin window, floored-integer-mean
+    * update, empty-cluster coalesce. `cI` is the iteration's output
+    * centroid list table; `mI` the same exploded to (c_id, pos, val).
+    */
+  private def sqlKmeansIter(i: Int): String = {
+    val prev = if (i == 1) "c0" else s"c${i - 1}"
+    s"""d$i AS (
+       |  SELECT e.vec_id, c.c_id, e.mv,
+       |    list_reduce(list_transform(range(1, 65),
+       |      i -> (e.mv[i::INT] - c.cv[i::INT]) * (e.mv[i::INT] - c.cv[i::INT])),
+       |      (a, b) -> a + b) AS dist
+       |  FROM ev e CROSS JOIN $prev c),
+       |a$i AS (
+       |  SELECT c_id, mv FROM (
+       |    SELECT vec_id, c_id, mv,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, c_id ASC) AS rn
+       |    FROM d$i) WHERE rn = 1),
+       |u$i AS (
+       |  SELECT c_id, pos, CAST(floor(SUM(val) * 1.0 / COUNT(*)) AS BIGINT) AS val
+       |  FROM (SELECT c_id, generate_subscripts(mv, 1) AS pos, unnest(mv) AS val FROM a$i)
+       |  GROUP BY 1, 2),
+       |p$i AS (SELECT c_id, generate_subscripts(cv, 1) AS pos, unnest(cv) AS pval FROM $prev),
+       |m$i AS (
+       |  SELECT p.c_id, p.pos, COALESCE(u.val, p.pval) AS val
+       |  FROM p$i p LEFT JOIN u$i u ON u.c_id = p.c_id AND u.pos = p.pos),
+       |c$i AS (SELECT c_id, list(val ORDER BY pos) AS cv FROM m$i GROUP BY 1)""".stripMargin
+  }
+
+  /** The shared WITH-prefix of the k-means replays: micros vectors, the
+    * stride seeds, and both unrolled iterations (k=8, iters=2,
+    * seedStride=50 — in lockstep with the s9/s10 Spark calls).
+    */
+  private val sqlKmeansCtes =
+    s"""ev AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id // 50 AS c_id, mv AS cv FROM ev
+       |  WHERE vec_id % 50 = 0 AND vec_id // 50 < 8),
+       |${sqlKmeansIter(1)},
+       |${sqlKmeansIter(2)}""".stripMargin
 
   /** s2's LSH-ranking replay — also the candidate side of s8. */
   private val sqlS2Lsh =
@@ -830,6 +905,37 @@ object PipelineQueries {
          |SELECT e.term, e.est_count,
          |  coalesce(x.exact_count, 0)::BIGINT AS exact_count
          |FROM est e LEFT JOIN exact x USING (term)""".stripMargin,
+    // bigram LM replay: reference counts, add-one-smoothed integer ppm per
+    // adjacent pair, floored mean per doc; <2-token docs keep n_pairs=0
+    // and a NULL score
+    "t10_lm_score" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${sqlToks("text")} AS tk FROM documents),
+         |lmbi AS (
+         |  SELECT t.tk[i::INT] AS bw1, t.tk[(i+1)::INT] AS bw2, count(*) AS cb
+         |  FROM tk t, unnest(range(1, len(t.tk))) u(i)
+         |  WHERE t.doc_id % 10 = 0 GROUP BY 1, 2),
+         |lmuni AS (
+         |  SELECT w, count(*) AS cu FROM (
+         |    SELECT unnest(tk) AS w FROM tk WHERE doc_id % 10 = 0)
+         |  GROUP BY 1),
+         |v AS (SELECT count(*)::BIGINT AS v FROM lmuni),
+         |pairs AS (
+         |  SELECT d.doc_id, d.tk[i::INT] AS w1, d.tk[(i+1)::INT] AS w2
+         |  FROM tk d, unnest(range(1, len(d.tk))) u(i)
+         |  WHERE d.doc_id % 10 <> 0),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |    ((COALESCE(b.cb, 0) + 1) * 1000000) // (COALESCE(u.cu, 0) + (SELECT v FROM v)) AS ppm
+         |  FROM pairs p
+         |  LEFT JOIN lmbi b ON b.bw1 = p.w1 AND b.bw2 = p.w2
+         |  LEFT JOIN lmuni u ON u.w = p.w1)
+         |SELECT d.doc_id, COALESCE(s.n_pairs, 0)::BIGINT AS n_pairs, s.lm_ppm
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         |LEFT JOIN (
+         |  SELECT doc_id, count(*)::BIGINT AS n_pairs,
+         |    (sum(ppm) // count(*))::BIGINT AS lm_ppm
+         |  FROM scored GROUP BY 1) s USING (doc_id)""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
@@ -990,6 +1096,42 @@ object PipelineQueries {
          |FROM exact e LEFT JOIN approx a
          |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
          |GROUP BY e.q_id""".stripMargin,
+    // the two unrolled Lloyd iterations, centroid components in micros
+    "s9_kmeans_codebook" ->
+      s"""WITH $sqlKmeansCtes
+         |SELECT c_id, pos, val FROM m2""".stripMargin,
+    // s3's probe/list/rank body over the TRAINED centroids (micros back
+    // on the float scale) — train → index → probe replayed end-to-end
+    "s10_ann_ivf_trained" ->
+      s"""WITH $sqlKmeansCtes,
+         |cents AS (
+         |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+         |listed AS (
+         |  SELECT vec_id, v, c_id FROM (
+         |    SELECT b.vec_id, b.embedding AS v, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv), 6) DESC,
+         |                 c.c_id ASC) AS crn
+         |    FROM embeddings b CROSS JOIN cents c)
+         |  WHERE crn <= 1),
+         |probed AS (
+         |  SELECT q_id, qv, c_id FROM (
+         |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv), 6) DESC,
+         |                 c.c_id ASC) AS crn
+         |    FROM embeddings q CROSS JOIN cents c
+         |    WHERE q.vec_id < 5)
+         |  WHERE crn <= 2)
+         |SELECT q_id, vec_id, cos, rn FROM (
+         |  SELECT p.q_id, l.vec_id,
+         |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) DESC,
+         |               l.vec_id ASC) AS rn
+         |  FROM listed l JOIN probed p ON l.c_id = p.c_id
+         |  WHERE p.q_id <> l.vec_id)
+         |WHERE rn <= 10""".stripMargin,
     "s3_ann_ivf" ->
       """WITH cents AS (
         |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),

@@ -357,4 +357,74 @@ class SimilaritySpec extends AnyFunSuite {
       .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
     assert(topk == expect)
   }
+
+  test("k-means recovers planted clusters and lands centroids on the floored integer mean") {
+    // 3 well-separated clusters; seedStride=4, k=3 puts one seed (ids 0/4/8)
+    // in each cluster
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(1.1f, -0.1f)), (3L, Array(1.0f, 0.2f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.1f, 0.9f)),
+      (6L, Array(-0.1f, 1.1f)), (7L, Array(0.2f, 1.0f)),
+      (8L, Array(-1.0f, -1.0f)), (9L, Array(-0.9f, -1.1f)),
+      (10L, Array(-1.1f, -0.9f)), (11L, Array(-1.0f, -0.8f)))
+      .toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansTrain(pts, col("vec_id"), col("embedding"),
+      k = 3, iters = 2, seedStride = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(trained.length == 6, "3 centroids x 2 dims, exploded")
+    val cents = trained.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).toArray).toMap
+    // expected: floored mean of each planted cluster's micros
+    def micros(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val raw = pts.as[(Long, Array[Float])].collect().toMap
+    (0 until 3).foreach { c =>
+      val members = (0 until 4).map(i => raw(c * 4L + i).map(f => micros(f.toDouble)))
+      val expect = Array(0, 1).map(d =>
+        math.floor(members.map(_(d)).sum.toDouble / members.size).toLong)
+      assert(cents(c.toLong).toSeq == expect.toSeq, s"centroid $c")
+    }
+    // every point's nearest trained centroid is its planted cluster
+    raw.foreach { case (id, v) =>
+      val mv = v.map(f => micros(f.toDouble))
+      val best = (0 until 3).minBy(c =>
+        (cents(c.toLong).zip(mv).map { case (a, b) => (a - b) * (a - b) }.sum, c))
+      assert(best == (id / 4).toInt, s"point $id assigned to $best")
+    }
+  }
+
+  test("k-means keeps the previous centroid for a cluster that captures nothing") {
+    // seeds 0 and 2 are identical, so every point tie-breaks to c_id 0 and
+    // cluster 1 goes empty — its centroid must stay exactly the seed vector.
+    // One iteration only: once cluster 0's centroid moves off the shared
+    // seed, iteration 2 would legitimately recapture points for cluster 1
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(1.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(pts, col("vec_id"), col("embedding"),
+      k = 2, iters = 1, seedStride = 2)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(cents(1L) == Seq(1000000L, 0L), "empty cluster keeps its seed centroid")
+    assert(cents(0L) != Seq(1000000L, 0L), "captured cluster moved to the member mean")
+  }
+
+  test("IVF with trained centroids: train->index->probe end-to-end, no self-hits") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val trained = Similarity.kmeansCentroids(
+      Similarity.kmeansTrain(emb, col("vec_id"), col("embedding"),
+        k = 8, iters = 2, seedStride = 50))
+    val rows = Similarity.ivfTopK(emb, q, col("vec_id"), col("embedding"),
+      k = 5, nProbe = 2, centroids = Some(trained))
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (qid, vid, _) => qid != vid })
+    val perQ = rows.groupBy(_._1)
+    assert(perQ.keySet == Set(0L, 1L, 2L))
+    perQ.values.foreach(g => assert(g.map(_._3).sorted.toSeq == (1L to g.size).toSeq))
+  }
 }
