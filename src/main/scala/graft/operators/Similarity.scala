@@ -442,16 +442,20 @@ object Similarity {
     * Seeds are the `k` stride-picked base vectors (id ≡ 0 mod
     * `seedStride`, id/seedStride < k) — deterministic init, no RNG state.
     *
-    * Plan shape per iteration (×`iters`, unrolled into ONE lazy plan — no
-    * driver collect anywhere): centroids are config-scale so they
-    * BROADCAST to the scored join (narrow); the argmin is a `groupBy` on
-    * the vector id — `min(struct(dist, c_id, mv))` — so map-side partial
-    * aggregation collapses the k scored copies of each vector before the
-    * exchange (a window would shuffle all N·k rows); the component sums
-    * explode to (c_id, pos) AFTER the argmin and partial-aggregate
-    * map-side to ≤ k·dim rows per task, so the update exchange is
-    * config-sized regardless of corpus size. At 100 TB: 2 exchanges per
-    * iteration, one of N rows, one of k·dim·tasks partials.
+    * Iteration shape (the MLlib-standard loop): centroids live on the
+    * DRIVER between iterations — k·dim longs, a model artifact exactly
+    * like [[pqTopK]]'s codebook, never a data collect. Each iteration is
+    * ONE job: the literal centroid table broadcasts into the scored join
+    * (narrow); the argmin is a `groupBy` on the vector id —
+    * `min(struct(dist, c_id, mv))` — so map-side partial aggregation
+    * collapses the k scored copies of each vector before the exchange (a
+    * window would shuffle all N·k rows); the component sums explode to
+    * (c_id, pos) AFTER the argmin and partial-aggregate map-side to
+    * ≤ k·dim rows per task, so the update exchange is config-sized
+    * regardless of corpus size, and only k·dim partials return to the
+    * driver. Iterations therefore compose LINEARLY — a fully-lazy
+    * unrolled chain would re-reference iteration i's subtree from both
+    * consumers of iteration i+1 and re-evaluate it 2^(iters−i) times.
     *
     * Output: the trained centroids EXPLODED to scalars
     * `(c_id, pos (1-based), val)` in micros — config-scale, directly
@@ -466,16 +470,24 @@ object Similarity {
       iters: Int = 2,
       seedStride: Int = 50): DataFrame = {
     require(k > 0 && iters > 0, s"k and iters must be positive, got k=$k iters=$iters")
+    val spark = base.sparkSession
+    import spark.implicits._
     val mv = transform(vec.cast("array<double>"),
       x => floor(x * 1e6 + lit(0.5)).cast("long"))
     val b = base.select(id.as("vec_id"), mv.as("mv"))
       .withColumn("n2", dotNative(col("mv"), col("mv")))
-    var cents: DataFrame = b
+    // seeds: one config-sized collect (the init of the model artifact)
+    var cents: Array[(Long, Array[Long])] = b
       .filter(col("vec_id") % seedStride === 0 &&
         expr(s"vec_id div $seedStride") < k)
       .select(expr(s"vec_id div $seedStride").as("c_id"), col("mv").as("cv"))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    require(cents.length == k,
+      s"kmeansTrain: seeds need ids {0, $seedStride, …, ${(k - 1) * seedStride}} " +
+        s"in the base table; found ${cents.length} of $k")
     (1 to iters).foreach { _ =>
-      val c = cents.withColumn("cn2", dotNative(col("cv"), col("cv")))
+      val c = cents.toSeq.toDF("c_id", "cv")
+        .withColumn("cn2", dotNative(col("cv"), col("cv")))
       val scored = b.join(broadcast(c), col("c_id") =!= lit(-1))
         .select(col("vec_id"), col("c_id"), col("mv"),
           (col("n2") + col("cn2") - lit(2L) * dotNative(col("mv"), col("cv")))
@@ -483,35 +495,34 @@ object Similarity {
       // min over (dist, c_id, mv): (dist, c_id) is unique per vector, so
       // mv never participates in the comparison — it just rides along,
       // avoiding both a re-join against the base and a non-deterministic
-      // first()
-      val assigned = scored.groupBy(col("vec_id"))
+      // first(). posexplode_OUTER + a generated-column filter keeps
+      // InferFiltersFromGenerate from pushing `size(transform(...)) > 0`
+      // — micros conversion inlined — into a scan-side filter (§8.2's
+      // trap, swept by PlanSpec).
+      val sums = scored.groupBy(col("vec_id"))
         .agg(min(struct(col("dist"), col("c_id"), col("mv"))).as("best"))
         .select(col("best.c_id").as("c_id"), col("best.mv").as("mv"))
-      // posexplode_OUTER everywhere, filtering on the GENERATED column:
-      // plain posexplode lets InferFiltersFromGenerate push
-      // `size(transform(...)) > 0` — micros conversion inlined — into the
-      // seed branch's scan-side filter (§8.2's trap, swept by PlanSpec)
-      val sums = assigned
         .select(col("c_id"), posexplode_outer(col("mv")).as(Seq("p0", "val")))
         .filter(col("val").isNotNull)
-        .groupBy(col("c_id"), (col("p0") + 1).as("pos"))
+        .groupBy(col("c_id"), col("p0"))
         .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
-        .select(col("c_id"), col("pos"),
+        .select(col("c_id"), col("p0"),
           floor(col("s").cast("double") / col("n")).cast("long").as("uval"))
-      val prev = cents
-        .select(col("c_id"), posexplode_outer(col("cv")).as(Seq("p0", "pval")))
-        .filter(col("pval").isNotNull)
-        .select(col("c_id"), (col("p0") + 1).as("pos"), col("pval"))
-      cents = prev.join(sums, Seq("c_id", "pos"), "left")
-        .select(col("c_id"), col("pos"),
-          coalesce(col("uval"), col("pval")).as("val"))
-        .groupBy(col("c_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("val")))).as("pv"))
-        .select(col("c_id"), transform(col("pv"), p => p.getField("val")).as("cv"))
+        .as[(Long, Int, Long)].collect()
+        .map { case (cid, p0, uval) => (cid, p0) -> uval }.toMap
+      // empty-cluster rule: a centroid that captured nothing keeps its
+      // previous position (sums has no rows for it)
+      cents = cents.map { case (cid, cv) =>
+        cid -> cv.zipWithIndex.map { case (pval, p0) =>
+          sums.getOrElse((cid, p0), pval)
+        }
+      }
     }
-    cents.select(col("c_id"), posexplode_outer(col("cv")).as(Seq("p0", "val")))
-      .filter(col("val").isNotNull)
-      .select(col("c_id"), (col("p0") + 1).cast("long").as("pos"), col("val"))
+    cents.toSeq
+      .flatMap { case (cid, cv) =>
+        cv.zipWithIndex.map { case (v, p0) => (cid, (p0 + 1).toLong, v) }
+      }
+      .toDF("c_id", "pos", "val")
   }
 
   /** Reassemble [[kmeansTrain]]'s exploded micros output into the
