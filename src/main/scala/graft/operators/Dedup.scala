@@ -627,20 +627,24 @@ object Dedup {
       id: Column,
       vec: Column,
       minCosine: Double = 0.4,
-      centroidStride: Int = 50): DataFrame = {
+      centroidStride: Int = 50,
+      centroids: Option[DataFrame] = None): DataFrame = {
     // fail loudly when the stride matches NO id: the empty centroid set
     // would otherwise flow through the inner assignment join and silently
     // return an empty keep-set — a dedup operator deleting 100% of the
     // corpus. limit(1) keeps the eager probe cheap: the scan stops at the
-    // first matching row in the (overwhelmingly common) non-empty case
-    require(!emb.filter(id.cast("long") % centroidStride === 0).limit(1).isEmpty,
+    // first matching row in the (overwhelmingly common) non-empty case.
+    // A trained centroid table (Similarity.kmeansCentroids — the paper's
+    // actual k-means clustering) bypasses the stride contract entirely.
+    require(centroids.isDefined ||
+      !emb.filter(id.cast("long") % centroidStride === 0).limit(1).isEmpty,
       s"semanticKeep: no id is a multiple of centroidStride=$centroidStride — " +
         "the centroid set is empty and every row would be dropped; pick a " +
         "stride that selects some ids")
     // three consumers (both join sides + the anti-join probe): persist the
     // centroid assignment or each branch re-runs the broadcast-rank pass
     val assigned = cached(
-      Similarity.ivfAssign(emb, id, vec, centroidStride))
+      Similarity.ivfAssign(emb, id, vec, centroidStride, centroids))
     val m = assigned.select(col("c_id"), col("vec_id"), col("v"))
     val dropped = m.as("x")
       .join(m.as("y"),

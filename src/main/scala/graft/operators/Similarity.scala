@@ -276,9 +276,12 @@ object Similarity {
       base: DataFrame,
       id: Column,
       vec: Column,
-      centroidStride: Int = 50): DataFrame = {
+      centroidStride: Int = 50,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val b = base.select(id.as("vec_id"), vec.as("v"))
-    ivfAssignTo(ivfCentroids(b, centroidStride), b, "v", "vec_id", 1)
+    val cents = centroids.map(_.select(col("c_id"), col("cv")))
+      .getOrElse(ivfCentroids(b, centroidStride))
+    ivfAssignTo(cents, b, "v", "vec_id", 1)
   }
 
   /** Flat product-quantization ANN (Jégou et al., "Product quantization

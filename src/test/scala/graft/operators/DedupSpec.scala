@@ -229,6 +229,22 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("centroidStride"))
   }
 
+  test("semanticKeep accepts trained centroids (the paper's k-means clustering)") {
+    // ids 1..4 so the stride-50 contract would fail — the trained table
+    // must bypass it; both near-dup pairs share a trained cluster → the
+    // later id of each pair is dropped
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.01f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val trained = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("c_id", "cv")
+    val kept = Dedup.semanticKeep(emb, col("vec_id"), col("embedding"),
+      minCosine = 0.95, centroids = Some(trained))
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 0L), (3L, 1L)))
+  }
+
   test("semanticKeep cannot see cross-cluster dups (the documented recall trade)") {
     // stride 2 → centroids {0, 2}; 1 and 3 are near-identical
     // (cos ≈ 0.9999) but straddle the centroid boundary: 1 leans to
