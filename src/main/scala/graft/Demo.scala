@@ -84,6 +84,20 @@ object Demo {
       k = 10)
       .agg(avg(col("recall_ppm"))).collect()(0).getDouble(0)
     println(f"[demo] LSH recall@10 vs exact: ${recall / 10000}%.1f%%")
+    // the production ANN loop: train the coarse quantizer, probe with it
+    val trained = graft.operators.Similarity.kmeansCentroids(
+      graft.operators.Similarity.kmeansTrain(emb, col("vec_id"), col("embedding"),
+        k = 8, iters = 2, seedStride = 50))
+    val ivfHits = graft.operators.Similarity.ivfTopK(emb, queriesDf,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2,
+      centroids = Some(trained)).count()
+    println(s"[demo] trained-IVF (k-means, 2 Lloyd iterations) ranked $ivfHits rows for 5 queries")
+    // the CCNet-shaped LM filter: score the corpus against a clean slice
+    val lm = graft.operators.NgramLm.bigramScore(
+      docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+      docs.filter(col("doc_id") % 10 === 0), col("text"))
+    val lmRange = lm.agg(min(col("lm_ppm")), max(col("lm_ppm"))).collect()(0)
+    println(s"[demo] bigram-LM score range over the corpus: ${lmRange.getLong(0)}–${lmRange.getLong(1)} ppm")
 
     // error paths a user would hit:
     def expectError(label: String)(f: => Any): Unit =
