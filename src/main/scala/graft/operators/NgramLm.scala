@@ -58,6 +58,13 @@ object NgramLm {
     // > 0` — the whole tokenizer inlined — into the scan-side filter
     // (§8.2's trap, swept by PlanSpec)
     val lmTk = lmDocs.select(TextFunctions.tokens(lmText).as("tk"))
+    // fail loudly on an empty reference VOCABULARY (not just an empty
+    // frame): V = 0 would otherwise surface as an ANSI division-by-zero
+    // deep in the scoring join. limit(1) stops the probe at the first
+    // token-bearing reference doc.
+    require(!lmTk.filter(size(col("tk")) > 0).limit(1).isEmpty,
+      "bigramScore: the reference corpus has no tokens — every conditional " +
+        "would divide by V = 0; supply a non-empty reference")
     val lmBi = lmTk.select(explode_outer(bigrams(col("tk"))).as("p"))
       .filter(col("p").isNotNull)
       .groupBy(col("p.w1").as("bw1"), col("p.w2").as("bw2"))

@@ -303,9 +303,10 @@ object Similarity {
     * list = partition key, PQ codes inside each list).
     *
     * Codebook: code `j` of subspace `s` is the `s`-th slice of the base
-    * vector with id `j·codeStride` — deterministic, training-free (the
-    * production path swaps in k-means codebooks; plan shape and oracle
-    * replay are identical). Config-scale only (m×k×subDim doubles), so
+    * vector with id `j·codeStride` — deterministic, training-free. The
+    * production path supplies a TRAINED matrix via `codebook`
+    * ([[pqTrainCodebook]] — per-subspace Lloyd k-means); plan shape is
+    * identical either way. Config-scale only (m×k×subDim doubles), so
     * collecting it to the driver is loading a model artifact, not a data
     * collect; the operator fails loudly if any code id is missing.
     */
@@ -319,27 +320,33 @@ object Similarity {
       numCodes: Int = 16,
       codeStride: Int = 16,
       pool: Int = 50,
-      codebookFrom: Option[DataFrame] = None): DataFrame = {
+      codebookFrom: Option[DataFrame] = None,
+      codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.ColumnBridge
     // IVF-PQ composition: when `base` is a probed (partition-pruned)
     // subset, the codebook must still come from the full corpus — pass it
     // via codebookFrom, exactly as a trained-codebook deployment would
-    val cbRows = codebookFrom.getOrElse(base)
-      .select(id.cast("long").as("cid"), vec.cast("array<double>").as("cv"))
-      .filter(col("cid") % codeStride === 0 && col("cid") / codeStride < numCodes)
-      .collect()
-      .map(r => r.getLong(0) / codeStride -> r.getSeq[Double](1).toArray).toMap
-    require(cbRows.size == numCodes,
-      s"pqTopK: codebook needs ids {0, $codeStride, …, ${(numCodes - 1) * codeStride}} " +
-        s"in the base table; found ${cbRows.size} of $numCodes")
-    val dim = cbRows(0L).length
-    require(dim % numSubspaces == 0,
-      s"pqTopK: dim $dim not divisible by numSubspaces=$numSubspaces")
-    val subDim = dim / numSubspaces
-    val cb: Array[Array[Array[Double]]] = Array.tabulate(numSubspaces) { s =>
-      Array.tabulate(numCodes)(j => cbRows(j.toLong).slice(s * subDim, (s + 1) * subDim))
+    val cb: Array[Array[Array[Double]]] = codebook.getOrElse {
+      val cbRows = codebookFrom.getOrElse(base)
+        .select(id.cast("long").as("cid"), vec.cast("array<double>").as("cv"))
+        .filter(col("cid") % codeStride === 0 && col("cid") / codeStride < numCodes)
+        .collect()
+        .map(r => r.getLong(0) / codeStride -> r.getSeq[Double](1).toArray).toMap
+      require(cbRows.size == numCodes,
+        s"pqTopK: codebook needs ids {0, $codeStride, …, ${(numCodes - 1) * codeStride}} " +
+          s"in the base table; found ${cbRows.size} of $numCodes")
+      val dim = cbRows(0L).length
+      require(dim % numSubspaces == 0,
+        s"pqTopK: dim $dim not divisible by numSubspaces=$numSubspaces")
+      val subDim = dim / numSubspaces
+      Array.tabulate(numSubspaces) { s =>
+        Array.tabulate(numCodes)(j => cbRows(j.toLong).slice(s * subDim, (s + 1) * subDim))
+      }
     }
+    require(cb.length == numSubspaces && cb.forall(_.length == numCodes),
+      s"pqTopK: codebook shape ${cb.length}×${cb.headOption.fold(0)(_.length)} " +
+        s"must be numSubspaces×numCodes = $numSubspaces×$numCodes")
     def enc(v: Column) = ColumnBridge.column(
       graft.functions.PqEncode(ColumnBridge.expression(v.cast("array<double>")), cb))
     def lut(v: Column) = ColumnBridge.column(
@@ -540,4 +547,39 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("val")))).as("pv"))
       .select(col("c_id"),
         transform(col("pv"), p => p.getField("val").cast("double") / 1e6).as("cv"))
+
+  /** Trained PQ codebook: per-subspace Lloyd k-means ([[kmeansTrain]] on
+    * each subDim slice of the corpus) — the `numSubspaces × numCodes ×
+    * subDim` matrix [[pqTopK]] consumes via its `codebook` parameter,
+    * replacing the stride-sliced default exactly as Jégou et al. train
+    * theirs. `numSubspaces` training passes over the corpus, one model
+    * artifact out; components land on the micros grid (1e-6), which is
+    * where the ADC estimates live anyway.
+    */
+  def pqTrainCodebook(
+      base: DataFrame,
+      id: Column,
+      vec: Column,
+      numSubspaces: Int = 8,
+      numCodes: Int = 16,
+      iters: Int = 2,
+      seedStride: Int = 16): Array[Array[Array[Double]]] = {
+    val dim = base.select(vec.cast("array<double>").as("v"))
+      .head.getSeq[Double](0).length
+    require(dim % numSubspaces == 0,
+      s"pqTrainCodebook: dim $dim not divisible by numSubspaces=$numSubspaces")
+    val subDim = dim / numSubspaces
+    (0 until numSubspaces).toArray.map { s =>
+      val sub = base.select(id.as("sub_id"),
+        slice(vec.cast("array<double>"), s * subDim + 1, subDim).as("sv"))
+      val cents = kmeansTrain(sub, col("sub_id"), col("sv"),
+        k = numCodes, iters = iters, seedStride = seedStride)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getLong(1)).map(_.getLong(2) / 1e6)
+        }
+      Array.tabulate(numCodes)(j => cents(j.toLong))
+    }
+  }
 }

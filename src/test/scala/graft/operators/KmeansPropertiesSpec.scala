@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants for the k-means trainer and the bigram-LM
+  * scorer over random inputs (seeded generators, failures reproduce):
+  *   k=1 k-means is the floored integer mean of the whole corpus,
+  *   training is invariant to physical row order,
+  *   each extra Lloyd iteration costs exactly one Spark job (the
+  *     linear-composition contract of the driver-iterated loop),
+  *   bigramScore matches an independent in-memory reference bit-for-bit.
+  */
+class KmeansPropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def micros(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+
+  private val vecsGen: Gen[List[Array[Float]]] = for {
+    dim <- Gen.choose(2, 6)
+    n <- Gen.choose(1, 30)
+    vs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f)))
+  } yield vs.map(_.toArray)
+
+  private def sampleVecs(seed: Long): List[Array[Float]] =
+    vecsGen.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("k=1 k-means is the floored integer mean of the corpus (15 random corpora)") {
+    (1 to 15).foreach { i =>
+      val vs = sampleVecs(i.toLong)
+      val df = vs.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val out = Similarity.kmeansTrain(df, col("vec_id"), col("embedding"),
+        k = 1, iters = 1 + i % 3, seedStride = 1)
+        .as[(Long, Long, Long)].collect().sortBy(_._2).map(_._3)
+      val expect = (0 until vs.head.length).map { d =>
+        math.floor(vs.map(v => micros(v(d))).sum.toDouble / vs.size).toLong
+      }
+      assert(out.toSeq == expect, s"case $i")
+    }
+  }
+
+  test("k-means output is invariant to physical row order") {
+    val vs = sampleVecs(99L).zipWithIndex.map { case (v, id) => (id.toLong, v) }
+    val df = vs.toDF("vec_id", "embedding")
+    val scrambled = vs.reverse.toDF("vec_id", "embedding").repartition(7)
+    def train(d: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansTrain(d, col("vec_id"), col("embedding"),
+        k = 3, iters = 2, seedStride = 1)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(train(df) == train(scrambled))
+  }
+
+  test("each extra Lloyd iteration costs exactly one Spark job (linear composition)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val df = sampleVecs(7L).zipWithIndex.map { case (v, id) => (id.toLong, v) }
+      .toDF("vec_id", "embedding")
+    def jobsFor(iters: Int): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        Similarity.kmeansTrain(df, col("vec_id"), col("embedding"),
+          k = 2, iters = iters, seedStride = 1)
+        org.apache.spark.graft.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // AQE splits one iteration's action into several jobs (one per
+    // materialized stage), so assert LINEARITY of the job count in
+    // `iters`, not an absolute per-iteration figure: the step from 2 to 4
+    // iterations must cost exactly twice the step from 1 to 2. The lazy
+    // unrolled chain this pins against re-evaluated earlier iterations'
+    // subtrees, growing the count super-linearly.
+    val j1 = jobsFor(1)
+    val j2 = jobsFor(2)
+    val j4 = jobsFor(4)
+    assert(j2 > j1, s"an extra iteration must cost extra jobs, got $j1 -> $j2")
+    assert(j4 - j2 == 2 * (j2 - j1),
+      s"job count must be linear in iters: $j1, $j2, $j4 " +
+        "(a lazily-unrolled chain re-evaluates earlier iterations exponentially)")
+  }
+
+  // ---------------------------------------------------------------
+  // bigramScore differential
+  // ---------------------------------------------------------------
+
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(0, 8)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+  } yield ws.mkString(" ")
+
+  private def refScore(lm: Seq[String], docs: Seq[(Long, String)]): Map[Long, (Long, Option[Long])] = {
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val lmToks = lm.map(toks)
+    val cb = lmToks.flatMap(t => t.zip(t.drop(1))).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cu = lmToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = cu.size.toLong
+    docs.map { case (id, text) =>
+      val pairs = { val t = toks(text); t.zip(t.drop(1)) }
+      val ppms = pairs.map(p =>
+        (cb.getOrElse(p, 0L) + 1L) * 1000000L / (cu.getOrElse(p._1, 0L) + v))
+      id -> (pairs.size.toLong,
+        if (pairs.isEmpty) None else Some(ppms.sum / pairs.size))
+    }.toMap
+  }
+
+  test("bigramScore matches the in-memory reference on 15 random corpora") {
+    (1 to 15).foreach { i =>
+      val g = Gen.listOfN(12, docGen)
+      val texts = g.pureApply(Gen.Parameters.default, Seed(1000L + i))
+      val lm = texts.take(4) :+ "a b" // reference corpus always has a token
+      val docs = texts.drop(4).zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val out = NgramLm.bigramScore(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        lm.map(t => Tuple1(t)).toDF("text"), col("text"))
+        .as[(Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(out == refScore(lm, docs), s"case $i")
+    }
+  }
+
+  test("bigramScore rejects a token-free reference corpus loudly") {
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.bigramScore(
+        Seq((1L, "a b")).toDF("doc_id", "text"), col("doc_id"), col("text"),
+        Seq(Tuple1("!!! ...")).toDF("text"), col("text"))
+    }
+    assert(e.getMessage.contains("reference"))
+  }
+}

@@ -410,6 +410,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents(0L) != Seq(1000000L, 0L), "captured cluster moved to the member mean")
   }
 
+  test("PQ with a trained per-subspace codebook: right shape, well-formed ranking") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = Similarity.pqTrainCodebook(emb, col("vec_id"), col("embedding"),
+      numSubspaces = 8, numCodes = 16, iters = 2, seedStride = 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16) &&
+      cb.flatten.forall(_.length == 8), "8 subspaces x 16 codes x 8 dims")
+    val q = emb.filter(col("vec_id") < 3)
+    val rows = Similarity.pqTopK(emb, q, col("vec_id"), col("embedding"),
+      k = 5, codebook = Some(cb))
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Long)].collect()
+    assert(rows.groupBy(_._1).keySet == Set(0L, 1L, 2L))
+    assert(rows.forall { case (qid, vid, _) => qid != vid })
+    rows.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.size).toSeq))
+  }
+
   test("IVF with trained centroids: train->index->probe end-to-end, no self-hits") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
