@@ -502,6 +502,14 @@ object Similarity {
         .select(col("vec_id"), col("c_id"), col("mv"),
           (col("n2") + col("cn2") - lit(2L) * dotNative(col("mv"), col("cv")))
             .as("dist"))
+        // a ragged vector (dim ≠ centroid dim) dots to NULL, and NULL
+        // sorts FIRST in the argmin struct — it would silently win the
+        // assignment and pollute a centroid. Raise instead; the filter
+        // wrapper keeps the check un-prunable (assert_true returns NULL
+        // when it passes, so the filter keeps every surviving row).
+        .filter(assert_true(col("dist").isNotNull,
+          lit("kmeansTrain: ragged vector — its dimension does not match " +
+            "the centroids'; fix or filter the corpus")).isNull)
       // min over (dist, c_id, mv): (dist, c_id) is unique per vector, so
       // mv never participates in the comparison — it just rides along,
       // avoiding both a re-join against the base and a non-deterministic

@@ -393,6 +393,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("k-means raises loudly on a ragged corpus instead of corrupting a centroid") {
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f, 0.5f))) // ragged: 3 dims vs the 2-dim seeds
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.kmeansTrain(pts, col("vec_id"), col("embedding"),
+        k = 1, iters = 1, seedStride = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("ragged")), s"got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("k-means keeps the previous centroid for a cluster that captures nothing") {
     // seeds 0 and 2 are identical, so every point tie-breaks to c_id 0 and
     // cluster 1 goes empty — its centroid must stay exactly the seed vector.
