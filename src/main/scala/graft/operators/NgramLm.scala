@@ -44,34 +44,42 @@ object NgramLm {
       (a, b) => struct(a.as("w1"), b.as("w2")))
   }
 
-  /** Per-document bigram-LM score of `docs` against the reference corpus
-    * `lmDocs`: output `(doc_id, n_pairs, lm_ppm)`.
+  /** The persistable model artifact: one table `(w1, w2, cnt)` holding
+    * BOTH count families — bigram rows (`w2` non-null) and unigram rows
+    * (`w2` NULL); the vocabulary size is the unigram row count, so the
+    * table is self-contained (write it to parquet once, score any number
+    * of batches/streams against it — the same build-once-probe-many
+    * contract as the MinHash signature store).
     */
-  def bigramScore(
-      docs: DataFrame,
-      id: Column,
-      text: Column,
-      lmDocs: DataFrame,
-      lmText: Column): DataFrame = {
+  def bigramModel(lmDocs: DataFrame, lmText: Column): DataFrame = {
     // explode_OUTER + filter on the GENERATED column throughout: a plain
     // explode lets InferFiltersFromGenerate push `size(zip_with(split(…)))
     // > 0` — the whole tokenizer inlined — into the scan-side filter
     // (§8.2's trap, swept by PlanSpec)
     val lmTk = lmDocs.select(TextFunctions.tokens(lmText).as("tk"))
-    // fail loudly on an empty reference VOCABULARY (not just an empty
-    // frame): V = 0 would otherwise surface as an ANSI division-by-zero
-    // deep in the scoring join. limit(1) stops the probe at the first
-    // token-bearing reference doc.
-    require(!lmTk.filter(size(col("tk")) > 0).limit(1).isEmpty,
-      "bigramScore: the reference corpus has no tokens — every conditional " +
-        "would divide by V = 0; supply a non-empty reference")
     val lmBi = lmTk.select(explode_outer(bigrams(col("tk"))).as("p"))
       .filter(col("p").isNotNull)
-      .groupBy(col("p.w1").as("bw1"), col("p.w2").as("bw2"))
-      .agg(count(lit(1)).as("cb"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
     val lmUni = lmTk.select(explode_outer(col("tk")).as("uw"))
       .filter(col("uw").isNotNull)
-      .groupBy(col("uw")).agg(count(lit(1)).as("cu"))
+      .groupBy(col("uw").as("w1")).agg(count(lit(1)).as("cnt"))
+      .select(col("w1"), lit(null).cast("string").as("w2"), col("cnt"))
+    lmBi.select(col("w1"), col("w2"), col("cnt")).unionByName(lmUni)
+  }
+
+  /** Score `docs` against a prebuilt [[bigramModel]] table: output
+    * `(doc_id, n_pairs, lm_ppm)`.
+    */
+  def scoreWith(
+      model: DataFrame,
+      docs: DataFrame,
+      id: Column,
+      text: Column): DataFrame = {
+    val lmUni = model.filter(col("w2").isNull)
+      .select(col("w1").as("uw"), col("cnt").as("cu"))
+    val lmBi = model.filter(col("w2").isNotNull)
+      .select(col("w1").as("bw1"), col("w2").as("bw2"), col("cnt").as("cb"))
     val vocab = lmUni.agg(count(lit(1)).as("v"))
     val pairs = docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("tk"))
       .select(col("doc_id"), explode_outer(bigrams(col("tk"))).as("p"))
@@ -80,6 +88,15 @@ object NgramLm {
       .join(lmBi, col("w1") === col("bw1") && col("w2") === col("bw2"), "left")
       .join(lmUni, col("w1") === col("uw"), "left")
       .crossJoin(broadcast(vocab))
+      // an empty VOCABULARY (V = 0) means every conditional divides by
+      // zero; raise a named error instead of an anonymous ANSI one. The
+      // filter wrapper keeps the check un-prunable and evaluates BEFORE
+      // the projection's division (assert_true returns NULL when it
+      // passes, so every surviving row is kept).
+      .filter(assert_true(col("v") > 0,
+        lit("scoreWith: the reference model has no tokens — every " +
+          "conditional would divide by V = 0; supply a non-empty reference"))
+        .isNull)
       .select(col("doc_id"), col("w1"),
         expr("(coalesce(cb, 0) + 1) * 1000000 div (coalesce(cu, 0) + v)").as("ppm"))
       .groupBy(col("doc_id"))
@@ -89,4 +106,16 @@ object NgramLm {
       .select(col("doc_id"), col("n_pairs"),
         expr("CASE WHEN n_pairs > 0 THEN _s div n_pairs END").as("lm_ppm"))
   }
+
+  /** Per-document bigram-LM score of `docs` against the reference corpus
+    * `lmDocs`: output `(doc_id, n_pairs, lm_ppm)` —
+    * [[bigramModel]] + [[scoreWith]] in one call.
+    */
+  def bigramScore(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      lmDocs: DataFrame,
+      lmText: Column): DataFrame =
+    scoreWith(bigramModel(lmDocs, lmText), docs, id, text)
 }

@@ -461,4 +461,30 @@ object EventStreams {
       }
       .start()
   }
+
+  /** Continuous LM quality scoring: each micro-batch of `(doc_id, text)`
+    * docs is scored against the persisted bigram model at `modelPath`
+    * ([[graft.operators.NgramLm.bigramModel]]-format parquet — train once
+    * with a batch job, score forever), and the `(doc_id, n_pairs,
+    * lm_ppm)` rows are handed to `onScores`.
+    *
+    * `foreachBatch` is the right shape for the same reason as
+    * [[ingestDedupStream]]: the model is external shared state (built and
+    * possibly refreshed by batch jobs), not keyed in-query state.
+    * Scoring is deterministic, so at-least-once replays re-emit identical
+    * rows. Per-batch cost is the batch's pair count probing a
+    * corpus-bounded model — nothing grows with stream history.
+    */
+  def lmScoreStream(
+      docs: DataFrame,
+      modelPath: String,
+      onScores: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val model = batch.sparkSession.read.parquet(modelPath)
+        onScores(graft.operators.NgramLm.scoreWith(
+          model, batch, col("doc_id"), col("text")), batchId)
+      }
+      .start()
 }

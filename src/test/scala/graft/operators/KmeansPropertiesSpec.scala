@@ -129,12 +129,14 @@ class KmeansPropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("bigramScore rejects a token-free reference corpus loudly") {
-    val e = intercept[IllegalArgumentException] {
+  test("bigramScore rejects a token-free reference corpus loudly at action time") {
+    val e = intercept[Exception] {
       NgramLm.bigramScore(
         Seq((1L, "a b")).toDF("doc_id", "text"), col("doc_id"), col("text"),
-        Seq(Tuple1("!!! ...")).toDF("text"), col("text"))
+        Seq(Tuple1("!!! ...")).toDF("text"), col("text")).collect()
     }
-    assert(e.getMessage.contains("reference"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("reference")), s"got: ${msgs(e).mkString(" | ")}")
   }
 }

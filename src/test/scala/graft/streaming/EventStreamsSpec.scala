@@ -331,4 +331,46 @@ class EventStreamsSpec extends AnyFunSuite {
       rm(storeDir)
     }
   }
+
+  test("lmScoreStream: per-batch scores equal the batch scorer against the same model") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toFile
+    val modelPath = new java.io.File(dir, "lm_model.parquet").getAbsolutePath
+    val lmDocs = Seq("the quick brown fox", "the quick dog").map(Tuple1(_)).toDF("text")
+    graft.operators.NgramLm.bigramModel(lmDocs, col("text"))
+      .write.parquet(modelPath)
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Option[Long])]]()
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.lmScoreStream(
+      stream.toDF().toDF("doc_id", "text"), modelPath,
+      (df, id) => got(id) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet)
+    try {
+      val b0 = Seq((1L, "the quick brown fox"), (2L, "zq wv"))
+      val b1 = Seq((3L, "the quick"), (4L, "x"))
+      stream.addData(b0: _*)
+      q.processAllAvailable()
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      def batchScores(docs: Seq[(Long, String)]) =
+        graft.operators.NgramLm.scoreWith(
+          spark.read.parquet(modelPath),
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(got(0L) == batchScores(b0), "batch 0 parity")
+      assert(got(1L) == batchScores(b1), "batch 1 parity")
+      assert(got(1L).exists { case (id, n, _) => id == 4L && n == 0L },
+        "a sub-2-token doc still surfaces, with 0 pairs")
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
