@@ -472,13 +472,21 @@ object Similarity {
     * comparable across engines (no array-format ambiguity), and
     * reassembled by [[kmeansCentroids]] for consumption by the ANN tiers.
     */
+  /** `convergeTol`: optional early stop — end the loop once no centroid
+    * component moved by more than this many micros in an iteration
+    * (`Some(0L)` = exact fixed point). Converged iterations are no-ops,
+    * so stopping early returns the identical model while skipping whole
+    * corpus passes; leave `None` when a FIXED iteration count must be
+    * replayed (the oracle contract of s9/s10).
+    */
   def kmeansTrain(
       base: DataFrame,
       id: Column,
       vec: Column,
       k: Int = 8,
       iters: Int = 2,
-      seedStride: Int = 50): DataFrame = {
+      seedStride: Int = 50,
+      convergeTol: Option[Long] = None): DataFrame = {
     require(k > 0 && iters > 0, s"k and iters must be positive, got k=$k iters=$iters")
     val spark = base.sparkSession
     import spark.implicits._
@@ -495,7 +503,8 @@ object Similarity {
     require(cents.length == k,
       s"kmeansTrain: seeds need ids {0, $seedStride, …, ${(k - 1) * seedStride}} " +
         s"in the base table; found ${cents.length} of $k")
-    (1 to iters).foreach { _ =>
+    var converged = false
+    (1 to iters).foreach { _ => if (!converged) {
       val c = cents.toSeq.toDF("c_id", "cv")
         .withColumn("cn2", dotNative(col("cv"), col("cv")))
       val scored = b.join(broadcast(c), col("c_id") =!= lit(-1))
@@ -530,12 +539,18 @@ object Similarity {
         .map { case (cid, p0, uval) => (cid, p0) -> uval }.toMap
       // empty-cluster rule: a centroid that captured nothing keeps its
       // previous position (sums has no rows for it)
-      cents = cents.map { case (cid, cv) =>
+      val next = cents.map { case (cid, cv) =>
         cid -> cv.zipWithIndex.map { case (pval, p0) =>
           sums.getOrElse((cid, p0), pval)
         }
       }
-    }
+      converged = convergeTol.exists { tol =>
+        cents.zip(next).forall { case ((_, a), (_, b)) =>
+          a.zip(b).forall { case (x, y) => math.abs(x - y) <= tol }
+        }
+      }
+      cents = next
+    }}
     cents.toSeq
       .flatMap { case (cid, cv) =>
         cv.zipWithIndex.map { case (v, p0) => (cid, (p0 + 1).toLong, v) }

@@ -89,6 +89,40 @@ class KmeansPropertiesSpec extends AnyFunSuite {
         "(a lazily-unrolled chain re-evaluates earlier iterations exponentially)")
   }
 
+  test("convergeTol stops at the fixed point with the identical model") {
+    // 3 tight clusters converge in <=2 iterations; 10 tol-gated
+    // iterations must return exactly the 2-iteration model, in fewer
+    // jobs than the 10 un-gated iterations would cost
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(-1.0f, -1.0f)), (5L, Array(-0.9f, -1.1f)))
+      .toDF("vec_id", "embedding")
+    def train(iters: Int, tol: Option[Long]) =
+      Similarity.kmeansTrain(vs, col("vec_id"), col("embedding"),
+        k = 3, iters = iters, seedStride = 2, convergeTol = tol)
+        .as[(Long, Long, Long)].collect().toSet
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (gated, gatedJobs, ungated, ungatedJobs) = try {
+      jobs.set(0)
+      val g = train(10, Some(0L))
+      org.apache.spark.graft.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      val gj = jobs.getAndSet(0)
+      val u = train(10, None)
+      org.apache.spark.graft.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      (g, gj, u, jobs.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(gated == train(2, None), "early stop returns the fixed-point model")
+    assert(gated == ungated, "converged iterations are no-ops")
+    assert(gatedJobs < ungatedJobs,
+      s"early stop must skip corpus passes: $gatedJobs vs $ungatedJobs jobs")
+  }
+
   // ---------------------------------------------------------------
   // bigramScore differential
   // ---------------------------------------------------------------
