@@ -479,6 +479,83 @@ object Similarity {
     * corpus passes; leave `None` when a FIXED iteration count must be
     * replayed (the oracle contract of s9/s10).
     */
+  /** Integer-micros projection of a float-vector column:
+    * `floor(x·10⁶ + 0.5)` per component (half-up via floor).
+    */
+  private def microsOf(vec: Column): Column =
+    transform(vec.cast("array<double>"),
+      x => floor(x * 1e6 + lit(0.5)).cast("long"))
+
+  /** The shared driver-iterated Lloyd loop over GROUPED point sets —
+    * `pts` is `(grp, pid, mv)` and every group trains its own centroid
+    * set simultaneously, so ONE job per iteration covers all groups
+    * ([[kmeansTrain]] is the single-group instance; [[pqTrainCodebook]]
+    * trains all `numSubspaces` codebooks in the same passes). Centroid
+    * keys are `(grp, c_id)`; the update/empty-cluster/convergence rules
+    * are documented on [[kmeansTrain]].
+    */
+  private def lloydLoop(
+      pts: DataFrame,
+      seeds: Array[((Int, Long), Array[Long])],
+      iters: Int,
+      convergeTol: Option[Long]): Array[((Int, Long), Array[Long])] = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val b = pts.withColumn("n2", dotNative(col("mv"), col("mv")))
+    var cents = seeds
+    var converged = false
+    (1 to iters).foreach { _ => if (!converged) {
+      val c = cents.toSeq.map { case ((g, cid), cv) => (g, cid, cv) }
+        .toDF("cgrp", "c_id", "cv")
+        .withColumn("cn2", dotNative(col("cv"), col("cv")))
+      val scored = b.join(broadcast(c), col("grp") === col("cgrp"))
+        .select(col("grp"), col("pid"), col("c_id"), col("mv"),
+          (col("n2") + col("cn2") - lit(2L) * dotNative(col("mv"), col("cv")))
+            .as("dist"))
+        // a ragged vector (dim ≠ centroid dim) dots to NULL, and NULL
+        // sorts FIRST in the argmin struct — it would silently win the
+        // assignment and pollute a centroid. Raise instead; the filter
+        // wrapper keeps the check un-prunable (assert_true returns NULL
+        // when it passes, so the filter keeps every surviving row).
+        .filter(assert_true(col("dist").isNotNull,
+          lit("kmeansTrain: ragged vector — its dimension does not match " +
+            "the centroids'; fix or filter the corpus")).isNull)
+      // min over (dist, c_id, mv): (dist, c_id) is unique per point, so
+      // mv never participates in the comparison — it just rides along,
+      // avoiding both a re-join against the base and a non-deterministic
+      // first(). posexplode_OUTER + a generated-column filter keeps
+      // InferFiltersFromGenerate from pushing `size(transform(...)) > 0`
+      // — micros conversion inlined — into a scan-side filter (§8.2's
+      // trap, swept by PlanSpec).
+      val sums = scored.groupBy(col("grp"), col("pid"))
+        .agg(min(struct(col("dist"), col("c_id"), col("mv"))).as("best"))
+        .select(col("grp"), col("best.c_id").as("c_id"), col("best.mv").as("mv"))
+        .select(col("grp"), col("c_id"),
+          posexplode_outer(col("mv")).as(Seq("p0", "val")))
+        .filter(col("val").isNotNull)
+        .groupBy(col("grp"), col("c_id"), col("p0"))
+        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+        .select(col("grp"), col("c_id"), col("p0"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("uval"))
+        .as[(Int, Long, Int, Long)].collect()
+        .map { case (g, cid, p0, uval) => (g, cid, p0) -> uval }.toMap
+      // empty-cluster rule: a centroid that captured nothing keeps its
+      // previous position (sums has no rows for it)
+      val next = cents.map { case (key @ (g, cid), cv) =>
+        key -> cv.zipWithIndex.map { case (pval, p0) =>
+          sums.getOrElse((g, cid, p0), pval)
+        }
+      }
+      converged = convergeTol.exists { tol =>
+        cents.zip(next).forall { case ((_, a), (_, b)) =>
+          a.zip(b).forall { case (x, y) => math.abs(x - y) <= tol }
+        }
+      }
+      cents = next
+    }}
+    cents
+  }
+
   def kmeansTrain(
       base: DataFrame,
       id: Column,
@@ -490,69 +567,19 @@ object Similarity {
     require(k > 0 && iters > 0, s"k and iters must be positive, got k=$k iters=$iters")
     val spark = base.sparkSession
     import spark.implicits._
-    val mv = transform(vec.cast("array<double>"),
-      x => floor(x * 1e6 + lit(0.5)).cast("long"))
-    val b = base.select(id.as("vec_id"), mv.as("mv"))
-      .withColumn("n2", dotNative(col("mv"), col("mv")))
+    val pts = base.select(lit(0).as("grp"), id.as("pid"), microsOf(vec).as("mv"))
     // seeds: one config-sized collect (the init of the model artifact)
-    var cents: Array[(Long, Array[Long])] = b
-      .filter(col("vec_id") % seedStride === 0 &&
-        expr(s"vec_id div $seedStride") < k)
-      .select(expr(s"vec_id div $seedStride").as("c_id"), col("mv").as("cv"))
+    val seeds: Array[((Int, Long), Array[Long])] = pts
+      .filter(col("pid") % seedStride === 0 &&
+        expr(s"pid div $seedStride") < k)
+      .select(expr(s"pid div $seedStride").as("c_id"), col("mv").as("cv"))
       .as[(Long, Array[Long])].collect().sortBy(_._1)
-    require(cents.length == k,
+      .map { case (cid, cv) => (0, cid) -> cv }
+    require(seeds.length == k,
       s"kmeansTrain: seeds need ids {0, $seedStride, …, ${(k - 1) * seedStride}} " +
-        s"in the base table; found ${cents.length} of $k")
-    var converged = false
-    (1 to iters).foreach { _ => if (!converged) {
-      val c = cents.toSeq.toDF("c_id", "cv")
-        .withColumn("cn2", dotNative(col("cv"), col("cv")))
-      val scored = b.join(broadcast(c), col("c_id") =!= lit(-1))
-        .select(col("vec_id"), col("c_id"), col("mv"),
-          (col("n2") + col("cn2") - lit(2L) * dotNative(col("mv"), col("cv")))
-            .as("dist"))
-        // a ragged vector (dim ≠ centroid dim) dots to NULL, and NULL
-        // sorts FIRST in the argmin struct — it would silently win the
-        // assignment and pollute a centroid. Raise instead; the filter
-        // wrapper keeps the check un-prunable (assert_true returns NULL
-        // when it passes, so the filter keeps every surviving row).
-        .filter(assert_true(col("dist").isNotNull,
-          lit("kmeansTrain: ragged vector — its dimension does not match " +
-            "the centroids'; fix or filter the corpus")).isNull)
-      // min over (dist, c_id, mv): (dist, c_id) is unique per vector, so
-      // mv never participates in the comparison — it just rides along,
-      // avoiding both a re-join against the base and a non-deterministic
-      // first(). posexplode_OUTER + a generated-column filter keeps
-      // InferFiltersFromGenerate from pushing `size(transform(...)) > 0`
-      // — micros conversion inlined — into a scan-side filter (§8.2's
-      // trap, swept by PlanSpec).
-      val sums = scored.groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("c_id"), col("mv"))).as("best"))
-        .select(col("best.c_id").as("c_id"), col("best.mv").as("mv"))
-        .select(col("c_id"), posexplode_outer(col("mv")).as(Seq("p0", "val")))
-        .filter(col("val").isNotNull)
-        .groupBy(col("c_id"), col("p0"))
-        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
-        .select(col("c_id"), col("p0"),
-          floor(col("s").cast("double") / col("n")).cast("long").as("uval"))
-        .as[(Long, Int, Long)].collect()
-        .map { case (cid, p0, uval) => (cid, p0) -> uval }.toMap
-      // empty-cluster rule: a centroid that captured nothing keeps its
-      // previous position (sums has no rows for it)
-      val next = cents.map { case (cid, cv) =>
-        cid -> cv.zipWithIndex.map { case (pval, p0) =>
-          sums.getOrElse((cid, p0), pval)
-        }
-      }
-      converged = convergeTol.exists { tol =>
-        cents.zip(next).forall { case ((_, a), (_, b)) =>
-          a.zip(b).forall { case (x, y) => math.abs(x - y) <= tol }
-        }
-      }
-      cents = next
-    }}
-    cents.toSeq
-      .flatMap { case (cid, cv) =>
+        s"in the base table; found ${seeds.length} of $k")
+    lloydLoop(pts, seeds, iters, convergeTol).toSeq
+      .flatMap { case ((_, cid), cv) =>
         cv.zipWithIndex.map { case (v, p0) => (cid, (p0 + 1).toLong, v) }
       }
       .toDF("c_id", "pos", "val")
@@ -571,13 +598,14 @@ object Similarity {
       .select(col("c_id"),
         transform(col("pv"), p => p.getField("val").cast("double") / 1e6).as("cv"))
 
-  /** Trained PQ codebook: per-subspace Lloyd k-means ([[kmeansTrain]] on
-    * each subDim slice of the corpus) — the `numSubspaces × numCodes ×
-    * subDim` matrix [[pqTopK]] consumes via its `codebook` parameter,
-    * replacing the stride-sliced default exactly as Jégou et al. train
-    * theirs. `numSubspaces` training passes over the corpus, one model
-    * artifact out; components land on the micros grid (1e-6), which is
-    * where the ADC estimates live anyway.
+  /** Trained PQ codebook: per-subspace Lloyd k-means — the
+    * `numSubspaces × numCodes × subDim` matrix [[pqTopK]] consumes via
+    * its `codebook` parameter, replacing the stride-sliced default
+    * exactly as Jégou et al. train theirs. All subspaces train in the
+    * SAME [[lloydLoop]] passes (each vector explodes to `numSubspaces`
+    * grouped slice-points), so the whole codebook costs one corpus scan
+    * per iteration — not `numSubspaces` of them. Components land on the
+    * micros grid (1e-6), which is where the ADC estimates live anyway.
     */
   def pqTrainCodebook(
       base: DataFrame,
@@ -586,23 +614,34 @@ object Similarity {
       numSubspaces: Int = 8,
       numCodes: Int = 16,
       iters: Int = 2,
-      seedStride: Int = 16): Array[Array[Array[Double]]] = {
+      seedStride: Int = 16,
+      convergeTol: Option[Long] = None): Array[Array[Array[Double]]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val dim = base.select(vec.cast("array<double>").as("v"))
       .head.getSeq[Double](0).length
     require(dim % numSubspaces == 0,
       s"pqTrainCodebook: dim $dim not divisible by numSubspaces=$numSubspaces")
     val subDim = dim / numSubspaces
-    (0 until numSubspaces).toArray.map { s =>
-      val sub = base.select(id.as("sub_id"),
-        slice(vec.cast("array<double>"), s * subDim + 1, subDim).as("sv"))
-      val cents = kmeansTrain(sub, col("sub_id"), col("sv"),
-        k = numCodes, iters = iters, seedStride = seedStride)
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getLong(1)).map(_.getLong(2) / 1e6)
-        }
-      Array.tabulate(numCodes)(j => cents(j.toLong))
-    }
+    val slices = array((0 until numSubspaces)
+      .map(s => slice(microsOf(vec), s * subDim + 1, subDim)): _*)
+    val pts = base.select(id.as("pid"),
+        posexplode_outer(slices).as(Seq("grp", "mv")))
+      .filter(col("mv").isNotNull)
+      .select(col("grp"), col("pid"), col("mv"))
+    val seeds: Array[((Int, Long), Array[Long])] = pts
+      .filter(col("pid") % seedStride === 0 &&
+        expr(s"pid div $seedStride") < numCodes)
+      .select(col("grp"), expr(s"pid div $seedStride").as("c_id"), col("mv"))
+      .as[(Int, Long, Array[Long])].collect()
+      .sortBy(r => (r._1, r._2))
+      .map { case (g, cid, cv) => (g, cid) -> cv }
+    require(seeds.length == numSubspaces * numCodes,
+      s"pqTrainCodebook: seeds need ids {0, $seedStride, …, " +
+        s"${(numCodes - 1) * seedStride}} in the base table; found " +
+        s"${seeds.length} of ${numSubspaces * numCodes} (subspace, code) seeds")
+    val cents = lloydLoop(pts, seeds, iters, convergeTol).toMap
+    Array.tabulate(numSubspaces)(s =>
+      Array.tabulate(numCodes)(j => cents((s, j.toLong)).map(_ / 1e6)))
   }
 }

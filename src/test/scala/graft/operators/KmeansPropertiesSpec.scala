@@ -89,6 +89,32 @@ class KmeansPropertiesSpec extends AnyFunSuite {
         "(a lazily-unrolled chain re-evaluates earlier iterations exponentially)")
   }
 
+  test("PQ codebook training cost does not scale with the subspace count") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def jobsFor(m: Int): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        val cb = Similarity.pqTrainCodebook(emb, col("vec_id"), col("embedding"),
+          numSubspaces = m, numCodes = 4, iters = 2, seedStride = 4)
+        assert(cb.length == m && cb.forall(_.length == 4))
+        org.apache.spark.graft.ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val j2 = jobsFor(2)
+    val j8 = jobsFor(8)
+    assert(j8 == j2,
+      s"all subspaces must train in the SAME passes: $j2 jobs at m=2 vs $j8 at m=8")
+  }
+
   test("convergeTol stops at the fixed point with the identical model") {
     // 3 tight clusters converge in <=2 iterations; 10 tol-gated
     // iterations must return exactly the 2-iteration model, in fewer
