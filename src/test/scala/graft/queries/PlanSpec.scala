@@ -352,6 +352,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), "chunk ids come from one explode")
   }
 
+  test("t10: LM scoring joins pairs against corpus-bounded model tables — no cartesian, scalar vocab broadcast") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("t10_lm_score")
+    assert(!plan.contains("CartesianProduct"),
+      "the V scalar must broadcast, never cross-join the pair stream:\n" + plan.take(600))
+    // the vocab scalar rides in via a broadcast nested-loop of ONE row
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "expected a broadcast for the single-row vocab frame")
+    // both model probes are plain equi-joins (shuffled or broadcast —
+    // AQE's call), never a nested loop over the model
+    val bnlCount = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlCount == 1,
+      s"only the 1-row vocab scalar may be a nested-loop broadcast, found $bnlCount")
+  }
+
   test("ALL queries: no tokenize/shingle/sequence expression in a scan-side filter") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     // InferFiltersFromGenerate (explode → size(e) > 0) and constraint
