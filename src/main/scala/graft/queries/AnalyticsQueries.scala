@@ -124,6 +124,116 @@ object AnalyticsQueries {
         count(lit(1)).as("n_items"))
   }
 
+  // pivot: grouped counts rotated into columns. Explicit pivot values →
+  // Catalyst plans ONE aggregation (no values-discovery job, the trap of
+  // the value-less overload); empty cells coalesced to 0 to match SQL
+  // conditional-count semantics
+  private val q11: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  // TPC-H Q12-style conditional aggregation over a join: one pass over the
+  // joined rows computes both branch counts (no per-branch scans); the
+  // fact table shuffles once on the join key, partial aggs combine
+  // map-side
+  private val q12: Q = (s, dir) =>
+    t(s, dir, "lineitem").select("l_orderkey", "l_returnflag")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+
+  // TPC-H Q14-style conditional-aggregate ratio (promo revenue share):
+  // numerator and denominator in the SAME grouped pass — the naive
+  // two-query formulation would scan the join twice. Exact decimal sums;
+  // the final division is double-on-identical-operands, rounded to 6
+  private val q14: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", revenueTerm))
+          .cast("double") / sum(revenueTerm).cast("double"), 6).as("promo_pct"),
+        count(lit(1)).as("n_items"))
+
+  // TPC-H Q18-style: aggregate-as-join-input with HAVING — the grouped
+  // sum runs BEFORE the joins, so only qualifying orderkeys (a tiny set)
+  // reach the join; AQE sees the post-filter size and broadcasts it
+  private val q18: Q = (s, dir) => {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+  }
+
+  // TPC-H Q19-style disjunctive join predicate: OR-of-ANDs mixing both
+  // sides. Catalyst extracts the common p_partkey equi-join and pushes
+  // the CNF-convertible per-side conjuncts into each scan, so the OR
+  // does not force a nested-loop join
+  private val q19: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+      .agg(sum(revenueTerm).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  // TPC-H Q22-style: uncorrelated scalar-average subquery + correlated
+  // NOT EXISTS in one query — Catalyst plans the scalar as a one-row
+  // broadcast and the NOT EXISTS as an anti-join. The average is
+  // exact-decimal sum / count (identical double in both engines), never
+  // a shuffle-order-dependent double avg
+  private val q22: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer_v
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |                          / COUNT(*)
+        |                   FROM customer_v WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  // window: lag/lead navigation (the offset shape w1-w3's rank/frame
+  // windows don't cover) — previous order's price and next order's key
+  // per customer, deterministic via the unique-key tiebreak
+  private val w4: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_orderkey", lead(col("o_orderkey"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("prev_price"), col("next_orderkey"))
+  }
+
   // bloom-prefiltered dimension join: the filtered part slice's key SET
   // rides to the fact scan as a few KB of codegen'd bloom bits, so
   // lineitem is cut to ~matching rows BEFORE the join shuffle; the exact
@@ -319,6 +429,13 @@ object AnalyticsQueries {
     "q7_nation_flow" -> q7,
     "q8_bloom_join" -> q8,
     "q10_returned_top" -> q10,
+    "q11_pivot" -> q11,
+    "q12_priority_mix" -> q12,
+    "q14_promo_ratio" -> q14,
+    "q18_large_orders" -> q18,
+    "q19_disjunctive" -> q19,
+    "q22_idle_rich" -> q22,
+    "w4_lag_lead" -> w4,
     "a1_percentiles" -> a1,
     "a4_quantile_sketch" -> a4,
     "a2_profile" -> a2,
@@ -427,6 +544,66 @@ object AnalyticsQueries {
          |GROUP BY c_custkey, c_name, c_acctbal
          |ORDER BY revenue DESC, c_custkey ASC
          |LIMIT 20""".stripMargin,
+    "q11_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q12_priority_mix" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
+    "q14_promo_ratio" ->
+      s"""SELECT l_returnflag,
+         |  round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |                               THEN $revenueTermSql END) AS DOUBLE)
+         |        / CAST(SUM($revenueTermSql) AS DOUBLE), 6) AS promo_pct,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY l_returnflag""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT CAST(SUM($revenueTermSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_rich" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |                          / COUNT(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "w4_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_orderkey, 1) OVER w AS next_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
     "w3_moving_avg" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE) AS msum,

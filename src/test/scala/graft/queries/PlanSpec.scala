@@ -398,6 +398,71 @@ class PlanSpec extends AnyFunSuite {
       s"expensive expression leaked into a scan-side filter:\n${offenders.mkString("\n")}")
   }
 
+  test("q11: explicit pivot values — no values-discovery job, map-side partial count") {
+    assume(new java.io.File(s"$dir/orders.parquet").exists())
+    val plan = planOf("q11_pivot")
+    // the value-less pivot overload would run an eager distinct job to
+    // discover column values before planning; the explicit-values form
+    // compiles straight to pivotfirst over a pre-aggregated count
+    assert(plan.contains("pivotfirst"), plan.take(600))
+    assert(plan.contains("partial_count"), "count must combine map-side")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      "pivot = grouped count + pivotfirst regroup, exactly 2 exchanges")
+  }
+
+  test("q12/q14: conditional aggregation — both branches in ONE grouped pass") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val p12 = planOf("q12_priority_mix")
+    assert(p12.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "one shuffle for the groupBy; branch sums must not add passes")
+    assert(p12.contains("partial_sum(CASE WHEN"), p12.take(600))
+    val p14 = planOf("q14_promo_ratio")
+    assert(p14.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "numerator and denominator share the single grouped pass")
+    assert(p14.contains("BroadcastHashJoin"), "part dimension must broadcast")
+  }
+
+  test("q18: HAVING aggregate runs BEFORE the joins (tiny qualifying set joins)") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val lines = planOf("q18_large_orders").linesIterator.toSeq
+    val aggLine = lines.indexWhere(l => l.contains("HashAggregate") && l.contains("sum_qty"))
+    val filterLine = lines.indexWhere(l => l.contains("Filter") && l.contains("> 300"))
+    val joinLine = lines.indexWhere(_.contains("Join"))
+    assert(aggLine >= 0 && filterLine >= 0, lines.mkString("\n").take(800))
+    assert(filterLine < aggLine, "HAVING filter must sit directly above the agg")
+    assert(joinLine < filterLine, "joins consume the filtered agg, not raw lineitem")
+    // the agg's lineitem scan must be pruned to the 2 needed columns
+    val scan = lines.find(l => l.contains("FileScan") && l.contains("lineitem")).get
+    assert(scan.contains("struct<l_orderkey:bigint,l_quantity:double>"), scan.take(300))
+  }
+
+  test("q19: disjunctive join predicate — CNF conjuncts pushed into BOTH scans, no NLJ") {
+    assume(new java.io.File(s"$dir/part.parquet").exists())
+    val plan = planOf("q19_disjunctive")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      "the OR must not defeat the equi-join extraction")
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.forall(_.contains("Or(")),
+      s"per-side OR conjuncts must reach both parquet scans:\n${scans.mkString("\n").take(600)}")
+  }
+
+  test("q22: scalar-average subquery is pushed into the customer scan as a dynamic filter") {
+    assume(new java.io.File(s"$dir/customer.parquet").exists())
+    val plan = planOf("q22_idle_rich")
+    assert(plan.contains("GreaterThan(c_acctbal,ScalarSubquery"),
+      s"threshold must reach PushedFilters:\n${plan.take(800)}")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must plan as an anti-join")
+  }
+
+  test("w4: lag and lead share ONE Window exec and one shuffle") {
+    assume(new java.io.File(s"$dir/orders.parquet").exists())
+    val plan = planOf("w4_lag_lead")
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Window")) +
+      plan.linesIterator.count(_.trim.startsWith("Window")) == 1,
+      s"both offset functions must evaluate in a single Window pass:\n${plan.take(600)}")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+  }
+
   test("s8: recall eval joins two rank-truncated frames — no corpus-wide agg of its own") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val plan = planOf("s8_recall_eval")
