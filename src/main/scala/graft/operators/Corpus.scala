@@ -52,6 +52,12 @@ object Corpus {
   val QuotaMult = 22695477L
   val QuotaInc = 1L
 
+  /** Borland LCG constants — weighted-sampling uniform draw (its own
+    * family so weighted picks are independent of every other decision)
+    */
+  val WeightMult = 134775813L
+  val WeightInc = 1L
+
   /** Knuth multiplicative constant (shared with [[SplitMult]]) and epoch
     * stride for the epoch-shuffle hash.
     */
@@ -199,6 +205,41 @@ object Corpus {
       .withColumn("_q_rn", row_number().over(w))
       .filter(col("_q_rn") <= cap)
       .drop("_q_stratum", "_q_id", "_q_ord", "_q_rn")
+  }
+
+  /** Deterministic weighted sampling without replacement, cap rows per
+    * stratum (Efraimidis–Spirakis A-ES): each row draws a reproducible
+    * uniform u ∈ (0,1] from its id hash and the cap highest u^(1/w) win,
+    * so inclusion probability tracks the weight — the quality- or
+    * length-proportional subsample a mixture builder wants, without the
+    * bias of take-highest-weight and without RNG state. Ranking uses the
+    * monotone-equivalent ln(u)/w (w > 0 ⟹ same order as u^(1/w)), which
+    * keeps one transcendental per row and replays exactly in the oracle.
+    * Non-positive weights raise rather than silently sort last.
+    *
+    * Shape: identical to [[quotaSample]] — one shuffle on the stratum
+    * key + a per-partition rank; same hot-stratum caveat, same
+    * composability with the rate-based pre-cuts.
+    */
+  def weightedSample(df: DataFrame, id: Column, strata: Column,
+      weight: Column, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_w_stratum"))
+      .orderBy(col("_w_key").desc, col("_w_id").asc)
+    val wt = when(weight.cast("double") > 0.0, weight.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedSample: non-positive weight "), weight.cast("string"),
+        lit(" for id "), id.cast("string"))))
+    df.withColumn("_w_stratum", strata)
+      .withColumn("_w_id", id.cast("long"))
+      .withColumn("_w_u",
+        ((idHash(id, WeightMult, WeightInc) % 4294967296L) + 1L)
+          .cast("double") / 4294967296.0)
+      .withColumn("_w_key", log(col("_w_u")) / wt)
+      .withColumn("_w_rn", row_number().over(w))
+      .filter(col("_w_rn") <= cap)
+      .drop("_w_stratum", "_w_id", "_w_u", "_w_key", "_w_rn")
   }
 
   /** Corpus-frequency commonness profile per document — the cheap

@@ -88,6 +88,14 @@ object CorpusQueries {
     Corpus.quotaSample(t(s, dir, "documents"), col("doc_id"), col("source"), cap = 30)
       .select(col("doc_id"), col("source"))
 
+  // length-weighted A-ES sample, 10 docs per source: inclusion probability
+  // tracks n_chars, so the picked subset skews long without becoming a
+  // deterministic take-longest
+  private val c13: Q = (s, dir) =>
+    Corpus.weightedSample(t(s, dir, "documents"), col("doc_id"), col("source"),
+      col("n_chars"), cap = 10)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
   // end-to-end curation capstone: quality gate → near-dup dedup (clusters
   // computed on the GATED corpus — a different cluster set than d7's) →
   // leak-proof split, composed into ONE declarative plan from the same
@@ -152,6 +160,7 @@ object CorpusQueries {
     "c6_domain_mix" -> c6,
     "c7_epoch_order" -> c7,
     "c8_quota_sample" -> c8,
+    "c13_weighted_sample" -> c13,
     "c9_curation_pipeline" -> c9,
     "d9_keep_best" -> d9)
 
@@ -334,6 +343,21 @@ object CorpusQueries {
          |    row_number() OVER (PARTITION BY source ORDER BY ord ASC, doc_id ASC) AS rn
          |  FROM h)
          |SELECT doc_id, source FROM r WHERE rn <= 30""".stripMargin,
+    // the uniform draw and the ln(u)/w ranking key replay the Spark
+    // expression exactly (same hash family, same doubles)
+    "c13_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ln(CAST((((doc_id % ${Corpus.IdMod}) * ${Corpus.WeightMult}
+         |              + ${Corpus.WeightInc}) % 4294967296) + 1 AS DOUBLE)
+         |       / 4294967296.0) / CAST(n_chars AS DOUBLE) AS key
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY key DESC, doc_id ASC) AS rn
+         |  FROM h)
+         |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10""".stripMargin,
     "d9_keep_best" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()},
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v),

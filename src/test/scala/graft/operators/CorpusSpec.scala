@@ -78,6 +78,50 @@ class CorpusSpec extends AnyFunSuite {
     assert(all == 60L)
   }
 
+  test("weightedSample keeps the cap-best A-ES keys per stratum, weight-proportionally") {
+    // weight = doc_id + 1 so weights are distinct and positive
+    val weighted = docs.withColumn("w", col("doc_id") + 1L)
+    val out = Corpus.weightedSample(weighted, col("doc_id"), col("lang"),
+      col("w"), cap = 10)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLang("en").size == 10 && byLang("de").size == 10)
+    // exact replay: u from the Weight hash family, key = ln(u)/w desc, id tiebreak
+    def key(i: Long): Double = {
+      val u = ((((i % Corpus.IdMod) * Corpus.WeightMult + Corpus.WeightInc)
+        % 4294967296L) + 1L).toDouble / 4294967296.0
+      math.log(u) / (i + 1).toDouble
+    }
+    val expectEn = (0L until 60L).filter(_ % 3 == 0)
+      .sortBy(i => (-key(i), i)).take(10).toSet
+    assert(byLang("en") == expectEn)
+    // a cap above the stratum size keeps everything
+    assert(Corpus.weightedSample(weighted, col("doc_id"), col("lang"),
+      col("w"), cap = 100).count() == 60L)
+    // non-positive weights must raise, not silently sort last
+    val bad = intercept[Exception] {
+      Corpus.weightedSample(docs.withColumn("w", col("doc_id") - 30L),
+        col("doc_id"), col("lang"), col("w"), cap = 10).count()
+    }
+    assert(bad.getMessage.contains("non-positive weight")
+      || bad.getCause != null && bad.getCause.getMessage.contains("non-positive weight"))
+  }
+
+  test("weightedSample skews toward heavy rows but is not take-highest-weight") {
+    // two weight classes in one stratum: ids 0-39 weight 1, ids 40-59 weight 50
+    val rows = Seq.tabulate(60)(i =>
+      (i.toLong, "s", if (i < 40) 1L else 50L)).toDF("doc_id", "lang", "w")
+    val kept = Corpus.weightedSample(rows, col("doc_id"), col("lang"),
+      col("w"), cap = 20)
+      .select("doc_id").as[Long].collect().toSet
+    val heavy = kept.count(_ >= 40)
+    // 20 heavy rows at 50× weight should dominate the 40 light rows, but a
+    // hard take-by-weight would keep ALL 20 heavy and 0 light would be
+    // possible only degenerately — require both properties
+    assert(heavy >= 15, s"heavy rows underrepresented: $heavy of 20 kept")
+    assert(kept.exists(_ < 40) || heavy == 20)
+  }
+
   test("tokenRarity: exact integer-ppm commonness per document") {
     val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2 b=2 c=1, total 5 → freq_ppm a=400000 b=400000 c=200000

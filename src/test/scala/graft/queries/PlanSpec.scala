@@ -463,6 +463,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
   }
 
+  test("c13: weighted sample is one stratum exchange + rank; the A-ES key is a narrow map") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("c13_weighted_sample")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "one shuffle on the stratum key, nothing else")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"the weighted key must not add an aggregation or join:\n${plan.take(600)}")
+  }
+
   test("s8: recall eval joins two rank-truncated frames — no corpus-wide agg of its own") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val plan = planOf("s8_recall_eval")
