@@ -265,6 +265,49 @@ object EventStreams {
       .drop("_gb")
   }
 
+  /** Two-stream attribution join on (user, time range) — the native
+    * watermarked stream-stream join over two DISTINCT input streams
+    * (intervalStream joins branches of one stream; this is the
+    * clicks-topic ⋈ purchases-topic shape). A purchase attributes to
+    * every click by the same user in the `windowSeconds` before it.
+    *
+    * The time-range conjunct is what bounds the buffered state: with
+    * only the user-key equality Spark would retain both sides forever;
+    * the range plus both watermarks lets it evict rows the watermark
+    * has passed. `left_outer` additionally emits unmatched clicks with
+    * null purchase columns — but only once the watermark proves no
+    * matching purchase can still arrive, so outer results trail the
+    * inner ones by the watermark delay (batch runs of the same function
+    * emit them immediately; the ROWS agree, not the timing).
+    *
+    * @return (click_id, user_id, click_ts, purchase_id, purchase_ts)
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowSeconds: Long,
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"stream-stream attribution supports inner/left_outer, got $joinType")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") +
+          expr(s"INTERVAL $windowSeconds SECOND"),
+      joinType)
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   private def updateAsOf(
       user: Long,
       batch: Iterator[(Long, java.sql.Timestamp, Long, Double, Boolean)],

@@ -286,6 +286,80 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributionJoin: two-stream inner join matches the batch run under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    // user 1: click@10 → purchase@25 (in 30-min window) and purchase@50
+    //   (outside); click@45 → purchase@50 (in window)
+    // user 2: click@12, purchase@55 (outside its window) → no attribution
+    val clickRows = Seq(
+      Event(10, ts(10), 1, "click", 0.0),
+      Event(11, ts(45), 1, "click", 0.0),
+      Event(12, ts(12), 2, "click", 0.0))
+    val purchaseRows = Seq(
+      Event(20, ts(25), 1, "purchase", 0.0),
+      Event(21, ts(50), 1, "purchase", 0.0),
+      Event(22, ts(55), 2, "purchase", 0.0))
+    val out = EventStreams.attributionJoin(
+      clicks.toDF(), purchases.toDF(), windowSeconds = 1800)
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // purchases arrive BEFORE their clicks; one click arrives late
+      purchases.addData(purchaseRows(0), purchaseRows(2))
+      clicks.addData(clickRows(0), clickRows(2))
+      q.processAllAvailable()
+      purchases.addData(purchaseRows(1))
+      clicks.addData(clickRows(1)) // late click@45
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      // batch truth: the same function over static frames
+      val want = EventStreams.attributionJoin(
+        clickRows.toDF(), purchaseRows.toDF(), windowSeconds = 1800)
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"stream=$got batch=$want")
+      assert(got == Set((10L, 20L), (11L, 21L)),
+        "window edges: purchase within [click, click+30min) attributes")
+    } finally q.stop()
+  }
+
+  test("attributionJoin left_outer: unmatched clicks emit null purchase only after the watermark seals them") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val out = EventStreams.attributionJoin(
+      clicks.toDF(), purchases.toDF(), windowSeconds = 1800,
+      watermarkDelay = "10 minutes", joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(10, ts(10), 1, "click", 0.0))   // will stay unmatched
+      clicks.addData(Event(11, ts(20), 2, "click", 0.0))   // will match
+      purchases.addData(Event(20, ts(30), 2, "purchase", 0.0))
+      q.processAllAvailable()
+      val early = spark.table("attr_outer")
+        .select("click_id", "purchase_id").as[(Long, Option[Long])].collect().toSet
+      assert(early == Set((11L, Some(20L))),
+        s"unmatched click must NOT emit before its window is sealed: $early")
+      // advance both watermarks far past click@10's window + delay —
+      // the join state for it can no longer match, so the outer row emits
+      clicks.addData(Event(12, ts(600), 3, "click", 0.0))
+      purchases.addData(Event(21, ts(600), 3, "purchase", 0.0))
+      q.processAllAvailable()
+      // one more batch: outer emission happens when the NEXT batch runs
+      // after the watermark update (micro-batch watermark semantics)
+      clicks.addData(Event(13, ts(660), 4, "click", 0.0))
+      purchases.addData(Event(22, ts(660), 4, "purchase", 0.0))
+      q.processAllAvailable()
+      val late = spark.table("attr_outer")
+        .select("click_id", "purchase_id").as[(Long, Option[Long])].collect().toSet
+      assert(late.contains((10L, None)),
+        s"sealed unmatched click must emit with null purchase: $late")
+    } finally q.stop()
+  }
+
   test("ingestDedupStream: per-batch dedup vs a growing persisted store") {
     implicit val sqlCtx = spark.sqlContext
     val storeDir = java.nio.file.Files.createTempDirectory("graft_ingest").toFile
