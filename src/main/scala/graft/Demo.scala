@@ -98,6 +98,13 @@ object Demo {
       docs.filter(col("doc_id") % 10 === 0), col("text"))
     val lmRange = lm.agg(min(col("lm_ppm")), max(col("lm_ppm"))).collect()(0)
     println(s"[demo] bigram-LM score range over the corpus: ${lmRange.getLong(0)}–${lmRange.getLong(1)} ppm")
+    // train a subword vocabulary on the corpus, encode it, report fertility
+    val bpeMerges = graft.operators.Bpe.train(docs, col("text"), numMerges = 20)
+    val fertility = graft.operators.Bpe.encode(docs, col("doc_id"), col("text"), bpeMerges)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    println(s"[demo] BPE: ${bpeMerges.length} merges " +
+      s"(first: ${bpeMerges.take(3).map(m => m.left + "+" + m.right).mkString(", ")}); " +
+      s"$fertility subword tokens over the corpus")
 
     // error paths a user would hit:
     def expectError(label: String)(f: => Any): Unit =
