@@ -147,6 +147,34 @@ class CorpusPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample: subset, per-stratum cap, and cap-monotone prefix (random corpora)") {
+    (1 to 15).foreach { i =>
+      val corpus = sample(i.toLong).map { case (id, k) => (id, 1L + k.toLong) }
+      if (corpus.nonEmpty) {
+        val df = corpus.map { case (id, w) =>
+          (id, if (id % 2 == 0) "a" else "b", w)
+        }.toDF("doc_id", "stratum", "w")
+        val cap = 1 + i % 7
+        def keptAt(c: Int): Set[Long] =
+          Corpus.weightedSample(df, col("doc_id"), col("stratum"), col("w"), c)
+            .select("doc_id").as[Long].collect().toSet
+        val kept = keptAt(cap)
+        val ids = corpus.map(_._1).toSet
+        assert(kept.subsetOf(ids), s"case $i: sampled ids must come from the corpus")
+        val byStratum = corpus.groupBy { case (id, _) => id % 2 == 0 }
+        byStratum.foreach { case (even, members) =>
+          val inStratum = kept.count(id => (id % 2 == 0) == even)
+          assert(inStratum == math.min(cap, members.size),
+            s"case $i: stratum must keep exactly min(cap, size)")
+        }
+        // raising the cap only ADDS rows (the A-ES ranking is a fixed
+        // total order per stratum; cap is a prefix length)
+        assert(kept.subsetOf(keptAt(cap + 3)),
+          s"case $i: cap must be prefix-monotone")
+      }
+    }
+  }
+
   test("chunkTokens: coverage, bounds, and overlap reconstruction (random corpora)") {
     val docGen: Gen[List[(Long, Int)]] = Gen.choose(1, 15).flatMap { n =>
       Gen.listOfN(n, for {
