@@ -242,6 +242,34 @@ object Corpus {
       .drop("_w_stratum", "_w_id", "_w_u", "_w_key", "_w_rn")
   }
 
+  /** Diff two corpus snapshots by document fingerprint — the incremental-
+    * ingestion bookkeeping query: which documents appeared, vanished, or
+    * changed content between yesterday's snapshot and today's. One
+    * full-outer equi-join on the id (snapshots stored id-partitioned or
+    * bucketed make this a co-located merge with no shuffle); the
+    * fingerprint column is whatever cheap content hash the pipeline
+    * already computes (e.g. `TextFunctions.polyHash(text)`), so the diff
+    * never compares full document bodies.
+    *
+    * @return (doc_id, status) with status ∈ added | removed | changed |
+    *         unchanged
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      id: Column,
+      fingerprint: Column): DataFrame = {
+    val o = oldSnap.select(id.cast("long").as("_o_id"), fingerprint.as("_o_fp"))
+    val n = newSnap.select(id.cast("long").as("_n_id"), fingerprint.as("_n_fp"))
+    o.join(n, col("_o_id") === col("_n_id"), "full")
+      .select(
+        coalesce(col("_n_id"), col("_o_id")).as("doc_id"),
+        when(col("_o_id").isNull, lit("added"))
+          .when(col("_n_id").isNull, lit("removed"))
+          .when(col("_o_fp") =!= col("_n_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Corpus-frequency commonness profile per document — the cheap
     * unigram-LM stand-in for perplexity filtering: a document made of the
     * corpus' most frequent tokens scores high `mean_freq_ppm`

@@ -96,6 +96,21 @@ object CorpusQueries {
       col("n_chars"), cap = 10)
       .select(col("doc_id"), col("source"), col("n_chars"))
 
+  // snapshot diff: yesterday's corpus (sans the %11 ids) vs today's (sans
+  // the %7 ids, %13 texts edited) — added/removed/changed by fingerprint,
+  // never by body compare
+  private val d14: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.filter(col("doc_id") % 11 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    Corpus.snapshotDiff(oldSnap, newSnap, col("doc_id"),
+      TextFunctions.polyHash(col("text")))
+      .filter(col("status") =!= "unchanged")
+  }
+
   // end-to-end curation capstone: quality gate → near-dup dedup (clusters
   // computed on the GATED corpus — a different cluster set than d7's) →
   // leak-proof split, composed into ONE declarative plan from the same
@@ -161,6 +176,7 @@ object CorpusQueries {
     "c7_epoch_order" -> c7,
     "c8_quota_sample" -> c8,
     "c13_weighted_sample" -> c13,
+    "d14_snapshot_diff" -> d14,
     "c9_curation_pipeline" -> c9,
     "d9_keep_best" -> d9)
 
@@ -358,6 +374,26 @@ object CorpusQueries {
          |                       ORDER BY key DESC, doc_id ASC) AS rn
          |  FROM h)
          |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10""".stripMargin,
+    // fingerprints replayed via the shared polyhash CTE; the edited texts
+    // are re-hashed exactly as the Spark side edits them
+    "d14_snapshot_diff" ->
+      s"""WITH oldsnap AS (
+         |  SELECT doc_id, ${sqlPolyHash("text")} AS fp
+         |  FROM documents WHERE doc_id % 11 <> 0),
+         |newdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |newsnap AS (
+         |  SELECT doc_id, ${sqlPolyHash("text")} AS fp FROM newdocs),
+         |j AS (
+         |  SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN o.fp <> n.fp THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM oldsnap o FULL JOIN newsnap n ON o.doc_id = n.doc_id)
+         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
     "d9_keep_best" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()},
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v),

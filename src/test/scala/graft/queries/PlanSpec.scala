@@ -472,6 +472,16 @@ class PlanSpec extends AnyFunSuite {
       s"the weighted key must not add an aggregation or join:\n${plan.take(600)}")
   }
 
+  test("d14: snapshot diff is ONE full-outer merge on the id — fingerprints computed in the scans") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("d14_snapshot_diff")
+    assert(plan.contains("FullOuter"), plan.take(600))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      "both snapshots shuffle once on the id; nothing else")
+    assert(!plan.contains("HashAggregate"),
+      "the diff is a join + projection, never an aggregation")
+  }
+
   test("s8: recall eval joins two rank-truncated frames — no corpus-wide agg of its own") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val plan = planOf("s8_recall_eval")
