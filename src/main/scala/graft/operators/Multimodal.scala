@@ -72,6 +72,70 @@ object Multimodal {
     }
   }
 
+  /** A resized payload: bytes transformed in place, dims updated. */
+  case class ResizedRow(
+      doc_id: Long, kind: String, media: Array[Byte], width: Long, height: Long)
+
+  /** Resize every payload to a target pixel budget — STUB resampler
+    * (keeps every stride-th byte so output size tracks targetW×targetH),
+    * but the batch shape is the real one: binary → binary per partition
+    * iterator, codec context amortized once per partition, no shuffle,
+    * output stays an opaque binary column the rest of the pipeline can
+    * keep co-partitioned with the text.
+    */
+  def resize(
+      spark: SparkSession,
+      media: DataFrame,
+      targetW: Int,
+      targetH: Int): Dataset[ResizedRow] = {
+    require(targetW > 0 && targetH > 0,
+      s"target dims must be positive, got ${targetW}x$targetH")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // a real resampler would set up its native context here, once
+      rows.map { r =>
+        val budget = targetW * targetH
+        val stride = math.max(1, r.media.length / math.max(1, budget))
+        val out = Array.tabulate(
+          (r.media.length + stride - 1) / stride)(i => r.media(i * stride))
+        ResizedRow(r.doc_id, r.kind, out, targetW.toLong, targetH.toLong)
+      }
+    }
+  }
+
+  /** A media embedding: the bridge row into the similarity tier. */
+  case class MediaEmbedding(doc_id: Long, kind: String, embedding: Array[Float])
+
+  /** Feature-extract every payload into a fixed-dim float embedding —
+    * STUB featurizer (dim j = affine rolling hash over the j-strided byte
+    * stripe, small exact integers cast to float), but deterministic, so
+    * everything downstream of it — ANN ranking, SemDeDup, near-dup
+    * thresholds — reproduces bit-for-bit across runs; the real CLIP/CLAP
+    * batch would slot into the same partition iterator with the same
+    * output schema and feed the identical downstream operators.
+    */
+  def featureExtract(
+      spark: SparkSession,
+      media: DataFrame,
+      dim: Int = 8): Dataset[MediaEmbedding] = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val e = Array.tabulate(dim) { j =>
+          var h = 7L
+          var i = j
+          while (i < r.media.length) {
+            h = (h * 31 + (r.media(i) & 0xff)) % 1000003L
+            i += dim
+          }
+          (h % 1000L).toFloat
+        }
+        MediaEmbedding(r.doc_id, r.kind, e)
+      }
+    }
+  }
+
   /** Sample every `stride`-th frame of each video payload: explode the
     * frame index range, slice a deterministic byte window per frame (a real
     * pipeline would hand each frame to the image path). Output stays

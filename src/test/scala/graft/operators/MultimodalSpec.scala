@@ -33,6 +33,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta(12L).n_frames == 1 + 100 % 30) // video: 11 frames
   }
 
+  test("resize (stub) shrinks payloads toward the target budget, binary in binary out") {
+    val media = Multimodal.attachMedia(docs)
+    val out = Multimodal.resize(spark, media, targetW = 5, targetH = 5)
+    assert(out.toDF().schema("media").dataType == BinaryType)
+    val byId = out.collect().map(r => r.doc_id -> r).toMap
+    // doc 12: 100 bytes, budget 25 → stride 4 → 25 bytes kept
+    assert(byId(12L).media.length == 25)
+    assert(byId(12L).width == 5 && byId(12L).height == 5)
+    // payloads under budget pass through whole (stride 1)
+    assert(byId(10L).media.toSeq == "abcd".getBytes("UTF-8").toSeq)
+    // deterministic across runs
+    val again = Multimodal.resize(spark, media, 5, 5).collect()
+      .map(r => r.doc_id -> r.media.toSeq).toMap
+    assert(out.collect().map(r => r.doc_id -> r.media.toSeq).toMap == again)
+  }
+
+  test("featureExtract (stub) yields fixed-dim deterministic embeddings that feed ANN") {
+    val media = Multimodal.attachMedia(docs)
+    val emb = Multimodal.featureExtract(spark, media, dim = 4)
+    val rows = emb.collect().map(r => r.doc_id -> r.embedding.toSeq).toMap
+    assert(rows.values.forall(_.size == 4))
+    assert(rows.values.forall(_.forall(v => v >= 0f && v < 1000f)),
+      "stub dims are small exact integers in float")
+    val again = Multimodal.featureExtract(spark, media, dim = 4)
+      .collect().map(r => r.doc_id -> r.embedding.toSeq).toMap
+    assert(rows == again, "embeddings must reproduce bit-for-bit")
+    // the bridge into the similarity tier: brute-force top-k over the
+    // extracted embeddings ranks every (query, doc) pair
+    val base = emb.toDF().select(col("doc_id").as("vec_id"), col("embedding"))
+    val hits = Similarity.bruteForceTopK(
+      base, base.limit(1), col("vec_id"), col("embedding"), k = 2)
+    assert(hits.count() == 2, "media embeddings must rank through the ANN path")
+  }
+
   test("sampleFrames strides through video frames only") {
     val frames = Multimodal.sampleFrames(spark, Multimodal.attachMedia(docs), stride = 4)
       .select("doc_id", "frame_idx").as[(Long, Long)].collect().toSeq.sorted
