@@ -266,7 +266,10 @@ object Corpus {
         coalesce(col("_n_id"), col("_o_id")).as("doc_id"),
         when(col("_o_id").isNull, lit("added"))
           .when(col("_n_id").isNull, lit("removed"))
-          .when(col("_o_fp") =!= col("_n_fp"), lit("changed"))
+          // null-safe: a fingerprint going null↔non-null IS a change (a
+          // plain =!= evaluates null there and would fall through to
+          // "unchanged")
+          .when(!(col("_o_fp") <=> col("_n_fp")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 

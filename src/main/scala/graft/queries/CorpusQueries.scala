@@ -390,7 +390,7 @@ object CorpusQueries {
          |  SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
          |    CASE WHEN o.doc_id IS NULL THEN 'added'
          |         WHEN n.doc_id IS NULL THEN 'removed'
-         |         WHEN o.fp <> n.fp THEN 'changed'
+         |         WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
          |         ELSE 'unchanged' END AS status
          |  FROM oldsnap o FULL JOIN newsnap n ON o.doc_id = n.doc_id)
          |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin,

@@ -122,6 +122,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept.exists(_ < 40) || heavy == 20)
   }
 
+  test("snapshotDiff classifies added/removed/changed, null-safely on fingerprints") {
+    val oldSnap = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (4L, None: Option[String]))
+      .toDF("id", "fp")
+    val newSnap = Seq(
+      (2L, Some("b")),     // unchanged
+      (3L, Some("c2")),    // changed
+      (4L, Some("d")),     // changed: null → non-null must NOT read unchanged
+      (5L, Some("e")))     // added;  1 is removed
+      .toDF("id", "fp")
+    val out = Corpus.snapshotDiff(oldSnap, newSnap, col("id"), col("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "changed", 5L -> "added"))
+  }
+
   test("tokenRarity: exact integer-ppm commonness per document") {
     val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2 b=2 c=1, total 5 → freq_ppm a=400000 b=400000 c=200000
