@@ -315,6 +315,15 @@ object PipelineQueries {
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
       col("vec_id"), col("embedding"), k = 10)
 
+  // filtered ANN: the metadata predicate composes declaratively — Catalyst
+  // pushes `label = 3` into the embeddings parquet scan BEFORE any
+  // distance work (plan-pinned), the pre-filter case dedicated vector
+  // stores have to bolt on as a separate index mode
+  private val s11: Q = (s, dir) =>
+    Similarity.bruteForceTopK(
+      t(s, dir, "embeddings").filter(col("label") === 3),
+      queriesDf(s, dir), col("vec_id"), col("embedding"), k = 10)
+
   // (tables=24, bits=4): gated at mean recall@10 >= 0.9 vs the exact s1
   // ranking on the driver testdata (SimilaritySpec); the oracle replays
   // the identical deterministic bucketing, so this is hash-checked too
@@ -565,6 +574,7 @@ object PipelineQueries {
     "d10_substring_coverage" -> d10,
     "d11_dedup_report" -> d11,
     "s1_ann_bruteforce" -> s1,
+    "s11_ann_filtered" -> s11,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_quantized" -> s4,
@@ -1085,6 +1095,19 @@ object PipelineQueries {
         |SELECT vec_id, c_id FROM listed
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "s1_ann_bruteforce" -> sqlS1Exact,
+    // s1's exact replay restricted to the label slice — the filter sits
+    // on the base side only; queries rank against the filtered corpus
+    "s11_ann_filtered" ->
+      """SELECT q_id, vec_id, cos, rn FROM (
+        |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+        |    round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+        |               b.vec_id ASC) AS rn
+        |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+        |  WHERE q.vec_id < 5 AND b.label = 3)
+        |WHERE rn <= 10""".stripMargin,
     "s2_ann_lsh" -> sqlS2Lsh,
     // recall@10 of the LSH ranking vs exact, composed from the same two
     // replays so the eval oracle can never drift from the ranker oracles

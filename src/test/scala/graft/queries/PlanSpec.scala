@@ -482,6 +482,15 @@ class PlanSpec extends AnyFunSuite {
       "the diff is a join + projection, never an aggregation")
   }
 
+  test("s11: the ANN metadata filter reaches the embeddings parquet scan") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val plan = planOf("s11_ann_filtered")
+    assert(plan.contains("EqualTo(label,3)"),
+      s"label predicate must be in PushedFilters, not post-scan:\n${plan.take(800)}")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank filter must still prune map-side (same as s1)")
+  }
+
   test("s8: recall eval joins two rank-truncated frames — no corpus-wide agg of its own") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val plan = planOf("s8_recall_eval")
