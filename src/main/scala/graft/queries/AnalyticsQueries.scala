@@ -234,6 +234,34 @@ object AnalyticsQueries {
         col("prev_price"), col("next_orderkey"))
   }
 
+  // arbitrary GROUPING SETS — the shapes rollup/cube can't express
+  // ((flag), (status): two independent groupings, NO combined or grand
+  // total) — one Expand pass, grouping_id() disambiguates the set;
+  // spark.sql is the entry (the DataFrame API has no grouping-sets verb)
+  private val gs: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, grouping__id AS gid,
+        |  count(*) AS n
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
+  // windowed distinct count — COUNT(DISTINCT) OVER is unsupported in
+  // Spark; the standard emulation attaches max(dense_rank) over the same
+  // partition, which equals the distinct count, without collapsing rows
+  private val w5: Q = (s, dir) => {
+    val byPart = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_partkey").asc)
+    val whole = Window.partitionBy(col("l_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "lineitem")
+      .withColumn("_dr", dense_rank().over(byPart))
+      .withColumn("n_distinct_parts", max(col("_dr")).over(whole).cast("long"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("n_distinct_parts"))
+  }
+
   // bloom-prefiltered dimension join: the filtered part slice's key SET
   // rides to the fact scan as a few KB of codegen'd bloom bits, so
   // lineitem is cut to ~matching rows BEFORE the join shuffle; the exact
@@ -436,6 +464,8 @@ object AnalyticsQueries {
     "q19_disjunctive" -> q19,
     "q22_idle_rich" -> q22,
     "w4_lag_lead" -> w4,
+    "w5_window_distinct" -> w5,
+    "gs_agg" -> gs,
     "a1_percentiles" -> a1,
     "a4_quantile_sketch" -> a4,
     "a2_profile" -> a2,
@@ -604,6 +634,16 @@ object AnalyticsQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+    "gs_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "w5_window_distinct" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  COUNT(DISTINCT l_partkey) OVER (PARTITION BY l_suppkey)
+        |    AS n_distinct_parts
+        |FROM lineitem""".stripMargin,
     "w3_moving_avg" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE) AS msum,

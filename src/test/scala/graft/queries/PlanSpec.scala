@@ -491,6 +491,24 @@ class PlanSpec extends AnyFunSuite {
       "rank filter must still prune map-side (same as s1)")
   }
 
+  test("gs: arbitrary grouping sets ride ONE Expand + one aggregation, no Union of scans") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val plan = planOf("gs_agg")
+    assert(plan.contains("Expand"), plan.take(500))
+    assert(!plan.contains("Union"), "grouping sets must not replan as unioned scans")
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1, "one scan total")
+    assert(plan.contains("partial_count"), "counts combine map-side under the Expand")
+  }
+
+  test("w5: windowed distinct-count emulation costs one shuffle on the partition key") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val plan = planOf("w5_window_distinct")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "dense_rank and the unbounded max share the supplier partitioning")
+    assert(!plan.contains("HashAggregate"),
+      "the emulation never collapses rows into an aggregate")
+  }
+
   test("s8: recall eval joins two rank-truncated frames — no corpus-wide agg of its own") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val plan = planOf("s8_recall_eval")
