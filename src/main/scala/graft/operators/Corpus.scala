@@ -58,6 +58,10 @@ object Corpus {
   val WeightMult = 134775813L
   val WeightInc = 1L
 
+  /** VAX MTH$RANDOM LCG constants — target-mix hashing (its own family) */
+  val TargetMult = 69069L
+  val TargetInc = 1L
+
   /** Knuth multiplicative constant (shared with [[SplitMult]]) and epoch
     * stride for the epoch-shuffle hash.
     */
@@ -399,6 +403,46 @@ object Corpus {
     // rate join — they must resample like any other domain
     df.join(broadcast(rates), domain <=> col("_dom"))
       .filter(idHash(id, MixMult, MixInc) % 1000000L < col("rate_ppm"))
+      .drop("_dom")
+  }
+
+  /** Sample toward an explicit TARGET domain mixture — the "hit this
+    * data recipe" step ([[temperatureMix]] flattens the natural
+    * distribution; this realizes a requested one). For domain d with
+    * n_d rows and target share s_d (ppm), the largest output size
+    * reachable WITHOUT upsampling any domain is
+    * T = min_d ⌊n_d · 10⁶ / s_d⌋; each domain then keeps
+    * rate_d = ⌊T · s_d / n_d⌋ ppm of its rows by id hash. Domains absent
+    * from the target drop entirely. All arithmetic is integer ppm
+    * (floored), replayed exactly by the oracle; shares under ~100 ppm on
+    * trillion-row domains approach the i64 headroom of T·s_d — tighten
+    * to micro-shares before that point.
+    *
+    * Shape: one count aggregation over the domain column
+    * (domain-bounded), the scalar T reduced from it, rates broadcast
+    * back — the corpus itself is never key-shuffled.
+    */
+  def targetMix(
+      df: DataFrame,
+      id: Column,
+      domain: Column,
+      targetPpm: Map[String, Long]): DataFrame = {
+    require(targetPpm.nonEmpty, "targetPpm must name at least one domain")
+    require(targetPpm.values.forall(_ > 0), "target shares must be positive ppm")
+    require(targetPpm.values.sum <= 1000000L,
+      s"target shares sum to ${targetPpm.values.sum} ppm > 1e6")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val target = targetPpm.toSeq.toDF("_dom", "_share")
+    val counts = df.groupBy(domain.as("_dom")).agg(count(lit(1)).as("_cnt"))
+      .join(broadcast(target), Seq("_dom"))
+    // integer `div`, not `/`: Column division on longs is DOUBLE division,
+    // which loses exactness right where the oracle replay must match
+    val t = counts.agg(min(expr("_cnt * 1000000 div _share")).as("_t"))
+    val rates = counts.crossJoin(broadcast(t))
+      .select(col("_dom"), expr("_t * _share div _cnt").as("rate_ppm"))
+    df.join(broadcast(rates), domain <=> col("_dom"))
+      .filter(idHash(id, TargetMult, TargetInc) % 1000000L < col("rate_ppm"))
       .drop("_dom")
   }
 

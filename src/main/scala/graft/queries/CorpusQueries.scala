@@ -96,6 +96,14 @@ object CorpusQueries {
       col("n_chars"), cap = 10)
       .select(col("doc_id"), col("source"), col("n_chars"))
 
+  // explicit-recipe mixture: realize a 70/30 en/unknown split at the
+  // largest size the corpus supports without upsampling — the "hit this
+  // data recipe" sampler beside c6's temperature flattening
+  private val c14: Q = (s, dir) =>
+    Corpus.targetMix(t(s, dir, "documents"), col("doc_id"), col("lang"),
+      Map("en" -> 700000L, "unknown" -> 300000L))
+      .select(col("doc_id"), col("lang"), col("rate_ppm"))
+
   // snapshot diff: yesterday's corpus (sans the %11 ids) vs today's (sans
   // the %7 ids, %13 texts edited) — added/removed/changed by fingerprint,
   // never by body compare
@@ -176,6 +184,7 @@ object CorpusQueries {
     "c7_epoch_order" -> c7,
     "c8_quota_sample" -> c8,
     "c13_weighted_sample" -> c13,
+    "c14_target_mix" -> c14,
     "d14_snapshot_diff" -> d14,
     "c9_curation_pipeline" -> c9,
     "d9_keep_best" -> d9)
@@ -374,6 +383,21 @@ object CorpusQueries {
          |                       ORDER BY key DESC, doc_id ASC) AS rn
          |  FROM h)
          |SELECT doc_id, source, n_chars FROM r WHERE rn <= 10""".stripMargin,
+    // integer-ppm replay of the feasible-size reduce and the per-domain
+    // floored rates, then the same hash-rate filter
+    "c14_target_mix" ->
+      s"""WITH counts AS (
+         |  SELECT lang AS dom, count(*) AS cnt FROM documents GROUP BY lang),
+         |tgt AS (SELECT * FROM (VALUES ('en', 700000), ('unknown', 300000)) t(dom, share)),
+         |joined AS (SELECT c.dom, c.cnt, t.share FROM counts c JOIN tgt t ON c.dom = t.dom),
+         |tsize AS (SELECT min((cnt * 1000000) // share) AS t FROM joined),
+         |rates AS (
+         |  SELECT dom, ((SELECT t FROM tsize) * share) // cnt AS rate_ppm
+         |  FROM joined)
+         |SELECT d.doc_id, d.lang, r.rate_ppm
+         |FROM documents d JOIN rates r ON d.lang = r.dom
+         |WHERE ((d.doc_id % ${Corpus.IdMod}) * ${Corpus.TargetMult}
+         |       + ${Corpus.TargetInc}) % 1000000 < r.rate_ppm""".stripMargin,
     // fingerprints replayed via the shared polyhash CTE; the edited texts
     // are re-hashed exactly as the Spark side edits them
     "d14_snapshot_diff" ->

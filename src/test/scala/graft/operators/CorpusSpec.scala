@@ -122,6 +122,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept.exists(_ < 40) || heavy == 20)
   }
 
+  test("targetMix realizes the requested shares at the max feasible size, never upsampling") {
+    // en: 40 docs, de: 20 docs (ids 0..59, en = id%3==0 is 20... build explicitly)
+    val rows = Seq.tabulate(60)(i =>
+      (i.toLong, if (i < 40) "en" else "de")).toDF("doc_id", "lang")
+    // target 50/50: T = min(40/0.5, 20/0.5) = 40 → en rate 40*0.5/40 = 50%,
+    // de rate 40*0.5/20 = 100%
+    val out = Corpus.targetMix(rows, col("doc_id"), col("lang"),
+      Map("en" -> 500000L, "de" -> 500000L))
+      .select("doc_id", "lang", "rate_ppm").as[(Long, String, Long)].collect()
+    val rates = out.map(r => r._2 -> r._3).toMap
+    assert(rates == Map("en" -> 500000L, "de" -> 1000000L))
+    // de kept whole (rate 1e6 keeps every hash), en hash-thinned
+    assert(out.count(_._2 == "de") == 20)
+    val keptEn = out.filter(_._2 == "en").map(_._1).toSet
+    val expectEn = (0L until 40L).filter(i =>
+      ((i % Corpus.IdMod) * Corpus.TargetMult + Corpus.TargetInc) % 1000000L < 500000L).toSet
+    assert(keptEn == expectEn)
+    // a domain outside the target drops entirely
+    val dropped = Corpus.targetMix(rows, col("doc_id"), col("lang"),
+      Map("en" -> 1000000L))
+    assert(dropped.filter(col("lang") === "de").count() == 0)
+    // invalid targets are rejected loudly
+    intercept[IllegalArgumentException] {
+      Corpus.targetMix(rows, col("doc_id"), col("lang"),
+        Map("en" -> 900000L, "de" -> 200000L))
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed, null-safely on fingerprints") {
     val oldSnap = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (4L, None: Option[String]))

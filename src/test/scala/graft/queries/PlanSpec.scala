@@ -463,6 +463,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
   }
 
+  test("c14: target mix broadcasts the rate table — the corpus is never key-shuffled") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("c14_target_mix")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    val corpusShuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("doc_id"))
+    assert(corpusShuffles == 0, "only the domain-count side may exchange")
+  }
+
   test("c13: weighted sample is one stratum exchange + rank; the A-ES key is a narrow map") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = planOf("c13_weighted_sample")
