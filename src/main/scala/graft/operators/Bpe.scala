@@ -118,7 +118,13 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toVector)
-    docs.select(id.cast("long").as("_i"), text.as("_t")).as[(Long, String)]
+    // degenerate rows follow train()'s SQL semantics: a NULL text yields no
+    // tokens (split(NULL) explodes to nothing there; empty token array here),
+    // and a NULL id — unusable as a key — is dropped rather than crashing
+    // the typed encoder
+    docs.select(id.cast("long").as("_i"), coalesce(text, lit("")).as("_t"))
+      .filter(col("_i").isNotNull)
+      .as[(Long, String)]
       .map { case (i, t) =>
         val toks = t.split("\\s+").iterator.filter(_.nonEmpty)
           .flatMap(w => applyMerges(symbols(w), bc.value)).toArray

@@ -434,12 +434,18 @@ object Corpus {
     val spark = df.sparkSession
     import spark.implicits._
     val target = targetPpm.toSeq.toDF("_dom", "_share")
-    val counts = df.groupBy(domain.as("_dom")).agg(count(lit(1)).as("_cnt"))
-      .join(broadcast(target), Seq("_dom"))
+    // LEFT join from the recipe: a recipe domain with zero corpus rows must
+    // contribute n_d = 0 to the feasibility reduce (T = min_d floor(n_d·1e6
+    // /s_d) = 0 → empty output), not silently vanish from the mixture
+    val counts = broadcast(target)
+      .join(df.groupBy(domain.as("_dom")).agg(count(lit(1)).as("_cnt")),
+        Seq("_dom"), "left")
+      .select(col("_dom"), col("_share"),
+        coalesce(col("_cnt"), lit(0L)).as("_cnt"))
     // integer `div`, not `/`: Column division on longs is DOUBLE division,
     // which loses exactness right where the oracle replay must match
     val t = counts.agg(min(expr("_cnt * 1000000 div _share")).as("_t"))
-    val rates = counts.crossJoin(broadcast(t))
+    val rates = counts.filter(col("_cnt") > 0).crossJoin(broadcast(t))
       .select(col("_dom"), expr("_t * _share div _cnt").as("rate_ppm"))
     df.join(broadcast(rates), domain <=> col("_dom"))
       .filter(idHash(id, TargetMult, TargetInc) % 1000000L < col("rate_ppm"))

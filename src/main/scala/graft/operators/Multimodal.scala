@@ -94,8 +94,11 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       // a real resampler would set up its native context here, once
       rows.map { r =>
-        val budget = targetW * targetH
-        val stride = math.max(1, r.media.length / math.max(1, budget))
+        // Long product: 65536×65536 overflows Int to 0 and would collapse
+        // every payload to a single byte
+        val budget = targetW.toLong * targetH
+        val stride =
+          math.max(1L, r.media.length / math.max(1L, budget)).toInt
         val out = Array.tabulate(
           (r.media.length + stride - 1) / stride)(i => r.media(i * stride))
         ResizedRow(r.doc_id, r.kind, out, targetW.toLong, targetH.toLong)

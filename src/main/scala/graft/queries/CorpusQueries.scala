@@ -96,12 +96,14 @@ object CorpusQueries {
       col("n_chars"), cap = 10)
       .select(col("doc_id"), col("source"), col("n_chars"))
 
-  // explicit-recipe mixture: realize a 70/30 en/unknown split at the
-  // largest size the corpus supports without upsampling — the "hit this
-  // data recipe" sampler beside c6's temperature flattening
+  // explicit-recipe mixture: realize a 70/30 en/de split at the largest
+  // size the corpus supports without upsampling — the "hit this data
+  // recipe" sampler beside c6's temperature flattening. (Both domains
+  // exist at every SF; a recipe domain absent from the corpus caps the
+  // feasible size at 0 and the output is empty by design.)
   private val c14: Q = (s, dir) =>
     Corpus.targetMix(t(s, dir, "documents"), col("doc_id"), col("lang"),
-      Map("en" -> 700000L, "unknown" -> 300000L))
+      Map("en" -> 700000L, "de" -> 300000L))
       .select(col("doc_id"), col("lang"), col("rate_ppm"))
 
   // snapshot diff: yesterday's corpus (sans the %11 ids) vs today's (sans
@@ -388,12 +390,13 @@ object CorpusQueries {
     "c14_target_mix" ->
       s"""WITH counts AS (
          |  SELECT lang AS dom, count(*) AS cnt FROM documents GROUP BY lang),
-         |tgt AS (SELECT * FROM (VALUES ('en', 700000), ('unknown', 300000)) t(dom, share)),
-         |joined AS (SELECT c.dom, c.cnt, t.share FROM counts c JOIN tgt t ON c.dom = t.dom),
+         |tgt AS (SELECT * FROM (VALUES ('en', 700000), ('de', 300000)) t(dom, share)),
+         |joined AS (SELECT t.dom, coalesce(c.cnt, 0) AS cnt, t.share
+         |           FROM tgt t LEFT JOIN counts c ON c.dom = t.dom),
          |tsize AS (SELECT min((cnt * 1000000) // share) AS t FROM joined),
          |rates AS (
          |  SELECT dom, ((SELECT t FROM tsize) * share) // cnt AS rate_ppm
-         |  FROM joined)
+         |  FROM joined WHERE cnt > 0)
          |SELECT d.doc_id, d.lang, r.rate_ppm
          |FROM documents d JOIN rates r ON d.lang = r.dom
          |WHERE ((d.doc_id % ${Corpus.IdMod}) * ${Corpus.TargetMult}

@@ -693,18 +693,24 @@ object PipelineQueries {
        |  UNION
        |  SELECT e.b AS v, w.l FROM walk w JOIN edges e ON e.a = w.v)""".stripMargin
 
+  /** The exact-ranking replay, parameterized on an extra base-side
+    * predicate so s1 (unfiltered) and s11 (label slice) share one
+    * template — a ranking fix lands in both by construction.
+    */
+  private def sqlExactTopK(basePred: String = ""): String =
+    s"""SELECT q_id, vec_id, cos, rn FROM (
+       |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY q.vec_id
+       |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+       |               b.vec_id ASC) AS rn
+       |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+       |  WHERE q.vec_id < 5$basePred)
+       |WHERE rn <= 10""".stripMargin
+
   /** s1's exact-ranking replay — also the ground truth inside s8. */
-  private val sqlS1Exact =
-    """SELECT q_id, vec_id, cos, rn FROM (
-      |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
-      |    round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
-      |    ROW_NUMBER() OVER (
-      |      PARTITION BY q.vec_id
-      |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
-      |               b.vec_id ASC) AS rn
-      |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
-      |  WHERE q.vec_id < 5)
-      |WHERE rn <= 10""".stripMargin
+  private val sqlS1Exact = sqlExactTopK()
 
   /** One Lloyd iteration of the s9/s10 k-means replay (oracle side of
     * [[graft.operators.Similarity.kmeansTrain]]): exact squared-L2
@@ -1097,17 +1103,7 @@ object PipelineQueries {
     "s1_ann_bruteforce" -> sqlS1Exact,
     // s1's exact replay restricted to the label slice — the filter sits
     // on the base side only; queries rank against the filtered corpus
-    "s11_ann_filtered" ->
-      """SELECT q_id, vec_id, cos, rn FROM (
-        |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
-        |    round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
-        |    ROW_NUMBER() OVER (
-        |      PARTITION BY q.vec_id
-        |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
-        |               b.vec_id ASC) AS rn
-        |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
-        |  WHERE q.vec_id < 5 AND b.label = 3)
-        |WHERE rn <= 10""".stripMargin,
+    "s11_ann_filtered" -> sqlExactTopK(" AND b.label = 3"),
     "s2_ann_lsh" -> sqlS2Lsh,
     // recall@10 of the LSH ranking vs exact, composed from the same two
     // replays so the eval oracle can never drift from the ranker oracles

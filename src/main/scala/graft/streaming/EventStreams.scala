@@ -290,6 +290,9 @@ object EventStreams {
       joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left_outer",
       s"stream-stream attribution supports inner/left_outer, got $joinType")
+    require(windowSeconds > 0,
+      s"attribution window must be positive seconds, got $windowSeconds " +
+        "(a non-positive window makes the join predicate unsatisfiable)")
     val c = clicks
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))

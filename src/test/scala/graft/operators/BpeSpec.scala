@@ -51,6 +51,20 @@ class BpeSpec extends AnyFunSuite {
     assert(out(3L) == ((Seq.empty[String], 0L)))
   }
 
+  test("encode tolerates null text (empty tokens) and drops null ids, like train") {
+    val merges = Bpe.train(docs, col("text"), numMerges = 2)
+    val degenerate = Seq(
+      (Some(1L), Some("low")),
+      (Some(2L), None: Option[String]), // null text → zero tokens, row kept
+      (None: Option[Long], Some("low")) // null id → unusable key, dropped
+    ).toDF("doc_id", "text")
+    val out = Bpe.encode(degenerate, col("doc_id"), col("text"), merges)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(2L) == 0L)
+    assert(out(1L) > 0L)
+  }
+
   test("encoding is stable across re-runs of training (deterministic ties)") {
     val a = Bpe.train(docs, col("text"), numMerges = 6)
     val b = Bpe.train(docs, col("text"), numMerges = 6)

@@ -148,6 +148,11 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.targetMix(rows, col("doc_id"), col("lang"),
         Map("en" -> 900000L, "de" -> 200000L))
     }
+    // a recipe domain with zero corpus rows caps T at 0: the largest size
+    // honoring the recipe is empty — never a silently wrong mixture
+    val infeasible = Corpus.targetMix(rows, col("doc_id"), col("lang"),
+      Map("en" -> 700000L, "fr" -> 300000L))
+    assert(infeasible.count() == 0)
   }
 
   test("snapshotDiff classifies added/removed/changed, null-safely on fingerprints") {

@@ -47,6 +47,11 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.resize(spark, media, 5, 5).collect()
       .map(r => r.doc_id -> r.media.toSeq).toMap
     assert(out.collect().map(r => r.doc_id -> r.media.toSeq).toMap == again)
+    // a gigapixel budget must pass payloads through whole — the W×H
+    // product overflows Int (65536² = 0) and once collapsed every byte
+    val huge = Multimodal.resize(spark, media, 65536, 65536).collect()
+      .map(r => r.doc_id -> r.media.length).toMap
+    assert(huge(12L) == 100, s"overflowed budget truncated payload: $huge")
   }
 
   test("featureExtract (stub) yields fixed-dim deterministic embeddings that feed ANN") {

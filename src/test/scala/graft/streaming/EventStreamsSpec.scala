@@ -325,6 +325,16 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributionJoin rejects a non-positive window loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    intercept[IllegalArgumentException] {
+      EventStreams.attributionJoin(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        clicks.toDF().toDF("event_id", "user_id", "ts"), windowSeconds = 0)
+    }
+  }
+
   test("attributionJoin left_outer: unmatched clicks emit null purchase only after the watermark seals them") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
