@@ -305,6 +305,60 @@ object Corpus {
         expr("sum(freq_ppm) div count(1)").as("mean_freq_ppm"))
   }
 
+  /** DSIR-style importance scores (Data Selection via Importance
+    * Resampling, Xie et al. 2023): how much more likely is each document
+    * under the TARGET domain's hashed-token distribution than under the
+    * raw corpus distribution? `isTarget` marks the exemplar rows (e.g. a
+    * trusted high-quality slice); every document — target or not — gets a
+    * score. Downstream, resampling with weight ∝ exp(score) is
+    * [[weightedSample]]; a hard cut is a top-k on the score.
+    *
+    * score(d) = Σ_tokens ln( p̂_tgt(b(t)) / p̂_raw(b(t)) ) over hashed
+    * token buckets `b(t) = polyHash(t) mod buckets`, add-1 smoothed.
+    * Each bucket's log-ratio is rounded ONCE to integer micro-nats
+    * (·1e6); per-document scores are then exact BIGINT sums of those —
+    * order-independent, so the result is reproducible across engines and
+    * partitionings (a double sum would depend on row order). Documents
+    * with no tokens produce no row (same contract as [[tokenRarity]]).
+    *
+    * Scale shape: one explode pass over the corpus; the bucket
+    * distribution is bounded state (≤ `buckets` rows — thousands, not
+    * corpus-sized) broadcast back onto the token stream; one groupBy on
+    * doc_id. Never a self-join, never driver-side data.
+    *
+    * Output: (doc_id, n_tokens, dsir_micro_nats).
+    */
+  def dsirScores(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      isTarget: Column,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = cached(
+      docs.select(id.as("doc_id"), isTarget.as("_tgt"),
+          explode(tokens(text)).as("_t"))
+        .select(col("doc_id"), col("_tgt"),
+          (polyHash(col("_t")) % buckets).as("b")))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("rcnt"))
+    val tgt = toks.filter(col("_tgt")).groupBy("b").agg(count(lit(1)).as("tcnt"))
+    val totals = raw.agg(sum("rcnt").as("rtot"))
+      .crossJoin(tgt.agg(coalesce(sum("tcnt"), lit(0L)).as("ttot")))
+    // every doc bucket appears in raw (raw spans all docs), so LEFT from
+    // raw covers the corpus; a bucket with no target hits smooths to 1
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("tcnt"), lit(0L)) + lit(1.0)) / (col("ttot") + lit(buckets))) /
+            ((col("rcnt") + lit(1.0)) / (col("rtot") + lit(buckets)))) * lit(1000000.0))
+          .cast("long").as("lr_micro"))
+    toks.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("lr_micro").as("dsir_micro_nats"))
+  }
+
   /** Benchmark decontamination: which training documents share at least
     * `minShared` word n-gram shingles with a benchmark/eval document —
     * the standard pre-training hygiene check (real deployments use long

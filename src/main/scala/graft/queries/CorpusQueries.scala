@@ -173,7 +173,15 @@ object CorpusQueries {
     Corpus.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
       chunkSize = 48, overlap = 8)
 
+  // DSIR importance scores against the English slice as the target
+  // domain: every doc scored by how English-like its hashed-token
+  // distribution is; downstream resampling is c13's weighted sampler
+  private val c15: Q = (s, dir) =>
+    Corpus.dsirScores(t(s, dir, "documents"), col("doc_id"), col("text"),
+      col("lang") === "en", buckets = 4096)
+
   val queries: Map[String, Q] = Map(
+    "c15_dsir_scores" -> c15,
     "c1_leakproof_split" -> c1,
     "c10_chunking" -> c10,
     "c11_contamination_minhash" -> c11,
@@ -221,6 +229,26 @@ object CorpusQueries {
        |  FROM qm)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // per-bucket add-1-smoothed log-ratio rounded ONCE to integer
+    // micro-nats; per-doc scores are exact BIGINT sums of those, so the
+    // only float op replayed is one ln per bucket (identical formula)
+    "c15_dsir_scores" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, (lang = 'en') AS tgt, (${sqlPolyHash("t")}) % 4096 AS b
+         |  FROM (SELECT doc_id, lang, unnest(${sqlToks("text")}) AS t FROM documents)),
+         |raw AS (SELECT b, count(*) AS rcnt FROM toks GROUP BY b),
+         |tgt AS (SELECT b, count(*) AS tcnt FROM toks WHERE tgt GROUP BY b),
+         |tot AS (SELECT (SELECT sum(rcnt) FROM raw) AS rtot,
+         |               (SELECT coalesce(sum(tcnt), 0) FROM tgt) AS ttot),
+         |lr AS (
+         |  SELECT r.b, CAST(round(ln(
+         |      ((coalesce(t.tcnt, 0) + 1.0) / (tot.ttot + 4096)) /
+         |      ((r.rcnt + 1.0) / (tot.rtot + 4096))) * 1000000.0) AS BIGINT) AS lr_micro
+         |  FROM raw r LEFT JOIN tgt t ON r.b = t.b, tot)
+         |SELECT k.doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(l.lr_micro)::BIGINT AS dsir_micro_nats
+         |FROM toks k JOIN lr l ON k.b = l.b
+         |GROUP BY k.doc_id""".stripMargin,
     "c1_leakproof_split" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()},
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v)

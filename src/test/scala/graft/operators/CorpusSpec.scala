@@ -155,6 +155,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(infeasible.count() == 0)
   }
 
+  test("dsirScores ranks target-like docs above off-target docs, exact integer sums") {
+    // target exemplars speak "aaa bbb"; off-target docs speak "zzz yyy";
+    // a mixed doc sits between
+    val docs = Seq(
+      (1L, "aaa bbb aaa bbb", true),
+      (2L, "aaa bbb bbb aaa", true),
+      (3L, "zzz yyy zzz yyy", false),
+      (4L, "aaa zzz", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val out = Corpus.dsirScores(docs, col("doc_id"), col("text"),
+      col("is_tgt"), buckets = 64)
+      .select("doc_id", "n_tokens", "dsir_micro_nats")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._1 == 4L && out(3L)._1 == 4L && out(4L)._1 == 2L)
+    // docs 1 and 2 are permutations of the same tokens → identical scores
+    assert(out(1L)._2 == out(2L)._2)
+    // target-vocabulary docs outscore off-target; mixed lands in between
+    assert(out(1L)._2 > out(4L)._2 && out(4L)._2 > out(3L)._2)
+    // deterministic across runs (pure hash + integer arithmetic)
+    val again = Corpus.dsirScores(docs, col("doc_id"), col("text"),
+      col("is_tgt"), buckets = 64)
+      .select("doc_id", "dsir_micro_nats").as[(Long, Long)].collect().toMap
+    assert(again == out.map { case (k, v) => k -> v._2 })
+    // empty-text docs produce no row; bad bucket count rejected loudly
+    val withEmpty = docs.union(Seq((5L, "", false)).toDF("doc_id", "text", "is_tgt"))
+    assert(Corpus.dsirScores(withEmpty, col("doc_id"), col("text"),
+      col("is_tgt")).count() == 4)
+    intercept[IllegalArgumentException] {
+      Corpus.dsirScores(docs, col("doc_id"), col("text"), col("is_tgt"), buckets = 0)
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed, null-safely on fingerprints") {
     val oldSnap = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (4L, None: Option[String]))

@@ -126,6 +126,16 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must not be shuffled for the rate join:\n${plan.take(600)}")
   }
 
+  test("c15: DSIR bucket log-ratios broadcast back onto the token stream") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("c15_dsir_scores")
+    // the bucket table is bounded state (≤ buckets rows): it must reach
+    // the per-token join as a broadcast, never by shuffling the corpus
+    assert(plan.contains("BroadcastHashJoin"), "lr table must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the lr join:\n${plan.take(600)}")
+  }
+
   test("s4: quantized ranking costs one window exchange; rescore joins broadcast") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val plan = planOf("s4_ann_quantized")
