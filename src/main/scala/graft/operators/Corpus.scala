@@ -62,6 +62,12 @@ object Corpus {
   val TargetMult = 69069L
   val TargetInc = 1L
 
+  /** MSVC LCG constants — Gumbel-top-k uniform draw (its own family so
+    * resampling picks are independent of every other keyed decision)
+    */
+  val GumbelMult = 214013L
+  val GumbelInc = 2531011L
+
   /** Knuth multiplicative constant (shared with [[SplitMult]]) and epoch
     * stride for the epoch-shuffle hash.
     */
@@ -357,6 +363,48 @@ object Corpus {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum("lr_micro").as("dsir_micro_nats"))
+  }
+
+  /** Gumbel-top-k resampling: draw `k` rows per stratum with probability
+    * ∝ exp(logWeight), without replacement — entirely in log space. The
+    * Gumbel-max trick makes "rank by `logWeight − ln(−ln u)`, keep the
+    * top k" exactly equivalent to softmax sampling without replacement,
+    * with no `exp` anywhere: a log-weight of ±10⁴ nats (where exp
+    * overflows/underflows doubles) ranks fine. This is the selection
+    * step of DSIR — feed it [[dsirScores]]' micro-nats ÷ 1e6 — but any
+    * log-space score works (LM log-likelihoods, negative perplexities).
+    *
+    * The uniform draw is the usual deterministic keyed hash (its own
+    * constant family), so the sample is reproducible and replayable.
+    * Same scale shape as [[weightedSample]]: narrow map + one per-stratum
+    * window; with the default single stratum the window is one exchange
+    * on a constant key — at 100 TB prefer per-domain strata or a
+    * pre-filter so no single task ranks the whole corpus.
+    *
+    * @return the selected input rows, unchanged (helper columns dropped).
+    */
+  def gumbelTopK(
+      df: DataFrame,
+      id: Column,
+      logWeight: Column,
+      k: Int,
+      strata: Column = lit(1)): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_g_stratum"))
+      .orderBy(col("_g_key").desc, col("_g_id").asc)
+    df.withColumn("_g_stratum", strata)
+      .withColumn("_g_id", id.cast("long"))
+      // strictly inside (0,1): u = 1 would send −ln(−ln u) to +∞ (an
+      // always-wins row), u = 0 to −∞ — the +1 / (2^32+1) shift excludes
+      // both endpoints
+      .withColumn("_g_u",
+        ((idHash(id, GumbelMult, GumbelInc) % 4294967296L) + 1L)
+          .cast("double") / 4294967297.0)
+      .withColumn("_g_key", logWeight.cast("double") - log(-log(col("_g_u"))))
+      .withColumn("_g_rn", row_number().over(w))
+      .filter(col("_g_rn") <= k)
+      .drop("_g_stratum", "_g_id", "_g_u", "_g_key", "_g_rn")
   }
 
   /** Benchmark decontamination: which training documents share at least

@@ -180,8 +180,20 @@ object CorpusQueries {
     Corpus.dsirScores(t(s, dir, "documents"), col("doc_id"), col("text"),
       col("lang") === "en", buckets = 4096)
 
+  // DSIR end-to-end: score against the English target, then Gumbel-top-k
+  // resample 100 docs with probability ∝ exp(score) — selection entirely
+  // in log space, composed from two already-verified operators
+  private val c16: Q = (s, dir) => {
+    val scored = Corpus.dsirScores(t(s, dir, "documents"), col("doc_id"),
+      col("text"), col("lang") === "en", buckets = 4096)
+    Corpus.gumbelTopK(scored, col("doc_id"),
+      col("dsir_micro_nats").cast("double") / 1000000.0, k = 100)
+      .select(col("doc_id"), col("dsir_micro_nats"))
+  }
+
   val queries: Map[String, Q] = Map(
     "c15_dsir_scores" -> c15,
+    "c16_dsir_resample" -> c16,
     "c1_leakproof_split" -> c1,
     "c10_chunking" -> c10,
     "c11_contamination_minhash" -> c11,
@@ -228,27 +240,50 @@ object CorpusQueries {
        |          ELSE (alnum_len * 1000000) // n_chars END) * 2) // 10 AS qual_ppm
        |  FROM qm)""".stripMargin
 
+  /** DuckDB: the c15 DSIR replay as shared CTEs ending in `dsir` — the
+    * per-bucket add-1-smoothed log-ratio rounded ONCE to integer
+    * micro-nats, then exact BIGINT doc sums (the only float op is one ln
+    * per bucket, identical formula both engines). c16 composes the
+    * Gumbel ranking on top of the same CTEs so the two can never drift.
+    */
+  private val sqlDsirCtes =
+    s"""toks AS (
+       |  SELECT doc_id, (lang = 'en') AS tgt, (${sqlPolyHash("t")}) % 4096 AS b
+       |  FROM (SELECT doc_id, lang, unnest(${sqlToks("text")}) AS t FROM documents)),
+       |raw AS (SELECT b, count(*) AS rcnt FROM toks GROUP BY b),
+       |tgt AS (SELECT b, count(*) AS tcnt FROM toks WHERE tgt GROUP BY b),
+       |tot AS (SELECT (SELECT sum(rcnt) FROM raw) AS rtot,
+       |               (SELECT coalesce(sum(tcnt), 0) FROM tgt) AS ttot),
+       |lr AS (
+       |  SELECT r.b, CAST(round(ln(
+       |      ((coalesce(t.tcnt, 0) + 1.0) / (tot.ttot + 4096)) /
+       |      ((r.rcnt + 1.0) / (tot.rtot + 4096))) * 1000000.0) AS BIGINT) AS lr_micro
+       |  FROM raw r LEFT JOIN tgt t ON r.b = t.b, tot),
+       |dsir AS (
+       |  SELECT k.doc_id, count(*)::BIGINT AS n_tokens,
+       |    sum(l.lr_micro)::BIGINT AS dsir_micro_nats
+       |  FROM toks k JOIN lr l ON k.b = l.b
+       |  GROUP BY k.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // per-bucket add-1-smoothed log-ratio rounded ONCE to integer
-    // micro-nats; per-doc scores are exact BIGINT sums of those, so the
-    // only float op replayed is one ln per bucket (identical formula)
     "c15_dsir_scores" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, (lang = 'en') AS tgt, (${sqlPolyHash("t")}) % 4096 AS b
-         |  FROM (SELECT doc_id, lang, unnest(${sqlToks("text")}) AS t FROM documents)),
-         |raw AS (SELECT b, count(*) AS rcnt FROM toks GROUP BY b),
-         |tgt AS (SELECT b, count(*) AS tcnt FROM toks WHERE tgt GROUP BY b),
-         |tot AS (SELECT (SELECT sum(rcnt) FROM raw) AS rtot,
-         |               (SELECT coalesce(sum(tcnt), 0) FROM tgt) AS ttot),
-         |lr AS (
-         |  SELECT r.b, CAST(round(ln(
-         |      ((coalesce(t.tcnt, 0) + 1.0) / (tot.ttot + 4096)) /
-         |      ((r.rcnt + 1.0) / (tot.rtot + 4096))) * 1000000.0) AS BIGINT) AS lr_micro
-         |  FROM raw r LEFT JOIN tgt t ON r.b = t.b, tot)
-         |SELECT k.doc_id, count(*)::BIGINT AS n_tokens,
-         |  sum(l.lr_micro)::BIGINT AS dsir_micro_nats
-         |FROM toks k JOIN lr l ON k.b = l.b
-         |GROUP BY k.doc_id""".stripMargin,
+      s"""WITH $sqlDsirCtes
+         |SELECT doc_id, n_tokens, dsir_micro_nats FROM dsir""".stripMargin,
+    // Gumbel-top-k replay: key = score_nats − ln(−ln u) with the keyed
+    // uniform strictly inside (0,1); rank desc, id tiebreak, keep 100
+    "c16_dsir_resample" ->
+      s"""WITH $sqlDsirCtes,
+         |g AS (
+         |  SELECT doc_id, dsir_micro_nats,
+         |    CAST(dsir_micro_nats AS DOUBLE) / 1000000.0
+         |      - ln(-ln(CAST(((doc_id % ${Corpus.IdMod}) * ${Corpus.GumbelMult}
+         |                     + ${Corpus.GumbelInc}) % 4294967296 + 1 AS DOUBLE)
+         |               / 4294967297.0)) AS key
+         |  FROM dsir),
+         |r AS (
+         |  SELECT doc_id, dsir_micro_nats,
+         |    row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rn FROM g)
+         |SELECT doc_id, dsir_micro_nats FROM r WHERE rn <= 100""".stripMargin,
     "c1_leakproof_split" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()},
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v)

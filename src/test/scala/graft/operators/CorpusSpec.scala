@@ -188,6 +188,33 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("gumbelTopK samples ∝ exp(logWeight) in log space, deterministic, cap-exact") {
+    // two strata of 30; within each, ids 0..9 carry +20 nats over the rest
+    val rows = Seq.tabulate(60)(i =>
+      (i.toLong, if (i < 30) "a" else "b",
+        if (i % 30 < 10) 20.0 else 0.0)).toDF("doc_id", "s", "lw")
+    val out = Corpus.gumbelTopK(rows, col("doc_id"), col("lw"), k = 8,
+      strata = col("s"))
+      .select("doc_id", "s").as[(Long, String)].collect()
+    assert(out.length == 16 && out.count(_._2 == "a") == 8)
+    // +20 nats ≈ e^20 ≈ 5·10^8× likelier: heavy rows should dominate picks
+    val heavy = out.count(r => r._1 % 30 < 10)
+    assert(heavy >= 12, s"heavy rows underrepresented: $heavy of 16")
+    // deterministic across runs
+    val again = Corpus.gumbelTopK(rows, col("doc_id"), col("lw"), k = 8,
+      strata = col("s")).select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+    // extreme log-weights where exp() would overflow/underflow still rank
+    val extreme = Seq((1L, 50000.0), (2L, -50000.0), (3L, 0.0))
+      .toDF("doc_id", "lw")
+    val top = Corpus.gumbelTopK(extreme, col("doc_id"), col("lw"), k = 1)
+      .select("doc_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      Corpus.gumbelTopK(rows, col("doc_id"), col("lw"), k = 0)
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed, null-safely on fingerprints") {
     val oldSnap = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (4L, None: Option[String]))

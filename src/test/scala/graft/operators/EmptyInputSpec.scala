@@ -47,6 +47,10 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Corpus.snapshotDiff(emptyDocs, emptyDocs, col("doc_id"),
       col("text")).count() == 0)
     assert(Corpus.epochOrder(emptyDocs, col("doc_id"), epoch = 1).count() == 0)
+    assert(Corpus.targetMix(emptyDocs, col("doc_id"), col("lang"),
+      Map("en" -> 1000000L)).count() == 0)
+    assert(Corpus.dsirScores(emptyDocs, col("doc_id"), col("text"),
+      col("lang") === "en").count() == 0)
     Corpus.unpersistIntermediates(blocking = true)
   }
 
