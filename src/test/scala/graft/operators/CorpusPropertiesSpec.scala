@@ -175,6 +175,35 @@ class CorpusPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("gumbelTopK: subset, per-stratum cap, and cap-monotone prefix (random corpora)") {
+    (1 to 15).foreach { i =>
+      // log-weights spanning ± tens of nats (k − 15 ∈ [−15, 15])
+      val corpus = sample(i.toLong).map { case (id, k) => (id, k.toDouble - 15.0) }
+      if (corpus.nonEmpty) {
+        val df = corpus.map { case (id, lw) =>
+          (id, if (id % 2 == 0) "a" else "b", lw)
+        }.toDF("doc_id", "stratum", "lw")
+        val cap = 1 + i % 7
+        def keptAt(c: Int): Set[Long] =
+          Corpus.gumbelTopK(df, col("doc_id"), col("lw"), c, col("stratum"))
+            .select("doc_id").as[Long].collect().toSet
+        val kept = keptAt(cap)
+        val ids = corpus.map(_._1).toSet
+        assert(kept.subsetOf(ids), s"case $i: sampled ids must come from the corpus")
+        val byStratum = corpus.groupBy { case (id, _) => id % 2 == 0 }
+        byStratum.foreach { case (even, members) =>
+          val inStratum = kept.count(id => (id % 2 == 0) == even)
+          assert(inStratum == math.min(cap, members.size),
+            s"case $i: stratum must keep exactly min(cap, size)")
+        }
+        // the Gumbel keys are a fixed total order per stratum; cap is a
+        // prefix length, so raising it only ADDS rows
+        assert(kept.subsetOf(keptAt(cap + 3)),
+          s"case $i: cap must be prefix-monotone")
+      }
+    }
+  }
+
   test("chunkTokens: coverage, bounds, and overlap reconstruction (random corpora)") {
     val docGen: Gen[List[(Long, Int)]] = Gen.choose(1, 15).flatMap { n =>
       Gen.listOfN(n, for {
