@@ -105,6 +105,13 @@ object Demo {
     println(s"[demo] BPE: ${bpeMerges.length} merges " +
       s"(first: ${bpeMerges.take(3).map(m => m.left + "+" + m.right).mkString(", ")}); " +
       s"$fertility subword tokens over the corpus")
+    // DSIR: score against the English slice as target, Gumbel-resample 50
+    val dsir = graft.operators.Corpus.dsirScores(
+      docs, col("doc_id"), col("text"), col("lang") === "en")
+    val picked = graft.operators.Corpus.gumbelTopK(
+      dsir, col("doc_id"), col("dsir_micro_nats").cast("double") / 1e6, k = 50)
+    val en = picked.join(docs, "doc_id").filter(col("lang") === "en").count()
+    println(s"[demo] DSIR resample toward English: $en of 50 picks are en")
 
     // error paths a user would hit:
     def expectError(label: String)(f: => Any): Unit =
