@@ -654,4 +654,61 @@ object Dedup {
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("c_id"))
   }
+
+  /** C4-style duplicated-segment removal (reference scope: the corpus
+    * curation layer; the reference library itself stops at row joins —
+    * this is the training-data extension the engine adds on top).
+    *
+    * Split every document on the literal `sep`, count for each non-empty
+    * segment how many DISTINCT documents contain it, mark segments whose
+    * document frequency is at least `dfPpmThreshold` parts-per-million of
+    * the corpus as boilerplate, drop every occurrence corpus-wide, and
+    * reassemble the survivors in original order. At web scale `sep` is
+    * "\n" (C4 drops lines repeated across pages); the synthetic corpus is
+    * single-line, so its queries exercise the operator at word
+    * granularity — same plan, shorter segments.
+    *
+    * Output: `doc_id, clean_text, n_kept, n_dropped` — one row per input
+    * document (a fully-boilerplate document survives with empty text, so
+    * downstream length filters see it rather than silently losing rows).
+    *
+    * Scale shape: explode → per-(doc, segment) distinct → one hash
+    * aggregation per segment (map-side partial combine collapses the
+    * heavy hitters early — the exact skew that motivates the operator);
+    * the corpus row count joins in as a single broadcast scalar; the
+    * offender set is small by construction (only segments crossing the
+    * threshold) so AQE broadcasts the flag join; one final per-document
+    * aggregation rebuilds the text. Two linear shuffles of the exploded
+    * segments, no cross product, nothing on the driver.
+    */
+  def segmentDedup(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      sep: String = "\n",
+      dfPpmThreshold: Long = 500000L): DataFrame = {
+    require(sep.nonEmpty, "segmentDedup: separator must be non-empty")
+    require(dfPpmThreshold > 0,
+      "segmentDedup: dfPpmThreshold must be positive (0 would drop every segment)")
+    val segs = docs.select(
+      id.as("doc_id"),
+      posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "s")))
+    val tot = docs.agg(count(lit(1)).as("_n"))
+    val off = segs.filter(length(col("s")) > 0)
+      .select(col("doc_id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("_nd"))
+      .crossJoin(tot)
+      .filter(col("_nd") * 1000000L >= lit(dfPpmThreshold) * col("_n"))
+      .select(col("s"), lit(true).as("_dup"))
+    segs.join(off, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(
+            when(col("_dup").isNull, struct(col("pos"), col("s"))))),
+          x => x.getField("s"))).as("clean_text"),
+        sum(when(col("_dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+  }
 }

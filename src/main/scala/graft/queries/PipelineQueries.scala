@@ -289,6 +289,13 @@ object PipelineQueries {
     Dedup.substringCoverage(t(s, dir, "documents"), col("doc_id"), col("text"),
       n = 3, dupPpmThreshold = 600000L)
 
+  // C4-style duplicated-segment removal at word granularity (the corpus
+  // is single-line, so words stand in for lines): drop every word present
+  // in >= 78% of documents, rebuild the surviving text in order
+  private val d15: Q = (s, dir) =>
+    Dedup.segmentDedup(t(s, dir, "documents"), col("doc_id"), col("text"),
+      sep = " ", dfPpmThreshold = 780000L)
+
   // group-level MinHash sketches: per-doc signatures unioned per source
   // through the custom typed Aggregator (elementwise min) — the
   // incremental fleet-dedup building block
@@ -573,6 +580,7 @@ object PipelineQueries {
     "d13_incremental_dedup" -> d13,
     "d10_substring_coverage" -> d10,
     "d11_dedup_report" -> d11,
+    "d15_segment_dedup" -> d15,
     "s1_ann_bruteforce" -> s1,
     "s11_ann_filtered" -> s11,
     "s2_ann_lsh" -> s2,
@@ -1024,6 +1032,26 @@ object PipelineQueries {
          |SELECT source, n_docs, n_dup_members, n_dropped,
          |  (n_docs - n_dropped) * 1000000 // n_docs AS kept_ppm
          |FROM r""".stripMargin,
+    "d15_segment_dedup" ->
+      """WITH seg AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS s,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |off AS (
+        |  SELECT s FROM (
+        |    SELECT s, count(DISTINCT doc_id) AS nd FROM seg
+        |    WHERE length(s) > 0 GROUP BY 1) x, tot
+        |  WHERE nd * 1000000 >= 780000 * tot.n),
+        |fl AS (
+        |  SELECT g.doc_id, g.pos, g.s, (o.s IS NOT NULL) AS dup
+        |  FROM seg g LEFT JOIN off o USING (s))
+        |SELECT doc_id,
+        |  coalesce(string_agg(s, ' ' ORDER BY pos) FILTER (WHERE NOT dup), '')
+        |    AS clean_text,
+        |  count(*) FILTER (WHERE NOT dup) AS n_kept,
+        |  count(*) FILTER (WHERE dup) AS n_dropped
+        |FROM fl GROUP BY doc_id""".stripMargin,
     "d6_source_signatures" -> {
       val mins = (0 until 16).map(i =>
         s"min((h * ${i * 2 + 1} + ${i * i * 31 + 7}) % 1000000007) AS m$i").mkString(",\n  ")

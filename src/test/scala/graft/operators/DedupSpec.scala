@@ -261,4 +261,61 @@ class DedupSpec extends AnyFunSuite {
     assert(out.keySet == Set(0L, 1L, 2L, 3L)) // nothing dropped at 0.99
     assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 2L && out(3L) == 2L)
   }
+
+  // multi-line docs sharing a boilerplate footer line (the C4 shape)
+  private def linedDocs: DataFrame = Seq(
+    (1L, "unique opening line\nshared footer line"),
+    (2L, "another distinct body\nshared footer line"),
+    (3L, "third page content\nshared footer line"),
+    (4L, "no footer on this one"))
+    .toDF("doc_id", "text")
+
+  test("segmentDedup drops the corpus-wide boilerplate line, keeps the rest") {
+    // footer appears in 3/4 docs = 750000 ppm >= 700000 threshold
+    val out = Dedup.segmentDedup(linedDocs, col("doc_id"), col("text"),
+      sep = "\n", dfPpmThreshold = 700000L)
+      .select("doc_id", "clean_text", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("unique opening line", 1L, 1L)))
+    assert(out(2L) == (("another distinct body", 1L, 1L)))
+    assert(out(3L) == (("third page content", 1L, 1L)))
+    assert(out(4L) == (("no footer on this one", 1L, 0L)))
+  }
+
+  test("segmentDedup above-max threshold is the identity; every doc survives") {
+    val out = Dedup.segmentDedup(linedDocs, col("doc_id"), col("text"),
+      sep = "\n", dfPpmThreshold = 1000001L)
+      .select("doc_id", "clean_text", "n_dropped")
+      .as[(Long, String, Long)].collect()
+    val orig = linedDocs.as[(Long, String)].collect().toMap
+    assert(out.length == 4)
+    out.foreach { case (id, ct, nd) =>
+      assert(ct == orig(id) && nd == 0L)
+    }
+  }
+
+  test("segmentDedup keeps a fully-boilerplate doc as an empty-text row") {
+    val df = Seq(
+      (1L, "common line"), (2L, "common line"), (3L, "common line"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, col("doc_id"), col("text"),
+      sep = "\n", dfPpmThreshold = 500000L)
+      .select("doc_id", "clean_text", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 3)
+    out.foreach { case (_, ct, k, d) => assert(ct == "" && k == 0L && d == 1L) }
+  }
+
+  test("segmentDedup separator occurrences inside kept text round-trip") {
+    // sep = " ": word-granularity (the synthetic-corpus wiring); empty
+    // segments from double spaces are never counted but always kept, so
+    // spacing reconstructs exactly
+    val df = Seq((1L, "a  b"), (2L, "a c"), (3L, "a d")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, col("doc_id"), col("text"),
+      sep = " ", dfPpmThreshold = 900000L) // only "a" (3/3 docs) crosses
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(1L) == " b") // "a" dropped, empty segment kept, then "b"
+    assert(out(2L) == "c" && out(3L) == "d")
+  }
 }
