@@ -538,4 +538,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), "no global sort in the eval path")
     graft.operators.Dedup.unpersistIntermediates()
   }
+
+  test("d15: segment-dedup offender set broadcasts; the corpus is key-shuffled once") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("d15_segment_dedup")
+    // the exploded corpus must meet the (small, thresholded) offender set
+    // via broadcast — a sort-merge here would shuffle every segment twice
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offender flag join must broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"), "no corpus-wide segment shuffle for the flag join")
+    // corpus-sized key exchanges: the (doc,seg) distinct feeding the df
+    // count, and the per-doc reassembly; the seg-count and scalar-total
+    // exchanges move only vocabulary/singleton rows
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 3,
+      "segment dedup must not add exchanges beyond distinct + df-count + reassembly")
+    assert(plan.contains("partial_count"), "df counting combines map-side")
+  }
 }
