@@ -68,6 +68,11 @@ object Corpus {
   val GumbelMult = 214013L
   val GumbelInc = 2531011L
 
+  /** Lehmer/minstd multiplier — contrastive-negative pool bucketing (its
+    * own family: negative picks must not correlate with splits or samples)
+    */
+  val TripletMult = 48271L
+
   /** Knuth multiplicative constant (shared with [[SplitMult]]) and epoch
     * stride for the epoch-shuffle hash.
     */
@@ -405,6 +410,50 @@ object Corpus {
       .withColumn("_g_rn", row_number().over(w))
       .filter(col("_g_rn") <= k)
       .drop("_g_stratum", "_g_id", "_g_u", "_g_key", "_g_rn")
+  }
+
+  /** Contrastive-triplet mining: turn a near-duplicate PAIR set into
+    * `(anchor, positive, negative)` training rows for embedding models.
+    * Positives are the pairs as given (any tier: MinHash-LSH, SimHash,
+    * semantic); the negative of a pair comes from a deterministic hash
+    * pool — documents bucket by keyed hash into `poolBuckets` buckets,
+    * each non-empty bucket contributes its min-id representative, and the
+    * pair probes 3 consecutive buckets starting at a pair-keyed bucket,
+    * keeping the FIRST representative that is neither endpoint. Distinct
+    * buckets have distinct representatives, so when the probed buckets
+    * are non-empty at most two collide with the pair and a negative
+    * always exists; on a degenerate corpus (fewer than 3 usable probed
+    * buckets) the pair drops — deterministically, so the oracle replays
+    * the drop. Negatives are "random" (pool) negatives; HARD negatives
+    * are already a composition the engine ships: rank with a similarity
+    * tier and anti-join this pair set.
+    *
+    * Scale: the pool is a `poolBuckets`-row aggregation (broadcast under
+    * AQE); pairs explode ×3 and meet the pool on the bucket key; the
+    * first-valid pick is a min-of-struct aggregation (map-side
+    * combinable). Linear in the pair count, nothing on the driver.
+    */
+  def contrastiveTriplets(
+      docs: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      poolBuckets: Int = 64): DataFrame = {
+    require(poolBuckets >= 3,
+      s"contrastiveTriplets: poolBuckets=$poolBuckets must be >= 3 (the probe walk needs 3 buckets)")
+    val b = lit(poolBuckets.toLong)
+    val pool = docs.groupBy(pmod(idHash(id, TripletMult), b).as("_pb"))
+      .agg(min(id.cast("long")).as("_cand"))
+    val probes = pairs
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"))
+      .withColumn("_off", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("_pb",
+        pmod(idHash(col("doc_a"), TripletMult)
+          + pmod(col("doc_b"), lit(IdMod)) + col("_off"), b))
+    probes.join(pool, Seq("_pb"))
+      .filter(col("_cand") =!= col("doc_a") && col("_cand") =!= col("doc_b"))
+      .groupBy(col("doc_a").as("anchor"), col("doc_b").as("positive"))
+      .agg(min(struct(col("_off"), col("_cand"))).getField("_cand").as("negative"))
   }
 
   /** Benchmark decontamination: which training documents share at least

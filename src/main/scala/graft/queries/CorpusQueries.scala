@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions.{qualityScore, qualityScorePpm}
 import graft.operators.{Corpus, Dedup}
-import graft.queries.PipelineQueries.{sqlHits, sqlLshClusterCtes, sqlPolyHash, sqlShingles, sqlToks, t}
+import graft.queries.PipelineQueries.{sqlHits, sqlLshClusterCtes, sqlLshPairCtes, sqlPolyHash, sqlShingles, sqlToks, t}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -191,9 +191,21 @@ object CorpusQueries {
       .select(col("doc_id"), col("dsir_micro_nats"))
   }
 
+  // contrastive triplets over the verified LSH pair set: positives from
+  // the near-dup tier, negatives from the deterministic 64-bucket hash
+  // pool (min-id representative, 3-probe walk)
+  private val c17: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Corpus.contrastiveTriplets(docs, col("doc_id"),
+      Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5),
+      poolBuckets = 64)
+  }
+
   val queries: Map[String, Q] = Map(
     "c15_dsir_scores" -> c15,
     "c16_dsir_resample" -> c16,
+    "c17_contrastive_triplets" -> c17,
     "c1_leakproof_split" -> c1,
     "c10_chunking" -> c10,
     "c11_contamination_minhash" -> c11,
@@ -284,6 +296,26 @@ object CorpusQueries {
          |  SELECT doc_id, dsir_micro_nats,
          |    row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rn FROM g)
          |SELECT doc_id, dsir_micro_nats FROM r WHERE rn <= 100""".stripMargin,
+    // pool-negative triplet replay: 64-bucket min-id pool, pair-keyed
+    // 3-probe walk, first representative that is neither endpoint
+    "c17_contrastive_triplets" ->
+      s"""WITH ${sqlLshPairCtes()},
+         |prs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+         |pool AS (
+         |  SELECT (doc_id % ${Corpus.IdMod}) * ${Corpus.TripletMult} % 64 AS pb,
+         |         min(doc_id) AS cand
+         |  FROM documents GROUP BY 1),
+         |probe AS (
+         |  SELECT doc_a, doc_b, o.off,
+         |    ((doc_a % ${Corpus.IdMod}) * ${Corpus.TripletMult}
+         |     + (doc_b % ${Corpus.IdMod}) + o.off) % 64 AS pb
+         |  FROM prs, (VALUES (0), (1), (2)) o(off)),
+         |j AS (
+         |  SELECT doc_a, doc_b, off, cand
+         |  FROM probe JOIN pool USING (pb)
+         |  WHERE cand <> doc_a AND cand <> doc_b)
+         |SELECT doc_a AS anchor, doc_b AS positive, min_by(cand, off) AS negative
+         |FROM j GROUP BY 1, 2""".stripMargin,
     "c1_leakproof_split" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()},
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v)

@@ -657,7 +657,7 @@ object PipelineQueries {
     * pair gate and the d7/d8 cluster oracles so all three stay in
     * lockstep with the one Spark implementation.
     */
-  private def sqlLshPairCtes(src: String = "documents") =
+  private[queries] def sqlLshPairCtes(src: String = "documents") =
     s"""base AS (
        |  SELECT doc_id, sh FROM (
        |    SELECT doc_id, ${sqlShingles("w")} AS sh

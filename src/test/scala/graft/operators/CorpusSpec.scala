@@ -539,4 +539,36 @@ class CorpusSpec extends AnyFunSuite {
     // 2 and 3 tie on score → 2 wins on id; 4 is unclustered → kept
     assert(kept == Set(2L, 4L))
   }
+
+  test("contrastiveTriplets: one triplet per pair, negative never an endpoint, deterministic") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (5L, 9L), (10L, 30L)).toDF("doc_a", "doc_b")
+    val run1 = Corpus.contrastiveTriplets(docs, col("doc_id"), pairs, poolBuckets = 8)
+      .select("anchor", "positive", "negative")
+      .as[(Long, Long, Long)].collect().sorted
+    val run2 = Corpus.contrastiveTriplets(docs, col("doc_id"), pairs, poolBuckets = 8)
+      .select("anchor", "positive", "negative")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(run1.toSeq == run2.toSeq)
+    assert(run1.length == 3) // every pair finds a negative (8 non-empty buckets)
+    run1.foreach { case (a, p, n) =>
+      assert(n != a && n != p, s"negative $n collides with pair ($a, $p)")
+      assert(docs.filter(col("doc_id") === n).count() == 1, "negative is a real doc")
+    }
+  }
+
+  test("contrastiveTriplets: probe walks past a bucket whose representative is an endpoint") {
+    // 3 docs → with 3 buckets every bucket rep is one of the corpus docs;
+    // a pair covering two reps forces at least one probe collision, and
+    // the walk must still land on the remaining doc
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "text")
+    val allPairs = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Corpus.contrastiveTriplets(docs, col("doc_id"), allPairs, poolBuckets = 3)
+      .select("anchor", "positive", "negative")
+      .as[(Long, Long, Long)].collect()
+    // only valid negative for each pair is the third doc — IF its bucket
+    // is among the 3 probed (always true with poolBuckets = 3)
+    out.foreach { case (a, p, n) => assert(n != a && n != p) }
+    assert(out.length == 3, "each pair's walk reaches the one non-endpoint doc")
+  }
 }

@@ -30,6 +30,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.simhashPairs(emptyDocs, col("doc_id"), col("text"),
       maxHamming = 3).count() == 0)
     assert(Dedup.clusterPairs(emptyPairs).count() == 0)
+    assert(Dedup.segmentDedup(emptyDocs, col("doc_id"), col("text"),
+      sep = "\n", dfPpmThreshold = 500000L).count() == 0)
     Dedup.unpersistIntermediates(blocking = true)
   }
 
