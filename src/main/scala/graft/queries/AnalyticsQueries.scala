@@ -448,6 +448,137 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
 
+  // TPC-H Q13-style customer distribution: LEFT join with a predicate ON
+  // the preserved side's partner (zero-order customers survive with
+  // c_count = 0), then a second aggregation over the first's output —
+  // the two-level agg never re-shuffles the fact table, only the
+  // per-customer counts
+  private val q13: Q = (s, dir) =>
+    t(s, dir, "customer").select("c_custkey")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "5-LOW", "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  // TPC-H Q15-style top supplier: revenue-per-supplier aggregate, then
+  // keep rows equal to the aggregate's own max — the scalar max is a
+  // one-row broadcast over the (already tiny) agg output, so the fact
+  // table is scanned exactly once. Ties all survive, like the spec.
+  private val q15: Q = (s, dir) => {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenueTerm).cast("double").as("total_revenue"))
+    rev.join(broadcast(rev.agg(max(col("total_revenue")).as("_mx"))),
+        col("total_revenue") === col("_mx"))
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  // TPC-H Q16-style supplier count with a NOT IN exclusion — Spark plans
+  // the NOT IN as a null-aware anti-join (the semantics a plain anti-join
+  // gets wrong when the subquery could yield nulls), then a distinct
+  // count per (brand, size)
+  private val q16: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    t(s, dir, "part").createOrReplaceTempView("part_v")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+    s.sql(
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_size IN (1, 5, 9, 13, 17)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_v
+        |                        WHERE s_acctbal < 2000.0)
+        |GROUP BY p_brand, p_size""".stripMargin)
+  }
+
+  // TPC-H Q17-style small-quantity revenue: a scalar subquery correlated
+  // through the JOIN's other side (per-part average quantity) —
+  // decorrelates into a grouped aggregate re-joined on p_partkey, so
+  // lineitem is scanned twice but never nested-looped. The average is
+  // exact-decimal sum / count (identical double both engines)
+  private val q17: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    t(s, dir, "part").createOrReplaceTempView("part_v")
+    s.sql(
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |             / 7.0, 6) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13' AND p_type = 'ECONOMY'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |                  / COUNT(*))
+        |    FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  // TPC-H Q20-style nested IN chain: suppliers who moved > 100 units of
+  // any bolt part — the inner IN prunes parts first, the HAVING aggregate
+  // runs on the pruned slice only, and both INs plan as semi-joins (no
+  // distinct materialization of the subquery results)
+  private val q20: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    t(s, dir, "part").createOrReplaceTempView("part_v")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+    s.sql(
+      """SELECT s_suppkey, s_name
+        |FROM supplier_v
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem_v
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part_v
+        |                      WHERE p_name LIKE '%bolt%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100)""".stripMargin)
+  }
+
+  // TPC-H Q21-style waiting-supplier chain: one EXISTS and one NOT EXISTS
+  // both correlated to the same outer lineitem on (orderkey, suppkey,
+  // shipdate) — Catalyst decorrelates to a semi-join plus an anti-join on
+  // l_orderkey with residual comparisons; the supplier who shipped LAST
+  // in a multi-supplier finished order takes the blame
+  private val q21: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier_v
+        |JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders_v ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem_v l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name""".stripMargin)
+  }
+
+  // TPC-H Q9-style profit by nation and order year: five-way join where
+  // every dimension (part slice, supplier, nation) broadcasts and the
+  // fact shuffles once for the (nation, year) aggregation; the LIKE
+  // filter prunes part BEFORE its broadcast
+  private val q9: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%bolt%"))
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revenueTerm).cast("double").as("profit"))
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1,
     "q3_revenue" -> q3,
@@ -482,7 +613,14 @@ object AnalyticsQueries {
     "j_anti" -> jAnti,
     "topk_orders" -> topK,
     "rollup_counts" -> rollupQ,
-    "cube_agg" -> cubeQ)
+    "cube_agg" -> cubeQ,
+    "q13_custdist" -> q13,
+    "q15_top_supplier" -> q15,
+    "q16_supplier_cnt" -> q16,
+    "q17_small_qty" -> q17,
+    "q20_nested_in" -> q20,
+    "q21_wait_chain" -> q21,
+    "q9_profit_year" -> q9)
 
   /** One column block of the a5 oracle — the KMV replay must match
     * KmvSketch.{hash,estimate} and KeyedHash.idHash exactly: distinct
@@ -783,5 +921,72 @@ object AnalyticsQueries {
     "cube_agg" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey, CAST(SUM($revenueTermSql) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_size IN (1, 5, 9, 13, 17)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 2000.0)
+        |GROUP BY p_brand, p_size""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |             / 7.0, 6) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13' AND p_type = 'ECONOMY'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |                  / COUNT(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q20_nested_in" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE '%bolt%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100)""".stripMargin,
+    "q21_wait_chain" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name""".stripMargin,
+    "q9_profit_year" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(SUM($revenueTermSql) AS DOUBLE) AS profit
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |WHERE p_name LIKE '%bolt%'
+         |GROUP BY n_name, year(o_orderdate)""".stripMargin)
 }
