@@ -228,6 +228,86 @@ object Similarity {
         round(cosine(col("qv"), col("v")), 6).as("cos"), col("rn"))
   }
 
+  /** Deterministic signed integer weight for (component j, dimension d)
+    * of the Johnson–Lindenstrauss projection — same multiplicative-hash
+    * family as [[planeWeight]] but with the constants swapped so the two
+    * plane sets never coincide; the DuckDB oracle recomputes the identical
+    * formula.
+    */
+  private def rpWeight(j: Int, d: Int): Double =
+    (((j * 104729 + 7919).toLong * (d + 1) * 2654435761L) % 65536L - 32768L).toDouble
+
+  /** The `targetDim` JL projection of a `dim`-dimensional float-vector
+    * column: component j is the codegen'd dot of the vector with literal
+    * plane j ([[rpWeight]] weights — deterministic, no RNG state). Cosine
+    * is scale-invariant, so the raw integer-weight dots need no 1/√k
+    * normalization. A vector whose length ≠ `dim` projects to an
+    * all-null array (the dot's mismatch contract) and ranks last.
+    */
+  def randomProject(v: Column, targetDim: Int, dim: Int): Column = {
+    val vd = v.cast("array<double>")
+    array((0 until targetDim).map(j =>
+      dotNative(vd, lit(Array.tabulate(dim)(d => rpWeight(j, d))))): _*)
+  }
+
+  /** Random-projection ANN (Johnson–Lindenstrauss): base and queries are
+    * projected to `targetDim` dims ([[randomProject]] — one narrow
+    * codegen'd map, no shuffle), candidates rank by projected cosine, and
+    * the top `pool` survivors per query get an exact full-dimension
+    * rescore. Approximate — JL preserves angles in expectation; `pool`
+    * (and `targetDim`) is the recall/cost knob, gated in SimilaritySpec.
+    * On near-isotropic corpora (like the driver testdata — the regime
+    * where IVF's coarse quantizer also can't beat the scanned fraction)
+    * recall tracks pool/N; on real embedding corpora with angular
+    * structure JL concentrates much faster.
+    *
+    * The 100 TB story: the stored projected index is `targetDim/dim` the
+    * bytes of the raw vectors (64→16 dims = 4×), so the O(N·|queries|)
+    * ranking pass reads and multiplies ~4× less than brute force — the
+    * dimensionality analogue of [[quantizedTopK]]'s precision shrink and
+    * [[pqTopK]]'s code shrink, and it composes with both (project, then
+    * quantize the projection). Full-precision vectors are touched only
+    * for `pool·|queries|` survivor rows, never shuffled through the
+    * ranking.
+    *
+    * Output `(q_id, vec_id, pcos, cos, rn)`: rank is by exact cosine of
+    * the survivors (ties ascending id); `pcos` is the projected-space
+    * cosine that chose them.
+    */
+  def rpTopK(
+      base: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 10,
+      targetDim: Int = 16,
+      dim: Int = 64,
+      pool: Int = 150): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def projected(df: DataFrame, idName: String, p: String) =
+      df.select(id.as(idName), randomProject(vec, targetDim, dim).as(p))
+    val pb = projected(base, "vec_id", "pv")
+    val pq = projected(queries, "q_id", "pq")
+    val wEst = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("vec_id").asc)
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val top = pb.join(broadcast(pq), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("pq"), col("pv")), 6).as("pcos"))
+      .withColumn("ern", row_number().over(wEst))
+      .filter(col("ern") <= pool)
+    // pool·|queries| survivors by construction — broadcast them against
+    // the base so the exact rescore never shuffles the full vectors
+    broadcast(top)
+      .join(base.select(id.as("vec_id"), vec.as("v")), "vec_id")
+      .join(broadcast(queries.select(id.as("q_id"), vec.as("qv"))), "q_id")
+      .select(col("q_id"), col("vec_id"), col("pcos"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wCos).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** IVF ANN: coarse centroids are the base vectors whose id ≡ 0 (mod
     * `centroidStride`) — deterministic, no k-means dependency; production
     * would train real centroids but the *plan shape* is identical. Every

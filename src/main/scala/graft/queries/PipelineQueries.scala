@@ -348,6 +348,13 @@ object PipelineQueries {
     Similarity.quantizedTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
       col("vec_id"), col("embedding"), k = 10)
 
+  // JL random projection 64→16 dims, projected-cosine ranking, exact
+  // rescore of the pool survivors — the dimensionality-shrink ANN tier;
+  // the deterministic integer plane weights replay in the oracle
+  private val s12: Q = (s, dir) =>
+    Similarity.rpTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, targetDim = 16, dim = 64, pool = 150)
+
   // deterministic Lloyd k-means in exact integer micros — the coarse-
   // quantizer/codebook trainer; the oracle replays both unrolled
   // iterations (assign → floored-integer-mean update → empty-cluster
@@ -586,6 +593,7 @@ object PipelineQueries {
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_quantized" -> s4,
+    "s12_ann_rp" -> s12,
     "s9_kmeans_codebook" -> s9,
     "s10_ann_ivf_trained" -> s10,
     "s7_ann_pq" -> ((s, dir) =>
@@ -787,7 +795,47 @@ object PipelineQueries {
        |  FROM scored)
        |WHERE rn <= 10""".stripMargin
 
+  /** DuckDB replay of `Similarity.randomProject` (component j = the
+    * left-to-right dot of the embedding with the deterministic integer
+    * plane) — formula in lockstep with Similarity.rpWeight.
+    */
+  private def sqlRpProject(targetDim: Int): String =
+    (0 until targetDim).map { j =>
+      s"""list_reduce(
+         |      list_transform(range(1, len(embedding)+1),
+         |        i -> embedding[i]::DOUBLE *
+         |             ((${j * 104729 + 7919} * i * 2654435761) % 65536 - 32768)::DOUBLE),
+         |      (x, y) -> x + y)""".stripMargin
+    }.mkString("list_value(", ",\n    ", ")")
+
+  private val sqlS12Rp =
+    s"""WITH pb AS (
+       |  SELECT vec_id, embedding,
+       |    ${sqlRpProject(16)} AS pv
+       |  FROM embeddings),
+       |pool AS (
+       |  SELECT q_id, vec_id, pcos FROM (
+       |    SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+       |      round(list_cosine_similarity(q.pv, b.pv), 6) AS pcos,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.pv, b.pv), 6) DESC,
+       |                 b.vec_id ASC) AS ern
+       |    FROM pb b JOIN pb q ON q.vec_id < 5 AND q.vec_id <> b.vec_id)
+       |  WHERE ern <= 150),
+       |scored AS (
+       |  SELECT p.q_id, p.vec_id, p.pcos,
+       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos
+       |  FROM pool p
+       |  JOIN embeddings qe ON qe.vec_id = p.q_id
+       |  JOIN embeddings be ON be.vec_id = p.vec_id)
+       |SELECT q_id, vec_id, pcos, cos, rn FROM (
+       |  SELECT q_id, vec_id, pcos, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "s12_ann_rp" -> sqlS12Rp,
     "t1_token_stats" ->
       s"""WITH toks AS (SELECT doc_id, text, ${sqlToks("text")} AS w FROM documents)
          |SELECT doc_id,
