@@ -579,6 +579,17 @@ object AnalyticsQueries {
         year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(sum(revenueTerm).cast("double").as("profit"))
 
+  // Z-order (Morton) clustering key over two pruning dimensions — the
+  // multi-dim layout key Layout.writeZordered sorts by; pure integer bit
+  // cascade, replayed bit-for-bit by the oracle. Dim 2 buckets the price
+  // to integer resolution (zone pruning is file-granular anyway).
+  private val z1: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        graft.operators.Layout.zorderKey(
+          col("o_custkey"), floor(col("o_totalprice") / 100.0).cast("long"))
+          .as("zkey"))
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1,
     "q3_revenue" -> q3,
@@ -620,7 +631,8 @@ object AnalyticsQueries {
     "q17_small_qty" -> q17,
     "q20_nested_in" -> q20,
     "q21_wait_chain" -> q21,
-    "q9_profit_year" -> q9)
+    "q9_profit_year" -> q9,
+    "z1_zorder_key" -> z1)
 
   /** One column block of the a5 oracle — the KMV replay must match
     * KmvSketch.{hash,estimate} and KeyedHash.idHash exactly: distinct
@@ -988,5 +1000,19 @@ object AnalyticsQueries {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN orders ON o_orderkey = l_orderkey
          |WHERE p_name LIKE '%bolt%'
-         |GROUP BY n_name, year(o_orderdate)""".stripMargin)
+         |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    // the identical mask-shift cascade as Layout.spread16 / zorderKey
+    "z1_zorder_key" -> {
+      def spread(e: String): String = {
+        val s1 = s"((($e) | (($e) << 8)) & 16711935)"
+        val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+        val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+        s"(($s3 | ($s3 << 1)) & 1431655765)"
+      }
+      val cx = "least(greatest(o_custkey, 0), 65535)"
+      val cy = "least(greatest(CAST(floor(o_totalprice / 100.0) AS BIGINT), 0), 65535)"
+      s"""SELECT o_orderkey,
+         |  ${spread(cx)} | (${spread(cy)} << 1) AS zkey
+         |FROM orders""".stripMargin
+    })
 }

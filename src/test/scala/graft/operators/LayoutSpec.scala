@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zorderKey interleaves bits: x even positions, y odd") {
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y")))
+      .as[Long].collect().toSeq
+    // (3,5): x bits {0,1} → {0,2} = 5; y bits {0,2} → {1,5} = 34 → 39
+    assert(got == Seq(0L, 1L, 2L, 39L, (1L << 32) - 1))
+  }
+
+  test("zorderKey clamps out-of-range inputs instead of wrapping") {
+    val got = Seq((-7L, 999999L)).toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y")))
+      .as[Long].collect().head
+    // x → 0, y → 65535: key = spread(65535) << 1 = 0x55555555 << 1
+    assert(got == 0x55555555L << 1)
+  }
+
+  test("zorderKey is monotone in each dimension holding the other fixed") {
+    val xs = (0L until 64L).toDF("x")
+    val keys = xs.select(Layout.zorderKey(col("x"), lit(37L))).as[Long].collect()
+    assert(keys.toSeq == keys.sorted.toSeq)
+    val keysY = xs.select(Layout.zorderKey(lit(37L), col("x"))).as[Long].collect()
+    assert(keysY.toSeq == keysY.sorted.toSeq)
+  }
+
+  /** Per-file [min,max] envelopes of a column, one row per output file. */
+  private def envelopes(path: String, c: String): Seq[(Long, Long)] =
+    spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().toSeq
+
+  private def overlapping(env: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+    env.count { case (l, h) => h >= lo && l <= hi }
+
+  test("Z-ordered files prune range predicates on BOTH dims; a sort prunes only its own") {
+    // two independent dimensions, 64 values each, all 4096 combinations
+    val df = spark.range(4096)
+      .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
+    val zDir = s"/tmp/graft_layout_z_${System.nanoTime()}"
+    val sDir = s"/tmp/graft_layout_s_${System.nanoTime()}"
+    Layout.writeZordered(df, zDir, col("x"), col("y"), files = 16, bitsPer = 6)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sDir)
+
+    // an 8-of-64 range predicate (1/8 of either dimension's domain)
+    val zx = overlapping(envelopes(zDir, "x"), 24, 31)
+    val zy = overlapping(envelopes(zDir, "y"), 24, 31)
+    val sx = overlapping(envelopes(sDir, "x"), 24, 31)
+    val sy = overlapping(envelopes(sDir, "y"), 24, 31)
+    info(s"files admitting the range: zorder x=$zx y=$zy of 16; sort-by-x x=$sx y=$sy of 16")
+    // the x-sort is perfect on x but hopeless on y; z-order prunes both
+    assert(sy == 16, s"x-sorted layout should not prune y, admitted $sy/16")
+    assert(zx <= 8 && zy <= 8,
+      s"z-order must prune both dims to ≤half the files, got x=$zx y=$zy")
+
+    // layout is a reordering, never a row change
+    assert(spark.read.parquet(zDir).count() == 4096)
+    val back = spark.read.parquet(zDir).select("x", "y").as[(Long, Long)]
+      .collect().toSet
+    assert(back == df.select("x", "y").as[(Long, Long)].collect().toSet)
+  }
+}
