@@ -526,6 +526,84 @@ object Corpus {
           .as("top_bigram_ppm"),
         col("distinct_token_ppm"), col("symbol_ppm"))
 
+  /** The Gopher paper's required stop words (Rae et al. 2021, table A1
+    * rule 8): a document must contain at least `minRequiredStops` DISTINCT
+    * members to pass.
+    */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix A1.1)
+    * as one shuffle-free projection — the full published heuristic set
+    * beside [[graft.functions.TextFunctions.qualityScorePpm]]'s composite
+    * score and [[repetitionProfile]]'s repetition signals. Output is one
+    * row per document with every rule's measured value, each rule's
+    * verdict folded into `keep_flag` (1 = passes all) — values are kept so
+    * a curation run can report WHY documents died, not just drop them.
+    *
+    * All thresholds are integer (ppm / centi-units) and every measure is
+    * exact integer arithmetic over the shared token split, so any engine
+    * replays the gate bit-for-bit:
+    *  - `n_words` ∈ [minWords, maxWords];
+    *  - mean word length in centi-chars `mwl_c` ∈ [minMwlC, maxMwlC];
+    *  - symbol fraction `symbol_ppm` ≤ maxSymbolPpm (non-alnum non-space
+    *    chars over all chars — the #/ellipsis litter signal);
+    *  - bullet-started lines `bullet_ppm` ≤ maxBulletPpm and
+    *    ellipsis-ended lines `ellipsis_ppm` ≤ maxEllipsisPpm;
+    *  - words containing a letter `alpha_word_ppm` ≥ minAlphaPpm;
+    *  - distinct [[GopherStops]] present `req_stop_hits` ≥ minRequiredStops.
+    *
+    * Scale shape: narrow map over the corpus, no shuffle, no joins — the
+    * token array materializes ONCE per document and feeds every rule
+    * (same single-projection discipline as [[repetitionProfile]], whose
+    * measured trap was re-evaluating the tokenizer per consumer).
+    */
+  def gopherRules(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMwlC: Int = 300,
+      maxMwlC: Int = 1000,
+      maxSymbolPpm: Int = 100000,
+      maxBulletPpm: Int = 900000,
+      maxEllipsisPpm: Int = 300000,
+      minAlphaPpm: Int = 800000,
+      minRequiredStops: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.{filter => afilter}
+    val withToks = docs.select(id.as("doc_id"), text.as("_text"),
+      tokens(text).as("_toks"), split(text, "\n").as("_lines"))
+    val n = size(col("_toks")).cast("long")
+    val nLines = size(col("_lines")).cast("long") // split never yields []
+    val sumLen = aggregate(transform(col("_toks"), t => length(t).cast("long")),
+      lit(0L), _ + _)
+    val nBullet = size(afilter(col("_lines"), l =>
+      ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ") ||
+        ltrim(l).startsWith("• "))).cast("long")
+    val nEllipsis = size(afilter(col("_lines"), l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("long")
+    val nAlpha = size(afilter(col("_toks"), t => t.rlike("[a-z]"))).cast("long")
+    val measured = withToks.select(
+      col("doc_id"),
+      n.as("n_words"),
+      when(n > 0, floor(sumLen * 100L / n).cast("long")).otherwise(0L).as("mwl_c"),
+      symbolPpm(col("_text")).as("symbol_ppm"),
+      floor(nBullet * 1000000L / nLines).cast("long").as("bullet_ppm"),
+      floor(nEllipsis * 1000000L / nLines).cast("long").as("ellipsis_ppm"),
+      when(n > 0, floor(nAlpha * 1000000L / n).cast("long")).otherwise(0L)
+        .as("alpha_word_ppm"),
+      size(array_intersect(array_distinct(col("_toks")),
+        typedLit(GopherStops))).cast("long").as("req_stop_hits"))
+    measured.withColumn("keep_flag",
+      (col("n_words").between(minWords, maxWords) &&
+        col("mwl_c").between(minMwlC, maxMwlC) &&
+        col("symbol_ppm") <= maxSymbolPpm &&
+        col("bullet_ppm") <= maxBulletPpm &&
+        col("ellipsis_ppm") <= maxEllipsisPpm &&
+        col("alpha_word_ppm") >= minAlphaPpm &&
+        col("req_stop_hits") >= minRequiredStops).cast("long"))
+  }
+
   /** Temperature-flattened domain mixing (the multilingual "exponential
     * smoothing" resample, α = 0.5): per-domain acceptance rate
     * `rate(s) = sqrt(min_count / count(s))` keeps the rarest domain whole

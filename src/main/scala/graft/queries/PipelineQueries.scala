@@ -111,6 +111,13 @@ object PipelineQueries {
         (col("top_bigram_ppm") <= 100000L && col("distinct_token_ppm") >= 300000L &&
           col("symbol_ppm") <= 100000L).cast("long"))
 
+  // the full Gopher rule set (Rae et al. A1.1) in one shuffle-free
+  // projection — per-rule measured values plus the folded keep flag;
+  // default thresholds, which split this corpus on word count (10–99
+  // words, median 56, vs minWords = 50)
+  private val t11: Q = (s, dir) =>
+    Corpus.gopherRules(t(s, dir, "documents"), col("doc_id"), col("text"))
+
   // global quality gate: drop the bottom decile by quality score — the
   // exact-percentile threshold is ONE reduce to a single row, broadcast
   // back over the corpus (no window, no global sort; `percentile` ≡
@@ -570,6 +577,7 @@ object PipelineQueries {
     "t4_fingerprint" -> t4,
     "t5_repetition" -> t5,
     "t6_quality_gate" -> t6,
+    "t11_gopher_rules" -> t11,
     "t7_scrub" -> t7,
     "t8_token_rarity" -> t8,
     "t9_freq_sketch" -> t9,
@@ -912,6 +920,49 @@ object PipelineQueries {
          |SELECT doc_id, top_bigram_ppm, distinct_token_ppm, symbol_ppm,
          |  (CASE WHEN top_bigram_ppm <= 100000 AND distinct_token_ppm >= 300000
          |             AND symbol_ppm <= 100000 THEN 1 ELSE 0 END)::BIGINT AS keep
+         |FROM m""".stripMargin,
+    // the Gopher A1.1 rule set — every measure in lockstep with
+    // Corpus.gopherRules (token split, `//` floor division, chr(10)
+    // line split, distinct-stopword intersection)
+    "t11_gopher_rules" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, ${sqlToks("text")} AS w,
+         |    str_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(w)::BIGINT AS n_words,
+         |    CASE WHEN len(w) = 0 THEN 0
+         |         ELSE (list_sum(list_transform(w, t -> length(t)))::BIGINT * 100)
+         |              // len(w) END AS mwl_c,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE (len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::BIGINT * 1000000)
+         |              // length(text) END AS symbol_ppm,
+         |    (len(list_filter(lines, l ->
+         |        starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ')
+         |        OR starts_with(ltrim(l), '• ')))::BIGINT * 1000000)
+         |      // len(lines) AS bullet_ppm,
+         |    (len(list_filter(lines, l ->
+         |        ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))::BIGINT
+         |        * 1000000)
+         |      // len(lines) AS ellipsis_ppm,
+         |    CASE WHEN len(w) = 0 THEN 0
+         |         ELSE (len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::BIGINT
+         |               * 1000000) // len(w) END AS alpha_word_ppm,
+         |    len(list_intersect(list_distinct(w),
+         |        ['the','be','to','of','and','that','have','with']))::BIGINT
+         |      AS req_stop_hits
+         |  FROM d)
+         |SELECT doc_id, n_words, mwl_c, symbol_ppm, bullet_ppm, ellipsis_ppm,
+         |  alpha_word_ppm, req_stop_hits,
+         |  (CASE WHEN n_words BETWEEN 50 AND 100000
+         |         AND mwl_c BETWEEN 300 AND 1000
+         |         AND symbol_ppm <= 100000
+         |         AND bullet_ppm <= 900000
+         |         AND ellipsis_ppm <= 300000
+         |         AND alpha_word_ppm >= 800000
+         |         AND req_stop_hits >= 2
+         |    THEN 1 ELSE 0 END)::BIGINT AS keep_flag
          |FROM m""".stripMargin,
     "t6_quality_gate" ->
       s"""WITH qm AS (

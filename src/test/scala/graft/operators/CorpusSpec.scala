@@ -557,6 +557,41 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherRules: each rule kills its targeted document, a clean one survives") {
+    val good = ("good " * 20) + GopherStops.mkString(" ") // 28 words, all rules pass
+    val docs = Seq(
+      (0L, good),
+      (1L, "too short"),                                    // n_words < 5
+      (2L, ("x " * 30) + "the be"),                         // mwl_c < 200 (1-char words)
+      (3L, good + " ####%%%%$$$$####%%%%$$$$####%%%%"),     // symbol_ppm
+      (4L, (1 to 9).map(_ => "- bullet item the be").mkString("\n")), // bullets
+      (5L, (1 to 9).map(_ =>
+        "the be some rather longer trailing thought here...").mkString("\n")), // ellipsis
+      (6L, ("12345 " * 25) + "the be"),                     // alpha_word_ppm < 0.8
+      (7L, "word " * 30))                                   // no required stops
+      .toDF("doc_id", "text")
+    val out = Corpus.gopherRules(docs, col("doc_id"), col("text"),
+      minWords = 5, maxWords = 100, minMwlC = 200, maxMwlC = 1000,
+      maxSymbolPpm = 100000, maxBulletPpm = 500000, maxEllipsisPpm = 300000,
+      minAlphaPpm = 800000, minRequiredStops = 2)
+      .select("doc_id", "keep_flag").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 1L, "clean doc must pass every rule")
+    (1L to 7L).foreach { i =>
+      assert(out(i) == 0L, s"doc $i should die on its targeted rule")
+    }
+  }
+
+  test("gopherRules: measured values are exact integers (the oracle contract)") {
+    val docs = Seq((0L, "- the be to\nplain line\nanother one...")).toDF("doc_id", "text")
+    val r = Corpus.gopherRules(docs, col("doc_id"), col("text")).collect().head
+    // tokens: [the, be, to, plain, line, another, one] — lengths sum 26
+    assert(r.getAs[Long]("n_words") == 7L)
+    assert(r.getAs[Long]("mwl_c") == 371L)           // floor(26·100/7)
+    assert(r.getAs[Long]("bullet_ppm") == 333333L)   // 1 of 3 lines
+    assert(r.getAs[Long]("ellipsis_ppm") == 333333L) // 1 of 3 lines
+    assert(r.getAs[Long]("req_stop_hits") == 3L)     // the, be, to
+  }
+
   test("contrastiveTriplets: probe walks past a bucket whose representative is an endpoint") {
     // 3 docs → with 3 buckets every bucket rep is one of the corpus docs;
     // a pair covering two reps forces at least one probe collision, and
