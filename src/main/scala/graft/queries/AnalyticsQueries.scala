@@ -579,6 +579,41 @@ object AnalyticsQueries {
         year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(sum(revenueTerm).cast("double").as("profit"))
 
+  // TPC-H Q8-style national market share: ECONOMY parts sold to EUROPE
+  // customers in 1996–97; NATION_7's share of supplier revenue per order
+  // year. Numerator and denominator are exact-decimal sums sharing ONE
+  // grouped pass (a CASE branch, not a second scan); every dimension —
+  // part slice, supplier, both nation aliases, region — broadcasts, and
+  // the only fact shuffle is lineitem⋈orders on the order key.
+  private val q8m: Q = (s, dir) => {
+    val eurCust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+          .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(eurCust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_7", revenueTerm)).cast("double")
+          / sum(revenueTerm).cast("double"), 6).as("mkt_share"))
+  }
+
   // Z-order (Morton) clustering key over two pruning dimensions — the
   // multi-dim layout key Layout.writeZordered sorts by; pure integer bit
   // cascade, replayed bit-for-bit by the oracle. Dim 2 buckets the price
@@ -632,6 +667,7 @@ object AnalyticsQueries {
     "q20_nested_in" -> q20,
     "q21_wait_chain" -> q21,
     "q9_profit_year" -> q9,
+    "q8_market_share" -> q8m,
     "z1_zorder_key" -> z1)
 
   /** One column block of the a5 oracle — the KMV replay must match
@@ -1001,6 +1037,23 @@ object AnalyticsQueries {
          |JOIN orders ON o_orderkey = l_orderkey
          |WHERE p_name LIKE '%bolt%'
          |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+         |                      THEN $revenueTermSql END) AS DOUBLE)
+         |        / CAST(SUM($revenueTermSql) AS DOUBLE), 6) AS mkt_share
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation n2 ON n2.n_nationkey = s_nationkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation n1 ON n1.n_nationkey = c_nationkey
+         |JOIN region ON r_regionkey = n1.n_regionkey
+         |WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY year(o_orderdate)""".stripMargin,
     // the identical mask-shift cascade as Layout.spread16 / zorderKey
     "z1_zorder_key" -> {
       def spread(e: String): String = {

@@ -37,13 +37,24 @@ object PipelineQueries {
     s.read.parquet(s"$dir/$name.parquet")
       .repartition(s.sparkContext.defaultParallelism)
 
-  /** The events parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read the raw nanos as long and downconvert to a
-    * microsecond timestamp (exact — testdata timestamps are µs-grained).
+  /** Events `ts` column, schema-adaptive: some testdata generations write
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read the
+    * raw nanos as long and downconvert, exact since the data is
+    * µs-grained); newer generations write TIMESTAMP(MICROS) directly.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // µs parquet arrives as TIMESTAMP_NTZ; cast to TIMESTAMP_LTZ so
+        // unix_micros & friends resolve. Session tz is pinned to UTC, so
+        // the cast is exact and agrees with DuckDB's epoch_us on the
+        // same naive values.
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   // ------------------------------------------------------------------

@@ -558,7 +558,7 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("gopherRules: each rule kills its targeted document, a clean one survives") {
-    val good = ("good " * 20) + GopherStops.mkString(" ") // 28 words, all rules pass
+    val good = ("good " * 20) + Corpus.GopherStops.mkString(" ") // 28 words, all rules pass
     val docs = Seq(
       (0L, good),
       (1L, "too short"),                                    // n_words < 5
