@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms over pair tables, in the Pregel-on-DataFrames
+  * shape: per iteration ONE equi-join of the score table against the edge
+  * list (both hash-partitioned on the source key — the persisted edge table
+  * keeps its shuffle output, so every iteration reuses the exchange) and
+  * ONE aggregation on the destination key. No driver-side state beyond the
+  * loop counter; at 100 TB each iteration is two bounded shuffles of the
+  * (nodes + edges)-sized frames, never a collect.
+  *
+  * The reference has no graph surface (SURVEY.md §2 "NOT implemented");
+  * this extends the dedup-cluster machinery (`Dedup.clusterPairs`,
+  * reference quirk: hash-min label propagation) with an authority score —
+  * the standard corpus-curation signal for weighting near-duplicate
+  * neighborhoods and host graphs.
+  */
+object Graph {
+
+  /** Fixed-point PageRank over the undirected graph induced by a
+    * canonical (a < b) pair table. Output `(v, score)` — one row per
+    * node that has at least one edge.
+    *
+    * Determinism contract (the DuckDB-oracle hash-compare): all
+    * arithmetic is BIGINT fixed-point at `scale` (default 1e12), so the
+    * per-destination contribution sum is an associative integer sum —
+    * bit-identical under any shuffle order, unlike a double sum. Each
+    * iteration computes
+    *
+    *   score'(v) = (scale * (den-num))/den  +  (num * Σ_{u→v} score(u) div outdeg(u)) div den
+    *
+    * with `num/den` the damping factor (85/100). Every node in the pair
+    * graph has outdeg ≥ 1 by construction, so there is no dangling-mass
+    * term. Overflow headroom: num * Σ contribs ≤ 85 · N · scale, safe in
+    * BIGINT up to N ≈ 10^5 at the default scale; shrink `scale` for
+    * larger graphs (the oracle replays whatever is passed).
+    */
+  def pageRank(pairs: DataFrame, aCol: Column, bCol: Column,
+               iterations: Int = 5, scale: Long = 1000000000000L,
+               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // both directions; canonical input pairs mean no duplicate edges
+    val fwd = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // out-degree rides along with each edge so the per-iteration join is
+    // score ⋈ edges only; persisted + pre-partitioned on src, the join key
+    val outEdges = Corpus.cacheIntermediate(
+      edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .repartition(col("src")))
+    val nodes = Corpus.cacheIntermediate(
+      outEdges.select(col("src").as("v")).distinct())
+
+    val base = lit(scale / dampDen * (dampDen - dampNum)).as("base")
+    var scores = nodes.select(col("v"), lit(scale).as("score"))
+    (1 to iterations).foreach { _ =>
+      val contribs = outEdges
+        .join(scores, outEdges("src") === scores("v"))
+        .select(col("dst"), expr("score div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).as("contrib_sum"))
+      scores = nodes
+        .join(contribs, nodes("v") === contribs("dst"), "left")
+        .select(nodes("v"),
+          (base + expr(s"$dampNum * coalesce(contrib_sum, 0L) div $dampDen"))
+            .as("score"))
+    }
+    scores
+  }
+}

@@ -271,6 +271,16 @@ object PipelineQueries {
 
   // the keep-set after near-dup clustering: all docs minus non-canonical
   // cluster members (the end-to-end "dedup this corpus" answer)
+  // authority scores over the near-dup neighborhood graph: fixed-point
+  // integer PageRank (5 iterations, damping 85/100) on the verified LSH
+  // pair set — two bounded shuffles per iteration, edge table persisted
+  // pre-partitioned on the join key, exact BIGINT arithmetic end to end
+  private val g1: Q = (s, dir) =>
+    graft.operators.Graph.pageRank(
+      Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5),
+      col("doc_a"), col("doc_b"), iterations = 5)
+
   private val d8: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val clusters = Dedup.clusterPairs(
@@ -600,6 +610,7 @@ object PipelineQueries {
     "d6_source_signatures" -> d6,
     "d7_dup_clusters" -> d7,
     "d8_dedup_keep" -> d8,
+    "g1_pagerank" -> g1,
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
     "d12_semdedup" -> d12,
@@ -1123,6 +1134,32 @@ object PipelineQueries {
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()}
          |SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v""".stripMargin,
+    // fixed-point PageRank replay: same 85/100 damping, 1e12 scale,
+    // BIGINT floor division at every step (// ≡ Spark's div on positives)
+    "g1_pagerank" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.v, CAST(150000000000 + (85 * c.s) // 100 AS BIGINT) AS score
+           |  FROM nodes n JOIN (
+           |    SELECT e.dst, CAST(SUM(i.score // d.outdeg) AS BIGINT) AS s
+           |    FROM edges e
+           |    JOIN deg d ON d.src = e.src
+           |    JOIN $prev i ON i.v = e.src
+           |    GROUP BY e.dst) c ON c.dst = n.v)""".stripMargin
+      s"""WITH ${sqlLshPairCtes()},
+         |prpairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM prpairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS v FROM edges),
+         |it0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS score FROM nodes),
+         |${iter("it0", "it1")},
+         |${iter("it1", "it2")},
+         |${iter("it2", "it3")},
+         |${iter("it3", "it4")},
+         |${iter("it4", "it5")}
+         |SELECT v, score FROM it5""".stripMargin
+    },
     "d8_dedup_keep" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()},
          |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v)
