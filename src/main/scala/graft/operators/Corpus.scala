@@ -68,6 +68,13 @@ object Corpus {
   val GumbelMult = 214013L
   val GumbelInc = 2531011L
 
+  /** Borland Delphi LCG constants — upsample fractional-copy draw (its own
+    * family so repetition decisions are independent of every other keyed
+    * decision)
+    */
+  val UpsampleMult = 22695477L
+  val UpsampleInc = 1L
+
   /** Lehmer/minstd multiplier — contrastive-negative pool bucketing (its
     * own family: negative picks must not correlate with splits or samples)
     */
@@ -681,6 +688,45 @@ object Corpus {
       .drop("_dom")
   }
 
+  /** Realize a per-domain repetition recipe WITH upsampling: each listed
+    * domain's documents are replicated `epochsPpm(dom) / 1e6` times in
+    * expectation — every doc appears `floor(f/1e6)` times, plus one more
+    * iff its keyed hash falls below the fractional part (deterministic,
+    * composable, exactly replayable). The training-mixture counterpart of
+    * [[targetMix]], which only ever downsamples: data recipes repeat
+    * high-quality sources (multiple epochs of a small corpus) while
+    * passing big web crawls through at < 1 epoch, and this operator
+    * realizes both directions in one pass. Output `(doc_id, dom, copy)`
+    * with `copy` ∈ 1..n; domains absent from the recipe are dropped (a
+    * recipe IS the output spec).
+    *
+    * Scale shape: the recipe is a broadcast map-side join; replication is
+    * a narrow `explode(sequence(...))` — the corpus is never key-shuffled
+    * and the output size is exactly the recipe's expectation. Replicas
+    * land in the same input partition as their source; follow with
+    * [[epochOrder]] (which permutes on id and copy-independent hashes)
+    * before training-order writes.
+    */
+  def upsampleMix(
+      df: DataFrame,
+      id: Column,
+      domain: Column,
+      epochsPpm: Map[String, Long]): DataFrame = {
+    require(epochsPpm.nonEmpty, "epochsPpm must name at least one domain")
+    require(epochsPpm.values.forall(_ > 0), "repetition factors must be positive ppm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recipe = epochsPpm.toSeq.toDF("_dom", "_f")
+    df.join(broadcast(recipe), domain <=> col("_dom"))
+      .select(id.cast("long").as("doc_id"), col("_dom").as("dom"),
+        (expr("_f div 1000000") +
+          when(idHash(id, UpsampleMult, UpsampleInc) % 1000000L <
+            expr("_f % 1000000"), 1L).otherwise(0L)).as("_n"))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), col("dom"),
+        explode(sequence(lit(1L), col("_n"))).as("copy"))
+  }
+
   /** Deterministic epoch-shuffle order: a contiguous global rank (1-based)
     * of every document under the per-epoch permutation hash
     * `h = (((id + epoch · EpochStride) mod 2^31) · SplitMult) mod 2^32` — the
@@ -817,7 +863,7 @@ object Corpus {
     * last call; returns the number of frames released.
     */
   def unpersistIntermediates(blocking: Boolean = false): Int = {
-    var n = 0
+    var n = LocalCheckpoints.release(blocking)
     var df = intermediates.poll()
     while (df != null) { df.unpersist(blocking); n += 1; df = intermediates.poll() }
     n

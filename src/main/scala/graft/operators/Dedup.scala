@@ -41,7 +41,7 @@ object Dedup {
     * other operator families. Returns the number of frames released.
     */
   def unpersistIntermediates(blocking: Boolean = false): Int = {
-    var n = 0
+    var n = LocalCheckpoints.release(blocking)
     var df = intermediates.poll()
     while (df != null) { df.unpersist(blocking); n += 1; df = intermediates.poll() }
     n
@@ -218,12 +218,19 @@ object Dedup {
   def clusterPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // both directions via ONE explode — a union of two pair-selects would
     // evaluate the (potentially expensive) upstream pair pipeline twice
-    // while filling this cache
-    val edges = cached(
+    // while materializing. localCheckpoint (not persist): it TRUNCATES
+    // lineage, so every loop iteration's plan references a flat
+    // LogicalRDD — with a plain persist the upstream pair pipeline's
+    // logical plan is re-embedded (and re-canonicalized for cache lookup)
+    // once per iteration, and that driver-side cost grows with the loop
+    // while the actual data stays tiny. Blocks are executor-local; on a
+    // lossy cluster use a reliable checkpoint dir instead.
+    val edges =
       pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .transform(LocalCheckpoints.apply)
     // seed each vertex with its 1-hop minimum (self included): the same
     // one-aggregation cost as a bare `distinct()` init, but it folds the
     // first propagation round into the seed — duplicate clusters are
@@ -234,7 +241,7 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("v"))
       .agg(min(col("dst")).as("_nmin"))
       .select(col("v"), least(col("v"), col("_nmin")).as("l"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(LocalCheckpoints.apply)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -249,20 +256,17 @@ object Dedup {
         .join(labels, edges("src") === labels("v"))
         .select(col("dst").as("cv"), col("l"), lit(false).as("own"))
         .union(labels.select(col("v").as("cv"), col("l"), lit(true).as("own")))
+      // eager localCheckpoint doubles as the per-iteration materializer
+      // (what persist+count did) while keeping the next iteration's plan
+      // flat — see the edges comment above
       val next = contrib.groupBy(col("cv").as("v"))
         .agg(min(col("l")).as("l"), min(when(col("own"), col("l"))).as("ol"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(LocalCheckpoints.apply)
       val changed = next.filter(col("l") =!= col("ol")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    // register the surviving label cache BEFORE the convergence check —
-    // on the failure path below the caller can still release it via
-    // unpersistIntermediates (registering after the throw would leak the
-    // final iteration's persist for the session's lifetime)
-    intermediates.add(labels)
     // silent truncation would emit multiple "clusters" for one component
     // and keepCanonical would then retain duplicates — fail loudly instead
     if (!converged)

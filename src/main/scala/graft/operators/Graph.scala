@@ -45,16 +45,23 @@ object Graph {
     val fwd = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     // out-degree rides along with each edge so the per-iteration join is
-    // score ⋈ edges only; persisted + pre-partitioned on src, the join key
-    val outEdges = Corpus.cacheIntermediate(
+    // score ⋈ edges only, pre-partitioned on src, the join key.
+    // localCheckpoint (not persist): it TRUNCATES lineage, so the
+    // iterated plan references a flat LogicalRDD instead of re-embedding
+    // the (potentially huge) upstream pair pipeline once per loop level —
+    // without it, driver-side plan canonicalization and cache lookup grow
+    // with every iteration and dominate wall-clock long before the data
+    // does. (On a multi-node cluster prefer a reliable checkpoint dir if
+    // executor loss matters; blocks here are executor-local.)
+    val outEdges =
       edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-        .repartition(col("src")))
-    val nodes = Corpus.cacheIntermediate(
-      outEdges.select(col("src").as("v")).distinct())
+        .repartition(col("src"))
+        .transform(LocalCheckpoints.apply)
+    val nodes = outEdges.select(col("src").as("v")).distinct().transform(LocalCheckpoints.apply)
 
     val base = lit(scale / dampDen * (dampDen - dampNum)).as("base")
     var scores = nodes.select(col("v"), lit(scale).as("score"))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val contribs = outEdges
         .join(scores, outEdges("src") === scores("v"))
         .select(col("dst"), expr("score div outdeg").as("contrib"))
@@ -64,6 +71,8 @@ object Graph {
         .select(nodes("v"),
           (base + expr(s"$dampNum * coalesce(contrib_sum, 0L) div $dampDen"))
             .as("score"))
+      // bound the un-truncated join depth for long runs
+      if (i % 8 == 0 && i < iterations) scores = scores.transform(LocalCheckpoints.apply)
     }
     scores
   }

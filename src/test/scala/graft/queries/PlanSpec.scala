@@ -213,7 +213,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("c9: curation pipeline caches the scored corpus; no sort-merge, no global sort") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
-    val plan = planOf("c9_curation_pipeline")
+    // the cluster table now arrives through a lineage-truncating
+    // localCheckpoint (LogicalRDD — no static size stats), so the
+    // broadcast decisions are AQE's at runtime: execute first and assert
+    // the FINAL adaptive plan, which is what actually runs at any scale
+    val df = graft.SparkEntry.queries("c9_curation_pipeline")(spark, dir)
+    df.collect() // drive THIS QueryExecution (df.write would plan a new one)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.linesIterator.next())
     // the heavy qual_ppm projection must be served from the persisted scored
     // frame (one evaluation), the percentile threshold and the dup-drop set
     // must broadcast, and the corpus must never be key-shuffled for the gate.
@@ -228,6 +235,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!outer.contains("SortMergeJoin"),
       s"no shuffle join allowed in the gate/split path:\n${outer.take(600)}")
     assert(!outer.contains("rangepartitioning"), "no global sort allowed")
+    graft.operators.Dedup.unpersistIntermediates()
+    graft.operators.Corpus.unpersistIntermediates()
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("e9: interval join is an equi-join on bucket id — never a nested loop") {
