@@ -106,6 +106,12 @@ object CorpusQueries {
       Map("en" -> 700000L, "de" -> 300000L))
       .select(col("doc_id"), col("lang"), col("rate_ppm"))
 
+  // repetition recipe WITH upsampling: de gets 2.25 epochs, en 1.5, fr
+  // exactly 1, zh is downsampled to 0.7 — es is absent so it drops
+  private val c18: Q = (s, dir) =>
+    Corpus.upsampleMix(t(s, dir, "documents"), col("doc_id"), col("lang"),
+      Map("en" -> 1500000L, "de" -> 2250000L, "fr" -> 1000000L, "zh" -> 700000L))
+
   // snapshot diff: yesterday's corpus (sans the %11 ids) vs today's (sans
   // the %7 ids, %13 texts edited) — added/removed/changed by fingerprint,
   // never by body compare
@@ -219,6 +225,7 @@ object CorpusQueries {
     "c8_quota_sample" -> c8,
     "c13_weighted_sample" -> c13,
     "c14_target_mix" -> c14,
+    "c18_upsample_mix" -> c18,
     "d14_snapshot_diff" -> d14,
     "c9_curation_pipeline" -> c9,
     "d9_keep_best" -> d9)
@@ -496,6 +503,21 @@ object CorpusQueries {
          |FROM documents d JOIN rates r ON d.lang = r.dom
          |WHERE ((d.doc_id % ${Corpus.IdMod}) * ${Corpus.TargetMult}
          |       + ${Corpus.TargetInc}) % 1000000 < r.rate_ppm""".stripMargin,
+    // same keyed-hash replay, independent LCG family; copies via
+    // generate_series (empty when n = 0, so the WHERE only documents it)
+    "c18_upsample_mix" ->
+      s"""WITH recipe AS (SELECT * FROM (VALUES
+         |    ('en', 1500000), ('de', 2250000), ('fr', 1000000), ('zh', 700000))
+         |  r(dom, f)),
+         |n AS (
+         |  SELECT d.doc_id, r.dom,
+         |    f // 1000000
+         |      + CASE WHEN ((d.doc_id % ${Corpus.IdMod}) * ${Corpus.UpsampleMult}
+         |                   + ${Corpus.UpsampleInc}) % 1000000 < f % 1000000
+         |             THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents d JOIN recipe r ON d.lang = r.dom)
+         |SELECT doc_id, dom, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+         |FROM n WHERE n_copies >= 1""".stripMargin,
     // fingerprints replayed via the shared polyhash CTE; the edited texts
     // are re-hashed exactly as the Spark side edits them
     "d14_snapshot_diff" ->

@@ -122,6 +122,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept.exists(_ < 40) || heavy == 20)
   }
 
+  test("upsampleMix: exact copy counts, both directions, unlisted domain dropped") {
+    val rows = Seq.tabulate(60)(i =>
+      (i.toLong, if (i < 30) "en" else if (i < 50) "de" else "es")).toDF("doc_id", "lang")
+    val out = Corpus.upsampleMix(rows, col("doc_id"), col("lang"),
+      Map("en" -> 2500000L, "de" -> 600000L))
+      .select("doc_id", "dom", "copy").as[(Long, String, Long)].collect()
+    // es absent from the recipe → dropped entirely
+    assert(!out.exists(_._2 == "es"))
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    def extra(id: Long, frac: Long): Boolean =
+      ((id % Corpus.IdMod) * Corpus.UpsampleMult + Corpus.UpsampleInc) % 1000000L < frac
+    (0L until 30L).foreach { i => // en: 2 or 3 copies, contiguous 1..n
+      val n = 2 + (if (extra(i, 500000L)) 1 else 0)
+      assert(perDoc(i) == (1L to n.toLong), s"en doc $i: ${perDoc.get(i)}")
+    }
+    (30L until 50L).foreach { i => // de: 0 or 1 copies (downsample path)
+      if (extra(i, 600000L)) assert(perDoc(i) == Seq(1L))
+      else assert(!perDoc.contains(i))
+    }
+    // deterministic across runs
+    val again = Corpus.upsampleMix(rows, col("doc_id"), col("lang"),
+      Map("en" -> 2500000L, "de" -> 600000L))
+      .select("doc_id", "dom", "copy").as[(Long, String, Long)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Corpus.upsampleMix(rows, col("doc_id"), col("lang"), Map.empty)
+    }
+  }
+
   test("targetMix realizes the requested shares at the max feasible size, never upsampling") {
     // en: 40 docs, de: 20 docs (ids 0..59, en = id%3==0 is 20... build explicitly)
     val rows = Seq.tabulate(60)(i =>
