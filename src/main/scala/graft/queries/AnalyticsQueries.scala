@@ -579,6 +579,30 @@ object AnalyticsQueries {
         year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(sum(revenueTerm).cast("double").as("profit"))
 
+  // robust per-source outlier profile: median + MAD (median absolute
+  // deviation) of document length, and the count of docs beyond 3 MADs —
+  // the outlier gate that, unlike mean/stddev, a handful of giant docs
+  // cannot drag. Two exact interpolated-percentile reduces, each a tiny
+  // per-source row broadcast back over the corpus; the only shuffles are
+  // three per-source aggs. Inputs are BIGINT so every interpolated value
+  // is an exact binary fraction (x.0/x.5) and the DuckDB quantile_cont
+  // replay is bit-exact (cf. a1).
+  private val a6: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("source"), col("n_chars"))
+    val med = docs.groupBy("source")
+      .agg(percentile(col("n_chars"), lit(0.5)).as("med_chars"))
+    val dev = docs.join(broadcast(med), "source")
+      .select(col("source"), col("med_chars"),
+        abs(col("n_chars") - col("med_chars")).as("_ad"))
+    val mad = dev.groupBy("source")
+      .agg(percentile(col("_ad"), lit(0.5)).as("mad_chars"))
+    dev.join(broadcast(mad), "source")
+      .groupBy(col("source"), col("med_chars"), col("mad_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_ad") > lit(3.0) * col("mad_chars"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   // TPC-H Q8-style national market share: ECONOMY parts sold to EUROPE
   // customers in 1996–97; NATION_7's share of supplier revenue per order
   // year. Numerator and denominator are exact-decimal sums sharing ONE
@@ -646,6 +670,7 @@ object AnalyticsQueries {
     "a1_percentiles" -> a1,
     "a4_quantile_sketch" -> a4,
     "a2_profile" -> a2,
+    "a6_mad_outliers" -> a6,
     "a5_profile_sketch" -> a5,
     "a3_histogram" -> a3,
     "agg_distinct" -> aggDistinct,
@@ -1037,6 +1062,21 @@ object AnalyticsQueries {
          |JOIN orders ON o_orderkey = l_orderkey
          |WHERE p_name LIKE '%bolt%'
          |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "a6_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT source, quantile_cont(n_chars, 0.5) AS med_chars
+        |  FROM documents GROUP BY source),
+        |dev AS (
+        |  SELECT d.source, m.med_chars, abs(d.n_chars - m.med_chars) AS ad
+        |  FROM documents d JOIN med m ON d.source = m.source),
+        |mad AS (
+        |  SELECT source, quantile_cont(ad, 0.5) AS mad_chars
+        |  FROM dev GROUP BY source)
+        |SELECT v.source, v.med_chars, a.mad_chars, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN v.ad > 3.0 * a.mad_chars THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev v JOIN mad a ON v.source = a.source
+        |GROUP BY v.source, v.med_chars, a.mad_chars""".stripMargin,
     "q8_market_share" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
          |  round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
