@@ -165,4 +165,28 @@ object Profile {
         (lit(lo) + col("bucket") * width).as("bucket_lo"),
         coalesce(col("_cnt"), lit(0L)).as("n"))
   }
+
+  /** Pre-flight equi-join cardinality estimate — the System R formula
+    * `|A ⋈ B| ≈ n_a · n_b / max(d_a, d_b)` (uniform-frequency
+    * assumption) from one tiny aggregation per side: row count + exact
+    * distinct key count. The "should this join broadcast / how many
+    * reducers does its output need" answer BEFORE paying for the join —
+    * what an optimizer reads from catalog statistics, as a library
+    * operator over tables that have none.
+    *
+    * Exactness contract: the product runs in DECIMAL(38,0) (no overflow
+    * up to ~10^19 rows per side) and the divide is integral, so the
+    * estimate replays bit-for-bit. Nulls never join, so keys are counted
+    * null-excluded (`countDistinct` semantics on both engines). For a
+    * sketch-tier input swap the exact distincts for
+    * [[graft.functions.KmvSketch]] estimates upstream.
+    */
+  def joinCardinalityEstimate(a: DataFrame, ka: Column, b: DataFrame, kb: Column): DataFrame = {
+    val sa = a.agg(count(ka).as("n_a"), countDistinct(ka).as("d_a"))
+    val sb = b.agg(count(kb).as("n_b"), countDistinct(kb).as("d_b"))
+    sa.crossJoin(sb) // both sides are single rows — a 1×1 "cross" join
+      .select(col("n_a"), col("d_a"), col("n_b"), col("d_b"),
+        expr("CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) div greatest(d_a, d_b)")
+          .as("est_rows"))
+  }
 }

@@ -603,6 +603,14 @@ object AnalyticsQueries {
           .as("n_outliers"))
   }
 
+  // pre-flight System-R join cardinality estimate: one tiny agg per side,
+  // DECIMAL(38,0) product + integral divide — the broadcast/reducer-count
+  // decision BEFORE paying for the join
+  private val a7: Q = (s, dir) =>
+    graft.operators.Profile.joinCardinalityEstimate(
+      t(s, dir, "orders"), col("o_orderkey"),
+      t(s, dir, "lineitem"), col("l_orderkey"))
+
   // TPC-H Q8-style national market share: ECONOMY parts sold to EUROPE
   // customers in 1996–97; NATION_7's share of supplier revenue per order
   // year. Numerator and denominator are exact-decimal sums sharing ONE
@@ -671,6 +679,7 @@ object AnalyticsQueries {
     "a4_quantile_sketch" -> a4,
     "a2_profile" -> a2,
     "a6_mad_outliers" -> a6,
+    "a7_join_card_est" -> a7,
     "a5_profile_sketch" -> a5,
     "a3_histogram" -> a3,
     "agg_distinct" -> aggDistinct,
@@ -1062,6 +1071,14 @@ object AnalyticsQueries {
          |JOIN orders ON o_orderkey = l_orderkey
          |WHERE p_name LIKE '%bolt%'
          |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "a7_join_card_est" ->
+      """SELECT n_a, d_a, n_b, d_b,
+        |  CAST((CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT))
+        |       // greatest(d_a, d_b) AS BIGINT) AS est_rows
+        |FROM (SELECT count(o_orderkey) AS n_a,
+        |             count(DISTINCT o_orderkey) AS d_a FROM orders),
+        |     (SELECT count(l_orderkey) AS n_b,
+        |             count(DISTINCT l_orderkey) AS d_b FROM lineitem)""".stripMargin,
     "a6_mad_outliers" ->
       """WITH med AS (
         |  SELECT source, quantile_cont(n_chars, 0.5) AS med_chars
