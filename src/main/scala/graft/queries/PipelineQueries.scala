@@ -151,6 +151,26 @@ object PipelineQueries {
   private val t8: Q = (s, dir) =>
     Corpus.tokenRarity(t(s, dir, "documents"), col("doc_id"), col("text"))
 
+  // per-document token-distribution Shannon entropy in integer micro-nats
+  // (the diversity signal distinct_token_ppm approximates): each term's
+  // -(c/n)·ln(c/n) contribution is rounded ONCE to micro-nats, then doc
+  // entropy is an exact BIGINT sum — order-independent, replayed
+  // bit-for-bit (the c15 DSIR rounding convention). Two shuffles: one
+  // (doc, token) count agg, one doc-keyed window+agg.
+  private val t12: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tc = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("doc_id")))
+    tc.select(col("doc_id"), col("n"),
+        round((col("c").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("c")) * 1e6)
+          .cast("long").as("term_micro"))
+      .groupBy(col("doc_id"), col("n").as("n_tokens"))
+      .agg(sum(col("term_micro")).as("entropy_micro_nats"))
+  }
+
   // Count-Min frequency sketch over the token stream: one bounded-state
   // pass (depth×width longs) instead of a full-vocab groupBy — probed for
   // a fixed term set and reported next to the exact counts, so the
@@ -601,6 +621,7 @@ object PipelineQueries {
     "t11_gopher_rules" -> t11,
     "t7_scrub" -> t7,
     "t8_token_rarity" -> t8,
+    "t12_token_entropy" -> t12,
     "t9_freq_sketch" -> t9,
     "t10_lm_score" -> t10,
     "d1_exact_dedup" -> d1,
@@ -1012,6 +1033,19 @@ object PipelineQueries {
          |  ${sqlPolyHash(red)} AS red_fp
          |FROM documents""".stripMargin
     },
+    // per-term micro-nat rounding then exact BIGINT sum — the c15
+    // convention; c and n are identical integers in both engines so the
+    // double expression inside round() is bit-identical
+    "t12_token_entropy" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${sqlToks("text")}) AS t FROM documents),
+         |tc AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, t),
+         |tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM tc GROUP BY doc_id)
+         |SELECT tc.doc_id, tot.n AS n_tokens,
+         |  sum(CAST(round((tc.c::DOUBLE / tot.n) * ln(tot.n::DOUBLE / tc.c) * 1000000)
+         |           AS BIGINT))::BIGINT AS entropy_micro_nats
+         |FROM tc JOIN tot ON tc.doc_id = tot.doc_id
+         |GROUP BY tc.doc_id, tot.n""".stripMargin,
     "t8_token_rarity" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${sqlToks("text")}) AS t FROM documents),

@@ -166,6 +166,24 @@ class PlanSpec extends AnyFunSuite {
       "no pair join allowed in the coverage path")
   }
 
+  test("g1: pageRank iterations read flat checkpointed RDDs — no re-embedded upstream") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // building the frame eagerly materializes the edge/node checkpoints
+    // (that cost is the LSH pipeline, pinned by the d3 plan); the
+    // RETURNED 5-iteration plan must reference only those flat RDD scans
+    // — zero parquet scans, zero shingle/minhash expressions — or the
+    // loop re-pays driver-side plan cost per iteration (SURVEY §8.33)
+    val plan = planOf("g1_pagerank")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"iterations must read the checkpointed edge list:\n${plan.take(600)}")
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      "the iterated plan must not re-embed the parquet pair pipeline")
+    assert(!plan.contains("minhash") && !plan.contains("shingle"),
+      "no LSH expression may survive into the iterated plan")
+    graft.operators.Dedup.unpersistIntermediates()
+    graft.operators.Corpus.unpersistIntermediates()
+  }
+
   test("q7: both nation aliases broadcast; the fact table never broadcasts") {
     assume(new java.io.File(s"$dir/lineitem.parquet").exists())
     val plan = planOf("q7_nation_flow")
