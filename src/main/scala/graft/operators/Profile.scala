@@ -186,7 +186,11 @@ object Profile {
     val sb = b.agg(count(kb).as("n_b"), countDistinct(kb).as("d_b"))
     sa.crossJoin(sb) // both sides are single rows — a 1×1 "cross" join
       .select(col("n_a"), col("d_a"), col("n_b"), col("d_b"),
-        expr("CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) div greatest(d_a, d_b)")
+        // an empty (or all-null-key) side joins to nothing — guard the
+        // divide rather than ANSI-error on d = 0
+        expr("""CASE WHEN greatest(d_a, d_b) = 0 THEN 0L
+                ELSE CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+                     div greatest(d_a, d_b) END""")
           .as("est_rows"))
   }
 }

@@ -1073,8 +1073,9 @@ object AnalyticsQueries {
          |GROUP BY n_name, year(o_orderdate)""".stripMargin,
     "a7_join_card_est" ->
       """SELECT n_a, d_a, n_b, d_b,
-        |  CAST((CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT))
-        |       // greatest(d_a, d_b) AS BIGINT) AS est_rows
+        |  CAST(CASE WHEN greatest(d_a, d_b) = 0 THEN 0
+        |       ELSE (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT))
+        |            // greatest(d_a, d_b) END AS BIGINT) AS est_rows
         |FROM (SELECT count(o_orderkey) AS n_a,
         |             count(DISTINCT o_orderkey) AS d_a FROM orders),
         |     (SELECT count(l_orderkey) AS n_b,

@@ -56,6 +56,17 @@ class EmptyInputSpec extends AnyFunSuite {
     Corpus.unpersistIntermediates(blocking = true)
   }
 
+  test("r7 operators return empty (or empty-model) results on empty input") {
+    assert(Graph.pageRank(emptyPairs, col("doc_a"), col("doc_b"), 3).count() == 0)
+    assert(Corpus.upsampleMix(emptyDocs, col("doc_id"), col("lang"),
+      Map("en" -> 1500000L)).count() == 0)
+    val est = Profile.joinCardinalityEstimate(emptyDocs, col("doc_id"),
+      emptyDocs, col("doc_id")).collect().head
+    assert(est.getAs[Long]("n_a") == 0L && est.getAs[Long]("est_rows") == 0L)
+    Dedup.unpersistIntermediates(blocking = true)
+    Corpus.unpersistIntermediates(blocking = true)
+  }
+
   test("BPE trains an empty model and encodes with it on an empty corpus") {
     val merges = Bpe.train(emptyDocs, col("text"), numMerges = 5)
     assert(merges.isEmpty)
