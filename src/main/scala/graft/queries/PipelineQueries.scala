@@ -301,6 +301,30 @@ object PipelineQueries {
         n = 3, numHashes = 32, bands = 4, minJaccard = 0.5),
       col("doc_a"), col("doc_b"), iterations = 5)
 
+  // dedup-tier recall eval: LSH pairs vs the exact inverted-index ground
+  // truth on the same corpus — the index-swap gate (s8's similarity twin)
+  // as one row. Precision is 1 by construction (LSH candidates are
+  // exact-Jaccard verified); the number that needs watching is band-miss
+  // recall. Both pair frames are cached: each feeds a count and the
+  // match semi-join.
+  private val d16: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val exact = graft.operators.Corpus.cacheIntermediate(
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccard = 0.5).select("doc_a", "doc_b"))
+    val lsh = graft.operators.Corpus.cacheIntermediate(
+      Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5)
+        .select("doc_a", "doc_b"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_matched")))
+      .select(col("n_exact"), col("n_lsh"), col("n_matched"),
+        expr("CASE WHEN n_exact = 0 THEN 1000000L " +
+          "ELSE n_matched * 1000000 div n_exact END").as("recall_ppm"))
+  }
+
   private val d8: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     val clusters = Dedup.clusterPairs(
@@ -632,6 +656,7 @@ object PipelineQueries {
     "d7_dup_clusters" -> d7,
     "d8_dedup_keep" -> d8,
     "g1_pagerank" -> g1,
+    "d16_dedup_recall" -> d16,
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
     "d12_semdedup" -> d12,
@@ -1168,6 +1193,32 @@ object PipelineQueries {
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()}
          |SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v""".stripMargin,
+    // both ground-truth replays composed: the exact inverted-index pair
+    // set (d2's CTEs) semi-joined against the LSH pair set (d3's CTEs)
+    "d16_dedup_recall" ->
+      s"""WITH ${sqlLshPairCtes()},
+         |lshp AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |ip AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |epairs AS (
+         |  SELECT doc_a, doc_b FROM ip
+         |  JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b
+         |  WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5),
+         |m AS (SELECT count(*)::BIGINT AS n_matched FROM epairs e
+         |      JOIN lshp l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+         |SELECT (SELECT count(*)::BIGINT FROM epairs) AS n_exact,
+         |  (SELECT count(*)::BIGINT FROM lshp) AS n_lsh,
+         |  n_matched,
+         |  CASE WHEN (SELECT count(*) FROM epairs) = 0 THEN 1000000
+         |       ELSE (n_matched * 1000000) // (SELECT count(*) FROM epairs)
+         |  END AS recall_ppm
+         |FROM m""".stripMargin,
     // fixed-point PageRank replay: same 85/100 damping, 1e12 scale,
     // BIGINT floor division at every step (// ≡ Spark's div on positives)
     "g1_pagerank" -> {
