@@ -416,6 +416,21 @@ object AnalyticsQueries {
   }
 
   // semi / anti joins (EXISTS / NOT EXISTS)
+  // salted equi-join on a 3-value (maximally skewed) key: the declarative
+  // skew knob, value-verified here — the oracle is the PLAIN join, since
+  // salting must leave row-level semantics bit-identical
+  private val jSalted: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val dim = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_flag"))
+    graft.operators.SkewJoin.salted(
+      li.select("l_orderkey", "l_linenumber", "l_returnflag"),
+      col("l_returnflag"),
+      col("l_orderkey") * 10 + col("l_linenumber"), // unique row id → even scatter
+      dim, col("flag"), saltFactor = 8)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "n_flag")
+  }
+
   private val jSemi: Q = (s, dir) =>
     t(s, dir, "customer")
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
@@ -690,6 +705,7 @@ object AnalyticsQueries {
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
     "j_semi" -> jSemi,
+    "j_salted" -> jSalted,
     "j_anti" -> jAnti,
     "topk_orders" -> topK,
     "rollup_counts" -> rollupQ,
@@ -989,6 +1005,13 @@ object AnalyticsQueries {
     "j_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    // the PLAIN join — salting must be bit-identical to it
+    "j_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, n_flag
+        |FROM lineitem
+        |JOIN (SELECT l_returnflag AS flag, count(*) AS n_flag
+        |      FROM lineitem GROUP BY l_returnflag) d
+        |  ON l_returnflag = d.flag""".stripMargin,
     "j_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
