@@ -151,6 +151,27 @@ object PipelineQueries {
   private val t8: Q = (s, dir) =>
     Corpus.tokenRarity(t(s, dir, "documents"), col("doc_id"), col("text"))
 
+  // corpus-level vocabulary health report (the Zipf/Heaps sanity numbers
+  // a tokenizer-training run checks first): token/type/hapax counts, the
+  // hapax share, and the head-heaviness (top-100 term share). One vocab
+  // aggregation feeds everything; the top-100 slice is a TakeOrdered over
+  // the (already corpus-bounded) vocab table with a deterministic
+  // (count desc, term asc) tiebreak the oracle replays.
+  private val t13: Q = (s, dir) => {
+    val tc = graft.operators.Corpus.cacheIntermediate(
+      t(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c")))
+    val top = tc.orderBy(col("c").desc, col("tok").asc).limit(100)
+      .agg(sum(col("c")).as("top100"))
+    tc.agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(top)
+      .select(col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"),
+        expr("top100 * 1000000 div n_tokens").as("top100_share_ppm"))
+  }
+
   // per-document token-distribution Shannon entropy in integer micro-nats
   // (the diversity signal distinct_token_ppm approximates): each term's
   // -(c/n)·ln(c/n) contribution is rounded ONCE to micro-nats, then doc
@@ -646,6 +667,7 @@ object PipelineQueries {
     "t7_scrub" -> t7,
     "t8_token_rarity" -> t8,
     "t12_token_entropy" -> t12,
+    "t13_vocab_stats" -> t13,
     "t9_freq_sketch" -> t9,
     "t10_lm_score" -> t10,
     "d1_exact_dedup" -> d1,
@@ -1071,6 +1093,20 @@ object PipelineQueries {
          |           AS BIGINT))::BIGINT AS entropy_micro_nats
          |FROM tc JOIN tot ON tc.doc_id = tot.doc_id
          |GROUP BY tc.doc_id, tot.n""".stripMargin,
+    "t13_vocab_stats" ->
+      s"""WITH tc AS (
+         |  SELECT t, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest(${sqlToks("text")}) AS t FROM documents)
+         |  GROUP BY t),
+         |top AS (SELECT sum(c)::BIGINT AS top100
+         |        FROM (SELECT c FROM tc ORDER BY c DESC, t ASC LIMIT 100)),
+         |agg AS (SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         |               sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+         |        FROM tc)
+         |SELECT n_tokens, n_types, n_hapax,
+         |  (n_hapax * 1000000) // n_types AS hapax_ppm,
+         |  (top100 * 1000000) // n_tokens AS top100_share_ppm
+         |FROM agg, top""".stripMargin,
     "t8_token_rarity" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${sqlToks("text")}) AS t FROM documents),
