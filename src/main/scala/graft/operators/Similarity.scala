@@ -70,6 +70,96 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein): re-rank each query's
+    * exact candidate pool so results balance relevance against redundancy
+    * — retrieval-side dedup, the selection a training-data retriever runs
+    * so its k results aren't k near-copies.
+    *
+    * Greedy step: pick argmax of
+    * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` (ties → min vec_id).
+    * The selection arithmetic is EXACT: both similarity terms are rounded
+    * once to integer micro-units (the 6-dp ranking convention) and the
+    * score comparison is pure BIGINT (`lambdaPpm·simµ − (1e6−λppm)·maxµ`)
+    * — no float ordering anywhere, so the DuckDB oracle replays the k
+    * greedy steps as chained CTEs bit-for-bit.
+    *
+    * Scale shape: the pool (`poolSize` rows per query) comes from
+    * [[bruteForceTopK]] and is broadcast onto the base scan to attach
+    * candidate vectors; the greedy loop runs per query inside ONE
+    * `flatMapGroups` pass — O(poolSize²·k) local work on
+    * poolSize-bounded groups, never a driver loop, never a cross join.
+    * Vectors must share one dimension (zero vectors score 0).
+    */
+  def mmrTopK(
+      base: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 5,
+      poolSize: Int = 10,
+      lambdaPpm: Long = 700000L): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1, got k=$k pool=$poolSize")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L, s"lambdaPpm out of [0,1e6]: $lambdaPpm")
+    val spark = base.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(base, queries, id, vec, poolSize)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val withVec = base.select(id.as("bv_id"), vec.as("bv"))
+      .join(broadcast(pool), col("bv_id") === col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cos"), col("bv"))
+    val lam = lambdaPpm
+    val mu = 1000000L - lambdaPpm
+    val kk = k
+    withVec.as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val cand = it.toArray.sortBy(_._2) // vec_id asc → first-wins tiebreak
+        val n = cand.length
+        // pool cos is already rounded to 6 dp; ×1e6 is integer-valued ± ulp
+        val cm = cand.map(c => Math.round(c._3 * 1e6))
+        // identical accumulation order + final expression as CosineSim,
+        // then the same HALF_UP 6-dp rounding the ranking convention uses
+        def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0L
+          else java.math.BigDecimal.valueOf(dot / (Math.sqrt(na) * Math.sqrt(nb)))
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .scaleByPowerOfTen(6).longValueExact()
+        }
+        val pair = Array.tabulate(n, n) { (i, j) =>
+          if (i == j) 0L else cosMicro(cand(i)._4, cand(j)._4)
+        }
+        val used = new Array[Boolean](n)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var step = 1
+        while (step <= math.min(kk, n)) {
+          var best = -1
+          var bestScore = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val pen = if (selected.isEmpty) 0L
+                        else selected.iterator.map(s => pair(i)(s)).max
+              val score = lam * cm(i) - mu * pen
+              if (score > bestScore) { best = i; bestScore = score }
+            }
+            i += 1
+          }
+          used(best) = true
+          selected += best
+          out += ((q, cand(best)._2, step.toLong))
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("q_id", "vec_id", "mmr_rank")
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (table t, bit h,
     * dim d): an integer in [-32768, 32767] from a multiplicative hash —
     * reproducible anywhere (the DuckDB oracle recomputes the identical

@@ -415,6 +415,12 @@ object PipelineQueries {
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
       col("vec_id"), col("embedding"), k = 10)
 
+  // MMR-diversified top-5 over the exact top-10 pool: integer-exact greedy
+  // selection, replayed by the oracle as five chained CTE steps
+  private val s13: Q = (s, dir) =>
+    Similarity.mmrTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 5, poolSize = 10, lambdaPpm = 700000L)
+
   // filtered ANN: the metadata predicate composes declaratively — Catalyst
   // pushes `label = 3` into the embeddings parquet scan BEFORE any
   // distance work (plan-pinned), the pre-filter case dedicated vector
@@ -692,6 +698,7 @@ object PipelineQueries {
     "s3_ann_ivf" -> s3,
     "s4_ann_quantized" -> s4,
     "s12_ann_rp" -> s12,
+    "s13_ann_mmr" -> s13,
     "s9_kmeans_codebook" -> s9,
     "s10_ann_ivf_trained" -> s10,
     "s7_ann_pq" -> ((s, dir) =>
@@ -1397,6 +1404,47 @@ object PipelineQueries {
         |SELECT vec_id, c_id FROM listed
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "s1_ann_bruteforce" -> sqlS1Exact,
+    // MMR replay: the s1 pool + pairwise pool sims in integer micro-units,
+    // then five greedy CTE steps with the identical BIGINT score and
+    // (score desc, vec_id asc) pick — in lockstep with Similarity.mmrTopK
+    "s13_ann_mmr" -> {
+      def step(prev: String, pick: String, sel: String, n: Int) =
+        s"""$pick AS (
+           |  SELECT q_id, vec_id, $n AS step FROM (
+           |    SELECT p.q_id, p.vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+           |        (700000 * p.cm - 300000 * coalesce(mx.m, 0)) DESC,
+           |        p.vec_id ASC) AS rn
+           |    FROM poolm p
+           |    LEFT JOIN (SELECT ps.q_id, ps.a, max(ps.cab) AS m
+           |               FROM psim ps JOIN $prev s
+           |                 ON s.q_id = ps.q_id AND s.vec_id = ps.b
+           |               GROUP BY ps.q_id, ps.a) mx
+           |      ON mx.q_id = p.q_id AND mx.a = p.vec_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+           |                      WHERE s2.q_id = p.q_id AND s2.vec_id = p.vec_id))
+           |  WHERE rn = 1),
+           |$sel AS (SELECT * FROM $prev UNION ALL SELECT * FROM $pick)""".stripMargin
+      s"""WITH pool AS (${sqlS1Exact.replace("\n", "\n")}),
+         |poolm AS (SELECT q_id, vec_id,
+         |            CAST(round(cos * 1000000) AS BIGINT) AS cm FROM pool),
+         |psim AS (
+         |  SELECT p1.q_id, p1.vec_id AS a, p2.vec_id AS b,
+         |    CAST(round(round(list_cosine_similarity(
+         |           e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) * 1000000)
+         |         AS BIGINT) AS cab
+         |  FROM pool p1
+         |  JOIN pool p2 ON p1.q_id = p2.q_id AND p1.vec_id <> p2.vec_id
+         |  JOIN embeddings e1 ON e1.vec_id = p1.vec_id
+         |  JOIN embeddings e2 ON e2.vec_id = p2.vec_id),
+         |sel0 AS (SELECT q_id, vec_id, 0 AS step FROM poolm WHERE false),
+         |${step("sel0", "pick1", "sel1", 1)},
+         |${step("sel1", "pick2", "sel2", 2)},
+         |${step("sel2", "pick3", "sel3", 3)},
+         |${step("sel3", "pick4", "sel4", 4)},
+         |${step("sel4", "pick5", "sel5", 5)}
+         |SELECT q_id, vec_id, CAST(step AS BIGINT) AS mmr_rank FROM sel5""".stripMargin
+    },
     // s1's exact replay restricted to the label slice — the filter sits
     // on the base side only; queries rank against the filtered corpus
     "s11_ann_filtered" -> sqlExactTopK(" AND b.label = 3"),

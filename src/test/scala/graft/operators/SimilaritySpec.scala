@@ -488,6 +488,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(g.map(_._3).sorted.toSeq == (1L to g.size).toSeq))
   }
 
+  test("mmrTopK demotes the near-duplicate a plain ranking would keep") {
+    // q points between a (id 1) and b (id 2); a2 (id 3) is a near-copy of
+    // a with a hair more relevance. Plain top-2 = {a2, a}; MMR must pick
+    // a2 then PENALIZE a (sim≈1 to the selected a2) and take orthogonal b
+    val base = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(1f, 0.001f, 0f))).toDF("vec_id", "embedding")
+    val qs = Seq((100L, Array(1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrTopK(base, qs, col("vec_id"), col("embedding"),
+      k = 3, poolSize = 3, lambdaPpm = 700000L)
+      .select("q_id", "vec_id", "mmr_rank").as[(Long, Long, Long)].collect()
+      .sortBy(_._3)
+    assert(mmr.toSeq == Seq((100L, 3L, 1L), (100L, 2L, 2L), (100L, 1L, 3L)),
+      s"expected diversity-aware order a2,b,a — got ${mmr.toSeq}")
+    val plain = Similarity.bruteForceTopK(base, qs, col("vec_id"), col("embedding"), k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(plain == Set(3L, 1L), "plain ranking keeps the near-copy pair")
+    // deterministic across runs
+    val again = Similarity.mmrTopK(base, qs, col("vec_id"), col("embedding"),
+      k = 3, poolSize = 3, lambdaPpm = 700000L)
+      .select("q_id", "vec_id", "mmr_rank").as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(again.toSeq == mmr.toSeq)
+  }
+
   test("IVF with trained centroids: train->index->probe end-to-end, no self-hits") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
