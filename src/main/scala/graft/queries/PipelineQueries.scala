@@ -322,6 +322,13 @@ object PipelineQueries {
         n = 3, numHashes = 32, bands = 4, minJaccard = 0.5),
       col("doc_a"), col("doc_b"), iterations = 5)
 
+  // entity-name fuzzy matching: all customer-name pairs within one edit,
+  // via the deletion-neighborhood equi-join (never an N² nested loop);
+  // the oracle IS the N² levenshtein predicate at oracle scale
+  private val d17: Q = (s, dir) =>
+    graft.operators.FuzzyJoin.selfJoin(
+      t(s, dir, "customer"), col("c_custkey"), col("c_name"))
+
   // dedup-tier recall eval: LSH pairs vs the exact inverted-index ground
   // truth on the same corpus — the index-swap gate (s8's similarity twin)
   // as one row. Precision is 1 by construction (LSH candidates are
@@ -685,6 +692,7 @@ object PipelineQueries {
     "d8_dedup_keep" -> d8,
     "g1_pagerank" -> g1,
     "d16_dedup_recall" -> d16,
+    "d17_fuzzy_pairs" -> d17,
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
     "d12_semdedup" -> d12,
@@ -1236,6 +1244,12 @@ object PipelineQueries {
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()}
          |SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v""".stripMargin,
+    // the brute-force definition the neighborhood join must equal
+    "d17_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS s_a, b.c_name AS s_b
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     // both ground-truth replays composed: the exact inverted-index pair
     // set (d2's CTEs) semi-joined against the LSH pair set (d3's CTEs)
     "d16_dedup_recall" ->
