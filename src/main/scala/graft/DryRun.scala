@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
 object DryRun {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val ops = if (args.length > 1) args.drop(1).toSet else Set("pagerank", "upsample", "mad")
+    val ops = if (args.length > 1) args.drop(1).toSet
+              else Set("pagerank", "upsample", "mad", "fuzzy", "mmr")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -76,6 +77,36 @@ object DryRun {
       }
       time("mad_1x")(madProfile(docs))
       time("mad_10x")(madProfile(big))
+    }
+    if (ops("fuzzy")) {
+      // per-replica name suffix keeps each replica's near-miss density
+      // with no cross-replica pairs (two replicas differ in ≥ 2 edits)
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("c_custkey"), col("c_name"))
+      def crep(k: Int) = cust.select(
+        (col("c_custkey") + lit(k.toLong * 10000000L)).as("c_custkey"),
+        concat(col("c_name"), lit(s"#rep$k$k")).as("c_name"))
+      val bigCust = (0 until 10).map(crep).reduce(_ union _)
+      time("fuzzy_1x")(graft.operators.FuzzyJoin.selfJoin(
+        crep(0), col("c_custkey"), col("c_name")))
+      time("fuzzy_10x")(graft.operators.FuzzyJoin.selfJoin(
+        bigCust, col("c_custkey"), col("c_name")))
+    }
+    if (ops("mmr")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+      def erep(k: Int) = emb.select(
+        (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+        // flip sign pattern per replica so replicas don't rank identically
+        transform(col("embedding"),
+          (x, i) => when(i % 10 === k % 10, -x).otherwise(x)).as("embedding"))
+      val bigEmb = (0 until 10).map(erep).reduce(_ union _)
+      val qs = emb.filter(col("vec_id") < 5)
+      time("mmr_1x")(graft.operators.Similarity.mmrTopK(
+        erep(0), qs, col("vec_id"), col("embedding"), k = 5, poolSize = 10))
+      time("mmr_10x")(graft.operators.Similarity.mmrTopK(
+        bigEmb, qs, col("vec_id"), col("embedding"), k = 5, poolSize = 10))
     }
     spark.stop()
   }
