@@ -329,6 +329,15 @@ object PipelineQueries {
     graft.operators.FuzzyJoin.selfJoin(
       t(s, dir, "customer"), col("c_custkey"), col("c_name"))
 
+  // cross-family composition: the fuzzy pair graph feeds the same
+  // hash-min CC machinery the LSH tier uses — entity GROUPS, not just
+  // pairs (all spellings of one entity share a cluster rep)
+  private val d18: Q = (s, dir) =>
+    Dedup.clusterPairs(
+      graft.operators.FuzzyJoin.selfJoin(
+        t(s, dir, "customer"), col("c_custkey"), col("c_name"))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+
   // dedup-tier recall eval: LSH pairs vs the exact inverted-index ground
   // truth on the same corpus — the index-swap gate (s8's similarity twin)
   // as one row. Precision is 1 by construction (LSH candidates are
@@ -693,6 +702,7 @@ object PipelineQueries {
     "g1_pagerank" -> g1,
     "d16_dedup_recall" -> d16,
     "d17_fuzzy_pairs" -> d17,
+    "d18_fuzzy_clusters" -> d18,
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
     "d12_semdedup" -> d12,
@@ -1244,6 +1254,20 @@ object PipelineQueries {
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()}
          |SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v""".stripMargin,
+    // the same recursive hash-min walk as d7, over the levenshtein graph
+    "d18_fuzzy_clusters" ->
+      """WITH RECURSIVE fpairs AS (
+        |  SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |fedges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM fpairs
+        |  UNION SELECT doc_b, doc_a FROM fpairs),
+        |fwalk AS (
+        |  SELECT a AS v, a AS l FROM fedges
+        |  UNION
+        |  SELECT e.b AS v, w.l FROM fwalk w JOIN fedges e ON e.a = w.v)
+        |SELECT v AS doc_id, min(l) AS cluster_rep FROM fwalk GROUP BY v""".stripMargin,
     // the brute-force definition the neighborhood join must equal
     "d17_fuzzy_pairs" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
