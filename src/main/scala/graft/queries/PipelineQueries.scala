@@ -525,6 +525,25 @@ object PipelineQueries {
   private val e1: Q = (s, dir) =>
     graft.streaming.EventStreams.windowedTypeCounts(events(s, dir))
 
+  // rate-spike detection on the windowed counts: a window is a spike when
+  // 3·n exceeds 2× the trailing-3-window sum (exact BIGINT comparison —
+  // no rate division). One extra type-keyed lag window over e1's
+  // already-tiny (window, type) frame; windows with an incomplete trail
+  // are never flagged.
+  private val e13: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+    graft.streaming.EventStreams.windowedTypeCounts(events(s, dir))
+      .select(col("window_start"), col("event_type"), col("n"),
+        lag(col("n"), 1).over(w).as("_n1"),
+        lag(col("n"), 2).over(w).as("_n2"),
+        lag(col("n"), 3).over(w).as("_n3"))
+      .select(col("window_start"), col("event_type"), col("n"),
+        (col("_n1").isNotNull && col("_n2").isNotNull && col("_n3").isNotNull &&
+          col("n") * 3 > (col("_n1") + col("_n2") + col("_n3")) * 2)
+          .cast("long").as("spike"))
+  }
+
   private val e2: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
@@ -690,6 +709,7 @@ object PipelineQueries {
     "t8_token_rarity" -> t8,
     "t12_token_entropy" -> t12,
     "t13_vocab_stats" -> t13,
+    "e13_rate_spike" -> e13,
     "t9_freq_sketch" -> t9,
     "t10_lm_score" -> t10,
     "d1_exact_dedup" -> d1,
@@ -1694,6 +1714,20 @@ object PipelineQueries {
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e13_rate_spike" ->
+      """WITH wc AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT window_start, event_type, n,
+        |    lag(n, 1) OVER w AS n1, lag(n, 2) OVER w AS n2, lag(n, 3) OVER w AS n3
+        |  FROM wc WINDOW w AS (PARTITION BY event_type ORDER BY window_start))
+        |SELECT window_start, event_type, n,
+        |  (CASE WHEN n1 IS NOT NULL AND n2 IS NOT NULL AND n3 IS NOT NULL
+        |             AND n * 3 > (n1 + n2 + n3) * 2
+        |        THEN 1 ELSE 0 END)::BIGINT AS spike
+        |FROM l""".stripMargin,
     "e2_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
