@@ -618,6 +618,21 @@ object AnalyticsQueries {
           .as("n_outliers"))
   }
 
+  // winsorization: clip each doc's length to its source's [p05, p95] band
+  // — outlier taming that keeps rows (unlike a filter gate). Two exact
+  // interpolated percentiles per source (a tiny frame) broadcast back;
+  // same bit-exact quantile_cont parity as a1/a6.
+  private val a8: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+    val pct = docs.groupBy("source").agg(
+      percentile(col("n_chars"), lit(0.05)).as("p05"),
+      percentile(col("n_chars"), lit(0.95)).as("p95"))
+    docs.join(broadcast(pct), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        greatest(col("p05"), least(col("p95"), col("n_chars").cast("double")))
+          .as("clipped"))
+  }
+
   // pre-flight System-R join cardinality estimate: one tiny agg per side,
   // DECIMAL(38,0) product + integral divide — the broadcast/reducer-count
   // decision BEFORE paying for the join
@@ -695,6 +710,7 @@ object AnalyticsQueries {
     "a2_profile" -> a2,
     "a6_mad_outliers" -> a6,
     "a7_join_card_est" -> a7,
+    "a8_winsorize" -> a8,
     "a5_profile_sketch" -> a5,
     "a3_histogram" -> a3,
     "agg_distinct" -> aggDistinct,
@@ -1103,6 +1119,14 @@ object AnalyticsQueries {
         |             count(DISTINCT o_orderkey) AS d_a FROM orders),
         |     (SELECT count(l_orderkey) AS n_b,
         |             count(DISTINCT l_orderkey) AS d_b FROM lineitem)""".stripMargin,
+    "a8_winsorize" ->
+      """WITH p AS (
+        |  SELECT source, quantile_cont(n_chars, 0.05) AS p05,
+        |         quantile_cont(n_chars, 0.95) AS p95
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, d.source, n_chars,
+        |  greatest(p05, least(p95, n_chars::DOUBLE)) AS clipped
+        |FROM documents d JOIN p ON d.source = p.source""".stripMargin,
     "a6_mad_outliers" ->
       """WITH med AS (
         |  SELECT source, quantile_cont(n_chars, 0.5) AS med_chars
