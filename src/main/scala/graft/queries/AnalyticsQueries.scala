@@ -618,6 +618,26 @@ object AnalyticsQueries {
           .as("n_outliers"))
   }
 
+  // monthly revenue with year-over-year delta: the fact joins/aggregates
+  // down to ~one row per month FIRST, so the unpartitioned lag window
+  // runs on a config-sized frame (never the corpus); deltas computed in
+  // exact decimal before the final double cast. Row-lag 12 ≡ month-lag
+  // when every month has sales (true of this data; both engines use the
+  // identical row-lag semantics either way).
+  private val q23: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(sum(revenueTerm).as("_rev"))
+      .select(col("yr"), col("mo"), col("_rev").cast("double").as("revenue"),
+        (col("_rev") - lag(col("_rev"), 12)
+          .over(Window.orderBy(col("yr"), col("mo"))))
+          .cast("double").as("yoy_delta"))
+  }
+
   // winsorization: clip each doc's length to its source's [p05, p95] band
   // — outlier taming that keeps rows (unlike a filter gate). Two exact
   // interpolated percentiles per source (a tiny frame) broadcast back;
@@ -711,6 +731,7 @@ object AnalyticsQueries {
     "a6_mad_outliers" -> a6,
     "a7_join_card_est" -> a7,
     "a8_winsorize" -> a8,
+    "q23_yoy_trend" -> q23,
     "a5_profile_sketch" -> a5,
     "a3_histogram" -> a3,
     "agg_distinct" -> aggDistinct,
@@ -1119,6 +1140,16 @@ object AnalyticsQueries {
         |             count(DISTINCT o_orderkey) AS d_a FROM orders),
         |     (SELECT count(l_orderkey) AS n_b,
         |             count(DISTINCT l_orderkey) AS d_b FROM lineitem)""".stripMargin,
+    "q23_yoy_trend" ->
+      s"""WITH m AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+         |    SUM($revenueTermSql) AS rev
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |  GROUP BY 1, 2)
+         |SELECT yr, mo, CAST(rev AS DOUBLE) AS revenue,
+         |  CAST(rev - lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE) AS yoy_delta
+         |FROM m""".stripMargin,
     "a8_winsorize" ->
       """WITH p AS (
         |  SELECT source, quantile_cont(n_chars, 0.05) AS p05,
