@@ -37,13 +37,25 @@ object Graph {
     * BIGINT up to N ≈ 10^5 at the default scale; shrink `scale` for
     * larger graphs (the oracle replays whatever is passed).
     */
+  /** @param weight optional positive integer edge weight (e.g. Jaccard in
+    *   micro-units): a neighbor's contribution becomes
+    *   `score·w div Σw(src)` instead of the uniform `score div outdeg`.
+    *   OVERFLOW contract: `max_score · max_w` must fit in BIGINT — with
+    *   weights up to 1e6 pass a smaller `scale` (1e6 keeps the product
+    *   under ~N·1e12 · 1e6); the default 1e12 scale is for the unweighted
+    *   form. `None` ≡ weight 1, bit-identical to uniform division.
+    */
   def pageRank(pairs: DataFrame, aCol: Column, bCol: Column,
                iterations: Int = 5, scale: Long = 1000000000000L,
-               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+               dampNum: Long = 85, dampDen: Long = 100,
+               weight: Option[Column] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // both directions; canonical input pairs mean no duplicate edges
-    val fwd = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val w = weight.getOrElse(lit(1L))
+    val fwd = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"),
+      w.cast("long").as("w"))
+    val edges = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     // out-degree rides along with each edge so the per-iteration join is
     // score ⋈ edges only, pre-partitioned on src, the join key.
     // localCheckpoint (not persist): it TRUNCATES lineage, so the
@@ -54,7 +66,7 @@ object Graph {
     // does. (On a multi-node cluster prefer a reliable checkpoint dir if
     // executor loss matters; blocks here are executor-local.)
     val outEdges =
-      edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      edges.join(edges.groupBy("src").agg(sum(col("w")).as("sw")), "src")
         .repartition(col("src"))
         .transform(LocalCheckpoints.apply)
     val nodes = outEdges.select(col("src").as("v")).distinct().transform(LocalCheckpoints.apply)
@@ -64,7 +76,7 @@ object Graph {
     (1 to iterations).foreach { i =>
       val contribs = outEdges
         .join(scores, outEdges("src") === scores("v"))
-        .select(col("dst"), expr("score div outdeg").as("contrib"))
+        .select(col("dst"), expr("score * w div sw").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("contrib_sum"))
       scores = nodes
         .join(contribs, nodes("v") === contribs("dst"), "left")

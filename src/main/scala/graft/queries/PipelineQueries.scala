@@ -329,6 +329,16 @@ object PipelineQueries {
     graft.operators.FuzzyJoin.selfJoin(
       t(s, dir, "customer"), col("c_custkey"), col("c_name"))
 
+  // similarity-weighted authority: neighbors contribute in proportion to
+  // Jaccard (micro-units), not uniformly — scale 1e6 keeps every
+  // score·weight product in BIGINT per the operator's overflow contract
+  private val g2: Q = (s, dir) =>
+    graft.operators.Graph.pageRank(
+      Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5),
+      col("doc_a"), col("doc_b"), iterations = 5, scale = 1000000L,
+      weight = Some(expr("CAST(round(jaccard * 1000000) AS BIGINT)")))
+
   // cross-family composition: the fuzzy pair graph feeds the same
   // hash-min CC machinery the LSH tier uses — entity GROUPS, not just
   // pairs (all spellings of one entity share a cluster rep)
@@ -720,6 +730,7 @@ object PipelineQueries {
     "d7_dup_clusters" -> d7,
     "d8_dedup_keep" -> d8,
     "g1_pagerank" -> g1,
+    "g2_pagerank_weighted" -> g2,
     "d16_dedup_recall" -> d16,
     "d17_fuzzy_pairs" -> d17,
     "d18_fuzzy_clusters" -> d18,
@@ -1320,6 +1331,34 @@ object PipelineQueries {
          |       ELSE (n_matched * 1000000) // (SELECT count(*) FROM epairs)
          |  END AS recall_ppm
          |FROM m""".stripMargin,
+    // the weighted replay: edges carry round(jaccard·1e6), contributions
+    // are score·w // Σw(src), scale 1e6 (base 150000)
+    "g2_pagerank_weighted" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.v, CAST(150000 + (85 * c.s) // 100 AS BIGINT) AS score
+           |  FROM wnodes n JOIN (
+           |    SELECT e.dst, CAST(SUM(i.score * e.w // d.sw) AS BIGINT) AS s
+           |    FROM wedges e
+           |    JOIN wdeg d ON d.src = e.src
+           |    JOIN $prev i ON i.v = e.src
+           |    GROUP BY e.dst) c ON c.dst = n.v)""".stripMargin
+      s"""WITH ${sqlLshPairCtes()},
+         |wpairs AS (
+         |  SELECT doc_a, doc_b, CAST(round(jaccard * 1000000) AS BIGINT) AS w
+         |  FROM verified WHERE jaccard >= 0.5),
+         |wedges AS (SELECT doc_a AS src, doc_b AS dst, w FROM wpairs
+         |           UNION ALL SELECT doc_b, doc_a, w FROM wpairs),
+         |wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM wedges GROUP BY src),
+         |wnodes AS (SELECT DISTINCT src AS v FROM wedges),
+         |wit0 AS (SELECT v, CAST(1000000 AS BIGINT) AS score FROM wnodes),
+         |${iter("wit0", "wit1")},
+         |${iter("wit1", "wit2")},
+         |${iter("wit2", "wit3")},
+         |${iter("wit3", "wit4")},
+         |${iter("wit4", "wit5")}
+         |SELECT v, score FROM wit5""".stripMargin
+    },
     // fixed-point PageRank replay: same 85/100 damping, 1e12 scale,
     // BIGINT floor division at every step (// ≡ Spark's div on positives)
     "g1_pagerank" -> {
