@@ -65,6 +65,27 @@ object PipelineQueries {
   private[queries] def sqlToks(e: String) =
     s"list_filter(regexp_split_to_array(lower($e), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** DuckDB CTEs `qm, q`: per-doc `qual_ppm` in lockstep with
+    * `TextFunctions.qualityScorePpm` (shared by the t6 gate and the t14
+    * tier assignment).
+    */
+  private lazy val sqlQualCtes =
+    s"""qm AS (
+       |  SELECT doc_id,
+       |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS alnum_len,
+       |    length(text)::BIGINT AS n_chars,
+       |    ${sqlToks("text")} AS w
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    ((least(1000000, len(w)::BIGINT * 10000)) * 5
+       |     + (CASE WHEN len(w) > 0
+       |          THEN (${sqlHits("w", TextFunctions.EnStop)}::BIGINT * 1000000) // len(w)
+       |          ELSE 0 END) * 3
+       |     + (CASE WHEN n_chars = 0 THEN 0
+       |          ELSE (alnum_len * 1000000) // n_chars END) * 2) // 10 AS qual_ppm
+       |  FROM qm)""".stripMargin
+
   /** DuckDB: polynomial rolling hash of string expression `e` (must match
     * TextFunctions.polyHash exactly).
     */
@@ -128,6 +149,22 @@ object PipelineQueries {
   // words, median 56, vs minWords = 50)
   private val t11: Q = (s, dir) =>
     Corpus.gopherRules(t(s, dir, "documents"), col("doc_id"), col("text"))
+
+  // decile quality tiers: nine exact interpolated thresholds from ONE
+  // reduce, broadcast back; tier = 1 + #thresholds ≤ score. The scalable
+  // alternative to ntile, whose unpartitioned window would global-sort
+  // the corpus into a single task.
+  private val t14: Q = (s, dir) => {
+    val scored = graft.operators.Corpus.cacheIntermediate(
+      t(s, dir, "documents").select(col("doc_id"),
+        qualityScorePpm(col("text")).as("qual_ppm")))
+    val thr = scored.agg(percentile(col("qual_ppm"),
+      lit(Array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))).as("_thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("qual_ppm"),
+        expr("aggregate(_thr, 1L, (acc, t) -> acc + IF(qual_ppm >= t, 1L, 0L))")
+          .as("tier"))
+  }
 
   // global quality gate: drop the bottom decile by quality score — the
   // exact-percentile threshold is ONE reduce to a single row, broadcast
@@ -720,6 +757,7 @@ object PipelineQueries {
     "t12_token_entropy" -> t12,
     "t13_vocab_stats" -> t13,
     "e13_rate_spike" -> e13,
+    "t14_quality_tiers" -> t14,
     "t9_freq_sketch" -> t9,
     "t10_lm_score" -> t10,
     "d1_exact_dedup" -> d1,
@@ -1111,23 +1149,19 @@ object PipelineQueries {
          |    THEN 1 ELSE 0 END)::BIGINT AS keep_flag
          |FROM m""".stripMargin,
     "t6_quality_gate" ->
-      s"""WITH qm AS (
-         |  SELECT doc_id,
-         |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::BIGINT AS alnum_len,
-         |    length(text)::BIGINT AS n_chars,
-         |    ${sqlToks("text")} AS w
-         |  FROM documents),
-         |q AS (
-         |  SELECT doc_id,
-         |    ((least(1000000, len(w)::BIGINT * 10000)) * 5
-         |     + (CASE WHEN len(w) > 0
-         |          THEN (${sqlHits("w", TextFunctions.EnStop)}::BIGINT * 1000000) // len(w)
-         |          ELSE 0 END) * 3
-         |     + (CASE WHEN n_chars = 0 THEN 0
-         |          ELSE (alnum_len * 1000000) // n_chars END) * 2) // 10 AS qual_ppm
-         |  FROM qm),
+      s"""WITH $sqlQualCtes,
          |t AS (SELECT quantile_cont(qual_ppm, 0.1) AS p10 FROM q)
          |SELECT doc_id, qual_ppm FROM q, t WHERE qual_ppm >= p10""".stripMargin,
+    // decile tier = 1 + #thresholds at or below the score; the nine exact
+    // interpolated deciles come from ONE reduce (never an ntile global
+    // sort) and broadcast back
+    "t14_quality_tiers" ->
+      s"""WITH $sqlQualCtes,
+         |thr AS (SELECT quantile_cont(qual_ppm,
+         |          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS th FROM q)
+         |SELECT doc_id, qual_ppm,
+         |  (1 + len(list_filter(th, t -> qual_ppm >= t)))::BIGINT AS tier
+         |FROM q, thr""".stripMargin,
     "t7_scrub" -> {
       val red = s"regexp_replace(text, '$ScrubPattern', '$ScrubMark', 'g')"
       s"""SELECT doc_id,
