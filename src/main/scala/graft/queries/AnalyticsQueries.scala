@@ -638,6 +638,23 @@ object AnalyticsQueries {
           .cast("double").as("yoy_delta"))
   }
 
+  // RFM segmentation: recency (days since last order, against the global
+  // max date — one single-row reduce broadcast back), frequency, monetary
+  // (exact decimal). One grouped pass over orders; order dates are
+  // midnight-aligned so the day diff is exact in both engines.
+  private val q24: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val maxd = o.agg(max(col("o_orderdate")).as("_maxd"))
+    o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("_lastd"), count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).as("_m"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("_maxd"), col("_lastd")).cast("long").as("recency_days"),
+        col("frequency"), col("_m").cast("double").as("monetary"))
+  }
+
   // winsorization: clip each doc's length to its source's [p05, p95] band
   // — outlier taming that keeps rows (unlike a filter gate). Two exact
   // interpolated percentiles per source (a tiny frame) broadcast back;
@@ -732,6 +749,7 @@ object AnalyticsQueries {
     "a7_join_card_est" -> a7,
     "a8_winsorize" -> a8,
     "q23_yoy_trend" -> q23,
+    "q24_rfm" -> q24,
     "a5_profile_sketch" -> a5,
     "a3_histogram" -> a3,
     "agg_distinct" -> aggDistinct,
@@ -1140,6 +1158,14 @@ object AnalyticsQueries {
         |             count(DISTINCT o_orderkey) AS d_a FROM orders),
         |     (SELECT count(l_orderkey) AS n_b,
         |             count(DISTINCT l_orderkey) AS d_b FROM lineitem)""".stripMargin,
+    "q24_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders)
+        |SELECT o_custkey,
+        |  date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |            CAST((SELECT maxd FROM mx) AS DATE))::BIGINT AS recency_days,
+        |  count(*) AS frequency,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q23_yoy_trend" ->
       s"""WITH m AS (
          |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
