@@ -103,6 +103,63 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** PPJoin-style prefix-filtered Jaccard pairs (Xiao et al., "Efficient
+    * similarity joins for near duplicate detection"): the LOSSLESS
+    * candidate reduction for an exact threshold join. Order every
+    * document's shingles globally rarest-first; two sets with
+    * Jaccard ≥ t MUST share an element inside their length-
+    * `|s| − ⌈t·|s|⌉ + 1` prefixes, so only prefixes are indexed and
+    * joined — the posting volume a stop-shingle would otherwise explode
+    * drops to the prefix slice — and exact verification of the (few)
+    * candidates reproduces [[ngramJaccardPairs]]' output EXACTLY (the
+    * oracle for this operator IS the exact formulation's oracle).
+    *
+    * Cost shape: one doc-keyed window (rarest-first rank), one
+    * shingle-keyed window (document frequency, as d2b), the prefix
+    * self-join, and the candidate-bounded verify join. Deterministic:
+    * ordering is (df asc, shingle asc); prefix length in exact integer
+    * arithmetic from `minJaccardPpm`.
+    */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      minJaccardPpm: Long = 500000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minJaccardPpm > 0 && minJaccardPpm <= 1000000L,
+      s"minJaccardPpm out of (0, 1e6]: $minJaccardPpm")
+    val sh = cached(
+      docs.select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s")))
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
+    // prefix length |s| − ⌈t·|s|⌉ + 1, all-integer ceil
+    val prefix = ranked.filter(
+      col("rk") <= col("n_sh") -
+        expr(s"(n_sh * $minJaccardPpm + 999999) div 1000000") + 1)
+      .select(col("doc_id"), col("s"), col("n_sh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .distinct()
+    // exact verify over the candidates' FULL shingle sets
+    cand
+      .join(sh.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(sh.as("fb"),
+        col("doc_b") === col("fb.doc_id") && col("fa.s") === col("fb.s"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccardPpm.toDouble / 1e6)
+  }
+
   /** Per-document duplicate-substring coverage against EARLIER documents —
     * the RefinedWeb/Gopher-style "how much of this page is copied text"
     * signal, asymmetric where Jaccard ([[ngramJaccardPairs]]) is

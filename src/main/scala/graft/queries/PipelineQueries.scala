@@ -65,6 +65,25 @@ object PipelineQueries {
   private[queries] def sqlToks(e: String) =
     s"list_filter(regexp_split_to_array(lower($e), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** DuckDB: the exact n-gram-Jaccard pair set at threshold 0.5 — the
+    * shared ground truth of d2 (inverted-index formulation) and d19
+    * (prefix-filtered formulation, lossless by construction).
+    */
+  private lazy val sqlExactJaccard =
+    s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5""".stripMargin
+
   /** DuckDB CTEs `qm, q`: per-doc `qual_ppm` in lockstep with
     * `TextFunctions.qualityScorePpm` (shared by the t6 gate and the t14
     * tier assignment).
@@ -365,6 +384,13 @@ object PipelineQueries {
   private val d17: Q = (s, dir) =>
     graft.operators.FuzzyJoin.selfJoin(
       t(s, dir, "customer"), col("c_custkey"), col("c_name"))
+
+  // prefix-filtered exact Jaccard pairs: PPJoin's lossless candidate
+  // reduction — the oracle is d2's EXACT formulation, proving the prefix
+  // filter drops no pair
+  private val d19: Q = (s, dir) =>
+    Dedup.prefixJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+      n = 3, minJaccardPpm = 500000L)
 
   // similarity-weighted authority: neighbors contribute in proportion to
   // Jaccard (micro-units), not uniformly — scale 1e6 keeps every
@@ -762,6 +788,7 @@ object PipelineQueries {
     "t10_lm_score" -> t10,
     "d1_exact_dedup" -> d1,
     "d2_ngram_jaccard" -> d2,
+    "d19_prefix_jaccard" -> d19,
     "d2b_ngram_capped" -> d2b,
     "d3_minhash_lsh" -> d3,
     "d6_source_signatures" -> d6,
@@ -1282,20 +1309,10 @@ object PipelineQueries {
          |  (CASE WHEN coalesce((a.nd * 1000000) // a.n_shingles, 0) <= 600000
          |        THEN 1 ELSE 0 END)::BIGINT AS keep
          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
-    "d2_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
-         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
-         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
-         |FROM pairs
-         |JOIN cnt ca ON ca.doc_id = doc_a
-         |JOIN cnt cb ON cb.doc_id = doc_b
-         |WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5""".stripMargin,
+    "d2_ngram_jaccard" -> sqlExactJaccard,
+    // IDENTICAL oracle: the prefix filter is lossless, so the operator
+    // must reproduce the exact formulation's pair set bit-for-bit
+    "d19_prefix_jaccard" -> sqlExactJaccard,
     "d2b_ngram_capped" ->
       s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
          |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),

@@ -21,6 +21,23 @@ class DedupSpec extends AnyFunSuite {
     (5L, "completely different text about cooking pasta with garlic and olive oil tonight"))
     .toDF("doc_id", "text")
 
+  test("prefixJaccardPairs ≡ ngramJaccardPairs (lossless candidate reduction)") {
+    // the planted corpus plus extra docs that share SOME shingles below
+    // threshold — prefix filtering must drop candidates, never pairs
+    val plus = docs.union(Seq(
+      (6L, base.replace("fox", "cat").replace("dog", "owl")),
+      (7L, "the quick brown fox has left while rain falls on the hill tonight"),
+      (8L, "rain falls on the hill")).toDF("doc_id", "text"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val exact = norm(Dedup.ngramJaccardPairs(plus, col("doc_id"), col("text"), 3, 0.5))
+    val prefix = norm(Dedup.prefixJaccardPairs(plus, col("doc_id"), col("text"), 3, 500000L))
+    assert(prefix == exact, s"prefix-filtered pairs diverge:\n$prefix\nvs\n$exact")
+    assert(exact.nonEmpty)
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("exact dedup keeps min id per distinct text") {
     val out = Dedup.exact(docs, col("text"), col("doc_id"))
       .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
