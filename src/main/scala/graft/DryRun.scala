@@ -78,6 +78,12 @@ object DryRun {
       time("mad_1x")(madProfile(docs))
       time("mad_10x")(madProfile(big))
     }
+    if (ops("prefix")) {
+      time("prefix_1x")(graft.operators.Dedup.prefixJaccardPairs(
+        docs, col("doc_id"), col("text"), n = 3, minJaccardPpm = 500000L))
+      time("prefix_10x")(graft.operators.Dedup.prefixJaccardPairs(
+        big, col("doc_id"), col("text"), n = 3, minJaccardPpm = 500000L))
+    }
     if (ops("fuzzy")) {
       // per-replica name suffix keeps each replica's near-miss density
       // with no cross-replica pairs (two replicas differ in ≥ 2 edits)
