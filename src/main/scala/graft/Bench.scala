@@ -49,6 +49,7 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       graft.operators.Dedup.unpersistIntermediates()
       graft.operators.Corpus.unpersistIntermediates()
+      graft.operators.Graph.unpersistIntermediates()
     }
 
     val warmDir = "/root/testdata/sf0.001"

@@ -43,6 +43,7 @@ object DryRun {
         spark.sharedState.cacheManager.clearCache()
         graft.operators.Dedup.unpersistIntermediates()
         graft.operators.Corpus.unpersistIntermediates()
+        graft.operators.Graph.unpersistIntermediates()
         val t0 = System.nanoTime()
         val df = body
         df.write.mode("overwrite").format("noop").save()

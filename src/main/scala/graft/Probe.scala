@@ -27,6 +27,7 @@ object Probe {
         spark.sharedState.cacheManager.clearCache()
         graft.operators.Dedup.unpersistIntermediates()
         graft.operators.Corpus.unpersistIntermediates()
+        graft.operators.Graph.unpersistIntermediates()
       } else (1 to 2).foreach { i =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()

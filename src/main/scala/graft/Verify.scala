@@ -35,6 +35,7 @@ object Verify {
       spark.sharedState.cacheManager.clearCache()
       graft.operators.Dedup.unpersistIntermediates()
       graft.operators.Corpus.unpersistIntermediates()
+      graft.operators.Graph.unpersistIntermediates()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

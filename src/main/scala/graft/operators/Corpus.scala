@@ -863,7 +863,7 @@ object Corpus {
     * last call; returns the number of frames released.
     */
   def unpersistIntermediates(blocking: Boolean = false): Int = {
-    var n = LocalCheckpoints.release(blocking)
+    var n = LocalCheckpoints.release("corpus", blocking)
     var df = intermediates.poll()
     while (df != null) { df.unpersist(blocking); n += 1; df = intermediates.poll() }
     n

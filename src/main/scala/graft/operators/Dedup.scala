@@ -41,7 +41,7 @@ object Dedup {
     * other operator families. Returns the number of frames released.
     */
   def unpersistIntermediates(blocking: Boolean = false): Int = {
-    var n = LocalCheckpoints.release(blocking)
+    var n = LocalCheckpoints.release("dedup", blocking)
     var df = intermediates.poll()
     while (df != null) { df.unpersist(blocking); n += 1; df = intermediates.poll() }
     n
@@ -59,6 +59,13 @@ object Dedup {
     * explode distinct shingles → self-join on shingle (equi-shuffle, no
     * cross product) → per-pair intersection counts → Jaccard ≥ `minJaccard`.
     *
+    * ORACLE-ONLY TIER when uncapped: the full shingle self-join generates
+    * Σ df² candidate rows, which is quadratic in document frequency on
+    * stop-shingles — it exists as the ground-truth definition the DuckDB
+    * oracle replays. The production exact tier is [[prefixJaccardPairs]]
+    * (bit-identical output, lossless prefix filter) and the capped/
+    * approximate tiers are `maxDocFreq` here and [[minhashLshPairs]].
+    *
     * `maxDocFreq` drops shingles occurring in more than that many documents
     * (stop-shingles are pure join skew: a shingle shared by f docs yields
     * f² candidate rows while contributing ~nothing to similarity). Pass
@@ -71,23 +78,30 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.5,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val sh = docs
+    val sh0 = docs
       .select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s"))
-    val filtered0 =
-      if (maxDocFreq == Int.MaxValue) sh
-      else
-        // doc-freq as a window count over the shingle key: ONE shuffle on s
-        // and one pass over the tokenizer output, vs the groupBy+self-join
-        // formulation that traverses (and therefore re-tokenizes or
-        // re-caches) the posting list twice
-        sh.withColumn("df",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
-          .filter(col("df") <= maxDocFreq)
-          .drop("df")
+    // doc-freq via two-stage hash aggregation, NOT a window over the
+    // shingle key: partial (map-side) aggregation collapses a hot
+    // shingle's postings before the shuffle, whereas
+    // `count().over(Window.partitionBy("s"))` lands the ENTIRE posting
+    // list of exactly the stop-shingle this cap exists to tame in ONE
+    // window partition, processed serially by one task. The offender set
+    // is tiny by construction (≤ total-postings/maxDocFreq keys), so AQE
+    // broadcasts the anti-join. Costs a second traversal of the posting
+    // table — the cache below makes that a cached scan, not a
+    // re-tokenize.
+    val filtered =
+      if (maxDocFreq == Int.MaxValue) cached(sh0)
+      else {
+        val sh = cached(sh0)
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq)
+          .select("s")
+        cached(sh.join(hot, Seq("s"), "left_anti"))
+      }
     // the surviving posting rows feed three plan branches (per-doc counts +
-    // both join sides); the single persist makes tokenize+shingle run once,
+    // both join sides); the persist makes tokenize+shingle run once,
     // spilling if large
-    val filtered = cached(filtered0)
     val counts = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = filtered.as("a")
       .join(filtered.as("b"),
@@ -114,8 +128,11 @@ object Dedup {
     * candidates reproduces [[ngramJaccardPairs]]' output EXACTLY (the
     * oracle for this operator IS the exact formulation's oracle).
     *
-    * Cost shape: one doc-keyed window (rarest-first rank), one
-    * shingle-keyed window (document frequency, as d2b), the prefix
+    * Cost shape: one two-stage doc-frequency aggregation joined back to
+    * the postings (an AQE-splittable shuffle join — deliberately NOT a
+    * window over the shingle key, which would serialize a stop-shingle's
+    * whole posting list into one window partition), one doc-keyed window
+    * (rarest-first rank; partitions are document-sized), the prefix
     * self-join, and the candidate-bounded verify join. Deterministic:
     * ordering is (df asc, shingle asc); prefix length in exact integer
     * arithmetic from `minJaccardPpm`.
@@ -131,8 +148,11 @@ object Dedup {
       s"minJaccardPpm out of (0, 1e6]: $minJaccardPpm")
     val sh = cached(
       docs.select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s")))
-    val ranked = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+    // document frequency as a partial-agg groupBy joined back on the
+    // shingle: the hot-key postings shuffle is a JOIN partition (AQE can
+    // split it) instead of a window partition (it cannot)
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfs, Seq("s"))
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
@@ -168,14 +188,17 @@ object Dedup {
     * containing it; a doc's `dup_ppm` is the fraction (integer ppm) of its
     * shingles owned by an earlier doc, and `keep` = dup_ppm ≤ threshold.
     *
-    * Shape: inverted index without the pair join — the owner is a window
-    * `min` over the shingle key, so the whole operator is ONE shuffle on
-    * the shingle plus one aggregation on the doc id; cost is linear in
-    * posting-list size with no f² candidate blowup (this is what makes it
-    * the scale-safe complement of the pairwise operators). Stop-shingle
-    * skew concentrates a hot shingle's postings in one window partition,
-    * same knob as d2b applies upstream if needed. Docs shorter than `n`
-    * tokens keep an empty shingle set (explode_outer) and score 0.
+    * Shape: inverted index without the pair join — per-shingle owners
+    * come from a two-stage hash aggregation (map-side partial `min`
+    * collapses a stop-shingle's postings before the shuffle) joined back
+    * to the postings, so the whole operator is two linear shuffles plus
+    * one aggregation on the doc id; cost is linear in posting-list size
+    * with no f² candidate blowup (this is what makes it the scale-safe
+    * complement of the pairwise operators). A hot shingle is a join-side
+    * skew AQE can split — deliberately NOT a window over the shingle key,
+    * which would serialize the hot posting list into one partition. Docs
+    * shorter than `n` tokens keep an empty shingle set (explode_outer)
+    * and score 0.
     */
   def substringCoverage(
       docs: DataFrame,
@@ -183,10 +206,13 @@ object Dedup {
       text: Column,
       n: Int = 3,
       dupPpmThreshold: Long = 600000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(id.as("doc_id"),
-      explode_outer(shingles(tokens(text), n)).as("s"))
-    val owned = sh.withColumn("owner", min(col("doc_id")).over(Window.partitionBy("s")))
+    val sh = cached(docs.select(id.as("doc_id"),
+      explode_outer(shingles(tokens(text), n)).as("s")))
+    val owners = sh.filter(col("s").isNotNull)
+      .groupBy("s").agg(min(col("doc_id")).as("owner"))
+    // left join: the null-s rows (shingle-less docs) keep owner = null and
+    // are excluded from _nd by the isNotNull guard, as before
+    val owned = sh.join(owners, Seq("s"), "left")
     owned.groupBy("doc_id")
       .agg(
         count(col("s")).as("n_shingles"), // count() skips the null-s rows
@@ -287,7 +313,7 @@ object Dedup {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .transform(LocalCheckpoints.apply)
+        .transform(LocalCheckpoints("dedup"))
     // seed each vertex with its 1-hop minimum (self included): the same
     // one-aggregation cost as a bare `distinct()` init, but it folds the
     // first propagation round into the seed — duplicate clusters are
@@ -298,7 +324,7 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("v"))
       .agg(min(col("dst")).as("_nmin"))
       .select(col("v"), least(col("v"), col("_nmin")).as("l"))
-      .transform(LocalCheckpoints.apply)
+      .transform(LocalCheckpoints("dedup"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -318,8 +344,12 @@ object Dedup {
       // flat — see the edges comment above
       val next = contrib.groupBy(col("cv").as("v"))
         .agg(min(col("l")).as("l"), min(when(col("own"), col("l"))).as("ol"))
-        .transform(LocalCheckpoints.apply)
+        .transform(LocalCheckpoints("dedup"))
       val changed = next.filter(col("l") =!= col("ol")).count()
+      // the count above materialized `next`, so the PREVIOUS iteration's
+      // label blocks are dead — retire them now instead of accumulating
+      // one executor-storage copy per iteration until the family release
+      LocalCheckpoints.drop(labels)
       labels = next
       converged = changed == 0
       iter += 1

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.functions.TextFunctions.polyHash
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -18,10 +20,15 @@ import org.apache.spark.sql.functions._
   * `levenshtein` residual — Spark's codegen'd built-in, identical
   * semantics in DuckDB — kills false positives after a distinct.
   *
-  * Scale: |sig(s)| = len(s)+1, so the posting table is Σ len — linear —
-  * and candidate counts track true near-miss density, not N². Hot
-  * signatures (a shared prefix family) bound each bucket by the alphabet
-  * size per deleted position.
+  * Scale: the posting table carries `(id, polyHash(sig))` LONGS — len+1
+  * longs per row, Σ len across the corpus — instead of the len+1
+  * signature *strings* of length ~len (Σ len² bytes) a naive explode
+  * would shuffle; on document-length strings that width difference is the
+  * whole game. Hash collisions (distinct deletions, equal polyHash) can
+  * only ADD candidates, and the levenshtein residual removes them, so the
+  * output is still exact. Candidate counts track true near-miss density,
+  * not N²; hot signatures (a shared prefix family) bound each bucket by
+  * the alphabet size per deleted position.
   */
 object FuzzyJoin {
 
@@ -29,22 +36,30 @@ object FuzzyJoin {
     * Output: (id_a, id_b, s_a, s_b).
     */
   def selfJoin(df: DataFrame, id: Column, str: Column): DataFrame = {
-    val sigs = df.select(id.as("fid"), str.as("fs"))
+    val strs = df.select(id.as("fid"), str.as("fs"))
       .filter(col("fs").isNotNull)
-      .select(col("fid"), col("fs"), explode(expr(
-        // empty string: no deletions (sequence(1,0) would run DESCENDING)
-        """CASE WHEN length(fs) = 0 THEN array(fs)
-           ELSE array_distinct(concat(array(fs),
-             transform(sequence(1, length(fs)),
-               i -> concat(substring(fs, 1, i-1),
-                           substring(fs, i+1, length(fs))))))
-           END""")).as("sig"))
-    sigs.as("a")
+    // hash BEFORE the explode so only (fid, long) posting rows shuffle;
+    // empty string: no deletions (sequence(1,0) would run DESCENDING)
+    val sigs = strs.select(col("fid"), explode(
+      when(length(col("fs")) === 0, array(polyHash(col("fs"))))
+        .otherwise(array_distinct(concat(
+          array(polyHash(col("fs"))),
+          transform(sequence(lit(1), length(col("fs"))), i =>
+            polyHash(concat(
+              col("fs").substr(lit(1), i - 1),
+              col("fs").substr(i + 1, length(col("fs")))))))))).as("sig"))
+    val cands = sigs.as("a")
       .join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.fid") < col("b.fid"))
-      .select(col("a.fid").as("id_a"), col("b.fid").as("id_b"),
-        col("a.fs").as("s_a"), col("b.fs").as("s_b"))
+      .select(col("a.fid").as("id_a"), col("b.fid").as("id_b"))
       .distinct()
+    // candidate-bounded string fetch + exact residual: two id-keyed hash
+    // joins against the (narrow) string table, then the codegen'd
+    // levenshtein keeps only true ≤1-edit pairs
+    cands
+      .join(strs.select(col("fid").as("id_a"), col("fs").as("s_a")), Seq("id_a"))
+      .join(strs.select(col("fid").as("id_b"), col("fs").as("s_b")), Seq("id_b"))
       .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
   }
 }

@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Release the lineage-truncating checkpoints [[pageRank]] registered
+    * (edge/node tables and periodic score snapshots). A truncated plan
+    * cannot recompute once its blocks are gone, so call this only AFTER
+    * the terminal action on the returned scores — Verify/Bench call it
+    * between queries alongside the other families' release handles.
+    */
+  def unpersistIntermediates(blocking: Boolean = false): Int =
+    LocalCheckpoints.release("graph", blocking)
+
   /** Fixed-point PageRank over the undirected graph induced by a
     * canonical (a < b) pair table. Output `(v, score)` — one row per
     * node that has at least one edge.
@@ -68,8 +77,31 @@ object Graph {
     val outEdges =
       edges.join(edges.groupBy("src").agg(sum(col("w")).as("sw")), "src")
         .repartition(col("src"))
-        .transform(LocalCheckpoints.apply)
-    val nodes = outEdges.select(col("src").as("v")).distinct().transform(LocalCheckpoints.apply)
+        .transform(LocalCheckpoints("graph"))
+    val nodes = outEdges.select(col("src").as("v")).distinct().transform(LocalCheckpoints("graph"))
+
+    // Enforce the overflow contract instead of documenting it: total mass
+    // is conserved (Σ score ≤ N·scale), so every product the iteration
+    // computes is bounded by N·scale·max(w, dampNum). Non-ANSI BIGINT
+    // arithmetic would WRAP silently past that — fail loudly up front.
+    // One bounded aggregation over the already-checkpointed edge table,
+    // weighted path only (the uniform path has w = 1 and the documented
+    // N ≈ 1e5 headroom at the default scale).
+    weight.foreach { _ =>
+      val r = outEdges
+        .agg(min(col("w")).as("mn"), max(col("w")).as("mx"),
+          countDistinct(col("src")).as("n")).head()
+      if (!r.isNullAt(0)) {
+        val (minW, maxW, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        require(minW >= 1L,
+          s"pageRank: edge weights must be positive integers, found $minW")
+        val factor = math.max(maxW, dampNum)
+        require(scale <= Long.MaxValue / factor / math.max(n, 1L),
+          s"pageRank: scale=$scale with max weight $maxW over $n nodes can " +
+            s"overflow BIGINT (need scale <= ${Long.MaxValue / factor / math.max(n, 1L)}); " +
+            "pass a smaller scale or rescale the weights")
+      }
+    }
 
     val base = lit(scale / dampDen * (dampDen - dampNum)).as("base")
     var scores = nodes.select(col("v"), lit(scale).as("score"))
@@ -84,7 +116,7 @@ object Graph {
           (base + expr(s"$dampNum * coalesce(contrib_sum, 0L) div $dampDen"))
             .as("score"))
       // bound the un-truncated join depth for long runs
-      if (i % 8 == 0 && i < iterations) scores = scores.transform(LocalCheckpoints.apply)
+      if (i % 8 == 0 && i < iterations) scores = scores.transform(LocalCheckpoints("graph"))
     }
     scores
   }

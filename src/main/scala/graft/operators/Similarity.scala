@@ -497,23 +497,9 @@ object Similarity {
     // IVF-PQ composition: when `base` is a probed (partition-pruned)
     // subset, the codebook must still come from the full corpus — pass it
     // via codebookFrom, exactly as a trained-codebook deployment would
-    val cb: Array[Array[Array[Double]]] = codebook.getOrElse {
-      val cbRows = codebookFrom.getOrElse(base)
-        .select(id.cast("long").as("cid"), vec.cast("array<double>").as("cv"))
-        .filter(col("cid") % codeStride === 0 && col("cid") / codeStride < numCodes)
-        .collect()
-        .map(r => r.getLong(0) / codeStride -> r.getSeq[Double](1).toArray).toMap
-      require(cbRows.size == numCodes,
-        s"pqTopK: codebook needs ids {0, $codeStride, …, ${(numCodes - 1) * codeStride}} " +
-          s"in the base table; found ${cbRows.size} of $numCodes")
-      val dim = cbRows(0L).length
-      require(dim % numSubspaces == 0,
-        s"pqTopK: dim $dim not divisible by numSubspaces=$numSubspaces")
-      val subDim = dim / numSubspaces
-      Array.tabulate(numSubspaces) { s =>
-        Array.tabulate(numCodes)(j => cbRows(j.toLong).slice(s * subDim, (s + 1) * subDim))
-      }
-    }
+    val cb: Array[Array[Array[Double]]] = codebook.getOrElse(
+      pqCodebook(codebookFrom.getOrElse(base), id, vec,
+        numSubspaces, numCodes, codeStride))
     require(cb.length == numSubspaces && cb.forall(_.length == numCodes),
       s"pqTopK: codebook shape ${cb.length}×${cb.headOption.fold(0)(_.length)} " +
         s"must be numSubspaces×numCodes = $numSubspaces×$numCodes")
@@ -532,6 +518,99 @@ object Similarity {
     val wEst = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id").asc)
     val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
     b.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("v"), col("qv"), est.as("est"))
+      .withColumn("ern", row_number().over(wEst))
+      .filter(col("ern") <= pool)
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rn", row_number().over(wCos).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Deterministic stride-picked PQ codebook from `src`: code `j` of
+    * subspace `s` is the `s`-th slice of the vector with id
+    * `j·codeStride`. Config-scale (m×k×subDim doubles) — collecting it is
+    * loading a model artifact, not a data collect; fails loudly if any
+    * code id is missing. [[pqTrainCodebook]] is the trained alternative.
+    */
+  def pqCodebook(
+      src: DataFrame,
+      id: Column,
+      vec: Column,
+      numSubspaces: Int,
+      numCodes: Int,
+      codeStride: Int): Array[Array[Array[Double]]] = {
+    val cbRows = src
+      .select(id.cast("long").as("cid"), vec.cast("array<double>").as("cv"))
+      .filter(col("cid") % codeStride === 0 && col("cid") / codeStride < numCodes)
+      .collect()
+      .map(r => r.getLong(0) / codeStride -> r.getSeq[Double](1).toArray).toMap
+    require(cbRows.size == numCodes,
+      s"pqCodebook: needs ids {0, $codeStride, …, ${(numCodes - 1) * codeStride}} " +
+        s"in the source table; found ${cbRows.size} of $numCodes")
+    val dim = cbRows(0L).length
+    require(dim % numSubspaces == 0,
+      s"pqCodebook: dim $dim not divisible by numSubspaces=$numSubspaces")
+    val subDim = dim / numSubspaces
+    Array.tabulate(numSubspaces) { s =>
+      Array.tabulate(numCodes)(j => cbRows(j.toLong).slice(s * subDim, (s + 1) * subDim))
+    }
+  }
+
+  /** IVF×PQ — the billion-scale composition (Jégou et al. 2011's IVFADC):
+    * the coarse quantizer prunes candidates to the query's `nProbe`
+    * inverted lists ([[ivfTopK]]'s join on the list key ≡ partition
+    * pruning of the stored index), the PQ ADC estimate ranks ONLY those
+    * candidates from `numSubspaces` small ints per vector, and the top
+    * `pool` survivors get an exact cosine rescore. Per query the
+    * full-precision vectors touched are `pool` rows; everything between
+    * is the broadcast centroid rank plus one join keyed on the list id.
+    *
+    * The codebook deliberately comes from the FULL base corpus (not the
+    * probed subset) — the stored codes must be probe-independent, exactly
+    * as a deployed index would persist them. Deterministic end to end
+    * (stride centroids, stride codebook, rounded-cosine/ADC ties broken
+    * on ascending id), so the DuckDB oracle replays it bit-for-bit.
+    */
+  def ivfPqTopK(
+      base: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 10,
+      centroidStride: Int = 50,
+      nProbe: Int = 2,
+      numSubspaces: Int = 8,
+      numCodes: Int = 16,
+      codeStride: Int = 16,
+      pool: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.ColumnBridge
+    val cb = pqCodebook(base, id, vec, numSubspaces, numCodes, codeStride)
+    def enc(v: Column) = ColumnBridge.column(
+      graft.functions.PqEncode(ColumnBridge.expression(v.cast("array<double>")), cb))
+    def lut(v: Column) = ColumnBridge.column(
+      graft.functions.PqLut(ColumnBridge.expression(v.cast("array<double>")), cb))
+    val b = base.select(id.as("vec_id"), vec.as("v"))
+    val cents = ivfCentroids(b, centroidStride)
+    // the stored index rows: list id + PQ codes (+ the full vector, read
+    // again only by the pool-bounded rescore)
+    val listed = ivfAssignTo(cents, b, "v", "vec_id", 1)
+      .select(col("c_id"), col("vec_id"), col("v"), enc(col("v")).as("codes"))
+    val probed = ivfAssignTo(
+      cents, queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)
+      .select(col("c_id"), col("q_id"), col("qv"), lut(col("qv")).as("lut"))
+    // ADC estimate in subspace order, identical to [[pqTopK]]
+    val est = (0 until numSubspaces)
+      .map(s => element_at(col("lut"),
+        element_at(col("codes"), s + 1) + s * numCodes + 1))
+      .reduce(_ + _)
+    val wEst = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id").asc)
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    // each base row lives in exactly ONE list, so a (query, candidate)
+    // pair appears at most once — no dedup needed before the pool rank
+    listed.join(probed, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("v"), col("qv"), est.as("est"))
       .withColumn("ern", row_number().over(wEst))
       .filter(col("ern") <= pool)

@@ -411,17 +411,21 @@ object PipelineQueries {
         t(s, dir, "customer"), col("c_custkey"), col("c_name"))
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
 
-  // dedup-tier recall eval: LSH pairs vs the exact inverted-index ground
-  // truth on the same corpus — the index-swap gate (s8's similarity twin)
-  // as one row. Precision is 1 by construction (LSH candidates are
+  // dedup-tier recall eval: LSH pairs vs the exact ground truth on the
+  // same corpus — the index-swap gate (s8's similarity twin) as one row. Precision is 1 by construction (LSH candidates are
   // exact-Jaccard verified); the number that needs watching is band-miss
   // recall. Both pair frames are cached: each feeds a count and the
   // match semi-join.
   private val d16: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
+    // ground truth from the PREFIX-FILTERED exact join, not the raw
+    // inverted index: d19 proves prefixJaccardPairs reproduces
+    // ngramJaccardPairs' pair set bit-for-bit (identical oracle), and the
+    // prefix tier has no Σ df² posting self-join — so the recall gate
+    // itself stays scale-safe while measuring the same exact truth
     val exact = graft.operators.Corpus.cacheIntermediate(
-      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-        n = 3, minJaccard = 0.5).select("doc_a", "doc_b"))
+      Dedup.prefixJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 3, minJaccardPpm = 500000L).select("doc_a", "doc_b"))
     val lsh = graft.operators.Corpus.cacheIntermediate(
       Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
         n = 3, numHashes = 32, bands = 4, minJaccard = 0.5)
@@ -559,6 +563,15 @@ object PipelineQueries {
       centroids = Some(Similarity.kmeansCentroids(
         Similarity.kmeansTrain(t(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), k = 8, iters = 2, seedStride = 50))))
+
+  // IVF×PQ (IVFADC): coarse lists prune candidates, PQ/ADC ranks only the
+  // probed lists from 8 small ints per vector, exact rescore of the pool
+  // — the billion-scale ANN composition as one declarative plan; the
+  // codebook comes from the FULL corpus (probe-independent stored codes)
+  private val s14: Q = (s, dir) =>
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, centroidStride = 50, nProbe = 2,
+      numSubspaces = 8, numCodes = 16, codeStride = 16, pool = 50)
 
   // lexical search over the corpus: rare-term-weighted exact-integer
   // relevance ("dup" hits ~5% of docs and dominates; "spark"/"merge"
@@ -815,6 +828,7 @@ object PipelineQueries {
     "s13_ann_mmr" -> s13,
     "s9_kmeans_codebook" -> s9,
     "s10_ann_ivf_trained" -> s10,
+    "s14_ann_ivfpq" -> s14,
     "s7_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
         col("vec_id"), col("embedding"), k = 10)),
@@ -1703,6 +1717,73 @@ object PipelineQueries {
         |JOIN embeddings qe ON qe.vec_id = t.q_id
         |JOIN embeddings be ON be.vec_id = t.vec_id
         |WHERE t.rn <= 10""".stripMargin,
+    // IVFADC replay: s3's coarse CTEs (cents/listed/probed) composed with
+    // s7's PQ CTEs (cbv/sub/dist/enc); candidates are the list join, the
+    // ADC estimate folds the query-side LUT rows in subspace order, pool
+    // rank then exact cosine rescore — lockstep with Similarity.ivfPqTopK
+    "s14_ann_ivfpq" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+        |listed AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT b.vec_id, b.embedding AS v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+        |                 c.c_id ASC) AS crn
+        |    FROM embeddings b CROSS JOIN cents c)
+        |  WHERE crn <= 1),
+        |probed AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+        |                 c.c_id ASC) AS crn
+        |    FROM embeddings q CROSS JOIN cents c
+        |    WHERE q.vec_id < 5)
+        |  WHERE crn <= 2),
+        |cbv AS (
+        |  SELECT vec_id // 16 AS j, embedding AS cv FROM embeddings
+        |  WHERE vec_id % 16 = 0 AND vec_id // 16 < 16),
+        |sub AS (
+        |  SELECT t.s AS s, j, list_slice(cv, t.s*8 + 1, t.s*8 + 8) AS c
+        |  FROM cbv, unnest(range(0, 8)) t(s)),
+        |dist AS (
+        |  SELECT b.vec_id, sub.s, sub.j,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)
+        |           * (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)),
+        |      (x, y) -> x + y) AS d
+        |  FROM embeddings b CROSS JOIN sub),
+        |enc AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+        |    FROM dist)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT p.q_id, l.vec_id,
+        |    list_reduce(list(qd.d ORDER BY qd.s), (x, y) -> x + y) AS est
+        |  FROM probed p
+        |  JOIN listed l ON l.c_id = p.c_id AND l.vec_id <> p.q_id
+        |  JOIN enc e ON e.vec_id = l.vec_id
+        |  JOIN dist qd ON qd.vec_id = p.q_id AND qd.s = e.s AND qd.j = e.code
+        |  GROUP BY p.q_id, l.vec_id),
+        |pool AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id ASC) AS ern
+        |    FROM cand)
+        |  WHERE ern <= 50)
+        |SELECT q_id, vec_id, cos, rn FROM (
+        |  SELECT p.q_id, p.vec_id,
+        |    round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+        |      ORDER BY round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) DESC,
+        |               p.vec_id ASC) AS rn
+        |  FROM pool p
+        |  JOIN embeddings qv ON qv.vec_id = p.q_id
+        |  JOIN embeddings bv ON bv.vec_id = p.vec_id)
+        |WHERE rn <= 10""".stripMargin,
     // PQ replay: codebook slices, per-(vector, subspace, code) squared-L2
     // folds (left-to-right — list_reduce's first-element seed equals the
     // 0.0 seed on non-negative squared terms), argmin encode, ADC sum in

@@ -155,15 +155,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin"))
   }
 
-  test("d10: substring coverage is one shingle exchange (window) + one doc aggregation") {
+  test("d10: substring coverage = owner agg joined back + one doc aggregation") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = planOf("d10_substring_coverage")
-    // owner-as-window-min is the whole point: a groupBy+join formulation
-    // would add a third exchange and traverse the posting list twice
-    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
-      s"expected the shingle window exchange + the doc agg exchange:\n${plan.take(800)}")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
-      "no pair join allowed in the coverage path")
+    // the owner table (one row per distinct shingle) comes from a
+    // partial-agg groupBy — never a window over the shingle key, which
+    // would serialize a hot shingle's postings into one partition — and
+    // joins back to the cached postings; no PAIR join (doc×doc) may
+    // appear, the whole point of the coverage formulation
+    assert(!plan.contains("windowspecdefinition"),
+      "owner must be a two-stage aggregation, not a window")
+    assert(plan.contains("partial_min"),
+      s"owner min must combine map-side:\n${plan.take(800)}")
+    // joins: exactly ONE (postings ⋈ owners, keyed on the shingle);
+    // a second join would mean a pair join crept in
+    val joins = plan.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joins == 1, s"expected only the owner join, got $joins")
+    graft.operators.Dedup.unpersistIntermediates()
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("g1: pageRank iterations read flat checkpointed RDDs — no re-embedded upstream") {
@@ -434,6 +444,31 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"expensive expression leaked into a scan-side filter:\n${offenders.mkString("\n")}")
+  }
+
+  test("d2b/d19/d10: shingle doc-frequency is a partial agg, never a Window over s") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // a Window partitioned by the shingle key lands a stop-shingle's
+    // ENTIRE posting list in one window partition, processed serially by
+    // one task — the exact skew these operators exist to tame. The
+    // two-stage groupBy("s") formulation combines map-side and its join
+    // back to the postings is AQE-splittable; pin that no plan regresses
+    // to the window form. (Windows over doc_id are fine: document-sized
+    // partitions.)
+    for (name <- Seq("d2b_ngram_capped", "d19_prefix_jaccard", "d10_substring_coverage")) {
+      val plan = try {
+        graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+      } finally {
+        graft.operators.Dedup.unpersistIntermediates()
+        graft.operators.Corpus.unpersistIntermediates()
+        spark.sharedState.cacheManager.clearCache()
+      }
+      assert(!plan.contains("windowspecdefinition(s#"),
+        s"$name: doc-frequency regressed to a Window over the shingle key")
+      assert(plan.contains("partial_count") || plan.contains("partial_min"),
+        s"$name: expected a map-side partial aggregation for the shingle stats")
+    }
   }
 
   test("q11: explicit pivot values — no values-discovery job, map-side partial count") {
