@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * times an operator at 1× and 10× warm. A scale-safe operator should grow
   * ≈ linearly (or with its output size); a quadratic bend fails the check.
   *
-  * Usage: runMain graft.DryRun [sfDir] [op...]   ops: pagerank upsample mad
+  * Usage: runMain graft.DryRun [sfDir] [op...]
+  * ops: pagerank upsample mad fuzzy mmr prefix (default: all but prefix)
   */
 object DryRun {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ops = if (args.length > 1) args.drop(1).toSet
-              else Set("pagerank", "upsample", "mad", "fuzzy", "mmr")
+              else Set("pagerank", "upsample", "mad", "fuzzy", "mmr", "prefix")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -38,7 +39,9 @@ object DryRun {
     val big = (0 until 10).map(replica).reduce(_ union _)
 
     def time(name: String)(body: => DataFrame): Unit = {
-      // warm once, then measure
+      // warm once, then measure; the row count comes from the WARM pass so
+      // the timed pass is exactly one noop write (no post-hoc re-execution)
+      var rows = -1L
       (1 to 2).foreach { i =>
         spark.sharedState.cacheManager.clearCache()
         graft.operators.Dedup.unpersistIntermediates()
@@ -47,7 +50,8 @@ object DryRun {
         val t0 = System.nanoTime()
         val df = body
         df.write.mode("overwrite").format("noop").save()
-        if (i == 2) println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows ${df.count()})")
+        if (i == 1) rows = df.count()
+        else println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s (rows $rows)")
       }
     }
 

@@ -546,11 +546,11 @@ object Similarity {
       .collect()
       .map(r => r.getLong(0) / codeStride -> r.getSeq[Double](1).toArray).toMap
     require(cbRows.size == numCodes,
-      s"pqCodebook: needs ids {0, $codeStride, …, ${(numCodes - 1) * codeStride}} " +
+      s"pq codebook: needs ids {0, $codeStride, …, ${(numCodes - 1) * codeStride}} " +
         s"in the source table; found ${cbRows.size} of $numCodes")
     val dim = cbRows(0L).length
     require(dim % numSubspaces == 0,
-      s"pqCodebook: dim $dim not divisible by numSubspaces=$numSubspaces")
+      s"pq codebook: dim $dim not divisible by numSubspaces=$numSubspaces")
     val subDim = dim / numSubspaces
     Array.tabulate(numSubspaces) { s =>
       Array.tabulate(numCodes)(j => cbRows(j.toLong).slice(s * subDim, (s + 1) * subDim))
