@@ -78,4 +78,30 @@ object Layout {
       .drop("_zkey")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Write `df` as a bucketed (+ per-bucket sorted) parquet table in the
+    * session catalog. Two tables bucketed on their JOIN KEY with the SAME
+    * bucket count join with ZERO exchanges — each task reads bucket i of
+    * both sides, because identical bucketing IS a shared hash
+    * partitioning. At 100 TB this is the difference between re-shuffling
+    * both fact tables on every join and shuffling each exactly once at
+    * write time, amortized over every subsequent join/aggregation on the
+    * key (`LayoutSpec` pins the no-Exchange plan).
+    *
+    * `buckets` sizes the parallelism of every downstream join — pick it
+    * like a shuffle partition count for the TABLE's full size (e.g. 2⁴ᐨ¹⁶
+    * × executors), not the test fixture's.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      keys: Seq[String],
+      buckets: Int): Unit = {
+    require(keys.nonEmpty, "need at least one bucket key")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
 }

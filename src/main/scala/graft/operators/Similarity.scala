@@ -240,6 +240,63 @@ object Similarity {
       .drop("_dup")
   }
 
+  /** Multi-probe LSH ANN: like [[lshTopK]], but each query probes its own
+    * sign bucket PLUS every bucket at Hamming distance 1 (one hyperplane's
+    * sign flipped) in each table — the vectors most likely to be near
+    * misses land exactly there, because a near neighbor that missed the
+    * bucket usually disagreed on a single borderline hyperplane.
+    *
+    * Why this matters at 100 TB: recall in plain LSH is bought with MORE
+    * TABLES, and the bucketed base index is `tables ×` the corpus — the
+    * dominant storage/shuffle cost. Multi-probe moves that cost to the
+    * query side instead (`bits+1` probe rows per query per table, still a
+    * broadcast of a few hundred rows), so a quarter of the tables reaches
+    * comparable recall with a quarter of the index. Probing is a pure
+    * query-side explode: the base is bucketed ONCE in the same codegen'd
+    * pass as [[lshTopK]], nothing about the stored index changes, and the
+    * candidate join still shuffles only (q_id, vec_id, cos).
+    *
+    * Output schema matches [[lshTopK]] (`q_id, vec_id, cos, rn`); the
+    * recall floor vs exact top-k at equal index size is gated in
+    * `SimilaritySpec`.
+    */
+  def lshMultiProbeTopK(
+      base: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 10,
+      tables: Int = 6,
+      bits: Int = 4,
+      maxDim: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bb = base.select(id.as("vec_id"), vec.as("v"),
+      posexplode(bucketIds(vec, tables, bits, maxDim)).as(Seq("tbl", "bucket")))
+    // query side: own bucket + the `bits` Hamming-1 flips, exploded —
+    // queries × tables × (bits+1) rows, still broadcast-sized
+    val probeSet = (c: Column) => array(c +: (0 until bits).map(j =>
+      c.bitwiseXOR(lit(1L << j))): _*)
+    val qb = queries.select(id.as("q_id"), vec.as("qv"),
+        posexplode(bucketIds(vec, tables, bits, maxDim)).as(Seq("tbl", "qbucket")))
+      .select(col("q_id"), col("qv"), col("tbl"),
+        explode(probeSet(col("qbucket"))).as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    bb.as("a")
+      .join(qb.hint("broadcast").as("qq"),
+        col("a.tbl") === col("qq.tbl") && col("a.bucket") === col("qq.bucket") &&
+          col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+      // same in-window dedup as lshTopK: copies of a pair (several probe
+      // hits) are adjacent under the order; dense_rank + lag drop them
+      // without an extra shuffle
+      .withColumn("rn", dense_rank().over(w).cast("long"))
+      .withColumn("_dup", lag(col("vec_id"), 1).over(w) === col("vec_id"))
+      .filter(col("rn") <= k && !coalesce(col("_dup"), lit(false)))
+      .drop("_dup")
+  }
+
   /** L2 norm of a float-array column, in double (left-to-right
     * accumulation — the oracle replays the identical IEEE sequence).
     */

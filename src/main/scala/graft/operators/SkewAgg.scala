@@ -31,6 +31,35 @@ object SkewAgg {
     * join is null-safe (`<=>`) — a plain equi-join would never match the
     * null-key group and silently zero its distinct count.
     */
+  /** Join-key skew profile: the `topN` heaviest keys with each key's row
+    * count, share of all rows, and cumulative share (exact integer ppm),
+    * plus the table's distinct-key count — the diagnostic that decides
+    * whether a join needs salting / AQE skew handling and what salt fan-out
+    * to pick (a key at 300k ppm of a 100 TB table is a 30 TB reducer).
+    *
+    * Scale shape: one partial-agg shuffle to per-key counts, then a
+    * DISTRIBUTED top-N (`orderBy.limit` plans as per-partition TakeOrdered
+    * + single merge of N×partitions rows — never a global sort), and the
+    * rank/cumulative window runs on those ≤ `topN` survivors broadcast-
+    * joined to the two-scalar totals row. Nothing driver-side scales with
+    * the key cardinality.
+    */
+  def skewReport(df: DataFrame, key: Column, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("_total"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("n").desc, col("key").asc).limit(topN)
+    val w = Window.orderBy(col("n").desc, col("key").asc)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("share_ppm", expr("n * 1000000 div _total"))
+      .withColumn("cum_share_ppm",
+        expr("sum(n) over (order by n desc, key asc) * 1000000 div _total"))
+      .select("rank", "key", "n", "share_ppm", "cum_share_ppm", "n_keys")
+  }
+
   def distinctAndTotals(df: DataFrame, key: Column, value: Column, distinctOn: Column): DataFrame = {
     val totals = df.groupBy(key.as("key"))
       .agg(count(lit(1)).as("n"),

@@ -724,7 +724,13 @@ object AnalyticsQueries {
           col("o_custkey"), floor(col("o_totalprice") / 100.0).cast("long"))
           .as("zkey"))
 
+  // join-key skew profile on the orders→customer key: the pre-join
+  // diagnostic that sizes salting/AQE skew handling
+  private val a9: Q = (s, dir) =>
+    graft.operators.SkewAgg.skewReport(t(s, dir, "orders"), col("o_custkey"), topN = 20)
+
   val queries: Map[String, Q] = Map(
+    "a9_key_skew" -> a9,
     "q1_agg" -> q1,
     "q3_revenue" -> q3,
     "q4_exists_sql" -> q4,
@@ -795,6 +801,17 @@ object AnalyticsQueries {
        |          FROM documents WHERE $name IS NOT NULL)))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "a9_key_skew" ->
+      """WITH c AS (SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM c),
+        |top AS (SELECT key, n FROM c ORDER BY n DESC, key ASC LIMIT 20)
+        |SELECT ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rank,
+        |  key, n,
+        |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(CAST(SUM(n) OVER (ORDER BY n DESC, key ASC) AS BIGINT) * 1000000
+        |       // total AS BIGINT) AS cum_share_ppm,
+        |  n_keys
+        |FROM top, t""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -497,6 +497,29 @@ object PipelineQueries {
         element_at(col("usig"), i + 1).as(s"m$i")): _*)
   }
 
+  // Cross-source near-dup overlap matrix: which corpus slices duplicate
+  // which — the dataset-overlap audit run before mixing sources (and the
+  // leak check between a training slice and a benchmark slice). Rides the
+  // d3 LSH pair tier, so its cost is the banded join, never sources²
+  // document pairs; mean similarity in exact integer ppm (order-
+  // independent sums — a double avg would hash-diverge across engines).
+  private val d20: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+      n = 3, numHashes = 32, bands = 4, minJaccard = 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"),
+        col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(cast(round(jaccard * 1000000) as bigint)) div count(1)")
+          .as("mean_jaccard_ppm"))
+  }
+
   // ------------------------------------------------------------------
   // Similarity search
   // ------------------------------------------------------------------
@@ -529,6 +552,12 @@ object PipelineQueries {
   private val s2: Q = (s, dir) =>
     Similarity.lshTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
       col("vec_id"), col("embedding"), k = 10, tables = 24, bits = 4)
+
+  // quarter of s2's tables (6 vs 24) + Hamming-1 query-side probing: the
+  // index-size/recall trade the multi-probe tier exists for
+  private val s15: Q = (s, dir) =>
+    Similarity.lshMultiProbeTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, tables = 6, bits = 4)
 
   private val s3: Q = (s, dir) =>
     Similarity.ivfTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
@@ -805,6 +834,7 @@ object PipelineQueries {
     "d2b_ngram_capped" -> d2b,
     "d3_minhash_lsh" -> d3,
     "d6_source_signatures" -> d6,
+    "d20_source_overlap" -> d20,
     "d7_dup_clusters" -> d7,
     "d8_dedup_keep" -> d8,
     "g1_pagerank" -> g1,
@@ -829,6 +859,7 @@ object PipelineQueries {
     "s9_kmeans_codebook" -> s9,
     "s10_ann_ivf_trained" -> s10,
     "s14_ann_ivfpq" -> s14,
+    "s15_ann_multiprobe" -> s15,
     "s7_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
         col("vec_id"), col("embedding"), k = 10)),
@@ -1016,6 +1047,36 @@ object PipelineQueries {
        |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS vec_id
        |  FROM b x JOIN b q ON x.t = q.t AND x.bucket = q.bucket
        |  WHERE q.vec_id < 5 AND q.vec_id <> x.vec_id),
+       |scored AS (
+       |  SELECT c.q_id, c.vec_id,
+       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id
+       |  JOIN embeddings be ON be.vec_id = c.vec_id)
+       |SELECT q_id, vec_id, cos, rn FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 10""".stripMargin
+
+  /** s15's multi-probe replay: same sign buckets over 6 tables; the query
+    * side expands to its own bucket plus the `bits` Hamming-1 flips before
+    * the candidate join — in lockstep with `lshMultiProbeTopK`'s probeSet.
+    */
+  private val sqlS15MultiProbe =
+    s"""WITH b AS (
+       |  SELECT vec_id, t,
+       |    ${sqlLshBucket(4)} AS bucket
+       |  FROM embeddings, unnest(range(0, 6)) tt(t)),
+       |probes AS (
+       |  SELECT vec_id AS q_id, t,
+       |    unnest([bucket::BIGINT] ||
+       |      list_transform(range(0, 4), j -> xor(bucket::BIGINT, (1::BIGINT << j)))) AS bucket
+       |  FROM b WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, x.vec_id
+       |  FROM b x JOIN probes p ON x.t = p.t AND x.bucket = p.bucket
+       |  WHERE p.q_id <> x.vec_id),
        |scored AS (
        |  SELECT c.q_id, c.vec_id,
        |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos
@@ -1347,6 +1408,20 @@ object PipelineQueries {
     "d3_minhash_lsh" ->
       s"""WITH ${sqlLshPairCtes()}
          |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin,
+    "d20_source_overlap" ->
+      s"""WITH ${sqlLshPairCtes()},
+         |pairs AS (SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5),
+         |lab AS (
+         |  SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b,
+         |    p.jaccard
+         |  FROM pairs p
+         |  JOIN documents sa ON p.doc_a = sa.doc_id
+         |  JOIN documents sb ON p.doc_b = sb.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |  CAST(CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+         |       // count(*) AS BIGINT) AS mean_jaccard_ppm
+         |FROM lab GROUP BY 1, 2""".stripMargin,
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()}
          |SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v""".stripMargin,
@@ -1611,6 +1686,7 @@ object PipelineQueries {
     // on the base side only; queries rank against the filtered corpus
     "s11_ann_filtered" -> sqlExactTopK(" AND b.label = 3"),
     "s2_ann_lsh" -> sqlS2Lsh,
+    "s15_ann_multiprobe" -> sqlS15MultiProbe,
     // recall@10 of the LSH ranking vs exact, composed from the same two
     // replays so the eval oracle can never drift from the ranker oracles
     "s8_recall_eval" ->

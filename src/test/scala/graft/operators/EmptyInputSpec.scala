@@ -94,4 +94,10 @@ class EmptyInputSpec extends AnyFunSuite {
       Seq(("en", 1L)).toDF("dkey", "dval"), col("dkey"), saltFactor = 4)
       .count() == 0)
   }
+
+  test("skew aggregation on an empty table yields empty, not a crash") {
+    assert(SkewAgg.distinctAndTotals(emptyDocs, col("lang"), col("doc_id"),
+      col("doc_id")).count() == 0)
+    assert(SkewAgg.skewReport(emptyDocs, col("lang")).count() == 0)
+  }
 }

@@ -72,4 +72,38 @@ class LayoutSpec extends AnyFunSuite {
       .collect().toSet
     assert(back == df.select("x", "y").as[(Long, Long)].collect().toSet)
   }
+
+  test("co-bucketed tables join with zero exchanges and match the plain join") {
+    val facts = spark.range(10000).select(col("id").as("k"),
+      (col("id") % 97).as("v"))
+    val dims = spark.range(0, 10000, 3).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    Layout.writeBucketed(facts, "graft_bkt_facts", Seq("k"), buckets = 8)
+    Layout.writeBucketed(dims, "graft_bkt_dims", Seq("k"), buckets = 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the non-broadcast path: the claim under test is that the
+      // SHUFFLE disappears, not that the dimension fits in memory
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bkt_facts")
+        .join(spark.table("graft_bkt_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle:\n${plan.take(800)}")
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(plan.contains("SelectedBucketsCount"), "scan should be bucket-aware")
+      val expect = facts.join(dims, "k")
+      assert(joined.exceptAll(expect).isEmpty && expect.exceptAll(joined).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_dims")
+    }
+  }
+
+  test("writeBucketed validates keys and bucket count") {
+    val df = spark.range(5).toDF("k")
+    assertThrows[IllegalArgumentException](Layout.writeBucketed(df, "t", Nil, 4))
+    assertThrows[IllegalArgumentException](Layout.writeBucketed(df, "t", Seq("k"), 0))
+  }
 }

@@ -98,6 +98,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@10 $mean < 0.9 (per-query: $recalls)")
   }
 
+  test("multi-probe at 6 tables: recall never below plain LSH at 6 tables, near the 24-table tier") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def meanRecall(got: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+      val r = exact.map { case (qid, ex) =>
+        got.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      r.sum / r.size
+    }
+    val exact = sets(Similarity.bruteForceTopK(emb, q, col("vec_id"), col("embedding"), k = 10))
+    val plain6 = sets(Similarity.lshTopK(emb, q, col("vec_id"), col("embedding"),
+      k = 10, tables = 6, bits = 4))
+    val probed6 = sets(Similarity.lshMultiProbeTopK(emb, q, col("vec_id"), col("embedding"),
+      k = 10, tables = 6, bits = 4))
+    // probing only ADDS candidates, so recall at equal index size cannot drop
+    val (rPlain, rProbed) = (meanRecall(plain6, exact), meanRecall(probed6, exact))
+    assert(rProbed >= rPlain,
+      s"multi-probe recall $rProbed below plain $rPlain at the same 6-table index")
+    // and a quarter of the index must stay near the 24-table gate
+    assert(rProbed >= 0.85, s"multi-probe recall@10 $rProbed < 0.85")
+    // output contract: no self hits, ranks within k
+    val out = Similarity.lshMultiProbeTopK(emb, q, col("vec_id"), col("embedding"),
+      k = 10, tables = 6, bits = 4)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Long)].collect()
+    assert(out.forall { case (qid, vid, rn) => qid != vid && rn >= 1 && rn <= 10 })
+    assert(out.groupBy(_._1).values.forall(g => g.map(_._2).distinct.length == g.length))
+  }
+
   test("RP top-k: projection shrinks the ranking input 4x; recall@10 vs exact (the JL gate)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())

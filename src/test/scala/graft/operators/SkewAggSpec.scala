@@ -33,4 +33,28 @@ class SkewAggSpec extends AnyFunSuite {
       (Some("b"), 1L, 2.0, 0L),
       (None, 2L, 7.0, 2L)))
   }
+
+  test("skewReport: top-N keys ranked with exact ppm shares and cumulative share") {
+    // 10 "x", 6 "y", 3 "z", 1 "w" → 20 rows total
+    val df = (Seq.fill(10)("x") ++ Seq.fill(6)("y") ++ Seq.fill(3)("z") ++ Seq("w"))
+      .toDF("k")
+    val got = SkewAgg.skewReport(df, col("k"), topN = 3)
+      .select("rank", "key", "n", "share_ppm", "cum_share_ppm", "n_keys")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+
+    assert(got === Seq(
+      (1L, "x", 10L, 500000L, 500000L, 4L),
+      (2L, "y", 6L, 300000L, 800000L, 4L),
+      (3L, "z", 3L, 150000L, 950000L, 4L)))
+  }
+
+  test("skewReport: count ties break on ascending key; topN caps the output") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("k")
+    val got = SkewAgg.skewReport(df, col("k"), topN = 2)
+      .select("rank", "key", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "a", 2L), (2L, "b", 2L)))
+    assertThrows[IllegalArgumentException](SkewAgg.skewReport(df, col("k"), topN = 0))
+  }
 }
