@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * ≈ linearly (or with its output size); a quadratic bend fails the check.
   *
   * Usage: runMain graft.DryRun [sfDir] [op...]
-  * ops: pagerank upsample mad fuzzy mmr prefix (default: all but prefix)
+  * ops: pagerank upsample mad fuzzy mmr prefix containment
+  * (default: all but prefix and containment)
   */
 object DryRun {
   def main(args: Array[String]): Unit = {
@@ -88,6 +89,12 @@ object DryRun {
         docs, col("doc_id"), col("text"), n = 3, minJaccardPpm = 500000L))
       time("prefix_10x")(graft.operators.Dedup.prefixJaccardPairs(
         big, col("doc_id"), col("text"), n = 3, minJaccardPpm = 500000L))
+    }
+    if (ops("containment")) {
+      time("containment_1x")(graft.operators.Dedup.containmentPairs(
+        docs, col("doc_id"), col("text"), n = 3, minContainmentPpm = 700000L))
+      time("containment_10x")(graft.operators.Dedup.containmentPairs(
+        big, col("doc_id"), col("text"), n = 3, minContainmentPpm = 700000L))
     }
     if (ops("fuzzy")) {
       // per-replica name suffix keeps each replica's near-miss density

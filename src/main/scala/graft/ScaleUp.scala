@@ -54,7 +54,12 @@ object ScaleUp {
     val plans: Seq[(String, DataFrame)] = Seq(
       "region" -> read("region"),
       "nation" -> read("nation"),
-      "customer" -> replicate(read("customer"), Seq("c_custkey")),
+      // c_name gets the same per-replica suffix treatment as documents.text:
+      // identical names across replicas would grow the fuzzy-join pair
+      // graph ~replicas² (every replica of "Customer#42" matches every
+      // other), which is a different workload, not a scale-up
+      "customer" -> replicate(read("customer"), Seq("c_custkey"), (d, k) =>
+        d.withColumn("c_name", concat(col("c_name"), lit(s"r$k")))),
       "supplier" -> replicate(read("supplier"), Seq("s_suppkey")),
       "part" -> replicate(read("part"), Seq("p_partkey")),
       "orders" -> replicate(read("orders"), Seq("o_orderkey", "o_custkey")),

@@ -180,6 +180,114 @@ object Dedup {
       .filter(col("jaccard") >= minJaccardPpm.toDouble / 1e6)
   }
 
+  /** Exact shingle-set containment pairs — the ASYMMETRIC near-dup
+    * relation: `cont(A→B) = |S_A ∩ S_B| / |S_A|`, the doc-in-doc signal a
+    * symmetric Jaccard threshold misses entirely (a short quote page fully
+    * contained in a long article has containment ≈ 1 but Jaccard ≈
+    * |S_A|/|S_B| ≈ 0). Output is ordered pairs: `doc_a` is the CONTAINED
+    * document, `containment_ppm` normalizes by `doc_a`'s set size in
+    * exact integer ppm.
+    *
+    * Candidate generation is the directional prefix filter (the
+    * containment variant of [[prefixJaccardPairs]]' PPJoin bound): if
+    * `|S_A ∩ S_B| ≥ ⌈t·|S_A|⌉`, the intersection cannot fit inside the
+    * `⌈t·|S_A|⌉ − 1` commonest shingles of A, so A must share one of its
+    * `|S_A| − ⌈t·|S_A|⌉ + 1` RAREST shingles (global df order) with B —
+    * LOSSLESS, so only A-prefixes probe the index. The index side is
+    * necessarily B's FULL posting list (containment puts no bound on the
+    * containing document), which is exactly why the probe side being a
+    * prefix slice matters: the join volume per shingle is
+    * `df_prefix × df_full`, and stop-shingles almost never survive into a
+    * rarest-first prefix. Doc frequency comes from a two-stage hash
+    * aggregation joined back (AQE-splittable), never a window over the
+    * shingle key. Exact verification over the candidates' full sets keeps
+    * the threshold exact.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      minContainmentPpm: Long = 700000L): DataFrame =
+    containmentPairsSized(docs, id, text, n, minContainmentPpm)
+      .select("doc_a", "doc_b", "containment_ppm")
+
+  /** [[containmentPairs]] plus both set sizes (`na`, `nb`) — the extra
+    * columns ride the joins the verify step already makes, so the sized
+    * variant costs nothing; [[containmentKeep]]'s dominance rule needs
+    * them.
+    */
+  private def containmentPairsSized(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int,
+      minContainmentPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minContainmentPpm > 0 && minContainmentPpm <= 1000000L,
+      s"minContainmentPpm out of (0, 1e6]: $minContainmentPpm")
+    val sh = cached(
+      docs.select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s")))
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfs, Seq("s"))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
+    // A-side prefix length |S_A| − ⌈t·|S_A|⌉ + 1, all-integer ceil
+    val prefix = ranked.filter(
+      col("rk") <= col("n_sh") -
+        expr(s"(n_sh * $minContainmentPpm + 999999) div 1000000") + 1)
+      .select(col("doc_id"), col("s"), col("n_sh"))
+    // index side: full postings + a plain count join (NOT the ranked
+    // branch — that would re-pay the df join and both windows here)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sized = sh.join(counts, Seq("doc_id"))
+    val cand = prefix.as("a")
+      .join(sized.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .distinct()
+    cand
+      .join(sh.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(sh.as("fb"),
+        col("doc_b") === col("fb.doc_id") && col("fa.s") === col("fb.s"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        expr("inter * 1000000 div na").as("containment_ppm"))
+      .filter(col("containment_ppm") >= minContainmentPpm)
+  }
+
+  /** Containment-based keep rule — "drop the quote, keep the article":
+    * a document is dropped iff it is ≥ `minContainmentPpm` contained in a
+    * DOMINATING partner (strictly larger shingle set, or equal set size
+    * and smaller id — so exact duplicates, which are mutually contained
+    * at 1e6 ppm, deterministically keep the minimum id and every
+    * containment chain keeps its maximal element). Output is one row per
+    * input document with its verdict, the shape a curation pipeline
+    * filters on.
+    *
+    * Cost = [[containmentPairs]] + one semi-join of the (small) dropped-id
+    * set back onto the corpus — the pair tier dominates.
+    */
+  def containmentKeep(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      minContainmentPpm: Long = 700000L): DataFrame = {
+    val pairs = containmentPairsSized(docs, id, text, n, minContainmentPpm)
+    val dropped = pairs
+      .filter(col("nb") > col("na") ||
+        (col("nb") === col("na") && col("doc_b") < col("doc_a")))
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("_drop", lit(true))
+    docs.select(id.as("doc_id"))
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_drop").isNull.as("keep"))
+  }
+
   /** Per-document duplicate-substring coverage against EARLIER documents —
     * the RefinedWeb/Gopher-style "how much of this page is copied text"
     * signal, asymmetric where Jaccard ([[ngramJaccardPairs]]) is

@@ -79,6 +79,53 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Small-file compaction plan — the metadata-level operator behind
+    * every table-maintenance `OPTIMIZE`: given a file manifest, assign
+    * each file to a target-sized output bin so a rewrite job can merge
+    * thousands of drizzle-sized files (streaming sinks, per-partition
+    * appends) into row-group-friendly blocks. At 100 TB the manifest is
+    * millions of rows where the DATA is billions — planning on the
+    * manifest instead of the data is the point.
+    *
+    * Bin rule (exact, SQL-replayable): within each `group` (a partition /
+    * source directory — compaction never merges across partitions), files
+    * are taken in `fileId` order and `bin = start_offset div targetBytes`
+    * where `start_offset` is the running byte total BEFORE the file —
+    * next-fit by offset, the same batching rule Spark's own
+    * `maxPartitionBytes` file-slicing applies. A bin can overflow by at
+    * most one file's bytes (a file always lands in the bin its offset
+    * opens), which is the right trade for a planner: deterministic,
+    * one-pass, no driver-side state.
+    *
+    * Scale shape: ONE window per group partition ordered by file id —
+    * manifest-sized work; group cardinality (table partitions) bounds the
+    * skew, and a group's manifest slice is at most its file count.
+    *
+    * @return one row per file: (`group`, `file_id`, `bytes`, `bin`,
+    *         `bin_files`, `bin_bytes`) — `bin_*` aggregates let the
+    *         rewrite job size its tasks without a second pass
+    */
+  def compactionPlan(
+      files: DataFrame,
+      group: Column,
+      fileId: Column,
+      bytes: Column,
+      targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = Window.partitionBy(col("group")).orderBy(col("file_id"))
+    val planned = files
+      .select(group.as("group"), fileId.as("file_id"),
+        bytes.cast("long").as("bytes"))
+      .withColumn("start_off", sum(col("bytes")).over(w) - col("bytes"))
+      .withColumn("bin", expr(s"start_off div $targetBytes"))
+      .drop("start_off")
+    val wb = Window.partitionBy(col("group"), col("bin"))
+    planned
+      .withColumn("bin_files", count(lit(1)).over(wb))
+      .withColumn("bin_bytes", sum(col("bytes")).over(wb))
+  }
+
   /** Write `df` as a bucketed (+ per-bucket sorted) parquet table in the
     * session catalog. Two tables bucketed on their JOIN KEY with the SAME
     * bucket count join with ZERO exchanges — each task reads bucket i of

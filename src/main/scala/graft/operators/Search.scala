@@ -108,4 +108,44 @@ object Search {
       .withColumn("rank", row_number().over(rankW).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Weight scale for one RRF rank contribution: rank 1 at the default
+    * `rrfK` scores 1e9/61 ≈ 16.4M — integer division keeps every fused
+    * score exact.
+    */
+  val RrfScale = 1000000000L
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked lists
+    * — the standard hybrid-retrieval combiner: each list contributes
+    * `RrfScale div (rrfK + rank)` per document, so agreement across
+    * retrievers (lexical top-k ∩ vector top-k) dominates any single
+    * list's raw score scale. No score normalization is needed, which is
+    * the whole point: TF-IDF integers and cosine micros never meet — only
+    * ranks do.
+    *
+    * Scale shape: each input is already a top-k' slice (k' rows per
+    * retriever, NOT corpus-sized), so the union + one aggregation touch
+    * `Σ k'` rows total and the final top-k is a TakeOrdered over that.
+    * The expensive part of hybrid search is the retrievers themselves
+    * ([[keywordTopK]], `Similarity.bruteForceTopK`/IVF) — fusion is free.
+    *
+    * @param rankings ranked lists, each with columns (`doc_id`, `rank`)
+    *                 where rank is 1-based within that list
+    * @param k        fused result size
+    * @param rrfK     the RRF damping constant (60 in the paper)
+    * @return (doc_id, n_lists, rrf_score) ranked by
+    *         (rrf_score desc, doc_id asc), ties deterministic
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranked list")
+    require(rrfK >= 0L, s"rrfK must be non-negative, got $rrfK")
+    rankings
+      .map(_.select(col("doc_id"), col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(expr(s"$RrfScale div ($rrfK + rank)")).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

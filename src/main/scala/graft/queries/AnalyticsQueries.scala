@@ -729,8 +729,69 @@ object AnalyticsQueries {
   private val a9: Q = (s, dir) =>
     graft.operators.SkewAgg.skewReport(t(s, dir, "orders"), col("o_custkey"), topN = 20)
 
+  // TPC-H Q6: the canonical pushdown showcase — every predicate reaches
+  // the parquet scan (PushedFilters on shipdate/discount/quantity), the
+  // scan reads exactly the four referenced columns, and the whole query
+  // is one partial-agg reduce with no shuffle of raw rows
+  private val q6f: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  // grouped correlation/regression moments in ONE algebraic pass: exact
+  // integer second moments (quantity units, price cents) so the slope is
+  // bit-reproducible, DECIMAL(38,0) sums so a 100 TB group cannot
+  // overflow (Σ cents² at 6e9 rows ≈ 6e23 > BIGINT). Everything is
+  // map-side-combinable — the shuffle carries one partial row per
+  // (partition, flag), never raw rows; corr/variance/slope are all
+  // derivable downstream from these six sufficient statistics without
+  // another data pass.
+  private val a10: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sum_q"),
+        sum(col("pc").cast("decimal(38,0)")).as("sum_pc"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sum_qq"),
+        sum((col("q") * col("pc")).cast("decimal(38,0)")).as("sum_qpc"),
+        // pc² ≤ 1e14 fits a LONG — multiply in long (codegen'd primitive),
+        // cast only the product for the overflow-safe decimal SUM; a
+        // per-row BigDecimal multiply here costs ~6× the whole query
+        sum((col("pc") * col("pc")).cast("decimal(38,0)")).as("sum_pcpc"))
+      // regression slope as an exact rational (num/den), NOT a rounded
+      // quotient: decimal division rounds at an engine-chosen scale before
+      // any floor, so the quotient is the one derived stat that could
+      // diverge between engines at a boundary — the exact pair cannot
+      .withColumn("slope_num",
+        (col("n") * col("sum_qpc") - col("sum_q") * col("sum_pc"))
+          .cast("decimal(38,0)"))
+      .withColumn("slope_den",
+        (col("n") * col("sum_qq") - col("sum_q") * col("sum_q"))
+          .cast("decimal(38,0)"))
+
+  // compaction plan over a per-source file manifest (each doc plays a
+  // small file; bytes = n_chars): the OPTIMIZE-style metadata pass that
+  // bins drizzle-sized files into ~targetBytes rewrite groups
+  private val z2: Q = (s, dir) =>
+    graft.operators.Layout.compactionPlan(
+      t(s, dir, "documents"),
+      group = col("source"), fileId = col("doc_id"), bytes = col("n_chars"),
+      targetBytes = 4096L)
+
   val queries: Map[String, Q] = Map(
     "a9_key_skew" -> a9,
+    "q6_forecast" -> q6f,
+    "a10_corr_moments" -> a10,
+    "z2_compaction" -> z2,
     "q1_agg" -> q1,
     "q3_revenue" -> q3,
     "q4_exists_sql" -> q4,
@@ -801,6 +862,43 @@ object AnalyticsQueries {
        |          FROM documents WHERE $name IS NOT NULL)))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "a10_corr_moments" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(q) AS DECIMAL(38,0)) AS sum_q,
+        |  CAST(SUM(pc) AS DECIMAL(38,0)) AS sum_pc,
+        |  CAST(SUM(q * q) AS DECIMAL(38,0)) AS sum_qq,
+        |  CAST(SUM(q * pc) AS DECIMAL(38,0)) AS sum_qpc,
+        |  CAST(SUM(CAST(pc AS HUGEINT) * pc) AS DECIMAL(38,0)) AS sum_pcpc,
+        |  CAST(COUNT(*) * SUM(q * pc) - SUM(q) * SUM(pc) AS DECIMAL(38,0)) AS slope_num,
+        |  CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS DECIMAL(38,0)) AS slope_den
+        |FROM b GROUP BY l_returnflag""".stripMargin,
+    "z2_compaction" ->
+      """WITH f AS (
+        |  SELECT source AS "group", doc_id AS file_id,
+        |         CAST(n_chars AS BIGINT) AS bytes
+        |  FROM documents),
+        |p AS (
+        |  SELECT *,
+        |    CAST((CAST(SUM(bytes) OVER (PARTITION BY "group" ORDER BY file_id) AS BIGINT)
+        |          - bytes) // 4096 AS BIGINT) AS bin
+        |  FROM f)
+        |SELECT "group", file_id, bytes, bin,
+        |  COUNT(*) OVER (PARTITION BY "group", bin) AS bin_files,
+        |  CAST(SUM(bytes) OVER (PARTITION BY "group", bin) AS BIGINT) AS bin_bytes
+        |FROM p""".stripMargin,
     "a9_key_skew" ->
       """WITH c AS (SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM c),

@@ -329,6 +329,20 @@ object PipelineQueries {
     Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
       n = 3, numHashes = 32, bands = 4, minJaccard = 0.5)
 
+  // asymmetric doc-in-doc tier: ordered pairs where doc_a's shingle set is
+  // ≥70% inside doc_b's — the directional prefix filter indexes only
+  // A-side rarest prefixes against B-side full postings (lossless)
+  private val d21: Q = (s, dir) =>
+    Dedup.containmentPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+      n = 3, minContainmentPpm = 700000L)
+
+  // "drop the quote, keep the article": a doc is dropped iff ≥70%
+  // contained in a strictly-bigger partner (or an equal-set earlier id —
+  // mutual 1e6-ppm exact dups keep the min id deterministically)
+  private val d22: Q = (s, dir) =>
+    Dedup.containmentKeep(t(s, dir, "documents"), col("doc_id"), col("text"),
+      n = 3, minContainmentPpm = 700000L)
+
   private val d4: Q = (s, dir) =>
     Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
       maxHamming = 3)
@@ -609,6 +623,24 @@ object PipelineQueries {
     graft.operators.Search.keywordTopK(t(s, dir, "documents"),
       col("doc_id"), col("text"), Seq("dup", "spark", "merge"), k = 25)
 
+  // hybrid retrieval: lexical top-20 (TF-IDF integers) and vector top-20
+  // (cosine micros for query vec 0) meet ONLY through their ranks —
+  // reciprocal-rank fusion needs no cross-scale normalization, and the
+  // fusion itself runs over 40 rows regardless of corpus size
+  private val s16: Q = (s, dir) => {
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val lex = graft.operators.Search.keywordTopK(t(s, dir, "documents"),
+        col("doc_id"), col("text"), Seq("dup", "spark", "merge"), k = 20)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .select("doc_id", "rank")
+    val vec = Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").filter(col("vec_id") === 0),
+        col("vec_id"), col("embedding"), k = 20)
+      .select(col("vec_id").as("doc_id"), col("rn").as("rank"))
+    graft.operators.Search.rrfFuse(Seq(lex, vec), k = 10)
+  }
+
   // batch retrieval: three queries amortize one posting-list build; the
   // shared term ("dup") must carry the same global df in both queries
   private val s6: Q = (s, dir) => {
@@ -833,6 +865,8 @@ object PipelineQueries {
     "d19_prefix_jaccard" -> d19,
     "d2b_ngram_capped" -> d2b,
     "d3_minhash_lsh" -> d3,
+    "d21_containment" -> d21,
+    "d22_containment_keep" -> d22,
     "d6_source_signatures" -> d6,
     "d20_source_overlap" -> d20,
     "d7_dup_clusters" -> d7,
@@ -864,6 +898,7 @@ object PipelineQueries {
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
         col("vec_id"), col("embedding"), k = 10)),
     "s5_keyword_search" -> s5,
+    "s16_hybrid_rrf" -> s16,
     "s6_keyword_batch" -> s6,
     // index-swap eval: the LSH tier's recall@10 vs the exact ranking,
     // per query, in integer ppm — both rankings truncated to k before
@@ -1388,6 +1423,35 @@ object PipelineQueries {
     // IDENTICAL oracle: the prefix filter is lossless, so the operator
     // must reproduce the exact formulation's pair set bit-for-bit
     "d19_prefix_jaccard" -> sqlExactJaccard,
+    "d21_containment" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter * 1000000 // ca.n_sh AS BIGINT) AS containment_ppm
+         |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a
+         |WHERE inter * 1000000 // ca.n_sh >= 700000""".stripMargin,
+    "d22_containment_keep" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |dropped AS (
+         |  SELECT DISTINCT doc_a AS doc_id
+         |  FROM pairs
+         |  JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b
+         |  WHERE inter * 1000000 // ca.n_sh >= 700000
+         |    AND (cb.n_sh > ca.n_sh OR (cb.n_sh = ca.n_sh AND doc_b < doc_a)))
+         |SELECT d.doc_id, dr.doc_id IS NULL AS keep
+         |FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id""".stripMargin,
     "d2b_ngram_capped" ->
       s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
          |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
@@ -1909,6 +1973,38 @@ object PipelineQueries {
         |  JOIN embeddings qv ON qv.vec_id = p.q_id
         |  JOIN embeddings bv ON bv.vec_id = p.vec_id)
         |WHERE rn <= 10""".stripMargin,
+    "s16_hybrid_rrf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(${sqlToks("text")}) AS term FROM documents)
+         |  WHERE term IN ('dup', 'spark', 'merge')
+         |  GROUP BY doc_id, term),
+         |wtf AS (
+         |  SELECT doc_id, tf, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         |lexs AS (
+         |  SELECT doc_id, sum(tf * (1000000 // df))::BIGINT AS score
+         |  FROM wtf GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |lex AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM lexs),
+         |vecs AS (
+         |  SELECT b.vec_id AS doc_id,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+         |  FROM embeddings q JOIN embeddings b ON b.vec_id <> 0
+         |  WHERE q.vec_id = 0),
+         |vec AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+         |    FROM vecs)
+         |  WHERE rank <= 20),
+         |u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+         |SELECT doc_id, count(*) AS n_lists,
+         |  CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_score
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "s5_keyword_search" ->
       s"""WITH tf AS (
          |  SELECT doc_id, term, count(*) AS tf FROM (

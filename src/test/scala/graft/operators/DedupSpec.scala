@@ -38,6 +38,57 @@ class DedupSpec extends AnyFunSuite {
     Dedup.unpersistIntermediates(blocking = true)
   }
 
+  test("containmentPairs: directional doc-in-doc, normalized by the contained set") {
+    // 10's 3 shingles all inside 11's 5 → cont(10→11)=1e6; the reverse is
+    // 3/5=600000 and must NOT pass at t=0.7; 12 shares nothing
+    val d = Seq(
+      (10L, "a b c d e"),
+      (11L, "a b c d e f g"),
+      (12L, "x y z w v u t")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, col("doc_id"), col("text"), 3, 700000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 11L, 1000000L)))
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
+  test("containmentKeep drops contained docs; exact dups keep the min id") {
+    val d = Seq(
+      (10L, "a b c d e"),            // ⊂ 11 → dropped (bigger partner)
+      (11L, "a b c d e f g"),        // maximal → kept
+      (12L, "a b c d e f g"),        // exact dup of 11 → equal sets, later id → dropped
+      (13L, "x y z w v u t")).toDF("doc_id", "text") // unrelated → kept
+    val got = Dedup.containmentKeep(d, col("doc_id"), col("text"), 3, 700000L)
+      .as[(Long, Boolean)].collect().toSet
+    assert(got == Set((10L, false), (11L, true), (12L, false), (13L, true)))
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
+  test("containmentPairs prefix filter is lossless vs the unfiltered formulation") {
+    val plus = docs.union(Seq(
+      (6L, base + " and then some extra words follow the original text here"),
+      (7L, "rain falls on the hill"),
+      (8L, "the quick brown fox")).toDF("doc_id", "text"))
+    // brute-force ground truth: full posting self-join, no prefix filter
+    val sh = plus.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokens(col("text")), 3)).as("s"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val brute = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        expr("inter * 1000000 div n_sh").as("containment_ppm"))
+      .filter(col("containment_ppm") >= 500000L)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Dedup.containmentPairs(plus, col("doc_id"), col("text"), 3, 500000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, s"prefix containment diverges:\n$got\nvs\n$brute")
+    assert(brute.nonEmpty)
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("exact dedup keeps min id per distinct text") {
     val out = Dedup.exact(docs, col("text"), col("doc_id"))
       .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap

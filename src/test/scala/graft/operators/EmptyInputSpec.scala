@@ -67,6 +67,17 @@ class EmptyInputSpec extends AnyFunSuite {
     Corpus.unpersistIntermediates(blocking = true)
   }
 
+  test("containment, RRF fusion, and compaction planning handle empty input") {
+    assert(Dedup.containmentPairs(emptyDocs, col("doc_id"), col("text"),
+      n = 3, minContainmentPpm = 700000L).count() == 0)
+    val emptyRanks = Seq.empty[(Long, Long)].toDF("doc_id", "rank")
+    assert(Search.rrfFuse(Seq(emptyRanks, emptyRanks), k = 10).count() == 0)
+    val emptyManifest = Seq.empty[(String, Long, Long)].toDF("src", "fid", "sz")
+    assert(Layout.compactionPlan(emptyManifest, col("src"), col("fid"),
+      col("sz"), targetBytes = 1024L).count() == 0)
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("BPE trains an empty model and encodes with it on an empty corpus") {
     val merges = Bpe.train(emptyDocs, col("text"), numMerges = 5)
     assert(merges.isEmpty)

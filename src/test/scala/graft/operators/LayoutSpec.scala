@@ -73,6 +73,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(back == df.select("x", "y").as[(Long, Long)].collect().toSet)
   }
 
+  test("compactionPlan bins files by start offset within each group") {
+    val manifest = Seq(
+      ("g1", 1L, 100L), ("g1", 2L, 100L), ("g1", 3L, 100L),
+      ("g1", 4L, 100L), ("g1", 5L, 100L),
+      ("g2", 1L, 600L), ("g2", 2L, 100L)).toDF("src", "fid", "sz")
+    val got = Layout.compactionPlan(manifest,
+      col("src"), col("fid"), col("sz"), targetBytes = 250L)
+      .select("group", "file_id", "bin", "bin_files", "bin_bytes")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      // g1 offsets 0,100,200 → bin 0 (overflows by ≤ one file); 300,400 → bin 1
+      ("g1", 1L, 0L, 3L, 300L), ("g1", 2L, 0L, 3L, 300L), ("g1", 3L, 0L, 3L, 300L),
+      ("g1", 4L, 1L, 2L, 200L), ("g1", 5L, 1L, 2L, 200L),
+      // g2: an over-target file owns bin 0 alone; the next file's offset
+      // (600) opens bin 2 — bin ids are offset-derived, not dense
+      ("g2", 1L, 0L, 1L, 600L), ("g2", 2L, 2L, 1L, 100L)))
+  }
+
+  test("compactionPlan never merges across groups and rejects a non-positive target") {
+    val manifest = Seq(("a", 1L, 10L), ("b", 1L, 10L)).toDF("src", "fid", "sz")
+    val bins = Layout.compactionPlan(manifest, col("src"), col("fid"), col("sz"), 1000L)
+      .select("group", "bin").as[(String, Long)].collect().toSet
+    assert(bins == Set(("a", 0L), ("b", 0L)))
+    intercept[IllegalArgumentException] {
+      Layout.compactionPlan(manifest, col("src"), col("fid"), col("sz"), 0L)
+    }
+  }
+
   test("co-bucketed tables join with zero exchanges and match the plain join") {
     val facts = spark.range(10000).select(col("id").as("k"),
       (col("id") % 97).as("v"))

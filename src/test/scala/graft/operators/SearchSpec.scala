@@ -74,4 +74,33 @@ class SearchSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 3000000L))) // tf(alpha)=2, tf(2)=1, each df=1
   }
+
+  private def ranks(rs: (Long, Long)*) = rs.toDF("doc_id", "rank")
+
+  test("rrfFuse: cross-list agreement dominates any single list") {
+    // doc 20 is rank 2 + rank 1; every solo doc scores below it
+    val got = Search.rrfFuse(Seq(
+      ranks((10L, 1L), (20L, 2L), (30L, 3L)),
+      ranks((20L, 1L), (40L, 2L))), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    val s = (r: Long) => 1000000000L / (60L + r)
+    assert(got == Seq(
+      (20L, 2L, s(2) + s(1)), (10L, 1L, s(1)),
+      (40L, 1L, s(2)), (30L, 1L, s(3))))
+  }
+
+  test("rrfFuse: equal fused scores tie-break on ascending doc id; k truncates") {
+    val got = Search.rrfFuse(Seq(ranks((7L, 1L)), ranks((3L, 1L))), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(3L, 7L))
+    assert(Search.rrfFuse(Seq(ranks((7L, 1L)), ranks((3L, 1L))), k = 1)
+      .as[(Long, Long, Long)].collect().toSeq.map(_._1) == Seq(3L))
+  }
+
+  test("rrfFuse: empty lists fuse to empty; rrfK shifts the damping") {
+    assert(Search.rrfFuse(Seq(ranks()), k = 5).count() == 0L)
+    val got = Search.rrfFuse(Seq(ranks((1L, 1L))), k = 5, rrfK = 0L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1000000000L)))
+  }
 }

@@ -455,7 +455,8 @@ class PlanSpec extends AnyFunSuite {
     // back to the postings is AQE-splittable; pin that no plan regresses
     // to the window form. (Windows over doc_id are fine: document-sized
     // partitions.)
-    for (name <- Seq("d2b_ngram_capped", "d19_prefix_jaccard", "d10_substring_coverage")) {
+    for (name <- Seq("d2b_ngram_capped", "d19_prefix_jaccard",
+        "d10_substring_coverage", "d21_containment")) {
       val plan = try {
         graft.SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.toString
@@ -469,6 +470,34 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.contains("partial_count") || plan.contains("partial_min"),
         s"$name: expected a map-side partial aggregation for the shingle stats")
     }
+  }
+
+  test("q6: every predicate reaches the lineitem scan; only the four referenced columns read") {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    // formatted mode prints PushedFilters unelided (the tree toString
+    // truncates the list mid-entry)
+    val plan = graft.SparkEntry.queries("q6_forecast")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("LessThan(l_quantity,24.0)"),
+      "expected l_quantity < 24 inside PushedFilters")
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.05)"),
+      "expected the discount band inside PushedFilters")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.contains("l_discount") && readSchemas.contains("l_shipdate"))
+    assert(!readSchemas.contains("l_orderkey") && !readSchemas.contains("l_returnflag"),
+      s"lineitem scan not pruned to the four referenced columns:\n$readSchemas")
+  }
+
+  test("z2: compaction plan is ONE manifest exchange on the group key") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    // both windows (running offset; bin aggregates) hash-partition on the
+    // group key — they must share one exchange, and nothing else shuffles
+    val plan = planOf("z2_compaction")
+    val keyShuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 1,
+      s"expected exactly one group-key exchange, got $keyShuffles:\n${plan.take(800)}")
   }
 
   test("q11: explicit pivot values — no values-discovery job, map-side partial count") {
