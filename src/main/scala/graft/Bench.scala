@@ -59,14 +59,20 @@ object Bench {
       graft.operators.Graph.unpersistIntermediates()
     }
 
+    // dev shortcut (mirrors Verify): trailing args restrict the timed set;
+    // unknown names fail fast. The driver passes no args → full suite.
+    val only = args.toSet
+    val unknownQ = only -- SparkEntry.queries.keySet
+    require(unknownQ.isEmpty, s"unknown queries: ${unknownQ.mkString(", ")}")
+    val names = (if (only.isEmpty) SparkEntry.queries.keys
+                 else only).toVector.sorted
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try { run(fn(spark, warmDir)); releaseCaches() }
+      names.foreach { name =>
+        try { run(SparkEntry.queries(name)(spark, warmDir)); releaseCaches() }
         catch { case _: Throwable => () } // warm-up only; timed passes report errors
       }
-
-    val names = SparkEntry.queries.keys.toVector.sorted
     val rnd = new scala.util.Random(42) // fixed seed: reproducible pass orders
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

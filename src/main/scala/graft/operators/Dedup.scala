@@ -146,37 +146,43 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(minJaccardPpm > 0 && minJaccardPpm <= 1000000L,
       s"minJaccardPpm out of (0, 1e6]: $minJaccardPpm")
-    val sh = cached(
-      docs.select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s")))
+    // cache the PER-DOC shingle ARRAYS (one tokenize+shingle evaluation
+    // total); postings explode from the cache, set size is size(sh) — no
+    // count window — and the exact verify is a per-pair array_intersect
+    // against the same cache instead of a posting×posting join + count
+    // aggregation (the former top cost of this operator; same trade
+    // minhashLshPairs makes)
+    val base = cached(
+      docs.select(id.as("doc_id"), shingles(tokens(text), n).as("sh")))
+      .filter(size(col("sh")) > 0)
+    val sh = base.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
     // document frequency as a partial-agg groupBy joined back on the
     // shingle: the hot-key postings shuffle is a JOIN partition (AQE can
     // split it) instead of a window partition (it cannot)
-    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val dfs = sh.select("s").groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfs, Seq("s"))
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
     // prefix length |s| − ⌈t·|s|⌉ + 1, all-integer ceil
     val prefix = ranked.filter(
       col("rk") <= col("n_sh") -
         expr(s"(n_sh * $minJaccardPpm + 999999) div 1000000") + 1)
-      .select(col("doc_id"), col("s"), col("n_sh"))
+      .select(col("doc_id"), col("s"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verify over the candidates' FULL shingle sets
     cand
-      .join(sh.as("fa"), col("doc_a") === col("fa.doc_id"))
-      .join(sh.as("fb"),
-        col("doc_b") === col("fb.doc_id") && col("fa.s") === col("fb.s"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(base.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(base.as("fb"), col("doc_b") === col("fb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("fa.sh"), col("fb.sh"))))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+          (size(col("fa.sh")) + size(col("fb.sh")) - col("inter")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccardPpm.toDouble / 1e6)
   }
 
@@ -226,37 +232,37 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(minContainmentPpm > 0 && minContainmentPpm <= 1000000L,
       s"minContainmentPpm out of (0, 1e6]: $minContainmentPpm")
-    val sh = cached(
-      docs.select(id.as("doc_id"), explode(shingles(tokens(text), n)).as("s")))
-    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // same array-cache shape as prefixJaccardPairs: one tokenize+shingle
+    // evaluation, postings explode from the cache, array_intersect verify
+    val base = cached(
+      docs.select(id.as("doc_id"), shingles(tokens(text), n).as("sh")))
+      .filter(size(col("sh")) > 0)
+    val sh = base.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfs = sh.select("s").groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfs, Seq("s"))
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
     // A-side prefix length |S_A| − ⌈t·|S_A|⌉ + 1, all-integer ceil
     val prefix = ranked.filter(
       col("rk") <= col("n_sh") -
         expr(s"(n_sh * $minContainmentPpm + 999999) div 1000000") + 1)
-      .select(col("doc_id"), col("s"), col("n_sh"))
-    // index side: full postings + a plain count join (NOT the ranked
-    // branch — that would re-pay the df join and both windows here)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val sized = sh.join(counts, Seq("doc_id"))
+      .select(col("doc_id"), col("s"))
+    // index side: the FULL posting explode straight off the cache
     val cand = prefix.as("a")
-      .join(sized.as("b"),
+      .join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(sh.as("fa"), col("doc_a") === col("fa.doc_id"))
-      .join(sh.as("fb"),
-        col("doc_b") === col("fb.doc_id") && col("fa.s") === col("fb.s"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        expr("inter * 1000000 div na").as("containment_ppm"))
+      .join(base.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(base.as("fb"), col("doc_b") === col("fb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("fa.sh")).as("na"), size(col("fb.sh")).as("nb"),
+        size(array_intersect(col("fa.sh"), col("fb.sh"))).as("inter"))
+      .withColumn("containment_ppm", expr("inter * 1000000 div na"))
       .filter(col("containment_ppm") >= minContainmentPpm)
+      .select("doc_a", "doc_b", "na", "nb", "containment_ppm")
   }
 
   /** Containment-based keep rule — "drop the quote, keep the article":
