@@ -862,6 +862,81 @@ object Corpus {
   /** Release every intermediate the corpus operators have cached since the
     * last call; returns the number of frames released.
     */
+  /** Quality-curriculum training order: tier documents by exact score
+    * percentiles (tier 1 = lowest `1/tiers` band … `tiers` = highest) and
+    * emit a deterministic consume key that walks tiers in the requested
+    * direction with a hash-shuffled order inside each tier — the
+    * easy→hard (or hard→easy) schedule curriculum-learning recipes ask
+    * for, as ONE narrow projection over a broadcast threshold row.
+    *
+    * Scale shape: the `tiers−1` thresholds are one exact-percentile
+    * reduce to a single row (no window, no global sort — the t6/t14
+    * pattern), broadcast back; the key is pure integer arithmetic
+    * (`tier · 2³² + idHash(id) mod 2³²`), so consuming shards in
+    * `(curriculum_key, doc_id)` order needs only a range-partitioned
+    * write, never a driver-side sort.
+    *
+    * @param score     integer score column (e.g. quality ppm)
+    * @param easyFirst true → ascending tiers (lowest band first)
+    */
+  def curriculumOrder(
+      docs: DataFrame,
+      id: Column,
+      score: Column,
+      tiers: Int = 10,
+      easyFirst: Boolean = true): DataFrame = {
+    require(tiers >= 2 && tiers <= 1000, s"tiers must be in [2,1000], got $tiers")
+    val scored = cacheIntermediate(
+      docs.select(id.cast("long").as("doc_id"), score.as("_score")))
+    val qs = (1 until tiers).map(_.toDouble / tiers).toArray
+    val thr = scored.agg(
+      percentile(col("_score"), lit(qs)).as("_thr"))
+    val tier = expr("aggregate(_thr, 1L, (acc, t) -> acc + IF(_score >= t, 1L, 0L))")
+    val dirTier = if (easyFirst) tier else lit(tiers.toLong + 1L) - tier
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), tier.as("tier"),
+        (dirTier * lit(4294967296L) +
+          graft.functions.KeyedHash.idHash(col("doc_id"), SplitMult) %
+            lit(4294967296L)).as("curriculum_key"))
+  }
+
+  /** C4-style blocklist filter: per-category token hit counts plus a
+    * keep verdict — the wordlist gate every web-scale curation pipeline
+    * runs (C4 §2.2 drops any page containing a listed word; the ppm
+    * threshold generalizes that to "drop when more than x/1e6 of the
+    * tokens are listed", which tolerates incidental mentions).
+    *
+    * Pure narrow projection: the (small) blocklists are literal arrays in
+    * the plan — nothing shuffles, nothing broadcasts at runtime, and the
+    * scan prunes to (id, text). Category columns are emitted in sorted
+    * name order (`hits_<category>`), so the schema is deterministic.
+    */
+  def blocklistFilter(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      categories: Map[String, Seq[String]],
+      maxHitsPpm: Long = 0L): DataFrame = {
+    require(categories.nonEmpty, "need at least one blocklist category")
+    require(maxHitsPpm >= 0L && maxHitsPpm <= 1000000L,
+      s"maxHitsPpm out of [0, 1e6]: $maxHitsPpm")
+    val toks = graft.functions.TextFunctions.tokens(text)
+    val cats = categories.toSeq.sortBy(_._1)
+    val hitCols = cats.map { case (name, words) =>
+      size(filter(toks, t => t.isInCollection(words))).cast("long")
+        .as(s"hits_$name")
+    }
+    val base = docs.select(
+      (id.as("doc_id") +: size(toks).cast("long").as("n_tokens") +: hitCols): _*)
+    val total = cats.map(c => col(s"hits_${c._1}")).reduce(_ + _)
+    base
+      .withColumn("hits_total", total)
+      .withColumn("hits_ppm",
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr("hits_total * 1000000 div n_tokens")))
+      .withColumn("keep", col("hits_ppm") <= maxHitsPpm)
+  }
+
   def unpersistIntermediates(blocking: Boolean = false): Int = {
     var n = LocalCheckpoints.release("corpus", blocking)
     var df = intermediates.poll()

@@ -77,6 +77,22 @@ object CorpusQueries {
   private val c7: Q = (s, dir) =>
     Corpus.epochOrder(t(s, dir, "documents"), col("doc_id"), epoch = 3)
 
+  // easy→hard quality curriculum: decile tiers from one exact-percentile
+  // reduce broadcast back; the consume key is pure integer arithmetic
+  private val c19: Q = (s, dir) =>
+    Corpus.curriculumOrder(t(s, dir, "documents"), col("doc_id"),
+      qualityScorePpm(col("text")), tiers = 10)
+
+  // C4-style wordlist gate with a tolerance threshold: per-category hit
+  // counts + keep at ≤4% listed tokens (categories chosen from the
+  // synthetic vocab so the verdict actually varies)
+  private val t15: Q = (s, dir) =>
+    Corpus.blocklistFilter(t(s, dir, "documents"), col("doc_id"), col("text"),
+      categories = Map(
+        "noise" -> Seq("slow", "dup"),
+        "infra" -> Seq("disk", "cluster")),
+      maxHitsPpm = 40000L)
+
   private val d9: Q = (s, dir) =>
     Dedup.keepBest(t(s, dir, "documents"), col("doc_id"), lshClusters(t(s, dir, "documents")),
       qualityScore(col("text")))
@@ -222,6 +238,8 @@ object CorpusQueries {
     "c5_contamination" -> c5,
     "c6_domain_mix" -> c6,
     "c7_epoch_order" -> c7,
+    "c19_curriculum_order" -> c19,
+    "t15_blocklist" -> t15,
     "c8_quota_sample" -> c8,
     "c13_weighted_sample" -> c13,
     "c14_target_mix" -> c14,
@@ -441,6 +459,31 @@ object CorpusQueries {
          |    ORDER BY ((doc_id + ${3L * Corpus.EpochStride}) % ${Corpus.IdMod})
          |             * ${Corpus.SplitMult} % 4294967296 ASC, doc_id ASC) AS epoch_rank
          |FROM documents""".stripMargin,
+    "c19_curriculum_order" ->
+      s"""WITH $sqlQualityCtes,
+         |thr AS (SELECT quantile_cont(qual_ppm,
+         |          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS th FROM q)
+         |SELECT doc_id,
+         |  (1 + len(list_filter(th, t -> qual_ppm >= t)))::BIGINT AS tier,
+         |  CAST((1 + len(list_filter(th, t -> qual_ppm >= t))) * 4294967296
+         |       + (doc_id % ${Corpus.IdMod}) * ${Corpus.SplitMult} % 4294967296
+         |       AS BIGINT) AS curriculum_key
+         |FROM q, thr""".stripMargin,
+    "t15_blocklist" ->
+      s"""WITH b AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |h AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         |  ${sqlHits("w", Seq("disk", "cluster"))}::BIGINT AS hits_infra,
+         |  ${sqlHits("w", Seq("slow", "dup"))}::BIGINT AS hits_noise
+         |FROM b)
+         |SELECT doc_id, n_tokens, hits_infra, hits_noise,
+         |  (hits_infra + hits_noise) AS hits_total,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE (hits_infra + hits_noise) * 1000000 // n_tokens
+         |  END AS hits_ppm,
+         |  (CASE WHEN n_tokens = 0 THEN 0
+         |        ELSE (hits_infra + hits_noise) * 1000000 // n_tokens
+         |   END) <= 40000 AS keep
+         |FROM h""".stripMargin,
     "c9_curation_pipeline" ->
       s"""WITH RECURSIVE $sqlQualityCtes,
          |thr AS (SELECT quantile_cont(qual_ppm, 0.1) AS p10 FROM q),

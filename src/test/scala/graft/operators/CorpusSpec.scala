@@ -635,4 +635,47 @@ class CorpusSpec extends AnyFunSuite {
     out.foreach { case (a, p, n) => assert(n != a && n != p) }
     assert(out.length == 3, "each pair's walk reaches the one non-endpoint doc")
   }
+
+  test("curriculumOrder: percentile tiers, hash order within tier, direction flip") {
+    // scores 10,20,30,40 with tiers=2: median 25 → docs 1,2 tier 1; 3,4 tier 2
+    val d = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "sc")
+    val got = Corpus.curriculumOrder(d, col("id"), col("sc"), tiers = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => r._1 -> r._2).toSeq ==
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+    // tier is the high 32 bits of the key: every tier-1 key < every tier-2 key
+    val (t1, t2) = got.partition(_._2 == 1L)
+    assert(t1.map(_._3).max < t2.map(_._3).min)
+    // hard-first flips the tier component but keeps the tier LABELS
+    val rev = Corpus.curriculumOrder(d, col("id"), col("sc"), tiers = 2,
+      easyFirst = false).as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rev.map(r => r._1 -> r._2).toSeq == got.map(r => r._1 -> r._2).toSeq)
+    val (r1, r2) = rev.partition(_._2 == 1L)
+    assert(r2.map(_._3).max < r1.map(_._3).min, "hard tier consumes first")
+    Corpus.unpersistIntermediates(blocking = true)
+  }
+
+  test("blocklistFilter: per-category counts, ppm threshold, strict mode, empty text") {
+    val d = Seq(
+      (1L, "clean words only here"),
+      (2L, "bad word once in twenty tokens a b c d e f g h i j k l m n"),
+      (3L, "bad bad bad bad"),
+      (4L, "")).toDF("id", "txt")
+    val cats = Map("x" -> Seq("bad"), "y" -> Seq("word"))
+    val got = Corpus.blocklistFilter(d, col("id"), col("txt"), cats,
+      maxHitsPpm = 150000L)
+      .select("doc_id", "n_tokens", "hits_x", "hits_y", "hits_total", "hits_ppm", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 4L, 0L, 0L, 0L, 0L, true)))
+    // doc 2: 20 tokens, 1 "bad" + 1 "word" → 100000 ppm ≤ 150000 → keep
+    assert(got(1) == ((2L, 20L, 1L, 1L, 2L, 100000L, true)))
+    // doc 3: 4/4 listed → 1e6 ppm → dropped
+    assert(got(2) == ((3L, 4L, 4L, 0L, 4L, 1000000L, false)))
+    // empty text: zero tokens is not a hit
+    assert(got(3) == ((4L, 0L, 0L, 0L, 0L, 0L, true)))
+    // strict C4 mode: ANY hit drops
+    val strict = Corpus.blocklistFilter(d, col("id"), col("txt"), cats, 0L)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(strict == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
 }

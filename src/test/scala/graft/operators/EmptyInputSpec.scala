@@ -75,7 +75,12 @@ class EmptyInputSpec extends AnyFunSuite {
     val emptyManifest = Seq.empty[(String, Long, Long)].toDF("src", "fid", "sz")
     assert(Layout.compactionPlan(emptyManifest, col("src"), col("fid"),
       col("sz"), targetBytes = 1024L).count() == 0)
+    assert(Corpus.blocklistFilter(emptyDocs, col("doc_id"), col("text"),
+      Map("x" -> Seq("bad")), 0L).count() == 0)
+    assert(Corpus.curriculumOrder(emptyDocs, col("doc_id"), lit(0L), tiers = 4)
+      .count() == 0)
     Dedup.unpersistIntermediates(blocking = true)
+    Corpus.unpersistIntermediates(blocking = true)
   }
 
   test("BPE trains an empty model and encodes with it on an empty corpus") {
