@@ -153,4 +153,28 @@ object Multimodal {
           .as("frame_idx"))
       .select(col("doc_id"), col("n_frames"), col("frame_idx"))
   }
+
+  /** ViT-style patch grid over decoded image metadata: one row per
+    * `patch`×`patch` tile in row-major (py, px) position, with edge tiles
+    * CLIPPED to the image bounds (`w`/`h` < patch on the last column/row
+    * when dims aren't multiples) — the coordinate plumbing a vision
+    * tokenizer needs before the (stubbed) pixel decode runs. Pure integer
+    * arithmetic over the metadata; two chained explodes, no shuffle, and
+    * the output stays distributed — one task's patches never leave it.
+    *
+    * @param meta decoded metadata with (`doc_id`, `kind`, `width`, `height`)
+    */
+  def patchGrid(meta: DataFrame, patch: Int = 64): DataFrame = {
+    require(patch > 0, s"patch must be positive, got $patch")
+    meta.filter(col("kind") === "image")
+      .select(col("doc_id"), col("width"), col("height"),
+        explode(sequence(lit(0L), expr(s"(width - 1) div $patch"))).as("px"))
+      .select(col("doc_id"), col("width"), col("height"), col("px"),
+        explode(sequence(lit(0L), expr(s"(height - 1) div $patch"))).as("py"))
+      .select(col("doc_id"), col("px"), col("py"),
+        (col("px") * patch).as("x0"),
+        (col("py") * patch).as("y0"),
+        least(lit(patch.toLong), col("width") - col("px") * patch).as("w"),
+        least(lit(patch.toLong), col("height") - col("py") * patch).as("h"))
+  }
 }

@@ -663,6 +663,13 @@ object PipelineQueries {
   private val mm2: Q = (s, dir) =>
     Multimodal.sampleFrames(s, Multimodal.attachMedia(t(s, dir, "documents")), stride = 4)
 
+  // ViT patch-coordinate plumbing over the decoded image metadata: edge
+  // tiles clip to the image bounds, all integer arithmetic
+  private val mm3: Q = (s, dir) =>
+    Multimodal.patchGrid(
+      Multimodal.decodeMeta(s, Multimodal.attachMedia(t(s, dir, "documents"))).toDF(),
+      patch = 64)
+
   // ------------------------------------------------------------------
   // Events (event-time analytics; streaming variants in graft.streaming)
   // ------------------------------------------------------------------
@@ -907,6 +914,7 @@ object PipelineQueries {
       s1(s, dir), s2(s, dir), k = 10)),
     "mm1_media_meta" -> mm1,
     "mm2_frame_sample" -> mm2,
+    "mm3_patch_grid" -> mm3,
     "e1_window_agg" -> e1,
     "e2_sessionize" -> e2,
     "e3_json_props" -> e3,
@@ -2044,6 +2052,20 @@ object PipelineQueries {
          |  32 + ($sqlNBytes * 13) % 1048 AS height,
          |  CASE WHEN $sqlKind = 'video' THEN 1 + $sqlNBytes % 30 ELSE 1 END AS n_frames
          |FROM documents""".stripMargin,
+    "mm3_patch_grid" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, $sqlKind AS kind,
+         |    (32 + ($sqlNBytes * 7) % 1888)::BIGINT AS width,
+         |    (32 + ($sqlNBytes * 13) % 1048)::BIGINT AS height
+         |  FROM documents)
+         |SELECT doc_id, px, py,
+         |  px * 64 AS x0, py * 64 AS y0,
+         |  least(64, width - px * 64) AS w,
+         |  least(64, height - py * 64) AS h
+         |FROM m,
+         |  unnest(range(0, (width - 1) // 64 + 1)) tx(px),
+         |  unnest(range(0, (height - 1) // 64 + 1)) ty(py)
+         |WHERE kind = 'image'""".stripMargin,
     "mm2_frame_sample" ->
       s"""WITH m AS (
          |  SELECT doc_id, $sqlKind AS kind,

@@ -78,4 +78,23 @@ class MultimodalSpec extends AnyFunSuite {
     // only doc 12 (video, 11 frames): indices 0,4,8
     assert(frames == Seq((12L, 0L), (12L, 4L), (12L, 8L)))
   }
+
+  test("patchGrid tiles images row-major and clips edge tiles to the bounds") {
+    // 100×70 at patch 64 → px ∈ {0,1}, py ∈ {0,1}; right/bottom tiles clip
+    val meta = Seq((1L, "image", 100L, 70L), (2L, "video", 100L, 70L))
+      .toDF("doc_id", "kind", "width", "height")
+    val got = Multimodal.patchGrid(meta, patch = 64)
+      .select("doc_id", "px", "py", "x0", "y0", "w", "h")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 0L, 0L, 64L, 64L),
+      (1L, 1L, 0L, 64L, 0L, 36L, 64L),
+      (1L, 0L, 1L, 0L, 64L, 64L, 6L),
+      (1L, 1L, 1L, 64L, 64L, 36L, 6L)))
+    // every byte of the image is covered exactly once: Σ w·h = width·height
+    val covered = Multimodal.patchGrid(meta, patch = 64)
+      .agg(org.apache.spark.sql.functions.sum(col("w") * col("h")))
+      .as[Long].collect().head
+    assert(covered == 100L * 70L)
+  }
 }

@@ -457,4 +457,36 @@ class EventStreamsSpec extends AnyFunSuite {
       rm(dir)
     }
   }
+
+  test("curation gates are stream-transparent: blocklist verdicts on a stream equal the batch run") {
+    // blocklistFilter is a pure narrow projection, so the SAME operator
+    // call plans on a streaming DataFrame with no streaming-specific
+    // code — the shared batch/stream transform contract the windowed
+    // operators spec-pin, extended to the curation tier
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val stream = MemoryStream[(Long, String)]
+    val cats = Map("x" -> Seq("bad"), "y" -> Seq("word"))
+    val gated = graft.operators.Corpus.blocklistFilter(
+      stream.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      cats, maxHitsPpm = 200000L)
+    assert(gated.isStreaming, "the gate must compose onto the stream as-is")
+    val q = gated.writeStream.format("memory").queryName("blocklist_gate")
+      .outputMode("append").start()
+    try {
+      val docs = Seq((1L, "clean text"), (2L, "bad word bad word"), (3L, "one bad of five tokens"))
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("blocklist_gate")
+        .select("doc_id", "hits_total", "keep")
+        .as[(Long, Long, Boolean)].collect().toSet
+      val batch = graft.operators.Corpus.blocklistFilter(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        cats, maxHitsPpm = 200000L)
+        .select("doc_id", "hits_total", "keep")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set((1L, 0L, true), (2L, 4L, false), (3L, 1L, true)))
+    } finally q.stop()
+  }
 }
