@@ -120,4 +120,18 @@ object Graph {
     }
     scores
   }
+
+  /** Per-vertex degree of an undirected pair table (each `(a, b)` pair
+    * counts once toward both endpoints) — the cheapest structural profile
+    * of a dup/link graph: the degree distribution says whether clusters
+    * are near-cliques (safe for hash-min CC) or hubs-and-spokes (salt the
+    * hub side), and the max degree IS the join-skew bound of every
+    * pair-consuming operator downstream. One explode + one partial-agg
+    * aggregation; nothing quadratic, nothing driver-side.
+    */
+  def degrees(pairs: DataFrame,
+      aCol: Column = col("doc_a"), bCol: Column = col("doc_b")): DataFrame =
+    pairs
+      .select(explode(array(aCol.as("v"), bCol.as("v"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
 }

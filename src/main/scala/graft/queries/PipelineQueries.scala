@@ -392,6 +392,14 @@ object PipelineQueries {
         n = 3, numHashes = 32, bands = 4, minJaccard = 0.5),
       col("doc_a"), col("doc_b"), iterations = 5)
 
+  // structural profile of the dup graph: per-vertex degree (near-clique
+  // clusters vs hub-and-spoke — the join-skew bound of every downstream
+  // pair consumer)
+  private val g3: Q = (s, dir) =>
+    graft.operators.Graph.degrees(
+      Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5))
+
   // entity-name fuzzy matching: all customer-name pairs within one edit,
   // via the deletion-neighborhood equi-join (never an N² nested loop);
   // the oracle IS the N² levenshtein predicate at oracle scale
@@ -879,6 +887,7 @@ object PipelineQueries {
     "d7_dup_clusters" -> d7,
     "d8_dedup_keep" -> d8,
     "g1_pagerank" -> g1,
+    "g3_degree" -> g3,
     "g2_pagerank_weighted" -> g2,
     "d16_dedup_recall" -> d16,
     "d17_fuzzy_pairs" -> d17,
@@ -1573,6 +1582,12 @@ object PipelineQueries {
     },
     // fixed-point PageRank replay: same 85/100 damping, 1e12 scale,
     // BIGINT floor division at every step (// ≡ Spark's div on positives)
+    "g3_degree" ->
+      s"""WITH ${sqlLshPairCtes()},
+         |dpairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+         |ends AS (SELECT doc_a AS v FROM dpairs
+         |         UNION ALL SELECT doc_b FROM dpairs)
+         |SELECT v, count(*) AS degree FROM ends GROUP BY v""".stripMargin,
     "g1_pagerank" -> {
       def iter(prev: String, cur: String) =
         s"""$cur AS (

@@ -54,4 +54,13 @@ class GraphSpec extends AnyFunSuite {
     assert(r1(2L) > r1(1L) && r1(1L) == r1(3L))
     Corpus.unpersistIntermediates()
   }
+
+  test("degrees: undirected per-vertex counts from an a<b pair table") {
+    // star 1-{2,3,4} plus isolated edge 5-6
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Graph.degrees(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+    // handshake identity: Σ degree = 2 · |pairs|
+    assert(got.values.sum == 8L)
+  }
 }

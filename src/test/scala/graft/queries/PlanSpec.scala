@@ -155,6 +155,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin"))
   }
 
+  test("t15/mm3: blocklist gate and patch grid are narrow maps — no key shuffle, no join") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    for (name <- Seq("t15_blocklist", "mm3_patch_grid")) {
+      val plan = planOf(name)
+      assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+        s"$name must not key-shuffle:\n${plan.take(600)}")
+      assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin"),
+        s"$name must not aggregate or join")
+    }
+  }
+
+  test("c19: curriculum key is one percentile reduce broadcast back — no window, no sort") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = try planOf("c19_curriculum_order") finally {
+      graft.operators.Corpus.unpersistIntermediates()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    assert(!plan.contains("windowspecdefinition"),
+      "tier assignment must not use a window")
+    assert(!plan.contains("Sort ") || !plan.contains("global"),
+      "no global sort — the consume key replaces it")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the threshold row must broadcast back onto the corpus")
+  }
+
   test("d10: substring coverage = owner agg joined back + one doc aggregation") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = planOf("d10_substring_coverage")
