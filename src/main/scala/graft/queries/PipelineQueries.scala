@@ -706,6 +706,18 @@ object PipelineQueries {
           .cast("long").as("spike"))
   }
 
+  // per-window top-3 event types: rank rides the already-aggregated
+  // window counts (window-sized partitions), never the raw events — the
+  // dashboard "what's hot each hour" query at event-stream scale
+  private val e12: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    graft.streaming.EventStreams.windowedTypeCounts(events(s, dir))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
   private val e2: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
@@ -925,6 +937,7 @@ object PipelineQueries {
     "mm2_frame_sample" -> mm2,
     "mm3_patch_grid" -> mm3,
     "e1_window_agg" -> e1,
+    "e12_windowed_topk" -> e12,
     "e2_sessionize" -> e2,
     "e3_json_props" -> e3,
     "e4_heavy_hitter_distinct" -> e4,
@@ -2094,6 +2107,17 @@ object PipelineQueries {
         |  count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e12_windowed_topk" ->
+      """WITH wc AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n, sum_value, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY window_start ORDER BY n DESC, event_type ASC) AS rank
+        |  FROM wc)
+        |WHERE rank <= 3""".stripMargin,
     "e13_rate_spike" ->
       """WITH wc AS (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,
