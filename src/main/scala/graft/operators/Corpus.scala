@@ -862,6 +862,41 @@ object Corpus {
   /** Release every intermediate the corpus operators have cached since the
     * last call; returns the number of frames released.
     */
+  /** Length-bucketed batch assignment — the padding-efficiency packer:
+    * within each hash shard, documents sort by token length and chop into
+    * fixed-`batchSize` batches, so co-batched sequences have near-equal
+    * lengths and the pad waste `batch_max − len` per row collapses
+    * (random batching pads every sequence to the batch max; sorted
+    * batching is the standard fix). Emits the assignment plus each row's
+    * exact pad count so the caller can audit the waste it saved.
+    *
+    * Scale shape: one hash exchange to shards + per-shard window sorts
+    * (shard-sized partitions, pick `numShards` like a shuffle partition
+    * count); the batch-max window runs on (shard, batch) micro-partitions.
+    * Nothing global, nothing driver-side.
+    */
+  def lengthBucketBatches(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      numShards: Int = 8,
+      batchSize: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val base = docs.select(
+      shardOf(id, numShards).as("shard"), id.cast("long").as("doc_id"),
+      tokenCount(text).cast("long").as("n_tokens"))
+    val pos = row_number().over(
+      Window.partitionBy("shard").orderBy(col("n_tokens").asc, col("doc_id").asc))
+    val wb = Window.partitionBy("shard", "batch_idx")
+    base
+      .withColumn("pos", pos.cast("long"))
+      .withColumn("batch_idx", expr(s"(pos - 1) div $batchSize"))
+      .withColumn("batch_max_tokens", max(col("n_tokens")).over(wb))
+      .withColumn("pad_tokens", col("batch_max_tokens") - col("n_tokens"))
+  }
+
   /** Quality-curriculum training order: tier documents by exact score
     * percentiles (tier 1 = lowest `1/tiers` band … `tiers` = highest) and
     * emit a deterministic consume key that walks tiers in the requested

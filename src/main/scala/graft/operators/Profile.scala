@@ -193,4 +193,34 @@ object Profile {
                      div greatest(d_a, d_b) END""")
           .as("est_rows"))
   }
+
+  /** [[joinCardinalityEstimate]]'s 100 TB tier: the same System-R
+    * `n_a·n_b / max(nd_a, nd_b)` formula with the per-side distinct key
+    * counts coming from a k-minimum-values sketch instead of
+    * `count(DISTINCT …)` — bounded mergeable state (k longs per side)
+    * where the exact distinct pays a full key shuffle, which is the cost
+    * that matters when both join sides are fact tables. Deterministic:
+    * the KMV bottom-k and its integer estimator replay exactly (cf. e6),
+    * so even this *estimate* is oracle-hash-checkable. Estimates are
+    * exact below k distinct keys.
+    */
+  def joinCardinalitySketch(
+      a: DataFrame, ka: Column, b: DataFrame, kb: Column,
+      k: Int = 64): DataFrame = {
+    import graft.functions.KmvSketch
+    def side(df: DataFrame, key: Column, n: String, nd: String) = {
+      val kmv = org.apache.spark.sql.functions.udaf(
+        new KmvSketch(k), org.apache.spark.sql.Encoders.scalaLong)
+      df.select(key.cast("long").as("key")).filter(col("key").isNotNull)
+        .select(col("key"), KmvSketch.hash(col("key")).as("h"))
+        .agg(count(col("key")).as(n), kmv(col("h")).as("sk"))
+        .select(col(n), KmvSketch.estimate(col("sk"), k).as(nd))
+    }
+    side(a, ka, "n_a", "nd_a").crossJoin(side(b, kb, "n_b", "nd_b"))
+      .select(col("n_a"), col("nd_a"), col("n_b"), col("nd_b"),
+        expr("""CASE WHEN greatest(nd_a, nd_b) = 0 THEN 0L
+                ELSE CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+                     div greatest(nd_a, nd_b) END""")
+          .as("est_rows"))
+  }
 }

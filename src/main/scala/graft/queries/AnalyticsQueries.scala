@@ -729,6 +729,14 @@ object AnalyticsQueries {
   private val a9: Q = (s, dir) =>
     graft.operators.SkewAgg.skewReport(t(s, dir, "orders"), col("o_custkey"), topN = 20)
 
+  // sketch-tier join cardinality: a7's System-R formula with KMV distinct
+  // estimates (k longs of state per side) instead of count(DISTINCT) —
+  // the pre-join planning probe that never shuffles raw keys
+  private val a11: Q = (s, dir) =>
+    graft.operators.Profile.joinCardinalitySketch(
+      t(s, dir, "orders"), col("o_custkey"),
+      t(s, dir, "customer"), col("c_custkey"), k = 64)
+
   // TPC-H Q6: the canonical pushdown showcase — every predicate reaches
   // the parquet scan (PushedFilters on shipdate/discount/quantity), the
   // scan reads exactly the four referenced columns, and the whole query
@@ -790,6 +798,7 @@ object AnalyticsQueries {
   val queries: Map[String, Q] = Map(
     "a9_key_skew" -> a9,
     "q6_forecast" -> q6f,
+    "a11_join_card_sketch" -> a11,
     "a10_corr_moments" -> a10,
     "z2_compaction" -> z2,
     "q1_agg" -> q1,
@@ -862,6 +871,30 @@ object AnalyticsQueries {
        |          FROM documents WHERE $name IS NOT NULL)))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "a11_join_card_sketch" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT ((o_custkey % 2147483648) * 2654435761 + 104729)
+        |         % 4294967296 AS h FROM orders WHERE o_custkey IS NOT NULL),
+        |ra AS (SELECT h, row_number() OVER (ORDER BY h ASC) AS rn,
+        |              count(*) OVER () AS nd FROM ha),
+        |ea AS (SELECT CAST(CASE WHEN max(nd) < 64 THEN max(nd)
+        |         ELSE (63 * 4294967296) // max(CASE WHEN rn = 64 THEN h END)
+        |       END AS BIGINT) AS nd_a FROM ra),
+        |hb AS (
+        |  SELECT DISTINCT ((c_custkey % 2147483648) * 2654435761 + 104729)
+        |         % 4294967296 AS h FROM customer WHERE c_custkey IS NOT NULL),
+        |rb AS (SELECT h, row_number() OVER (ORDER BY h ASC) AS rn,
+        |              count(*) OVER () AS nd FROM hb),
+        |eb AS (SELECT CAST(CASE WHEN max(nd) < 64 THEN max(nd)
+        |         ELSE (63 * 4294967296) // max(CASE WHEN rn = 64 THEN h END)
+        |       END AS BIGINT) AS nd_b FROM rb),
+        |na AS (SELECT count(o_custkey) AS n_a FROM orders),
+        |nb AS (SELECT count(c_custkey) AS n_b FROM customer)
+        |SELECT n_a, nd_a, n_b, nd_b,
+        |  CAST(CASE WHEN greatest(nd_a, nd_b) = 0 THEN 0
+        |       ELSE (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT))
+        |            // greatest(nd_a, nd_b) END AS BIGINT) AS est_rows
+        |FROM na, ea, nb, eb""".stripMargin,
     "q6_forecast" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,

@@ -83,6 +83,12 @@ object CorpusQueries {
     Corpus.curriculumOrder(t(s, dir, "documents"), col("doc_id"),
       qualityScorePpm(col("text")), tiers = 10)
 
+  // padding-efficient batching: length-sorted fixed-size batches per
+  // shard; emits each row's exact pad waste vs its batch max
+  private val c20: Q = (s, dir) =>
+    Corpus.lengthBucketBatches(t(s, dir, "documents"), col("doc_id"),
+      col("text"), numShards = 8, batchSize = 16)
+
   // C4-style wordlist gate with a tolerance threshold: per-category hit
   // counts + keep at ≤4% listed tokens (categories chosen from the
   // synthetic vocab so the verdict actually varies)
@@ -239,6 +245,7 @@ object CorpusQueries {
     "c6_domain_mix" -> c6,
     "c7_epoch_order" -> c7,
     "c19_curriculum_order" -> c19,
+    "c20_length_batches" -> c20,
     "t15_blocklist" -> t15,
     "c8_quota_sample" -> c8,
     "c13_weighted_sample" -> c13,
@@ -469,6 +476,21 @@ object CorpusQueries {
          |       + (doc_id % ${Corpus.IdMod}) * ${Corpus.SplitMult} % 4294967296
          |       AS BIGINT) AS curriculum_key
          |FROM q, thr""".stripMargin,
+    "c20_length_batches" ->
+      s"""WITH s AS (
+         |  SELECT $sqlShard AS shard, doc_id,
+         |         len(${sqlToks("text")})::BIGINT AS n_tokens
+         |  FROM documents),
+         |p AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY shard ORDER BY n_tokens ASC, doc_id ASC) AS pos
+         |  FROM s),
+         |b AS (SELECT *, (pos - 1) // 16 AS batch_idx FROM p)
+         |SELECT shard, doc_id, n_tokens, pos, batch_idx,
+         |  max(n_tokens) OVER (PARTITION BY shard, batch_idx) AS batch_max_tokens,
+         |  max(n_tokens) OVER (PARTITION BY shard, batch_idx) - n_tokens
+         |    AS pad_tokens
+         |FROM b""".stripMargin,
     "t15_blocklist" ->
       s"""WITH b AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
          |h AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,

@@ -655,6 +655,29 @@ class CorpusSpec extends AnyFunSuite {
     Corpus.unpersistIntermediates(blocking = true)
   }
 
+  test("lengthBucketBatches: length-sorted batches collapse pad waste") {
+    // one shard so the batching is fully visible; lengths 1..5 at batch 2
+    val d = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"), (5L, "a b c d e"))
+      .toDF("id", "txt")
+    val got = Corpus.lengthBucketBatches(d, col("id"), col("txt"),
+      numShards = 1, batchSize = 2)
+      .select("doc_id", "n_tokens", "pos", "batch_idx", "batch_max_tokens", "pad_tokens")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // sorted batching: {1,2},{3,4},{5} → total pad 2
+    assert(got.map(r => (r._1, r._4, r._6)).toSeq == Seq(
+      (1L, 0L, 1L), (2L, 0L, 0L), (3L, 1L, 1L), (4L, 1L, 0L), (5L, 2L, 0L)))
+    assert(got.map(_._6).sum == 2L)
+    // id-ordered batching of the same docs would pad strictly more when
+    // lengths arrive shuffled — the operator's reason to exist
+    val shuffled = Seq(
+      (1L, "a b c d e"), (2L, "a"), (3L, "a b c d"), (4L, "a b"), (5L, "a b c"))
+      .toDF("id", "txt")
+    val sortedPad = Corpus.lengthBucketBatches(shuffled, col("id"), col("txt"), 1, 2)
+      .agg(sum("pad_tokens")).as[Long].collect().head
+    assert(sortedPad == 2L, "pad waste depends on lengths, not id order")
+  }
+
   test("blocklistFilter: per-category counts, ppm threshold, strict mode, empty text") {
     val d = Seq(
       (1L, "clean words only here"),

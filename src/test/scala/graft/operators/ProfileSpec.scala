@@ -111,4 +111,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(est - 5000L) < 5000 * 3.0 / math.sqrt(64),
       s"KMV estimate $est too far from 5000")
   }
+
+  test("joinCardinalitySketch: exact below k, tracks the exact estimator above k") {
+    import org.apache.spark.sql.functions.col
+    // below k on both sides: the sketch IS the exact distinct count and
+    // the estimate equals joinCardinalityEstimate's
+    val a = Seq(1L, 1L, 2L, 3L).map(Tuple1(_)).toDF("ka")
+    val b = Seq(2L, 3L, 3L).map(Tuple1(_)).toDF("kb")
+    val sk = Profile.joinCardinalitySketch(a, col("ka"), b, col("kb"), k = 8)
+      .collect()(0)
+    val ex = Profile.joinCardinalityEstimate(a, col("ka"), b, col("kb"))
+      .collect()(0)
+    assert((sk.getLong(0), sk.getLong(1), sk.getLong(2), sk.getLong(3), sk.getLong(4)) ==
+      ((ex.getLong(0), ex.getLong(1), ex.getLong(2), ex.getLong(3), ex.getLong(4))))
+    // above k: estimate within the KMV error envelope of the exact one
+    val big = (1L to 4000L).map(Tuple1(_)).toDF("ka")
+    val est = Profile.joinCardinalitySketch(big, col("ka"), big, col("ka"), k = 64)
+      .collect()(0)
+    assert(math.abs(est.getLong(1) - 4000L) < 4000 * 3.0 / math.sqrt(64))
+    assert(math.abs(est.getLong(4) - 4000L) < 4000 * 6.0 / math.sqrt(64),
+      s"est_rows ${est.getLong(4)} too far from the self-join truth 4000")
+  }
 }
