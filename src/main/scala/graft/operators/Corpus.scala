@@ -1027,6 +1027,27 @@ object Corpus {
       .toDF("shard", "doc_id", "n_tokens", "pack_id")
   }
 
+  /** [[packTokens]] plus each document's token SPAN inside its pack
+    * (`start_tok`/`end_tok`, 0-based half-open) — the layout a sequence
+    * builder needs to emit attention/loss boundary masks: concatenate a
+    * pack's documents in `doc_id` order and document k occupies
+    * `[start_tok, end_tok)`. One extra window over (shard, pack) —
+    * pack-sized partitions (≤ budget tokens), nothing global.
+    */
+  def packedSpans(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      numShards: Int,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard", "pack_id").orderBy("doc_id")
+    packTokens(docs, id, text, numShards, budget)
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .select("shard", "doc_id", "n_tokens", "pack_id", "start_tok", "end_tok")
+  }
+
   /** Physically lay training shards on disk: the output side of
     * [[shardManifest]]/[[packTokens]]. One hash exchange co-locates each
     * shard, a partition-LOCAL sort orders rows `(pack_id, doc_id)` inside

@@ -53,6 +53,12 @@ object CorpusQueries {
     Corpus.packTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
       numShards = 8, budget = 256L)
 
+  // c4's packs + each doc's [start_tok, end_tok) span inside its pack —
+  // the boundary layout an attention/loss-mask builder consumes
+  private val c21: Q = (s, dir) =>
+    Corpus.packedSpans(t(s, dir, "documents"), col("doc_id"), col("text"),
+      numShards = 8, budget = 256L)
+
   // every 100th doc plays the benchmark set; flag training docs sharing
   // >= 2 word 3-grams with any benchmark doc (short synthetic docs — real
   // deployments use 13-grams and minShared 1)
@@ -246,6 +252,7 @@ object CorpusQueries {
     "c7_epoch_order" -> c7,
     "c19_curriculum_order" -> c19,
     "c20_length_batches" -> c20,
+    "c21_packed_spans" -> c21,
     "t15_blocklist" -> t15,
     "c8_quota_sample" -> c8,
     "c13_weighted_sample" -> c13,
@@ -439,6 +446,26 @@ object CorpusQueries {
          |    CASE WHEN p.used + d.n_tokens <= 256 THEN p.used + d.n_tokens ELSE d.n_tokens END
          |  FROM packed p JOIN sharded d ON d.shard = p.shard AND d.rn = p.rn + 1)
          |SELECT shard, doc_id, n_tokens, pack_id FROM packed""".stripMargin,
+    "c21_packed_spans" ->
+      s"""WITH RECURSIVE sharded AS (
+         |  SELECT $sqlShard AS shard, doc_id,
+         |         len(${sqlToks("text")})::BIGINT AS n_tokens,
+         |         row_number() OVER (PARTITION BY $sqlShard ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |packed AS (
+         |  SELECT shard, doc_id, n_tokens, rn, 1::BIGINT AS pack_id, n_tokens AS used
+         |  FROM sharded WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+         |    CASE WHEN p.used + d.n_tokens <= 256 THEN p.pack_id ELSE p.pack_id + 1 END,
+         |    CASE WHEN p.used + d.n_tokens <= 256 THEN p.used + d.n_tokens ELSE d.n_tokens END
+         |  FROM packed p JOIN sharded d ON d.shard = p.shard AND d.rn = p.rn + 1)
+         |SELECT shard, doc_id, n_tokens, pack_id,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY shard, pack_id ORDER BY doc_id)
+         |       - n_tokens AS BIGINT) AS start_tok,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY shard, pack_id ORDER BY doc_id)
+         |       AS BIGINT) AS end_tok
+         |FROM packed""".stripMargin,
     "c5_contamination" ->
       s"""WITH t0 AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
          |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM t0),

@@ -655,6 +655,29 @@ class CorpusSpec extends AnyFunSuite {
     Corpus.unpersistIntermediates(blocking = true)
   }
 
+  test("packedSpans: spans tile each pack exactly — contiguous, 0-based, gap-free") {
+    val d = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a b c d"), (4L, "a"), (5L, "a b c d e"))
+      .toDF("id", "txt")
+    val rows = Corpus.packedSpans(d, col("id"), col("txt"),
+      numShards = 1, budget = 5L)
+      .select("pack_id", "doc_id", "n_tokens", "start_tok", "end_tok")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    rows.values.foreach { pack =>
+      assert(pack.head._4 == 0L, "first span starts at 0")
+      pack.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4, "spans are contiguous")
+        case _ => ()
+      }
+      pack.foreach { r => assert(r._5 - r._4 == r._3, "span width = token count") }
+    }
+    // same pack assignment as packTokens (the composition contract)
+    val packs = Corpus.packTokens(d, col("id"), col("txt"), 1, 5L)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    rows.values.flatten.foreach { r => assert(packs(r._2) == r._1) }
+  }
+
   test("lengthBucketBatches: length-sorted batches collapse pad waste") {
     // one shard so the batching is fully visible; lengths 1..5 at batch 2
     val d = Seq(
