@@ -62,4 +62,41 @@ object FuzzyJoin {
       .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
       .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
   }
+
+  /** [[selfJoin]] with a BLOCKING key — the standard entity-resolution
+    * scale knob: matches only form inside a block (country, zip prefix,
+    * birth year…), so the signature join's bucket size is bounded by the
+    * block's near-miss density, not the corpus's, and a globally hot
+    * signature family ("Customer#0000…") stops being a global hot key
+    * because the join key is `(block, sig)`. Semantically it encodes the
+    * domain rule that cross-block pairs are never the same entity — the
+    * recall trade every blocked ER pipeline makes explicitly.
+    *
+    * Output: (`block`, `id_a`, `id_b`, `s_a`, `s_b`), `id_a < id_b`.
+    */
+  def selfJoinBlocked(
+      df: DataFrame, id: Column, str: Column, block: Column): DataFrame = {
+    val strs = df.select(block.as("blk"), id.as("fid"), str.as("fs"))
+      .filter(col("fs").isNotNull && col("blk").isNotNull)
+    val sigs = strs.select(col("blk"), col("fid"), explode(
+      when(length(col("fs")) === 0, array(polyHash(col("fs"))))
+        .otherwise(array_distinct(concat(
+          array(polyHash(col("fs"))),
+          transform(sequence(lit(1), length(col("fs"))), i =>
+            polyHash(concat(
+              col("fs").substr(lit(1), i - 1),
+              col("fs").substr(i + 1, length(col("fs")))))))))).as("sig"))
+    val cands = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.sig") === col("b.sig") &&
+          col("a.fid") < col("b.fid"))
+      .select(col("a.blk").as("block"),
+        col("a.fid").as("id_a"), col("b.fid").as("id_b"))
+      .distinct()
+    cands
+      .join(strs.select(col("fid").as("id_a"), col("fs").as("s_a")), Seq("id_a"))
+      .join(strs.select(col("fid").as("id_b"), col("fs").as("s_b")), Seq("id_b"))
+      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
+      .select(col("block"), col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+  }
 }

@@ -407,6 +407,13 @@ object PipelineQueries {
     graft.operators.FuzzyJoin.selfJoin(
       t(s, dir, "customer"), col("c_custkey"), col("c_name"))
 
+  // blocked entity resolution: matches only form within a nation block —
+  // the signature join's key becomes (block, sig), so a globally hot
+  // name family is never a global hot key (the standard ER recall trade)
+  private val d23: Q = (s, dir) =>
+    graft.operators.FuzzyJoin.selfJoinBlocked(
+      t(s, dir, "customer"), col("c_custkey"), col("c_name"), col("c_nationkey"))
+
   // prefix-filtered exact Jaccard pairs: PPJoin's lossless candidate
   // reduction — the oracle is d2's EXACT formulation, proving the prefix
   // filter drops no pair
@@ -903,6 +910,7 @@ object PipelineQueries {
     "g2_pagerank_weighted" -> g2,
     "d16_dedup_recall" -> d16,
     "d17_fuzzy_pairs" -> d17,
+    "d23_fuzzy_blocked" -> d23,
     "d18_fuzzy_clusters" -> d18,
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
@@ -1538,6 +1546,13 @@ object PipelineQueries {
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  a.c_name AS s_a, b.c_name AS s_b
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "d23_fuzzy_blocked" ->
+      """SELECT a.c_nationkey AS block,
+        |  a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS s_a, b.c_name AS s_b
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     // both ground-truth replays composed: the exact inverted-index pair
     // set (d2's CTEs) semi-joined against the LSH pair set (d3's CTEs)

@@ -36,4 +36,28 @@ class FuzzyJoinSpec extends AnyFunSuite {
     // name#001..name#009 are all within one edit of name#000 etc.
     assert(out.nonEmpty)
   }
+
+  test("selfJoinBlocked: matches only inside a block; equals the unblocked join filtered by block") {
+    // ann/ana within one edit in both blocks; cross-block ann/ann must NOT pair
+    val rows = Seq(
+      (1L, "ann", 10L), (2L, "ana", 10L),
+      (3L, "ann", 20L), (4L, "ana", 20L), (5L, "zzz", 20L)).toDF("id", "s", "blk")
+    val got = FuzzyJoin.selfJoinBlocked(rows, col("id"), col("s"), col("blk"))
+      .select("block", "id_a", "id_b").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L, 2L), (20L, 3L, 4L)))
+    // parity contract: blocked output ≡ unblocked pairs whose endpoints
+    // share the block (the recall trade is exactly the cross-block pairs)
+    val blkOf = rows.select("id", "blk").as[(Long, Long)].collect().toMap
+    val unblocked = FuzzyJoin.selfJoin(rows, col("id"), col("s"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sameBlock = unblocked.filter { case (a, b) => blkOf(a) == blkOf(b) }
+      .map { case (a, b) => (blkOf(a), a, b) }
+    assert(got == sameBlock)
+    // a null block joins nothing (SQL equality semantics, filtered early)
+    val withNull = Seq((1L, "ann", Some(10L)), (2L, "ana", Some(10L)),
+      (6L, "ann", None: Option[Long])).toDF("id", "s", "blk")
+    val nulled = FuzzyJoin.selfJoinBlocked(withNull, col("id"), col("s"), col("blk"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nulled == Set((1L, 2L)))
+  }
 }
