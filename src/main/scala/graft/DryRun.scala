@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.DryRun [sfDir] [op...]
   * ops: pagerank upsample mad fuzzy mmr prefix containment
-  * (default: all but prefix and containment)
+  * (default: all but containment)
   */
 object DryRun {
   def main(args: Array[String]): Unit = {

@@ -57,9 +57,12 @@ object ScaleUp {
       // c_name gets the same per-replica suffix treatment as documents.text:
       // identical names across replicas would grow the fuzzy-join pair
       // graph ~replicas² (every replica of "Customer#42" matches every
-      // other), which is a different workload, not a scale-up
+      // other), which is a different workload, not a scale-up. The replica
+      // digit is doubled ("r00" vs "r11") so any two replicas differ by ≥2
+      // edits — a single-digit suffix left cross-replica copies at edit
+      // distance 1, still inside the fuzzy join's neighborhood
       "customer" -> replicate(read("customer"), Seq("c_custkey"), (d, k) =>
-        d.withColumn("c_name", concat(col("c_name"), lit(s"r$k")))),
+        d.withColumn("c_name", concat(col("c_name"), lit(s"r$k$k")))),
       "supplier" -> replicate(read("supplier"), Seq("s_suppkey")),
       "part" -> replicate(read("part"), Seq("p_partkey")),
       "orders" -> replicate(read("orders"), Seq("o_orderkey", "o_custkey")),

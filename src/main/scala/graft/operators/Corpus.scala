@@ -897,19 +897,29 @@ object Corpus {
       .withColumn("pad_tokens", col("batch_max_tokens") - col("n_tokens"))
   }
 
-  /** Quality-curriculum training order: tier documents by exact score
-    * percentiles (tier 1 = lowest `1/tiers` band … `tiers` = highest) and
+  /** Quality-curriculum training order: tier documents into `tiers`
+    * equal-count score bands (tier 1 = lowest … `tiers` = highest) and
     * emit a deterministic consume key that walks tiers in the requested
     * direction with a hash-shuffled order inside each tier — the
     * easy→hard (or hard→easy) schedule curriculum-learning recipes ask
-    * for, as ONE narrow projection over a broadcast threshold row.
+    * for.
     *
-    * Scale shape: the `tiers−1` thresholds are one exact-percentile
-    * reduce to a single row (no window, no global sort — the t6/t14
-    * pattern), broadcast back; the key is pure integer arithmetic
-    * (`tier · 2³² + idHash(id) mod 2³²`), so consuming shards in
-    * `(curriculum_key, doc_id)` order needs only a range-partitioned
-    * write, never a driver-side sort.
+    * Tier cutoffs are COUNTED, not interpolated: per-score counts →
+    * cumulative count of strictly-smaller scores → `tier(s) =
+    * start(s)·tiers div N + 1`. All-integer arithmetic, so the tier of
+    * every score is bit-identical in any engine — an interpolated
+    * continuous quantile (the previous design) could flip a boundary
+    * score's tier on a last-ulp difference between two engines'
+    * interpolation. Ties share one score group and therefore one tier
+    * (tier sizes are equal up to tie granularity).
+    *
+    * Scale shape: one `groupBy(score)` reduce (map-side combinable), one
+    * window over the DISTINCT scores only (a quality-ppm domain is ≤1e6
+    * values regardless of corpus size — never a window over rows), and a
+    * join of that small score→tier map back onto the docs (AQE broadcasts
+    * it). The key is pure integer arithmetic (`tier · 2³² + idHash(id)
+    * mod 2³²`), so consuming shards in `(curriculum_key, doc_id)` order
+    * needs only a range-partitioned write, never a driver-side sort.
     *
     * @param score     integer score column (e.g. quality ppm)
     * @param easyFirst true → ascending tiers (lowest band first)
@@ -922,14 +932,22 @@ object Corpus {
       easyFirst: Boolean = true): DataFrame = {
     require(tiers >= 2 && tiers <= 1000, s"tiers must be in [2,1000], got $tiers")
     val scored = cacheIntermediate(
-      docs.select(id.cast("long").as("doc_id"), score.as("_score")))
-    val qs = (1 until tiers).map(_.toDouble / tiers).toArray
-    val thr = scored.agg(
-      percentile(col("_score"), lit(qs)).as("_thr"))
-    val tier = expr("aggregate(_thr, 1L, (acc, t) -> acc + IF(_score >= t, 1L, 0L))")
-    val dirTier = if (easyFirst) tier else lit(tiers.toLong + 1L) - tier
-    scored.crossJoin(broadcast(thr))
-      .select(col("doc_id"), tier.as("tier"),
+      docs.select(id.cast("long").as("doc_id"), score.cast("long").as("_score")))
+    val counts = scored.groupBy(col("_score")).agg(count(lit(1)).as("_c"))
+    // cumulative count of strictly-smaller scores; window runs over the
+    // distinct-score rows only
+    val cum = counts.withColumn("_start",
+      sum(col("_c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("_score"))) - col("_c"))
+    val total = scored.agg(count(lit(1)).as("_n"))
+    val tierMap = cum.crossJoin(broadcast(total))
+      .select(col("_score"),
+        // integer div, never float: `/` would round-trip through double
+        expr(s"(_start * ${tiers.toLong} div _n) + 1L").as("tier"))
+    val dirTier = if (easyFirst) col("tier")
+                  else lit(tiers.toLong + 1L) - col("tier")
+    scored.join(tierMap, "_score")
+      .select(col("doc_id"), col("tier"),
         (dirTier * lit(4294967296L) +
           graft.functions.KeyedHash.idHash(col("doc_id"), SplitMult) %
             lit(4294967296L)).as("curriculum_key"))

@@ -785,6 +785,20 @@ object AnalyticsQueries {
       .withColumn("slope_den",
         (col("n") * col("sum_qq") - col("sum_q") * col("sum_q"))
           .cast("decimal(38,0)"))
+      // compare-safe surface: the driver hashes TEXT, and DuckDB's .df()
+      // canonicalizes DECIMAL to float64 (9 sig digits) while Spark keeps
+      // exact Decimal — so any >9-digit sum textually mismatches despite
+      // equal values. Both sides therefore emit the exact digit strings;
+      // double would be lossy (sum_pcpc ≈ 7.4e18 > 2^53).
+      .select(
+        col("l_returnflag"), col("n"),
+        col("sum_q").cast("string").as("sum_q"),
+        col("sum_pc").cast("string").as("sum_pc"),
+        col("sum_qq").cast("string").as("sum_qq"),
+        col("sum_qpc").cast("string").as("sum_qpc"),
+        col("sum_pcpc").cast("string").as("sum_pcpc"),
+        col("slope_num").cast("string").as("slope_num"),
+        col("slope_den").cast("string").as("slope_den"))
 
   // compaction plan over a per-source file manifest (each doc plays a
   // small file; bytes = n_chars): the OPTIMIZE-style metadata pass that
@@ -910,13 +924,13 @@ object AnalyticsQueries {
         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
         |  FROM lineitem)
         |SELECT l_returnflag, COUNT(*) AS n,
-        |  CAST(SUM(q) AS DECIMAL(38,0)) AS sum_q,
-        |  CAST(SUM(pc) AS DECIMAL(38,0)) AS sum_pc,
-        |  CAST(SUM(q * q) AS DECIMAL(38,0)) AS sum_qq,
-        |  CAST(SUM(q * pc) AS DECIMAL(38,0)) AS sum_qpc,
-        |  CAST(SUM(CAST(pc AS HUGEINT) * pc) AS DECIMAL(38,0)) AS sum_pcpc,
-        |  CAST(COUNT(*) * SUM(q * pc) - SUM(q) * SUM(pc) AS DECIMAL(38,0)) AS slope_num,
-        |  CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS DECIMAL(38,0)) AS slope_den
+        |  CAST(CAST(SUM(q) AS DECIMAL(38,0)) AS VARCHAR) AS sum_q,
+        |  CAST(CAST(SUM(pc) AS DECIMAL(38,0)) AS VARCHAR) AS sum_pc,
+        |  CAST(CAST(SUM(q * q) AS DECIMAL(38,0)) AS VARCHAR) AS sum_qq,
+        |  CAST(CAST(SUM(q * pc) AS DECIMAL(38,0)) AS VARCHAR) AS sum_qpc,
+        |  CAST(CAST(SUM(CAST(pc AS HUGEINT) * pc) AS DECIMAL(38,0)) AS VARCHAR) AS sum_pcpc,
+        |  CAST(CAST(COUNT(*) * SUM(q * pc) - SUM(q) * SUM(pc) AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
+        |  CAST(CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS DECIMAL(38,0)) AS VARCHAR) AS slope_den
         |FROM b GROUP BY l_returnflag""".stripMargin,
     "z2_compaction" ->
       """WITH f AS (

@@ -495,14 +495,18 @@ object CorpusQueries {
          |FROM documents""".stripMargin,
     "c19_curriculum_order" ->
       s"""WITH $sqlQualityCtes,
-         |thr AS (SELECT quantile_cont(qual_ppm,
-         |          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS th FROM q)
-         |SELECT doc_id,
-         |  (1 + len(list_filter(th, t -> qual_ppm >= t)))::BIGINT AS tier,
-         |  CAST((1 + len(list_filter(th, t -> qual_ppm >= t))) * 4294967296
+         |cnt AS (SELECT qual_ppm, count(*) AS c FROM q GROUP BY 1),
+         |cum AS (SELECT qual_ppm,
+         |          (sum(c) OVER (ORDER BY qual_ppm) - c)::BIGINT AS start
+         |        FROM cnt),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM q),
+         |tm AS (SELECT qual_ppm, (start * 10 // n + 1)::BIGINT AS tier
+         |       FROM cum, tot)
+         |SELECT doc_id, tier,
+         |  CAST(tier * 4294967296
          |       + (doc_id % ${Corpus.IdMod}) * ${Corpus.SplitMult} % 4294967296
          |       AS BIGINT) AS curriculum_key
-         |FROM q, thr""".stripMargin,
+         |FROM q JOIN tm USING (qual_ppm)""".stripMargin,
     "c20_length_batches" ->
       s"""WITH s AS (
          |  SELECT $sqlShard AS shard, doc_id,

@@ -636,8 +636,9 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.length == 3, "each pair's walk reaches the one non-endpoint doc")
   }
 
-  test("curriculumOrder: percentile tiers, hash order within tier, direction flip") {
-    // scores 10,20,30,40 with tiers=2: median 25 → docs 1,2 tier 1; 3,4 tier 2
+  test("curriculumOrder: counted-threshold tiers, hash order within tier, direction flip") {
+    // scores 10,20,30,40 with tiers=2: starts 0,1,2,3 of N=4 →
+    // tier = start*2 div 4 + 1 → docs 1,2 tier 1; 3,4 tier 2
     val d = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "sc")
     val got = Corpus.curriculumOrder(d, col("id"), col("sc"), tiers = 2)
       .as[(Long, Long, Long)].collect().sortBy(_._1)

@@ -166,18 +166,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("c19: curriculum key is one percentile reduce broadcast back — no window, no sort") {
+  test("c19: curriculum tiers come from counted score groups, never a row window") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = try planOf("c19_curriculum_order") finally {
       graft.operators.Corpus.unpersistIntermediates()
       spark.sharedState.cacheManager.clearCache()
     }
-    assert(!plan.contains("windowspecdefinition"),
-      "tier assignment must not use a window")
-    assert(!plan.contains("Sort ") || !plan.contains("global"),
-      "no global sort — the consume key replaces it")
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      "the threshold row must broadcast back onto the corpus")
+    // the one permitted window runs over the DISTINCT scores (cumulative
+    // start counts) — its input must be a map-side-combinable groupBy on
+    // _score, so the window's row count is the score domain (≤1e6 for
+    // ppm), not the corpus
+    assert(plan.contains("windowspecdefinition"),
+      "cumulative start counts ride one window over the distinct scores")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("_score") &&
+        l.contains("partial_count")),
+      s"per-score counts must combine map-side below the window:\n${plan.take(800)}")
+    // the docs themselves are never globally ranked: no row_number over
+    // the full corpus (the consume key replaces the global sort)
+    assert(!plan.contains("row_number"),
+      "no per-row global rank — tier is a per-score map joined back")
   }
 
   test("d10: substring coverage = owner agg joined back + one doc aggregation") {
