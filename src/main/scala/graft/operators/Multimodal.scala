@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * layout that keeps 100 TB of media co-partitioned with its text without
   * forcing Spark to interpret the bytes.
   *
-  * The actual codec work (`decode`) is a STUB — this container has no
-  * image/audio libraries — but the Spark-side plumbing is real and tested:
-  * typed `Dataset` schema, `mapPartitions` batch shape (one iterator per
-  * partition, exactly how a Pandas-UDF/JNI decoder would be driven), and
-  * explode-based frame sampling. Swap [[MediaDecode.decodeStub]] for a real
-  * decoder and nothing else changes.
+  * The IMAGE codec is real: PNG/JPEG/GIF/BMP payloads decode, resize and
+  * featurize through the JDK's `javax.imageio` + `Graphics2D` inside the
+  * partition iterator (codec config amortized per partition, exactly how a
+  * Pandas-UDF/JNI decoder would be driven). A cheap magic-byte sniff gates
+  * the decode so non-image bytes never pay a reader scan; payloads no
+  * registered reader claims (e.g. audio/video containers, which the JDK
+  * has no codec for) fall back to the deterministic byte-level stub, so
+  * the pipeline shape is total — every row produces metadata either way.
   */
 object Multimodal {
 
@@ -42,12 +44,76 @@ object Multimodal {
         (substring(col("source"), 4, 10).cast("int") % 3) + 1).as("kind"),
       encode(col("text"), "UTF-8").cast("binary").as("media"))
 
-  /** STUB decoder: deterministic pseudo-metadata from the byte length.
-    * A real implementation would parse the container header (JPEG SOF /
-    * WAV fmt / MP4 moov) right here, per element, inside the partition
-    * iterator.
+  /** Image codec (real, JDK-only) + byte-level stub fallback.
+    *
+    * `decode` parses actual container bytes: a magic-byte sniff picks out
+    * PNG/JPEG/GIF/BMP payloads, `javax.imageio` reads the header + pixels,
+    * and the emitted width/height are the image's true dimensions. Bytes
+    * the sniff rejects (or that fail to parse — truncated file, bad CRC)
+    * take [[decodeStub]]'s deterministic pseudo-metadata instead, so the
+    * operator is total and the synthetic testdata (UTF-8 stand-ins, no
+    * real media) replays bit-identically against the SQL oracle.
+    *
+    * Audio/video containers (WAV fmt / MP4 moov) stay stubbed — the JDK
+    * ships no codec for them; a JNI decoder would slot into the same
+    * sniff-then-parse hook.
     */
   object MediaDecode {
+    // in-memory ImageInputStreams only — the default disk-backed cache
+    // would write a temp file per decode on the executor
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Cheap container sniff: only bytes carrying a known image magic pay
+      * the ImageIO reader scan (at 100 TB, a per-row reader probe on
+      * non-image bytes is real money).
+      */
+    def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 4 && (
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xff.toByte && b(1) == 0xd8.toByte) || // JPEG SOI
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 'B' && b(1) == 'M'))
+
+    /** Decode an image payload; None when the bytes aren't a parseable
+      * image (wrong container, truncated stream, no registered reader).
+      */
+    def decodeImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!looksLikeImage(b)) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        catch { case _: Exception => None } // corrupt payload → stub path
+
+    /** Re-encode as PNG (lossless, deterministic bytes for a given raster). */
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Bilinear raster resize to exactly `w`×`h` via `Graphics2D`. */
+    def resizeImage(
+        img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+
+    /** Real decode with stub fallback — the metadata path's entry point. */
+    def decode(r: MediaRow): MediaMeta =
+      (if (r.kind == "image") decodeImage(r.media) else None) match {
+        case Some(img) =>
+          MediaMeta(r.doc_id, r.kind, r.media.length.toLong,
+            img.getWidth.toLong, img.getHeight.toLong, n_frames = 1)
+        case None => decodeStub(r)
+      }
+
+    /** Deterministic byte-level pseudo-metadata for undecodable payloads. */
     def decodeStub(r: MediaRow): MediaMeta = {
       val len = r.media.length.toLong
       MediaMeta(
@@ -67,8 +133,9 @@ object Multimodal {
   def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // real codecs would initialize their native context here, once
-      rows.map(MediaDecode.decodeStub)
+      // MediaDecode's static init (ImageIO config) runs once per executor
+      // JVM when the closure first touches the object
+      rows.map(MediaDecode.decode)
     }
   }
 
@@ -76,12 +143,15 @@ object Multimodal {
   case class ResizedRow(
       doc_id: Long, kind: String, media: Array[Byte], width: Long, height: Long)
 
-  /** Resize every payload to a target pixel budget — STUB resampler
-    * (keeps every stride-th byte so output size tracks targetW×targetH),
-    * but the batch shape is the real one: binary → binary per partition
-    * iterator, codec context amortized once per partition, no shuffle,
-    * output stays an opaque binary column the rest of the pipeline can
-    * keep co-partitioned with the text.
+  /** Resize every payload to exactly `targetW`×`targetH`. Decodable images
+    * take the REAL path — `javax.imageio` decode, bilinear `Graphics2D`
+    * resample, lossless PNG re-encode — so the output bytes are an actual
+    * image of the target dimensions. Undecodable payloads keep the
+    * deterministic stride-sampling stub (output size tracks the pixel
+    * budget). Either way the batch shape is the scale one: binary → binary
+    * per partition iterator, codec context amortized once per partition,
+    * no shuffle, and the output stays an opaque binary column the rest of
+    * the pipeline can keep co-partitioned with the text.
     */
   def resize(
       spark: SparkSession,
@@ -92,16 +162,23 @@ object Multimodal {
       s"target dims must be positive, got ${targetW}x$targetH")
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // a real resampler would set up its native context here, once
       rows.map { r =>
-        // Long product: 65536×65536 overflows Int to 0 and would collapse
-        // every payload to a single byte
-        val budget = targetW.toLong * targetH
-        val stride =
-          math.max(1L, r.media.length / math.max(1L, budget)).toInt
-        val out = Array.tabulate(
-          (r.media.length + stride - 1) / stride)(i => r.media(i * stride))
-        ResizedRow(r.doc_id, r.kind, out, targetW.toLong, targetH.toLong)
+        val real = if (r.kind == "image") MediaDecode.decodeImage(r.media) else None
+        real match {
+          case Some(img) =>
+            val out = MediaDecode.encodePng(
+              MediaDecode.resizeImage(img, targetW, targetH))
+            ResizedRow(r.doc_id, r.kind, out, targetW.toLong, targetH.toLong)
+          case None =>
+            // Long product: 65536×65536 overflows Int to 0 and would
+            // collapse every payload to a single byte
+            val budget = targetW.toLong * targetH
+            val stride =
+              math.max(1L, r.media.length / math.max(1L, budget)).toInt
+            val out = Array.tabulate(
+              (r.media.length + stride - 1) / stride)(i => r.media(i * stride))
+            ResizedRow(r.doc_id, r.kind, out, targetW.toLong, targetH.toLong)
+        }
       }
     }
   }
@@ -109,13 +186,16 @@ object Multimodal {
   /** A media embedding: the bridge row into the similarity tier. */
   case class MediaEmbedding(doc_id: Long, kind: String, embedding: Array[Float])
 
-  /** Feature-extract every payload into a fixed-dim float embedding —
-    * STUB featurizer (dim j = affine rolling hash over the j-strided byte
-    * stripe, small exact integers cast to float), but deterministic, so
-    * everything downstream of it — ANN ranking, SemDeDup, near-dup
-    * thresholds — reproduces bit-for-bit across runs; the real CLIP/CLAP
-    * batch would slot into the same partition iterator with the same
-    * output schema and feed the identical downstream operators.
+  /** Feature-extract every payload into a fixed-dim float embedding.
+    * Decodable images featurize over actual PIXELS: the raster is
+    * bilinearly normalized to a fixed grid and dim j is the mean gray
+    * value of the j-th grid stripe — the shape a real CLIP batch has
+    * (decode → normalize → fixed-dim vector), all-integer until the final
+    * cast, so downstream ANN/SemDeDup reproduces bit-for-bit across runs
+    * (PNG/GIF/BMP decodes are exact; the normalize grid is fixed).
+    * Undecodable payloads keep the byte-stripe rolling-hash stub with the
+    * same output schema, so both tiers feed identical downstream
+    * operators.
     */
   def featureExtract(
       spark: SparkSession,
@@ -125,14 +205,32 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        val e = Array.tabulate(dim) { j =>
-          var h = 7L
-          var i = j
-          while (i < r.media.length) {
-            h = (h * 31 + (r.media(i) & 0xff)) % 1000003L
-            i += dim
-          }
-          (h % 1000L).toFloat
+        val real = if (r.kind == "image") MediaDecode.decodeImage(r.media) else None
+        val e = real match {
+          case Some(img0) =>
+            // fixed dim×dim normalize grid → per-stripe mean gray; exact
+            // integer accumulation, one division at the end
+            val img = MediaDecode.resizeImage(img0, dim, dim)
+            Array.tabulate(dim) { j =>
+              var acc = 0L
+              var y = 0
+              while (y < dim) {
+                val rgb = img.getRGB(j, y)
+                acc += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+                y += 1
+              }
+              (acc / dim).toFloat
+            }
+          case None =>
+            Array.tabulate(dim) { j =>
+              var h = 7L
+              var i = j
+              while (i < r.media.length) {
+                h = (h * 31 + (r.media(i) & 0xff)) % 1000003L
+                i += dim
+              }
+              (h % 1000L).toFloat
+            }
         }
         MediaEmbedding(r.doc_id, r.kind, e)
       }

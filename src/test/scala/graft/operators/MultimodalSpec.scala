@@ -79,6 +79,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames == Seq((12L, 0L), (12L, 4L), (12L, 8L)))
   }
 
+  // ---- real-codec tier: actual PNG payloads through the same plumbing ----
+
+  /** A solid-color w×h PNG, generated in-JVM (no fixtures on disk). */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    Multimodal.MediaDecode.encodePng(img)
+  }
+
+  private def mediaDf(rows: (Long, String, Array[Byte])*) =
+    rows.toDF("doc_id", "kind", "media")
+
+  test("decodeMeta reads REAL dimensions out of a PNG payload") {
+    val png = pngBytes(20, 12, 0xff0000)
+    val m = mediaDf((100L, "image", png), (101L, "audio", png))
+    val meta = Multimodal.decodeMeta(spark, m).collect().map(x => x.doc_id -> x).toMap
+    assert(meta(100L).width == 20 && meta(100L).height == 12,
+      s"expected decoded 20x12, got ${meta(100L)}")
+    assert(meta(100L).n_bytes == png.length && meta(100L).n_frames == 1)
+    // a non-image kind never pays the decode, even with image bytes
+    assert(meta(101L).width == 32 + png.length.toLong * 7 % 1888,
+      "audio payload must take the stub path")
+  }
+
+  test("resize really resamples a PNG: output re-decodes at the target dims") {
+    val m = mediaDf((100L, "image", pngBytes(20, 12, 0x00ff00)))
+    val out = Multimodal.resize(spark, m, targetW = 8, targetH = 6)
+      .collect().head
+    val img = Multimodal.MediaDecode.decodeImage(out.media)
+      .getOrElse(fail("resized payload is not a decodable image"))
+    assert(img.getWidth == 8 && img.getHeight == 6)
+    // solid green survives the bilinear resample exactly
+    assert((img.getRGB(3, 3) & 0xffffff) == 0x00ff00)
+    assert(out.width == 8 && out.height == 6)
+  }
+
+  test("featureExtract featurizes PIXELS for a decodable image") {
+    // solid gray (100,100,100): every grid stripe's mean gray is exactly 100
+    val m = mediaDf(
+      (100L, "image", pngBytes(16, 16, 0x646464)),
+      (101L, "image", "not an image".getBytes("UTF-8")))
+    val rows = Multimodal.featureExtract(spark, m, dim = 4)
+      .collect().map(r => r.doc_id -> r.embedding.toSeq).toMap
+    assert(rows(100L) == Seq(100f, 100f, 100f, 100f),
+      s"pixel path must average the raster, got ${rows(100L)}")
+    // undecodable bytes fall back to the byte-stripe stub, same schema
+    assert(rows(101L).size == 4 && rows(101L) != rows(100L))
+  }
+
+  test("a truncated PNG falls back to the stub instead of failing the task") {
+    val broken = pngBytes(20, 12, 0xff0000).take(30) // magic intact, body gone
+    val meta = Multimodal.decodeMeta(spark,
+      mediaDf((100L, "image", broken))).collect().head
+    assert(meta.width == 32 + broken.length.toLong * 7 % 1888,
+      "corrupt payload must take the deterministic stub path")
+  }
+
   test("patchGrid tiles images row-major and clips edge tiles to the bounds") {
     // 100×70 at patch 64 → px ∈ {0,1}, py ∈ {0,1}; right/bottom tiles clip
     val meta = Seq((1L, "image", 100L, 70L), (2L, "video", 100L, 70L))
