@@ -742,9 +742,67 @@ object Dedup {
     *   decontamination, where increment-internal duplicates are the
     *   dedup pass's business, not the contamination gate's.
     */
+  /** Banded signature table from a [[minhashStore]] frame: one row per
+    * (doc, band) carrying the band slice, the FULL signature, and a
+    * derived `band_key` (xxhash64 of the band id + slice) — the single
+    * LONG routing column the bucketed store layout hashes on.
+    *
+    * `band_key` is pure routing, never semantics: the band join still
+    * matches on the exact `(band, bsig)` pair, so an xxhash collision
+    * only co-locates an extra comparison (discarded by the equality),
+    * and the DuckDB oracle — which has no xxhash64 — replays the
+    * decision identically. Bucketing on the scalar key instead of the
+    * array slice keeps the table writable by any engine's bucket layout.
+    */
+  def bandSignatures(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    sig.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bsig").as("bsig"),
+        xxhash64(col("bb.band"), col("bb.bsig")).as("band_key"))
+  }
+
+  /** Write a [[bandSignatures]] table bucketed on `band_key` — the
+    * persisted index a continuous-ingestion deployment keeps between
+    * batches. Because the band probe joins on `band_key` (plus the exact
+    * band columns), every subsequent [[incrementalDedupBanded]] batch
+    * reads the store with ZERO exchange on the store side: the store's
+    * write-time bucketing IS the join's hash partitioning, and only the
+    * (small) increment shuffles — per-batch cost finally tracks the
+    * increment, not the corpus.
+    */
+  def writeBandStore(
+      sig: DataFrame, table: String, numHashes: Int, bands: Int,
+      buckets: Int): Unit =
+    Layout.writeBucketed(
+      bandSignatures(sig, numHashes, bands), table,
+      keys = Seq("band_key"), buckets = buckets)
+
   def incrementalDedup(
       increment: DataFrame,
       store: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minAgree: Int = 8,
+      withinBatch: Boolean = true): DataFrame =
+    incrementalDedupBanded(increment, bandSignatures(store, numHashes, bands),
+      id, text, n, numHashes, bands, minAgree, withinBatch)
+
+  /** [[incrementalDedup]] against a PRE-BANDED store (a [[bandSignatures]]
+    * frame — typically `spark.table` over a [[writeBandStore]] bucketed
+    * table, which makes the store side of the band probe exchange-free).
+    */
+  def incrementalDedupBanded(
+      increment: DataFrame,
+      storeBands: DataFrame,
       id: Column,
       text: Column,
       n: Int = 3,
@@ -755,7 +813,6 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(minAgree >= 1 && minAgree <= numHashes,
       s"minAgree must be in [1, $numHashes], got $minAgree")
-    val rows = numHashes / bands
     val incSig = cached(minhashStore(increment, id, text, n, numHashes))
     // the band table carries the FULL signature beside each band slice, so
     // the verify step below reads it straight off the band-join output —
@@ -764,22 +821,28 @@ object Dedup {
     // persisted index per batch. The ~numHashes ints of extra shuffle
     // width per band row is the price, and it is bounded by the
     // increment's candidate fan-out, not the store size.
-    def bandTable(sig: DataFrame) = sig.select(
-      col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("bsig"))))
-        .as("bb"))
-      .select(col("doc_id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-    val incBands = bandTable(incSig)
+    val incBands = bandSignatures(incSig, numHashes, bands)
     // store partners always count; within-increment only earlier ids do.
     // The =!= guard is a no-op under the documented disjoint-id contract,
     // but makes a REPLAYED batch idempotent (streaming retry: survivors
     // are already in the store under their own ids and must not count as
     // their own duplicates)
+    //
+    // band_key is the ONLY equi-join key: against a band_key-bucketed
+    // store the scan's HashPartitioning(band_key) then satisfies the
+    // join's full clustering and only the increment side exchanges.
+    // The exact (band, bsig) match stays as an order-pair RESIDUAL
+    // (a<=b && a>=b) rather than two more equalities — Catalyst extracts
+    // every equality into the equi-key set, which would widen the
+    // required clustering past the store's bucket column and the planner
+    // would disable the bucketed scan ("requireAllClusterKeysForCoPartition").
+    // Semantics are identical: an xxhash64 collision pair differs in
+    // (band, bsig) and the residual rejects it before the verify.
     val storeCands = incBands.as("a")
-      .join(bandTable(store).as("s"),
-        col("a.band") === col("s.band") && col("a.bsig") === col("s.bsig") &&
+      .join(storeBands.as("s"),
+        col("a.band_key") === col("s.band_key") &&
+          col("a.band") <= col("s.band") && col("a.band") >= col("s.band") &&
+          col("a.bsig") <= col("s.bsig") && col("a.bsig") >= col("s.bsig") &&
           col("a.doc_id") =!= col("s.doc_id"))
       .select(col("a.doc_id").as("doc_id"), col("s.doc_id").as("partner"),
         col("a.sig").as("_sa"), col("s.sig").as("_sb"))

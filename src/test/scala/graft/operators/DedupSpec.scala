@@ -272,6 +272,61 @@ class DedupSpec extends AnyFunSuite {
     assert(!d2.values.flatten.toSet.contains(21L))
   }
 
+  test("bucketed band store: probe reads the store with ZERO store-side exchange") {
+    val store = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "completely unrelated existing content about spark engines"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 10
+      (21L, "novel text that matches nothing else in any corpus batch"))
+      .toDF("doc_id", "text")
+    val sigStore = Dedup.minhashStore(store, col("doc_id"), col("text"))
+    Dedup.writeBandStore(sigStore, "graft_band_store",
+      numHashes = 16, bands = 4, buckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle path: the claim is the STORE side never
+      // exchanges, not that the store fits in a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val storeBands = spark.table("graft_band_store")
+      val incBands = Dedup.bandSignatures(
+        Dedup.minhashStore(inc, col("doc_id"), col("text")), 16, 4)
+      // same key shape as the operator: band_key equi + (band, bsig)
+      // order-pair residual (an extra equality would widen the required
+      // clustering and the planner would drop the bucketed scan)
+      val probe = incBands.as("a").join(storeBands.as("s"),
+        col("a.band_key") === col("s.band_key") &&
+          col("a.band") <= col("s.band") && col("a.band") >= col("s.band") &&
+          col("a.bsig") <= col("s.bsig") && col("a.bsig") >= col("s.bsig"))
+      val plan = probe.queryExecution.executedPlan.toString
+      // the STORE subtree (the join's right child — printed last, no ':'
+      // continuation prefix) must be scan→join with no Exchange; the
+      // increment side legitimately shuffles (its own signature agg +
+      // the band_key exchange driven by the store's bucketing)
+      val lines = plan.linesIterator.toVector
+      val storeSide = lines.drop(lines.lastIndexWhere(_.contains("+- Sort")))
+      assert(storeSide.exists(_.contains("graft_band_store")),
+        s"right child should be the store scan:\n${storeSide.mkString("\n")}")
+      assert(storeSide.exists(_.contains("SelectedBucketsCount")),
+        s"store scan must be bucket-aware:\n${storeSide.mkString("\n")}")
+      assert(!storeSide.exists(_.contains("Exchange")),
+        s"store side must not shuffle — its bucketing IS the join partitioning:\n${storeSide.mkString("\n")}")
+      // the full operator over the bucketed store matches the plain path
+      val got = Dedup.incrementalDedupBanded(inc, storeBands,
+        col("doc_id"), col("text")).collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val want = Dedup.incrementalDedup(inc, sigStore,
+        col("doc_id"), col("text")).collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(got == want && got == Map(20L -> Some(10L), 21L -> None))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_band_store")
+      Dedup.unpersistIntermediates(blocking = true)
+    }
+  }
+
   test("semanticKeep drops the later id of each within-cluster close pair") {
     // stride 5 → the only centroid is id 0, every row lands in cluster 0
     val emb = Seq(
