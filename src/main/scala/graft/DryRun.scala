@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * ≈ linearly (or with its output size); a quadratic bend fails the check.
   *
   * Usage: runMain graft.DryRun [sfDir] [op...]
-  * ops: pagerank upsample mad fuzzy mmr prefix containment
-  * (default: all but containment)
+  * ops: pagerank upsample mad fuzzy mmr prefix containment containment_capped
+  * (default: all but containment and containment_capped)
   */
 object DryRun {
   def main(args: Array[String]): Unit = {
@@ -95,6 +95,14 @@ object DryRun {
         docs, col("doc_id"), col("text"), n = 3, minContainmentPpm = 700000L))
       time("containment_10x")(graft.operators.Dedup.containmentPairs(
         big, col("doc_id"), col("text"), n = 3, minContainmentPpm = 700000L))
+    }
+    if (ops("containment_capped")) {
+      time("containment_capped_1x")(graft.operators.Dedup.containmentPairs(
+        docs, col("doc_id"), col("text"), n = 3, minContainmentPpm = 700000L,
+        maxDocFreq = 50))
+      time("containment_capped_10x")(graft.operators.Dedup.containmentPairs(
+        big, col("doc_id"), col("text"), n = 3, minContainmentPpm = 700000L,
+        maxDocFreq = 50))
     }
     if (ops("fuzzy")) {
       // per-replica name suffix keeps each replica's near-miss density

@@ -102,6 +102,18 @@ object TextFunctions {
       floor(regexp_count(text, lit("[^a-zA-Z0-9 ]")).cast("long") * 1000000L /
         length(text)).cast("long"))
 
+  /** Positional (non-distinct) word n-grams: one `struct(pos, g)` per
+    * window start, `pos` 1-based — [[shingles]] deduplicates (right for
+    * Jaccard), this keeps every occurrence and where it sits, which span
+    * extraction ([[graft.operators.Dedup.duplicateSpans]]) needs.
+    */
+  def posGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => struct(i.cast("long").as("pos"),
+          concat_ws(" ", slice(toks, i, lit(n))).as("g"))))
+      .otherwise(array().cast("array<struct<pos:bigint,g:string>>"))
+
   /** Distinct word n-gram shingles joined by single spaces. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

@@ -209,13 +209,24 @@ object Dedup {
     * shingle key. Exact verification over the candidates' full sets keeps
     * the threshold exact.
     */
+  /** @param maxDocFreq drops INDEX-side (B) postings of shingles occurring
+    *   in more than this many documents. The rarest-first A-prefix already
+    *   keeps stop-shingles off the probe side, but the index side explodes
+    *   FULL posting lists, so a pathological corpus (every doc sharing one
+    *   boilerplate shingle) still pays df_prefix × df_full on it; the cap
+    *   bounds that worst case. RECALL TRADE, documented like d2b's: a pair
+    *   discoverable only through a dropped stop-shingle is missed
+    *   (verification stays exact over full sets, so precision is
+    *   unaffected). Default Int.MaxValue = exact semantics.
+    */
   def containmentPairs(
       docs: DataFrame,
       id: Column,
       text: Column,
       n: Int = 3,
-      minContainmentPpm: Long = 700000L): DataFrame =
-    containmentPairsSized(docs, id, text, n, minContainmentPpm)
+      minContainmentPpm: Long = 700000L,
+      maxDocFreq: Int = Int.MaxValue): DataFrame =
+    containmentPairsSized(docs, id, text, n, minContainmentPpm, maxDocFreq)
       .select("doc_a", "doc_b", "containment_ppm")
 
   /** [[containmentPairs]] plus both set sizes (`na`, `nb`) — the extra
@@ -228,7 +239,8 @@ object Dedup {
       id: Column,
       text: Column,
       n: Int,
-      minContainmentPpm: Long): DataFrame = {
+      minContainmentPpm: Long,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minContainmentPpm > 0 && minContainmentPpm <= 1000000L,
       s"minContainmentPpm out of (0, 1e6]: $minContainmentPpm")
@@ -248,9 +260,17 @@ object Dedup {
       col("rk") <= col("n_sh") -
         expr(s"(n_sh * $minContainmentPpm + 999999) div 1000000") + 1)
       .select(col("doc_id"), col("s"))
-    // index side: the FULL posting explode straight off the cache
+    // index side: the FULL posting explode straight off the cache — or,
+    // under the cap, the postings minus the (tiny) stop-shingle offender
+    // set; the prefix ranking above always uses the UNCAPPED df so the
+    // A-side prefix is identical in both tiers and the oracle replay
+    // needs only one df table
+    val idx =
+      if (maxDocFreq == Int.MaxValue) sh
+      else sh.join(
+        dfs.filter(col("df") > maxDocFreq).select("s"), Seq("s"), "left_anti")
     val cand = prefix.as("a")
-      .join(sh.as("b"),
+      .join(idx.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -336,6 +356,71 @@ object Dedup {
         when(col("n_shingles") === 0, 0L)
           .otherwise(expr("(_nd * 1000000) div n_shingles")).as("dup_ppm"))
       .withColumn("keep", (col("dup_ppm") <= dupPpmThreshold).cast("long"))
+  }
+
+  /** ExactSubstr-style duplicated-span extraction (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §4.1): find, per document, the maximal contiguous
+    * token ranges covered by duplicated length-`k` windows (windows
+    * occurring ≥ `minCount` times corpus-wide) — the "this text appears
+    * elsewhere" spans used to CUT duplicated passages out of documents
+    * rather than drop whole near-dup docs (the doc-level operators'
+    * job). Every token in a span lies inside at least one duplicated
+    * window, and the union of the spans is exactly the token set the
+    * paper's pipeline removes. Output is one row per span:
+    * `(doc_id, span_start, span_end, n_tokens)`, token indices 1-based
+    * inclusive.
+    *
+    * The paper builds a corpus suffix array — inherently sequential and
+    * single-machine. The distributed equivalent here is the k-gram
+    * anchor formulation the web-scale pipelines use: any duplicated
+    * substring of length ≥ k contains a duplicated k-gram at every
+    * window, so positional k-grams + a corpus-wide gram count + a
+    * per-doc coverage merge (a break opens where consecutive duplicated
+    * window starts sit more than k apart — the first uncovered token)
+    * reconstructs the removable regions at ≥ k tokens; shorter
+    * duplicates are invisible — k IS the paper's minimum-match-length
+    * threshold.
+    *
+    * Scale shape: one narrow positional-gram explode (O(total tokens)),
+    * gram counts via two-stage map-side-combinable `groupBy` (never a
+    * window over the gram key), a join-back that AQE can skew-split, and
+    * the span merge as a per-DOCUMENT window — partitioned on doc_id,
+    * bounded by document length, never corpus-global. All-integer,
+    * oracle-replayable.
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 8,
+      minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
+    val grams = docs
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    // corpus-wide occurrence count per gram (total occurrences, not
+    // distinct docs: a passage repeated inside ONE document is duplicated
+    // text all the same — the paper's self-repetition case)
+    val cnt = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val dupPos = grams
+      .join(cnt.filter(col("c") >= minCount).select("g"), Seq("g"))
+      .select(col("doc_id"), col("pos"))
+    // merge overlapping/adjacent duplicated windows: gram at pos covers
+    // tokens [pos, pos+k-1], so a gap begins when pos jumps by more than k
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
   }
 
   /** MinHash + LSH near-dup pairs: k-hash signature per doc → `bands` bands

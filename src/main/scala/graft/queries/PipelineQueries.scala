@@ -336,12 +336,26 @@ object PipelineQueries {
     Dedup.containmentPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
       n = 3, minContainmentPpm = 700000L)
 
+  // worst-case-bounded containment tier: index-side postings capped at
+  // df ≤ 50 so a boilerplate stop-shingle can never explode the candidate
+  // join (documented recall trade — a pair visible only through a capped
+  // shingle is missed; the prefix side and the exact verify are unchanged)
+  private val d21b: Q = (s, dir) =>
+    Dedup.containmentPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+      n = 3, minContainmentPpm = 700000L, maxDocFreq = 50)
+
   // "drop the quote, keep the article": a doc is dropped iff ≥70%
   // contained in a strictly-bigger partner (or an equal-set earlier id —
   // mutual 1e6-ppm exact dups keep the min id deterministically)
   private val d22: Q = (s, dir) =>
     Dedup.containmentKeep(t(s, dir, "documents"), col("doc_id"), col("text"),
       n = 3, minContainmentPpm = 700000L)
+
+  // ExactSubstr span tier: maximal ≥8-token spans whose every 8-gram
+  // repeats corpus-wide — the cut-the-passage (not drop-the-doc) dedup
+  private val d24: Q = (s, dir) =>
+    Dedup.duplicateSpans(t(s, dir, "documents"), col("doc_id"), col("text"),
+      k = 8, minCount = 2L)
 
   private val d4: Q = (s, dir) =>
     Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
@@ -900,7 +914,9 @@ object PipelineQueries {
     "d2b_ngram_capped" -> d2b,
     "d3_minhash_lsh" -> d3,
     "d21_containment" -> d21,
+    "d21b_containment_capped" -> d21b,
     "d22_containment_keep" -> d22,
+    "d24_dup_spans" -> d24,
     "d6_source_signatures" -> d6,
     "d20_source_overlap" -> d20,
     "d7_dup_clusters" -> d7,
@@ -1473,6 +1489,56 @@ object PipelineQueries {
          |  CAST(inter * 1000000 // ca.n_sh AS BIGINT) AS containment_ppm
          |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a
          |WHERE inter * 1000000 // ca.n_sh >= 700000""".stripMargin,
+    // the cap makes the CANDIDATE tier part of the semantics (unlike d21,
+    // whose lossless prefix lets the oracle replay the unfiltered pair
+    // definition), so this oracle replays the full pipeline: uncapped-df
+    // rarest-first prefixes probing a df≤50 index, exact verify on top
+    "d21b_containment_capped" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
+         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |rk AS (SELECT sh.doc_id, sh.s, cnt.n_sh,
+         |         row_number() OVER (PARTITION BY sh.doc_id
+         |                            ORDER BY dfs.df ASC, sh.s ASC) AS rk
+         |       FROM sh JOIN dfs USING (s) JOIN cnt USING (doc_id)),
+         |pref AS (SELECT doc_id, s FROM rk
+         |         WHERE rk <= n_sh - ((n_sh * 700000 + 999999) // 1000000) + 1),
+         |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s)
+         |        WHERE df <= 50),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM pref a JOIN idx b ON a.s = b.s AND a.doc_id <> b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+         |          JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter * 1000000 // ca.n_sh AS BIGINT) AS containment_ppm
+         |FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+         |WHERE inter * 1000000 // ca.n_sh >= 700000""".stripMargin,
+    // positional (non-distinct) 8-grams; gram counts are TOTAL occurrences
+    // (within-doc repetition is duplicated text too); lag/sum windows are
+    // per-doc with unique pos, so the merge replays deterministically
+    "d24_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |p AS (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS pos
+         |      FROM toks WHERE len(w) >= 8),
+         |g AS (SELECT doc_id, pos::BIGINT AS pos,
+         |        array_to_string(w[pos:pos+7], ' ') AS g FROM p),
+         |cnt AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+         |dup AS (SELECT x.doc_id, x.pos FROM g x
+         |        JOIN cnt ON cnt.g = x.g WHERE cnt.c >= 2),
+         |m AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM dup),
+         |sp AS (SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |       FROM m)
+         |SELECT doc_id, min(pos)::BIGINT AS span_start,
+         |  (max(pos) + 7)::BIGINT AS span_end,
+         |  (max(pos) + 7 - min(pos) + 1)::BIGINT AS n_tokens
+         |FROM sp GROUP BY doc_id, span_id""".stripMargin,
     "d22_containment_keep" ->
       s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
          |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),

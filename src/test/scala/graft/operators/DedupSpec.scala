@@ -272,6 +272,58 @@ class DedupSpec extends AnyFunSuite {
     assert(!d2.values.flatten.toSet.contains(21L))
   }
 
+  test("duplicateSpans: cross-doc and within-doc passages, exact boundaries") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),            // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e q r s"),
+      (3L, "m n o p m n o p"),            // within-doc repetition
+      (4L, "totally unrelated words here today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(corpus, col("doc_id"), col("text"), k = 3)
+      .select("doc_id", "span_start", "span_end", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      // doc1: dup 3-grams start at 1,2,3 → tokens [1,5] = "a b c d e"
+      (1L, 1L, 5L, 5L),
+      // doc2: same grams start at 3,4,5 → tokens [3,7]
+      (2L, 3L, 7L, 5L),
+      // doc3: "m n o"/"n o p" repeat (starts 1,2,5,6); gap 2→5 is 3 = k,
+      // coverage stays contiguous → ONE span over the whole doc — every
+      // token sits in a duplicated window ("m n o p m n o p" is all
+      // repeated text); doc4 contributes nothing
+      (3L, 1L, 8L, 8L)), s"got $got")
+    // a gap wider than k splits: k=3 grams "p q r" at 1 and 9 in one doc
+    // never merge (tokens 4..8 are uncovered)
+    val far = Seq((9L, "p q r s t u v w p q r")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(far, col("doc_id"), col("text"), k = 3)
+      .select("span_start", "span_end").as[(Long, Long)].collect().toSet
+    assert(spans == Set((1L, 3L), (9L, 11L)), s"got $spans")
+  }
+
+  test("containment maxDocFreq: cap-only-reachable pairs are the documented recall trade") {
+    // every shingle of the quote is shared by all 6 docs → df = 6
+    val quote = "to be or not to be that is the question"
+    val corpus = (1L to 5L).map(i => (i, s"$quote plus unique framing number$i words"))
+      .toDF("doc_id", "text")
+      .union(Seq((6L, quote)).toDF("doc_id", "text")) // the pure quote
+    // uncapped: doc 6 is fully contained in every other doc
+    val exact = Dedup.containmentPairs(corpus, col("doc_id"), col("text"), n = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.count(_._1 == 6L) == 5, s"quote contained in all hosts: $exact")
+    // cap 3 < df 6: every index posting that could reveal the pair is
+    // dropped — the recall trade, visible and deliberate
+    val capped = Dedup.containmentPairs(corpus, col("doc_id"), col("text"), n = 3,
+      maxDocFreq = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty, s"cap must drop stop-shingle-only pairs: $capped")
+    // cap above the max df is exact (lossless when nothing crosses it)
+    val loose = Dedup.containmentPairs(corpus, col("doc_id"), col("text"), n = 3,
+      maxDocFreq = 6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(loose == exact)
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("bucketed band store: probe reads the store with ZERO store-side exchange") {
     val store = Seq(
       (10L, "the quick brown fox jumps over the lazy dog again and again"),
