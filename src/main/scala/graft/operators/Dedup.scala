@@ -398,10 +398,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k must be >= 2, got $k")
     require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
-    val grams = docs
+    // cached: the gram table feeds BOTH the corpus count and the
+    // position join-back — without the persist each branch would re-run
+    // the tokenize + k-slice-concat explode (the query's dominant CPU),
+    // the d2b lesson
+    val grams = cached(docs
       .select(id.as("doc_id"),
         explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g")))
     // corpus-wide occurrence count per gram (total occurrences, not
     // distinct docs: a passage repeated inside ONE document is duplicated
     // text all the same — the paper's self-repetition case)
@@ -421,6 +425,45 @@ object Dedup {
         (max(col("pos")) + (k - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
+  /** Apply [[duplicateSpans]]: per document, the TOKEN-SPACE text with
+    * every duplicated span cut out — the action the ExactSubstr pipeline
+    * actually performs on the corpus (Lee et al. 2022 remove the
+    * duplicated substring and keep the remainder). Output:
+    * `(doc_id, clean_text, n_tokens_kept, n_tokens_cut)`; `clean_text`
+    * is the kept tokens joined by single spaces (the paper operates on
+    * tokenized text — original whitespace/punctuation is not
+    * reconstructed, by design, matching every other token-space operator
+    * here).
+    *
+    * Scale shape: the span tier's cost plus one `groupBy(doc_id)` of the
+    * (small) span set and a join back onto the corpus; the cut itself is
+    * a narrow per-row higher-order filter (spans per doc are few), no
+    * extra shuffle beyond the span aggregation.
+    */
+  def cutSpans(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 8,
+      minCount: Long = 2L): DataFrame = {
+    val spanArr = duplicateSpans(docs, id, text, k, minCount)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    docs.select(id.as("doc_id"), tokens(text).as("_toks"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .withColumn("_spans", coalesce(col("_spans"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn("_kept", filter(
+        transform(col("_toks"),
+          (tok, i) => struct((i + 1).cast("long").as("pos"), tok.as("tok"))),
+        x => !exists(col("_spans"),
+          s => x("pos") >= s("span_start") && x("pos") <= s("span_end"))))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("_kept"), x => x("tok"))).as("clean_text"),
+        size(col("_kept")).cast("long").as("n_tokens_kept"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_tokens_cut"))
   }
 
   /** MinHash + LSH near-dup pairs: k-hash signature per doc → `bands` bands

@@ -357,6 +357,12 @@ object PipelineQueries {
     Dedup.duplicateSpans(t(s, dir, "documents"), col("doc_id"), col("text"),
       k = 8, minCount = 2L)
 
+  // the span tier APPLIED: token-space text with the duplicated spans cut
+  // out, plus the kept/cut audit — what the corpus actually trains on
+  private val d25: Q = (s, dir) =>
+    Dedup.cutSpans(t(s, dir, "documents"), col("doc_id"), col("text"),
+      k = 8, minCount = 2L)
+
   private val d4: Q = (s, dir) =>
     Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
       maxHamming = 3)
@@ -917,6 +923,7 @@ object PipelineQueries {
     "d21b_containment_capped" -> d21b,
     "d22_containment_keep" -> d22,
     "d24_dup_spans" -> d24,
+    "d25_cut_spans" -> d25,
     "d6_source_signatures" -> d6,
     "d20_source_overlap" -> d20,
     "d7_dup_clusters" -> d7,
@@ -1539,6 +1546,43 @@ object PipelineQueries {
          |  (max(pos) + 7)::BIGINT AS span_end,
          |  (max(pos) + 7 - min(pos) + 1)::BIGINT AS n_tokens
          |FROM sp GROUP BY doc_id, span_id""".stripMargin,
+    // d24's span chain + per-token coverage anti-join + ordered string_agg;
+    // docs below 8 tokens (or with no spans) pass through whole
+    "d25_cut_spans" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |p AS (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS pos
+         |      FROM toks WHERE len(w) >= 8),
+         |g AS (SELECT doc_id, pos::BIGINT AS pos,
+         |        array_to_string(w[pos:pos+7], ' ') AS g FROM p),
+         |cnt AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+         |dup AS (SELECT x.doc_id, x.pos FROM g x
+         |        JOIN cnt ON cnt.g = x.g WHERE cnt.c >= 2),
+         |m AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM dup),
+         |sp AS (SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |       FROM m),
+         |spans AS (SELECT doc_id, min(pos) AS a, max(pos) + 7 AS b
+         |          FROM sp GROUP BY doc_id, span_id),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(a, b + 1)) AS pos
+         |        FROM spans),
+         |tokpos AS (SELECT doc_id, unnest(range(1, len(w) + 1))::BIGINT AS pos, w
+         |           FROM toks),
+         |kept AS (SELECT t.doc_id, t.pos, t.w[t.pos] AS tok
+         |         FROM tokpos t LEFT JOIN cov
+         |           ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+         |         WHERE cov.pos IS NULL),
+         |agg AS (SELECT doc_id,
+         |          coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text,
+         |          count(*)::BIGINT AS n_kept
+         |        FROM kept GROUP BY doc_id)
+         |SELECT tk.doc_id,
+         |  coalesce(agg.clean_text, '') AS clean_text,
+         |  coalesce(agg.n_kept, 0)::BIGINT AS n_tokens_kept,
+         |  (len(tk.w) - coalesce(agg.n_kept, 0))::BIGINT AS n_tokens_cut
+         |FROM toks tk LEFT JOIN agg ON agg.doc_id = tk.doc_id""".stripMargin,
     "d22_containment_keep" ->
       s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
          |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),

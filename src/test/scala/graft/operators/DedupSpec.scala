@@ -300,6 +300,24 @@ class DedupSpec extends AnyFunSuite {
     assert(spans == Set((1L, 3L), (9L, 11L)), s"got $spans")
   }
 
+  test("cutSpans removes exactly the duplicated token ranges, keeps the rest") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),   // "a b c d e" duplicated with doc 2
+      (2L, "x y a b c d e q r s"),
+      (3L, "m n o p m n o p"),   // all tokens covered → empty remainder
+      (4L, "totally unrelated words here today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cutSpans(corpus, col("doc_id"), col("text"), k = 3)
+      .select("doc_id", "clean_text", "n_tokens_kept", "n_tokens_cut")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "f g h", 3L, 5L)))
+    assert(got(2L) == ((2L, "x y q r s", 5L, 5L)))
+    assert(got(3L) == ((3L, "", 0L, 8L)), "fully-duplicated doc → empty text")
+    assert(got(4L) == ((4L, "totally unrelated words here today", 5L, 0L)),
+      "span-free docs pass through whole")
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("containment maxDocFreq: cap-only-reachable pairs are the documented recall trade") {
     // every shingle of the quote is shared by all 6 docs → df = 6
     val quote = "to be or not to be that is the question"
