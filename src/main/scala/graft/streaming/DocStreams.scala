@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.functions.TextFunctions._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming operators over a DOCUMENT stream — the continuous-
+  * ingestion half of the corpus pipeline, probing the same persisted
+  * artifacts the batch tier writes.
+  */
+object DocStreams {
+
+  /** Streaming contamination gate: each micro-batch of documents probed
+    * against the STATIC banded MinHash store
+    * ([[graft.operators.Dedup.writeBandStore]]'s layout) — the streaming
+    * deployment of [[graft.operators.Dedup.incrementalDedupBanded]] as a
+    * stream-static join with ZERO streaming state:
+    *
+    *  - the signature is a narrow per-row higher-order map
+    *    ([[minhashSignature]] — the same affine coefficients as the batch
+    *    tier's explode + k-min-agg pipeline, so a store built by either
+    *    path is band-compatible with both);
+    *  - bands explode per row and the band probe + signature-agreement
+    *    verify ride ONE stream-static join per micro-batch; against a
+    *    `writeBandStore` bucketed table the store side reads
+    *    exchange-free (same key shape: `band_key` equi + order-pair
+    *    residual), so per-batch cost tracks the micro-batch, not the
+    *    corpus;
+    *  - no watermark, no keyed state, Append mode throughout.
+    *
+    * Emission is at-least-once per (doc, partner): a pair agreeing in
+    * several bands emits one row per agreeing band (the `band` column
+    * says which) — downstream consumers key idempotently on
+    * `(doc_id, partner)`; the batch reducer stays the exactly-once tier
+    * and the parity spec pins set-equality between the two.
+    */
+  def contaminationStream(
+      docs: DataFrame,
+      storeBands: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minAgree: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(minAgree >= 1 && minAgree <= numHashes,
+      s"minAgree must be in [1, $numHashes], got $minAgree")
+    val rows = numHashes / bands
+    val sig = docs
+      .select(id.as("doc_id"),
+        minhashSignature(shingles(tokens(text), n), numHashes).as("sig"))
+      .filter(col("sig").isNotNull) // shingle-less docs cannot match
+    val banded = sig
+      .select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bsig").as("bsig"),
+        xxhash64(col("bb.band"), col("bb.bsig")).as("band_key"))
+    // same join shape as the batch tier: band_key is the only equi key
+    // (bucketed-store co-partitioning), exact (band, bsig) equality as an
+    // order-pair residual, and the minAgree verify rides the SAME join as
+    // one more residual — no second pass over the store
+    banded.as("a")
+      .join(storeBands.as("s"),
+        col("a.band_key") === col("s.band_key") &&
+          col("a.band") <= col("s.band") && col("a.band") >= col("s.band") &&
+          col("a.bsig") <= col("s.bsig") && col("a.bsig") >= col("s.bsig") &&
+          col("a.doc_id") =!= col("s.doc_id") &&
+          size(filter(zip_with(col("a.sig"), col("s.sig"), _ === _),
+            x => x)) >= minAgree)
+      .select(col("a.doc_id").as("doc_id"), col("s.doc_id").as("partner"),
+        col("a.band").as("band"))
+  }
+}

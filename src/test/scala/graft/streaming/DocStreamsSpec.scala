@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.operators.Dedup
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DocStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val storeDocs = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog again and again"),
+    (11L, "completely unrelated existing content about spark engines"))
+  private val incDocs = Seq(
+    (20L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 10
+    (21L, "novel text that matches nothing else in any corpus batch"),
+    (22L, "xy")) // shingle-less: filtered before the probe
+
+  test("streaming contamination gate matches the batch tier against the same store") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = storeDocs.toDF("doc_id", "text")
+    val sigStore = Dedup.minhashStore(store, col("doc_id"), col("text"))
+    Dedup.writeBandStore(sigStore, "graft_stream_store",
+      numHashes = 16, bands = 4, buckets = 8)
+    val storeBands = spark.table("graft_stream_store")
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.contaminationStream(
+      stream.toDF().toDF("doc_id", "text"), storeBands,
+      col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("contam")
+      .outputMode("append").start()
+    try {
+      stream.addData(incDocs: _*)
+      q.processAllAvailable()
+      val got = spark.table("contam")
+        .select("doc_id", "partner").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((20L, 10L)), s"got $got")
+      // parity with the batch tier over the SAME bucketed store: the
+      // streamed matches reduce to exactly the batch dup_of decisions
+      val batch = Dedup.incrementalDedupBanded(
+        incDocs.toDF("doc_id", "text"), storeBands,
+        col("doc_id"), col("text"), withinBatch = false)
+        .filter(col("dup_of").isNotNull)
+        .as[(Long, Long)].collect().toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      // a second micro-batch probes the same static store independently
+      stream.addData((30L, storeDocs(1)._2)) // dup of 11
+      q.processAllAvailable()
+      val got2 = spark.table("contam")
+        .select("doc_id", "partner").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got2 == Set((20L, 10L), (30L, 11L)), s"got $got2")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_stream_store")
+      Dedup.unpersistIntermediates(blocking = true)
+    }
+  }
+
+  test("the streaming gate keeps no state: progress reports zero state rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = storeDocs.toDF("doc_id", "text")
+    Dedup.writeBandStore(
+      Dedup.minhashStore(store, col("doc_id"), col("text")),
+      "graft_stream_store2", numHashes = 16, bands = 4, buckets = 4)
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.contaminationStream(
+      stream.toDF().toDF("doc_id", "text"),
+      spark.table("graft_stream_store2"),
+      col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("contam_stateless")
+      .outputMode("append").start()
+    try {
+      stream.addData(incDocs: _*)
+      q.processAllAvailable()
+      val progress = q.lastProgress
+      assert(progress.stateOperators.isEmpty,
+        s"stream-static gate must be stateless, got ${progress.stateOperators.length} state operators")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_stream_store2")
+      Dedup.unpersistIntermediates(blocking = true)
+    }
+  }
+}
