@@ -413,8 +413,17 @@ object Dedup {
     val dupPos = grams
       .join(cnt.filter(col("c") >= minCount).select("g"), Seq("g"))
       .select(col("doc_id"), col("pos"))
-    // merge overlapping/adjacent duplicated windows: gram at pos covers
-    // tokens [pos, pos+k-1], so a gap begins when pos jumps by more than k
+    mergeSpans(dupPos, k)
+  }
+
+  /** Merge flagged window-start positions `(doc_id, pos)` into maximal
+    * covered token ranges: gram at pos covers tokens [pos, pos+k-1], so a
+    * gap begins when pos jumps by more than k (the first uncovered
+    * token). Per-DOC window only — partitioned on doc_id, bounded by
+    * document length.
+    */
+  private def mergeSpans(dupPos: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dupPos
       .withColumn("brk",
@@ -425,6 +434,40 @@ object Dedup {
         (max(col("pos")) + (k - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
+  /** GPT-3-style n-gram-overlap decontamination SPANS (Brown et al. 2020,
+    * arXiv:2005.14165 appendix C: training text overlapping an eval set
+    * on a length-k token gram is contaminated): per TRAIN document, the
+    * maximal token ranges covered by k-grams that also occur anywhere in
+    * the BENCHMARK corpus. The doc-level gates (`c5`/`c11`) answer "is
+    * this doc contaminated"; this answers "which exact passage leaked",
+    * the shape needed to surgically cut eval text out of a training doc
+    * ([[cutSpans]]' filter applies verbatim) or to audit leak severity by
+    * span length.
+    *
+    * Scale shape: train-side positional-gram explode (O(train tokens)),
+    * benchmark grams reduced to a DISTINCT gram set (O(bench tokens), the
+    * small side — typically a few eval suites vs a 100 TB corpus, so the
+    * semi-join broadcasts under AQE), then the same per-doc coverage
+    * merge as [[duplicateSpans]]. No pair join, no corpus-global window.
+    */
+  def contaminationSpans(
+      train: DataFrame,
+      bench: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val tg = train
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val bg = bench
+      .select(explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
+      .select(col("pg.g").as("g")).distinct()
+    mergeSpans(
+      tg.join(bg, Seq("g"), "left_semi").select(col("doc_id"), col("pos")), k)
   }
 
   /** Apply [[duplicateSpans]]: per document, the TOKEN-SPACE text with

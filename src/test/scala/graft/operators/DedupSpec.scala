@@ -300,6 +300,23 @@ class DedupSpec extends AnyFunSuite {
     assert(spans == Set((1L, 3L), (9L, 11L)), s"got $spans")
   }
 
+  test("contaminationSpans marks only benchmark-overlapping train passages") {
+    val train = Seq(
+      (1L, "intro words the exact eval question text here closing words"),
+      (2L, "train only content repeated train only content repeated"), // self-dup, NOT contamination
+      (3L, "nothing shared with the benchmark at all today"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the exact eval question text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(train, bench, col("doc_id"), col("text"), k = 3)
+      .select("doc_id", "span_start", "span_end", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc1 tokens: intro(1) words(2) the(3) exact(4) eval(5) question(6)
+    // text(7) here(8) closing(9) words(10) → leaked range = [3,8]
+    assert(got == Set((1L, 3L, 8L, 6L)), s"got $got")
+  }
+
   test("cutSpans removes exactly the duplicated token ranges, keeps the rest") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),   // "a b c d e" duplicated with doc 2
