@@ -83,6 +83,26 @@ class EmptyInputSpec extends AnyFunSuite {
     Corpus.unpersistIntermediates(blocking = true)
   }
 
+  test("span family handles empty inputs on either side") {
+    assert(Dedup.duplicateSpans(emptyDocs, col("doc_id"), col("text"), k = 3)
+      .count() == 0)
+    // cutSpans on empty corpus: nothing to cut, nothing to emit
+    assert(Dedup.cutSpans(emptyDocs, col("doc_id"), col("text"), k = 3)
+      .count() == 0)
+    val someDocs = Seq((1L, "a few plain words here")).toDF("doc_id", "text")
+    // empty benchmark → nothing is contaminated
+    assert(Dedup.contaminationSpans(someDocs, emptyDocs,
+      col("doc_id"), col("text"), k = 3).count() == 0)
+    // empty train side → no spans regardless of the benchmark
+    assert(Dedup.contaminationSpans(emptyDocs, someDocs,
+      col("doc_id"), col("text"), k = 3).count() == 0)
+    // span-free corpus: cutSpans is the identity on token-space text
+    val kept = Dedup.cutSpans(someDocs, col("doc_id"), col("text"), k = 3)
+      .select("clean_text", "n_tokens_cut").as[(String, Long)].collect().head
+    assert(kept == (("a few plain words here", 0L)))
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("BPE trains an empty model and encodes with it on an empty corpus") {
     val merges = Bpe.train(emptyDocs, col("text"), numMerges = 5)
     assert(merges.isEmpty)
