@@ -76,6 +76,13 @@ object Demo {
         docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), col("text")),
       col("doc_id"), col("text")).filter(col("dup_of").isNotNull).count()
     println(s"[demo] incremental dedup flagged $incDup batch docs against the store")
+    // ExactSubstr tier: which passages repeat corpus-wide, and the cut
+    val spanStats = graft.operators.Dedup.cutSpans(
+      docs, col("doc_id"), col("text"), k = 8)
+      .agg(sum(col("n_tokens_cut")).as("cut"), sum(col("n_tokens_kept")).as("kept"))
+      .collect()(0)
+    println(s"[demo] ExactSubstr cut ${spanStats.getLong(0)} of " +
+      s"${spanStats.getLong(0) + spanStats.getLong(1)} tokens as duplicated spans")
     // measure, don't guess: LSH tier recall@10 vs the exact ranking
     val queriesDf = emb.filter(col("vec_id") < 5)
     val recall = graft.operators.Similarity.recallAtK(

@@ -436,6 +436,49 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("n_tokens"))
   }
 
+  /** Corpus boilerplate report: the top-`topN` length-`k` token grams by
+    * total occurrence count, with how many distinct documents carry each —
+    * the audit that tells a curation team WHAT the duplicated text is
+    * (navigation chrome, license headers, templated footers) before they
+    * pick blocklist entries or a [[duplicateSpans]] cut threshold. Rank is
+    * deterministic: occurrences desc, then gram asc.
+    *
+    * Scale shape: one positional-gram explode + ONE map-side-combinable
+    * aggregation carrying both counts (`count(*)` + distinct docs via a
+    * two-stage (g, doc) pre-collapse), then a corpus-size-independent
+    * TakeOrdered top-N — no window over the gram key, no full sort.
+    */
+  def boilerplateReport(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 8,
+      topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val grams = docs
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
+      .select(col("doc_id"), col("pg.g").as("g"))
+    // (g, doc) pre-collapse first: the distinct-doc count then rides a
+    // plain count, and a stop-gram's postings combine map-side twice
+    // rather than feeding a count(DISTINCT) expand
+    val perDoc = grams.groupBy(col("g"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"))
+    val ranked = perDoc.groupBy(col("g"))
+      .agg(sum(col("n_in_doc")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("g").asc)
+      .limit(topN)
+    // rank assigned AFTER the top-N cut: the window sees topN rows, never
+    // the gram table
+    ranked.withColumn("rank",
+      row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("g").asc)).cast("long"))
+      .select(col("rank"), col("g").as("gram"), col("n_occurrences"), col("n_docs"))
+  }
+
   /** GPT-3-style n-gram-overlap decontamination SPANS (Brown et al. 2020,
     * arXiv:2005.14165 appendix C: training text overlapping an eval set
     * on a length-k token gram is contaminated): per TRAIN document, the

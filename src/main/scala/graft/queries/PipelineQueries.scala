@@ -363,6 +363,12 @@ object PipelineQueries {
     Dedup.cutSpans(t(s, dir, "documents"), col("doc_id"), col("text"),
       k = 8, minCount = 2L)
 
+  // WHAT is the duplicated text: top-20 corpus-wide 8-grams with doc
+  // reach — the audit behind blocklists and span-cut thresholds
+  private val d26: Q = (s, dir) =>
+    Dedup.boilerplateReport(t(s, dir, "documents"), col("doc_id"), col("text"),
+      k = 8, topN = 20)
+
   private val d4: Q = (s, dir) =>
     Dedup.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
       maxHamming = 3)
@@ -924,6 +930,7 @@ object PipelineQueries {
     "d22_containment_keep" -> d22,
     "d24_dup_spans" -> d24,
     "d25_cut_spans" -> d25,
+    "d26_boilerplate" -> d26,
     "d6_source_signatures" -> d6,
     "d20_source_overlap" -> d20,
     "d7_dup_clusters" -> d7,
@@ -1523,6 +1530,21 @@ object PipelineQueries {
          |  CAST(inter * 1000000 // ca.n_sh AS BIGINT) AS containment_ppm
          |FROM inter JOIN cnt ca ON ca.doc_id = doc_a
          |WHERE inter * 1000000 // ca.n_sh >= 700000""".stripMargin,
+    // top-N ties broken gram-ascending on both sides; rank replayed over
+    // the already-cut 20 rows
+    "d26_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |p AS (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS pos
+         |      FROM toks WHERE len(w) >= 8),
+         |g AS (SELECT doc_id, array_to_string(w[pos:pos+7], ' ') AS g FROM p),
+         |pd AS (SELECT g, doc_id, count(*) AS n_in_doc FROM g GROUP BY 1, 2),
+         |agg AS (SELECT g, sum(n_in_doc)::BIGINT AS n_occurrences,
+         |          count(*)::BIGINT AS n_docs
+         |        FROM pd GROUP BY g
+         |        ORDER BY n_occurrences DESC, g ASC LIMIT 20)
+         |SELECT row_number() OVER (ORDER BY n_occurrences DESC, g ASC) AS rank,
+         |  g AS gram, n_occurrences, n_docs
+         |FROM agg""".stripMargin,
     // positional (non-distinct) 8-grams; gram counts are TOTAL occurrences
     // (within-doc repetition is duplicated text too); lag/sum windows are
     // per-doc with unique pos, so the merge replays deterministically

@@ -300,6 +300,20 @@ class DedupSpec extends AnyFunSuite {
     assert(spans == Set((1L, 3L), (9L, 11L)), s"got $spans")
   }
 
+  test("boilerplateReport ranks grams by occurrences with doc reach") {
+    val corpus = Seq(
+      (1L, "one two three x"), (2L, "one two three y"),
+      (3L, "one two three z one two three w"), // gram occurs twice here
+      (4L, "other words pad"))
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateReport(corpus, col("doc_id"), col("text"),
+      k = 3, topN = 2)
+      .select("rank", "gram", "n_occurrences", "n_docs")
+      .as[(Long, String, Long, Long)].collect().toList
+    assert(got.head == ((1L, "one two three", 4L, 3L)), s"got $got")
+    assert(got.size == 2 && got(1)._1 == 2L)
+  }
+
   test("contaminationSpans marks only benchmark-overlapping train passages") {
     val train = Seq(
       (1L, "intro words the exact eval question text here closing words"),
