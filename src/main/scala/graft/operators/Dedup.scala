@@ -956,6 +956,45 @@ object Dedup {
     *   decontamination, where increment-internal duplicates are the
     *   dedup pass's business, not the contamination gate's.
     */
+  /** Pick the (bands, rowsPerBand) factorization of `numHashes` whose LSH
+    * S-curve best matches a target Jaccard `threshold` — the config-time
+    * companion to [[minhashLshPairs]] (same criterion as the standard
+    * MinHashLSH `optimal_param`: minimize weighted false-positive +
+    * false-negative probability mass, where candidate probability at
+    * similarity s is `1 − (1 − s^rows)^bands`). Deterministic fixed-step
+    * midpoint integration; driver-side config math, never in a query
+    * plan.
+    *
+    * @return (bands, rowsPerBand) with bands · rowsPerBand = numHashes
+    */
+  def lshParams(
+      threshold: Double,
+      numHashes: Int,
+      fpWeight: Double = 0.5,
+      fnWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    require(numHashes >= 2, s"numHashes must be >= 2, got $numHashes")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      "weights must be non-negative and not both zero")
+    val steps = 1000
+    def candidateP(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def error(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        if (s < threshold) fp += candidateP(s, b, r)
+        else fn += 1.0 - candidateP(s, b, r)
+        i += 1
+      }
+      (fpWeight * fp + fnWeight * fn) / steps
+    }
+    val factorizations =
+      (1 to numHashes).filter(numHashes % _ == 0).map(b => (b, numHashes / b))
+    factorizations.minBy { case (b, r) => error(b, r) }
+  }
+
   /** Banded signature table from a [[minhashStore]] frame: one row per
     * (doc, band) carrying the band slice, the FULL signature, and a
     * derived `band_key` (xxhash64 of the band id + slice) — the single

@@ -300,6 +300,22 @@ class DedupSpec extends AnyFunSuite {
     assert(spans == Set((1L, 3L), (9L, 11L)), s"got $spans")
   }
 
+  test("lshParams picks the S-curve factorization for the target threshold") {
+    // the suite's own config: 16 hashes at threshold 0.5 → the classic 4×4
+    assert(Dedup.lshParams(0.5, 16) == ((4, 4)))
+    // steeper threshold → longer rows (harder to collide below t)
+    val (bHi, rHi) = Dedup.lshParams(0.9, 16)
+    assert(rHi >= 4 && bHi * rHi == 16)
+    // lenient threshold → more, shorter bands (recall-heavy)
+    val (bLo, rLo) = Dedup.lshParams(0.2, 16)
+    assert(rLo <= 2 && bLo * rLo == 16)
+    // weighting: penalizing false negatives only pushes toward recall
+    val (_, rFn) = Dedup.lshParams(0.5, 16, fpWeight = 0.0, fnWeight = 1.0)
+    assert(rFn <= 4)
+    assertThrows[IllegalArgumentException](Dedup.lshParams(0.0, 16))
+    assertThrows[IllegalArgumentException](Dedup.lshParams(0.5, 1))
+  }
+
   test("boilerplateReport ranks grams by occurrences with doc reach") {
     val corpus = Seq(
       (1L, "one two three x"), (2L, "one two three y"),
