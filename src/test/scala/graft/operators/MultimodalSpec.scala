@@ -131,6 +131,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(101L).size == 4 && rows(101L) != rows(100L))
   }
 
+  test("JPEG payloads decode through the same path (magic sniff + ImageIO)") {
+    val img = new java.awt.image.BufferedImage(
+      24, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    try { g2.setColor(java.awt.Color.BLUE); g2.fillRect(0, 0, 24, 10) }
+    finally g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    assert(Multimodal.MediaDecode.looksLikeImage(jpeg), "JPEG SOI magic")
+    val meta = Multimodal.decodeMeta(spark, mediaDf((100L, "image", jpeg)))
+      .collect().head
+    assert(meta.width == 24 && meta.height == 10,
+      s"expected decoded 24x10, got $meta")
+  }
+
   test("a truncated PNG falls back to the stub instead of failing the task") {
     val broken = pngBytes(20, 12, 0xff0000).take(30) // magic intact, body gone
     val meta = Multimodal.decodeMeta(spark,
