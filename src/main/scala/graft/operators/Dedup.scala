@@ -1163,9 +1163,20 @@ object Dedup {
         "the centroid set is empty and every row would be dropped; pick a " +
         "stride that selects some ids")
     // three consumers (both join sides + the anti-join probe): persist the
-    // centroid assignment or each branch re-runs the broadcast-rank pass
+    // centroid assignment or each branch re-runs the broadcast-rank pass.
+    // maxCentroids is deliberately UNCAPPED here, unlike the ANN tiers:
+    // SemDeDup's pair cost is Σ cluster_size² and the stride contract
+    // (cluster size ≈ stride, centroid count ∝ N) is what bounds it —
+    // capping the centroids would grow clusters with the corpus and
+    // quadratic-ize the within-cluster prune instead. The price is the
+    // flat assignment's rows × centroids cosines; at true 100 TB scale
+    // supply TRAINED centroids (fixed k via `centroids`, the paper's
+    // k-means) or route the assignment through an ANN index over the
+    // centroid set — the knob exists precisely because no flat SemDeDup
+    // avoids an N² term on one side or the other.
     val assigned = cached(
-      Similarity.ivfAssign(emb, id, vec, centroidStride, centroids))
+      Similarity.ivfAssign(emb, id, vec, centroidStride, centroids,
+        maxCentroids = Int.MaxValue))
     val m = assigned.select(col("c_id"), col("vec_id"), col("v"))
     val dropped = m.as("x")
       .join(m.as("y"),

@@ -472,8 +472,19 @@ object Similarity {
     * 2 → 6 probes of ~10 lists). LSH ([[lshTopK]]) stays accurate on such
     * data because its `tables` independent partitions multiply coverage.
     */
-  private def ivfCentroids(b: DataFrame, centroidStride: Int): DataFrame =
-    b.filter(col("vec_id") % centroidStride === 0)
+  /** Stride-picked coarse centroids, CAPPED at `maxCentroids` (the first
+    * `maxCentroids` qualifying ids). The cap is what keeps the flat
+    * assignment linear at scale: rows × centroids is the assignment cost,
+    * and an UNCAPPED stride grows the centroid count with the corpus —
+    * N²/stride, a quadratic measured directly (s3 at a 100× corpus ran
+    * 114× its 1× wall before the cap; 256 fixed lists restore ~linear).
+    * Real IVF deployments fix the list count the same way (nProbe/lists
+    * is the scanned fraction regardless of N).
+    */
+  private def ivfCentroids(
+      b: DataFrame, centroidStride: Int, maxCentroids: Int): DataFrame =
+    b.filter(col("vec_id") % centroidStride === 0 &&
+        col("vec_id") < centroidStride.toLong * maxCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
 
   /** Nearest-`keep` centroid assignment of each row in `df` (whose vector
@@ -504,10 +515,11 @@ object Similarity {
       id: Column,
       vec: Column,
       centroidStride: Int = 50,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      maxCentroids: Int = 256): DataFrame = {
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = centroids.map(_.select(col("c_id"), col("cv")))
-      .getOrElse(ivfCentroids(b, centroidStride))
+      .getOrElse(ivfCentroids(b, centroidStride, maxCentroids))
     ivfAssignTo(cents, b, "v", "vec_id", 1)
   }
 
@@ -640,7 +652,8 @@ object Similarity {
       numSubspaces: Int = 8,
       numCodes: Int = 16,
       codeStride: Int = 16,
-      pool: Int = 50): DataFrame = {
+      pool: Int = 50,
+      maxCentroids: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.ColumnBridge
     val cb = pqCodebook(base, id, vec, numSubspaces, numCodes, codeStride)
@@ -649,7 +662,7 @@ object Similarity {
     def lut(v: Column) = ColumnBridge.column(
       graft.functions.PqLut(ColumnBridge.expression(v.cast("array<double>")), cb))
     val b = base.select(id.as("vec_id"), vec.as("v"))
-    val cents = ivfCentroids(b, centroidStride)
+    val cents = ivfCentroids(b, centroidStride, maxCentroids)
     // the stored index rows: list id + PQ codes (+ the full vector, read
     // again only by the pool-bounded rescore)
     val listed = ivfAssignTo(cents, b, "v", "vec_id", 1)
@@ -690,12 +703,13 @@ object Similarity {
       k: Int = 10,
       centroidStride: Int = 50,
       nProbe: Int = 2,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      maxCentroids: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = centroids
       .map(_.select(col("c_id"), col("cv")))
-      .getOrElse(ivfCentroids(b, centroidStride))
+      .getOrElse(ivfCentroids(b, centroidStride, maxCentroids))
     val listed = ivfAssignTo(cents, b, "v", "vec_id", 1)
     val probed = ivfAssignTo(
       cents, queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)

@@ -1982,7 +1982,8 @@ object PipelineQueries {
          |WHERE rn <= 10""".stripMargin,
     "s3_ann_ivf" ->
       """WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND vec_id < 12800),
         |listed AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT b.vec_id, b.embedding AS v, c.c_id,
@@ -2046,7 +2047,8 @@ object PipelineQueries {
     // rank then exact cosine rescore — lockstep with Similarity.ivfPqTopK
     "s14_ann_ivfpq" ->
       """WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND vec_id < 12800),
         |listed AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT b.vec_id, b.embedding AS v, c.c_id,
