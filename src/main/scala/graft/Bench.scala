@@ -66,10 +66,11 @@ object Bench {
     require(unknownQ.isEmpty, s"unknown queries: ${unknownQ.mkString(", ")}")
     // oracle-only tiers: deliberately-quadratic ground-truth fixtures kept
     // for correctness replay (Verify still dumps them) but excluded from
-    // the headline sweep — their lossless production siblings are benched
-    // instead (d2 → d19_prefix_jaccard, identical oracle). Explicitly
-    // naming one on the command line still times it.
-    val oracleOnly = Set("d2_ngram_jaccard")
+    // the headline sweep — their production siblings are benched instead
+    // (d2 → d19_prefix_jaccard, identical oracle; d5 exact all-pairs
+    // embedding baseline → d12 SemDeDup, the declared scale path).
+    // Explicitly naming one on the command line still times it.
+    val oracleOnly = Set("d2_ngram_jaccard", "d5_embedding_neardup")
     val names = (if (only.isEmpty) SparkEntry.queries.keySet -- oracleOnly
                  else only).toVector.sorted
 
