@@ -1142,6 +1142,16 @@ object Dedup {
     * the LOWEST id of each close pair (transitivity-free: x survives iff
     * NO earlier close neighbor exists — an EXISTS, not a union-find; the
     * connected-component treatment stays [[clusterPairs]]' job).
+    *
+    * Guard: the stride contract makes centroid count ∝ N, so the FLAT
+    * nearest-centroid assignment is rows × centroids ≈ N²/stride — the
+    * exact quadratic the 100× scale check measured surfacing (115× wall
+    * for 100× data). Past `maxFlatCentroids` stride-picked centroids the
+    * operator refuses to run rather than default into it: supply TRAINED
+    * fixed-k centroids ([[Similarity.kmeansTrain]] →
+    * [[Similarity.kmeansCentroids]], the paper's actual k-means — pick
+    * k ≈ √N to balance assignment against the within-cluster prune), or
+    * raise the bound deliberately for a corpus you have measured.
     */
   def semanticKeep(
       emb: DataFrame,
@@ -1149,19 +1159,29 @@ object Dedup {
       vec: Column,
       minCosine: Double = 0.4,
       centroidStride: Int = 50,
-      centroids: Option[DataFrame] = None): DataFrame = {
-    // fail loudly when the stride matches NO id: the empty centroid set
-    // would otherwise flow through the inner assignment join and silently
-    // return an empty keep-set — a dedup operator deleting 100% of the
-    // corpus. limit(1) keeps the eager probe cheap: the scan stops at the
-    // first matching row in the (overwhelmingly common) non-empty case.
+      centroids: Option[DataFrame] = None,
+      maxFlatCentroids: Int = 4096): DataFrame = {
+    // Eager centroid-count probe (one filtered scan, only on the
+    // stride path): fail loudly when the stride matches NO id — the empty
+    // centroid set would otherwise flow through the inner assignment join
+    // and silently return an empty keep-set, a dedup operator deleting
+    // 100% of the corpus — and fail loudly PAST the flat-assignment bound
+    // (see scaladoc; the only scale-killer-by-default this operator had).
     // A trained centroid table (Similarity.kmeansCentroids — the paper's
     // actual k-means clustering) bypasses the stride contract entirely.
-    require(centroids.isDefined ||
-      !emb.filter(id.cast("long") % centroidStride === 0).limit(1).isEmpty,
-      s"semanticKeep: no id is a multiple of centroidStride=$centroidStride — " +
-        "the centroid set is empty and every row would be dropped; pick a " +
-        "stride that selects some ids")
+    if (centroids.isEmpty) {
+      val nCents = emb.filter(id.cast("long") % centroidStride === 0).count()
+      require(nCents > 0,
+        s"semanticKeep: no id is a multiple of centroidStride=$centroidStride — " +
+          "the centroid set is empty and every row would be dropped; pick a " +
+          "stride that selects some ids")
+      require(nCents <= maxFlatCentroids,
+        s"semanticKeep: centroidStride=$centroidStride picks $nCents centroids — " +
+          s"past maxFlatCentroids=$maxFlatCentroids the flat nearest-centroid " +
+          "assignment is rows × centroids ≈ N²/stride (quadratic in the corpus). " +
+          "Supply trained fixed-k centroids (Similarity.kmeansTrain → " +
+          "kmeansCentroids; k ≈ √N) or raise maxFlatCentroids deliberately")
+    }
     // three consumers (both join sides + the anti-join probe): persist the
     // centroid assignment or each branch re-runs the broadcast-rank pass.
     // maxCentroids is deliberately UNCAPPED here, unlike the ANN tiers:
@@ -1169,11 +1189,12 @@ object Dedup {
     // (cluster size ≈ stride, centroid count ∝ N) is what bounds it —
     // capping the centroids would grow clusters with the corpus and
     // quadratic-ize the within-cluster prune instead. The price is the
-    // flat assignment's rows × centroids cosines; at true 100 TB scale
-    // supply TRAINED centroids (fixed k via `centroids`, the paper's
-    // k-means) or route the assignment through an ANN index over the
-    // centroid set — the knob exists precisely because no flat SemDeDup
-    // avoids an N² term on one side or the other.
+    // flat assignment's rows × centroids cosines — which is why the
+    // maxFlatCentroids guard above refuses the stride path past the
+    // bound; at true 100 TB scale supply TRAINED centroids (fixed k via
+    // `centroids`, the paper's k-means) or route the assignment through
+    // an ANN index over the centroid set — the knob exists precisely
+    // because no flat SemDeDup avoids an N² term on one side or the other.
     val assigned = cached(
       Similarity.ivfAssign(emb, id, vec, centroidStride, centroids,
         maxCentroids = Int.MaxValue))

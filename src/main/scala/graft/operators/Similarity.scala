@@ -473,19 +473,34 @@ object Similarity {
     * data because its `tables` independent partitions multiply coverage.
     */
   /** Stride-picked coarse centroids, CAPPED at `maxCentroids` (the first
-    * `maxCentroids` qualifying ids). The cap is what keeps the flat
-    * assignment linear at scale: rows × centroids is the assignment cost,
-    * and an UNCAPPED stride grows the centroid count with the corpus —
-    * N²/stride, a quadratic measured directly (s3 at a 100× corpus ran
-    * 114× its 1× wall before the cap; 256 fixed lists restore ~linear).
-    * Real IVF deployments fix the list count the same way (nProbe/lists
-    * is the scanned fraction regardless of N).
+    * `maxCentroids` qualifying ids BY RANK — an ordered limit, not an
+    * absolute id bound, so offset or sparse id spaces still yield a full
+    * centroid set). The cap is what keeps the flat assignment linear at
+    * scale: rows × centroids is the assignment cost, and an UNCAPPED
+    * stride grows the centroid count with the corpus — N²/stride, a
+    * quadratic measured directly (s3 at a 100× corpus ran 114× its 1×
+    * wall before the cap; 256 fixed lists restore ~linear). Real IVF
+    * deployments fix the list count the same way (nProbe/lists is the
+    * scanned fraction regardless of N). Fails loudly when the stride
+    * matches NO id at all: an empty centroid set would flow through the
+    * inner assignment join and every probe would silently return zero
+    * rows (the limit(1) probe stops at the first qualifying row, so the
+    * eager check stays cheap).
     */
   private def ivfCentroids(
-      b: DataFrame, centroidStride: Int, maxCentroids: Int): DataFrame =
-    b.filter(col("vec_id") % centroidStride === 0 &&
-        col("vec_id") < centroidStride.toLong * maxCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      b: DataFrame, centroidStride: Int, maxCentroids: Int): DataFrame = {
+    val qualifying = b.filter(col("vec_id") % centroidStride === 0)
+    require(!qualifying.limit(1).isEmpty,
+      s"ivfCentroids: no id is a multiple of centroidStride=$centroidStride — " +
+        "the centroid set is empty and every probe would return zero rows; " +
+        "pick a stride that selects some ids or supply trained centroids")
+    // Int.MaxValue = caller manages the bound (SemDeDup's stride contract);
+    // a TakeOrdered at that k would be a full global sort for nothing
+    val capped =
+      if (maxCentroids == Int.MaxValue) qualifying
+      else qualifying.orderBy(col("vec_id")).limit(maxCentroids)
+    capped.select(col("vec_id").as("c_id"), col("v").as("cv"))
+  }
 
   /** Nearest-`keep` centroid assignment of each row in `df` (whose vector
     * column is `v` and row id is `idc`) — broadcast centroids, window rank.

@@ -1983,7 +1983,7 @@ object PipelineQueries {
     "s3_ann_ivf" ->
       """WITH cents AS (
         |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-        |  WHERE vec_id % 50 = 0 AND vec_id < 12800),
+        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
         |listed AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT b.vec_id, b.embedding AS v, c.c_id,
@@ -2048,7 +2048,7 @@ object PipelineQueries {
     "s14_ann_ivfpq" ->
       """WITH cents AS (
         |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-        |  WHERE vec_id % 50 = 0 AND vec_id < 12800),
+        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
         |listed AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT b.vec_id, b.embedding AS v, c.c_id,

@@ -469,6 +469,28 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("centroidStride"))
   }
 
+  test("semanticKeep refuses the flat stride path past maxFlatCentroids") {
+    // stride 1 → every row a centroid: 4 centroids > bound 2 → the
+    // N²/stride flat assignment must throw, pointing at trained centroids
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticKeep(emb, col("vec_id"), col("embedding"),
+        minCosine = 0.9, centroidStride = 1, maxFlatCentroids = 2)
+    }
+    assert(e.getMessage.contains("maxFlatCentroids"))
+    assert(e.getMessage.contains("kmeansCentroids"))
+    // a trained centroid table bypasses the stride bound entirely
+    val trained = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("c_id", "cv")
+    val kept = Dedup.semanticKeep(emb, col("vec_id"), col("embedding"),
+      minCosine = 0.9, centroids = Some(trained), maxFlatCentroids = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((0L, 0L), (2L, 1L)))
+  }
+
   test("semanticKeep accepts trained centroids (the paper's k-means clustering)") {
     // ids 1..4 so the stride-50 contract would fail — the trained table
     // must bypass it; both near-dup pairs share a trained cluster → the

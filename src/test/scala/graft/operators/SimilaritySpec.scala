@@ -55,6 +55,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall { case (qid, vid) => qid != vid })
   }
 
+  test("IVF centroid cap picks by rank, so offset id spaces keep a full centroid set") {
+    // ids start at 1000 — the old absolute bound (vec_id < stride*max)
+    // would select ZERO centroids here and every probe would silently
+    // come back empty; the ordered-limit pick takes the first `max`
+    // qualifying ids wherever they sit on the number line
+    val offset = Seq.tabulate(10)(i =>
+      (1000L + i, Array((i % 3).toFloat + 0.1f, (i % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(offset, col("vec_id"), col("embedding"),
+      centroidStride = 2, maxCentroids = 3)
+    val cents = assigned.select("c_id").distinct().as[Long].collect().toSet
+    assert(cents.subsetOf(Set(1000L, 1002L, 1004L)) && cents.nonEmpty)
+    assert(assigned.count() == 10) // every row assigned, none lost
+  }
+
+  test("IVF fails loudly when the stride matches no id (empty centroid set)") {
+    val odd = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(odd, col("vec_id"), col("embedding"),
+        centroidStride = 2)
+    }
+    assert(e.getMessage.contains("centroidStride"))
+  }
+
   test("IVF index stored partitionBy(c_id): probing = partition pruning (the 100 TB path)") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
