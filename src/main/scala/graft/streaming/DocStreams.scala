@@ -47,19 +47,15 @@ object DocStreams {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(minAgree >= 1 && minAgree <= numHashes,
       s"minAgree must be in [1, $numHashes], got $minAgree")
-    val rows = numHashes / bands
     val sig = docs
       .select(id.as("doc_id"),
         minhashSignature(shingles(tokens(text), n), numHashes).as("sig"))
       .filter(col("sig").isNotNull) // shingle-less docs cannot match
-    val banded = sig
-      .select(col("doc_id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            slice(col("sig"), b * rows + 1, lit(rows)).as("bsig")))).as("bb"))
-      .select(col("doc_id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bsig").as("bsig"),
-        xxhash64(col("bb.band"), col("bb.bsig")).as("band_key"))
+    // the ONE banding implementation, shared with the batch tier — band
+    // shape or band_key derivation can never drift between the store
+    // writer, the batch prober, and this stream (plain stateless column
+    // ops, so it lifts to a streaming frame unchanged)
+    val banded = graft.operators.Dedup.bandSignatures(sig, numHashes, bands)
     // same join shape as the batch tier: band_key is the only equi key
     // (bucketed-store co-partitioning), exact (band, bsig) equality as an
     // order-pair residual, and the minAgree verify rides the SAME join as

@@ -147,6 +147,55 @@ class MultimodalSpec extends AnyFunSuite {
       s"expected decoded 24x10, got $meta")
   }
 
+  /** A header-only PNG whose IHDR declares `w`×`h` with a VALID CRC — the
+    * decompression-bomb shape: a few dozen bytes on the wire, a
+    * `w*h*4`-byte raster if a reader naively allocates. No IDAT follows,
+    * so a full `ImageIO.read` would fail anyway; the point is that the
+    * guard must reject on the HEADER, before any raster allocation.
+    */
+  private def bombPngHeader(w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(ihdr)
+    d.writeBytes("IHDR")
+    d.writeInt(w); d.writeInt(h)
+    d.writeByte(8); d.writeByte(2) // bit depth 8, color type RGB
+    d.writeByte(0); d.writeByte(0); d.writeByte(0)
+    val chunk = ihdr.toByteArray
+    out.writeInt(chunk.length - 4) // data length excludes the type tag
+    out.write(chunk)
+    val crc = new java.util.zip.CRC32()
+    crc.update(chunk)
+    out.writeInt(crc.getValue.toInt)
+    bos.toByteArray
+  }
+
+  test("a decompression-bomb header is rejected by the pixel budget, raster never allocated") {
+    // 100k × 100k ≈ 10 gigapixels ≈ 40 GB of raster ints if decoded —
+    // far over any test heap, so completing AT ALL proves the header-only
+    // peek; the explicit budget check is the documented contract
+    val bomb = bombPngHeader(100000, 100000)
+    assert(Multimodal.MediaDecode.looksLikeImage(bomb), "PNG magic intact")
+    assert(Multimodal.MediaDecode.decodeImage(bomb).isEmpty,
+      "over-budget header must route to the stub path")
+    // a same-shaped header UNDER the budget gets past the guard (and then
+    // fails on the missing IDAT — proving the budget check, not a parse
+    // error, is what rejected the bomb)
+    assert(Multimodal.MediaDecode.decodeImage(bombPngHeader(8, 8)).isEmpty)
+    // the operator tier: the bomb flows through decodeMeta as a stub row
+    val meta = Multimodal.decodeMeta(spark,
+      mediaDf((100L, "image", bomb))).collect().head
+    assert(meta.width == 32 + bomb.length.toLong * 7 % 1888,
+      "bomb payload must take the deterministic stub path")
+    // explicit budget knob: the same 20x12 real PNG decodes at the default
+    // budget and is rejected when the budget is below its pixel count
+    val png = pngBytes(20, 12, 0xff0000)
+    assert(Multimodal.MediaDecode.decodeImage(png).isDefined)
+    assert(Multimodal.MediaDecode.decodeImage(png, maxPixels = 100).isEmpty)
+  }
+
   test("a truncated PNG falls back to the stub instead of failing the task") {
     val broken = pngBytes(20, 12, 0xff0000).take(30) // magic intact, body gone
     val meta = Multimodal.decodeMeta(spark,
