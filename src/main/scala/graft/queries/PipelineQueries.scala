@@ -396,6 +396,15 @@ object PipelineQueries {
     Dedup.semanticKeep(t(s, dir, "embeddings"), col("vec_id"),
       col("embedding"), minCosine = 0.4, centroidStride = 50)
 
+  // LSH geometry picked by the S-curve selector instead of by hand:
+  // lshParams(0.5, 32) = 8 bands × 4 rows — recall-heavier banding than
+  // d3's hand-set 4×8 at the same exact-Jaccard verify threshold, chosen
+  // by minimizing integrated FP+FN mass at the target 0.5. The knob a
+  // user holds is the threshold; the geometry follows.
+  private val d27: Q = (s, dir) =>
+    Dedup.minhashLshPairsTuned(t(s, dir, "documents"),
+      col("doc_id"), col("text"), n = 3, numHashes = 32, threshold = 0.5)
+
   // pairs → duplicate clusters → canonical representative (min doc id of
   // the connected component), the step that turns near-dup pairs into a
   // keep/drop decision. Fed from the LSH candidate pairs (the scale path —
@@ -925,6 +934,7 @@ object PipelineQueries {
     "d19_prefix_jaccard" -> d19,
     "d2b_ngram_capped" -> d2b,
     "d3_minhash_lsh" -> d3,
+    "d27_lsh_tuned" -> d27,
     "d21_containment" -> d21,
     "d21b_containment_capped" -> d21b,
     "d22_containment_keep" -> d22,
@@ -1026,13 +1036,15 @@ object PipelineQueries {
     s"SELECT doc_id, $bits AS simhash FROM th GROUP BY doc_id"
   }
 
-  /** DuckDB replay of `Dedup.minhashLshPairs` (n=3, 32 hashes, 4 bands,
-    * minJaccard 0.5): shingle → minhash signature → 8-row bands →
-    * band-equality candidates → exact Jaccard verify. Shared by the d3
-    * pair gate and the d7/d8 cluster oracles so all three stay in
+  /** DuckDB replay of `Dedup.minhashLshPairs` (n=3, 32 hashes, `bands`
+    * bands of `rowsPerBand` rows — the d3 default is 4×8; d27 passes the
+    * lshParams-selected 8×4): shingle → minhash signature → bands →
+    * band-equality candidates → exact Jaccard verify. Shared by the
+    * d3/d27 pair gates and the d7/d8 cluster oracles so all stay in
     * lockstep with the one Spark implementation.
     */
-  private[queries] def sqlLshPairCtes(src: String = "documents") =
+  private[queries] def sqlLshPairCtes(
+      src: String = "documents", bands: Int = 4, rowsPerBand: Int = 8) =
     s"""base AS (
        |  SELECT doc_id, sh FROM (
        |    SELECT doc_id, ${sqlShingles("w")} AS sh
@@ -1045,8 +1057,9 @@ object PipelineQueries {
        |        ((${sqlPolyHash("s")}) * (i*2 + 1) + (i*i*31 + 7)) % 1000000007))) AS sig
        |  FROM base),
        |banded AS (
-       |  SELECT doc_id, b AS band, list_slice(sig, b*8 + 1, b*8 + 8) AS bsig
-       |  FROM sig, unnest(range(0, 4)) t(b)),
+       |  SELECT doc_id, b AS band,
+       |    list_slice(sig, b*$rowsPerBand + 1, b*$rowsPerBand + $rowsPerBand) AS bsig
+       |  FROM sig, unnest(range(0, $bands)) t(b)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
@@ -1641,6 +1654,11 @@ object PipelineQueries {
          |WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH ${sqlLshPairCtes()}
+         |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin,
+    // same replay with the lshParams-selected 8×4 geometry (the Spark side
+    // derives it from threshold=0.5; the oracle pins the selected shape)
+    "d27_lsh_tuned" ->
+      s"""WITH ${sqlLshPairCtes(bands = 8, rowsPerBand = 4)}
          |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin,
     "d20_source_overlap" ->
       s"""WITH ${sqlLshPairCtes()},

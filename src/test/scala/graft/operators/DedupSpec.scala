@@ -316,6 +316,31 @@ class DedupSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Dedup.lshParams(0.5, 1))
   }
 
+  test("tuned overloads: threshold-driven geometry reproduces the hand-set default") {
+    // lshParams(0.5, 16) = (4, 4) — so the tuned pair generator must be
+    // bit-identical to the raw (numHashes=16, bands=4, minJaccard=0.5)
+    // call the suite's other fixtures exercise
+    val raw = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val tuned = Dedup.minhashLshPairsTuned(docs, col("doc_id"), col("text"),
+      n = 3, numHashes = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tuned == raw && raw.nonEmpty)
+    // incremental: bands=4 and minAgree=ceil(0.5*16)=8 reproduce exactly
+    val inc = docs.filter(col("doc_id") <= 2)
+    val store = Dedup.minhashStore(docs.filter(col("doc_id") > 2)
+      .withColumn("doc_id", col("doc_id") + 100), col("doc_id"), col("text"))
+    val rawInc = Dedup.incrementalDedup(inc, store, col("doc_id"), col("text"),
+      numHashes = 16, bands = 4, minAgree = 8)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val tunedInc = Dedup.incrementalDedupTuned(inc, store,
+      col("doc_id"), col("text"), numHashes = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(tunedInc == rawInc)
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("boilerplateReport ranks grams by occurrences with doc reach") {
     val corpus = Seq(
       (1L, "one two three x"), (2L, "one two three y"),
