@@ -924,6 +924,28 @@ object Corpus {
     * @param score     integer score column (e.g. quality ppm)
     * @param easyFirst true → ascending tiers (lowest band first)
     */
+  /** All-integer counted-threshold tier map over a `(doc_id, _score)`
+    * frame: tier = ⌊(# rows with strictly smaller score) · tiers / N⌋ + 1
+    * for each DISTINCT score value. The one window runs over the
+    * distinct-score rows only (bounded by the value domain, never the
+    * corpus), thresholds are integer division end to end — no percentile
+    * interpolation, so every engine lands ties in the same tier. Shared
+    * by [[curriculumOrder]] and [[perplexityBuckets]].
+    */
+  private def countedTierMap(scored: DataFrame, tiers: Int): DataFrame = {
+    val counts = scored.groupBy(col("_score")).agg(count(lit(1)).as("_c"))
+    // cumulative count of strictly-smaller scores; window runs over the
+    // distinct-score rows only
+    val cum = counts.withColumn("_start",
+      sum(col("_c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("_score"))) - col("_c"))
+    val total = scored.agg(count(lit(1)).as("_n"))
+    cum.crossJoin(broadcast(total))
+      .select(col("_score"),
+        // integer div, never float: `/` would round-trip through double
+        expr(s"(_start * ${tiers.toLong} div _n) + 1L").as("tier"))
+  }
+
   def curriculumOrder(
       docs: DataFrame,
       id: Column,
@@ -933,17 +955,7 @@ object Corpus {
     require(tiers >= 2 && tiers <= 1000, s"tiers must be in [2,1000], got $tiers")
     val scored = cacheIntermediate(
       docs.select(id.cast("long").as("doc_id"), score.cast("long").as("_score")))
-    val counts = scored.groupBy(col("_score")).agg(count(lit(1)).as("_c"))
-    // cumulative count of strictly-smaller scores; window runs over the
-    // distinct-score rows only
-    val cum = counts.withColumn("_start",
-      sum(col("_c")).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("_score"))) - col("_c"))
-    val total = scored.agg(count(lit(1)).as("_n"))
-    val tierMap = cum.crossJoin(broadcast(total))
-      .select(col("_score"),
-        // integer div, never float: `/` would round-trip through double
-        expr(s"(_start * ${tiers.toLong} div _n) + 1L").as("tier"))
+    val tierMap = countedTierMap(scored, tiers)
     val dirTier = if (easyFirst) col("tier")
                   else lit(tiers.toLong + 1L) - col("tier")
     scored.join(tierMap, "_score")
@@ -951,6 +963,39 @@ object Corpus {
         (dirTier * lit(4294967296L) +
           graft.functions.KeyedHash.idHash(col("doc_id"), SplitMult) %
             lit(4294967296L)).as("curriculum_key"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4): split the corpus into `buckets` equal-count
+    * strata of a per-document perplexity-like score — bucket 1 ("head")
+    * holds the LOWEST-perplexity (most fluent) documents, the last
+    * ("tail") the highest — the stratification CCNet applies before
+    * keeping head+middle for LM pretraining. Built on the same counted
+    * integer thresholds as [[curriculumOrder]]: ties land
+    * deterministically in one bucket on any engine, and the single
+    * window runs over DISTINCT score values only.
+    *
+    * Output: `(doc_id, perplexity_ppm, bucket, bucket_label)` with the
+    * CCNet names head/middle/tail at `buckets = 3` (positional `b<i>`
+    * labels otherwise).
+    */
+  def perplexityBuckets(
+      docs: DataFrame,
+      id: Column,
+      perplexity: Column,
+      buckets: Int = 3): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2,1000], got $buckets")
+    val scored = cacheIntermediate(
+      docs.select(id.cast("long").as("doc_id"),
+        perplexity.cast("long").as("_score")))
+    val labels =
+      if (buckets == 3) array(lit("head"), lit("middle"), lit("tail"))
+      else array((1 to buckets).map(i => lit(s"b$i")): _*)
+    scored.join(countedTierMap(scored, buckets), "_score")
+      .select(col("doc_id"), col("_score").as("perplexity_ppm"),
+        col("tier").as("bucket"),
+        element_at(labels, col("tier").cast("int")).as("bucket_label"))
   }
 
   /** C4-style blocklist filter: per-category token hit counts plus a

@@ -691,6 +691,41 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("l").as("cluster_rep"))
   }
 
+  /** Soft dedup: down-WEIGHT duplicated documents instead of deleting
+    * them (SoftDeDup, He et al. 2024, arXiv:2407.06654 — reweighting
+    * preserves the corpus while equalizing the effective sampling mass of
+    * each near-dup family). Every document gets its near-dup cluster
+    * ([[clusterPairs]] over the `pairs` edge set; docs in no pair are
+    * their own singleton cluster) and a sampling weight
+    * `weight_ppm = ⌊1e6 / cluster_size⌋` — a cluster's members together
+    * carry one document's worth of sampling mass, so a 3-copy family
+    * trains like one copy instead of three, and unique documents keep
+    * weight 1e6. Exact integer arithmetic end to end.
+    *
+    * Scale shape: the cluster assignment is the usual hash-min loop over
+    * the (sparse) pair set, sizes are one count per cluster rep, and the
+    * full-corpus left joins are id-keyed equi-joins — cost tracks corpus
+    * + pairs, never N².
+    *
+    * Output: `(doc_id, cluster_rep, cluster_size, weight_ppm)`, one row
+    * per document of `docs`.
+    */
+  def softDedupWeights(
+      docs: DataFrame,
+      id: Column,
+      pairs: DataFrame): DataFrame = {
+    val clusters = clusterPairs(pairs)
+    val sizes = clusters.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    docs.select(id.cast("long").as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .join(sizes, Seq("cluster_rep"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"))
+  }
+
   /** The keep/drop decision that completes the dedup story: every doc
     * survives except non-representative members of duplicate clusters.
     * A broadcast anti-join — the cluster table is tiny relative to the

@@ -92,6 +92,21 @@ object CorpusQueries {
     Corpus.curriculumOrder(t(s, dir, "documents"), col("doc_id"),
       qualityScorePpm(col("text")), tiers = 10)
 
+  // CCNet head/middle/tail strata: pseudo-perplexity = the NEGATED
+  // bigram-LM fluency score (t10's model — held-out docs scored against
+  // the doc_id%10==0 training slice), tercile cut by counted integer
+  // thresholds (c19's construction). head = most fluent. Docs with no
+  // bigram at all carry no LM evidence and are excluded, as in CCNet's
+  // LM-scored pipeline.
+  private val c23: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val scored = graft.operators.NgramLm.bigramScore(
+      docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+      docs.filter(col("doc_id") % 10 === 0), col("text"))
+      .filter(col("lm_ppm").isNotNull)
+    Corpus.perplexityBuckets(scored, col("doc_id"), -col("lm_ppm"), buckets = 3)
+  }
+
   // padding-efficient batching: length-sorted fixed-size batches per
   // shard; emits each row's exact pad waste vs its batch max
   private val c20: Q = (s, dir) =>
@@ -258,6 +273,7 @@ object CorpusQueries {
     "c10_chunking" -> c10,
     "c11_contamination_minhash" -> c11,
     "c22_contamination_spans" -> c22,
+    "c23_ccnet_buckets" -> c23,
     "c12_balanced_order" -> c12,
     "c2_stratified_sample" -> c2,
     "c3_shard_manifest" -> c3,
@@ -380,6 +396,42 @@ object CorpusQueries {
          |    ((coalesce(c.cluster_rep, d.doc_id) % ${Corpus.IdMod})
          |     * ${Corpus.SplitMult}) % 1000 AS h
          |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id) hashed""".stripMargin,
+    // t10's bigram-LM replay (train slice doc_id%10==0, add-one smoothing,
+    // integer ppm) negated into a pseudo-perplexity, then c19's counted
+    // integer tercile cut with the CCNet head/middle/tail labels
+    "c23_ccnet_buckets" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${sqlToks("text")} AS tk FROM documents),
+         |lmbi AS (
+         |  SELECT t.tk[i::INT] AS bw1, t.tk[(i+1)::INT] AS bw2, count(*) AS cb
+         |  FROM tk t, unnest(range(1, len(t.tk))) u(i)
+         |  WHERE t.doc_id % 10 = 0 GROUP BY 1, 2),
+         |lmuni AS (
+         |  SELECT w, count(*) AS cu FROM (
+         |    SELECT unnest(tk) AS w FROM tk WHERE doc_id % 10 = 0)
+         |  GROUP BY 1),
+         |v AS (SELECT count(*)::BIGINT AS v FROM lmuni),
+         |pairs AS (
+         |  SELECT d.doc_id, d.tk[i::INT] AS w1, d.tk[(i+1)::INT] AS w2
+         |  FROM tk d, unnest(range(1, len(d.tk))) u(i)
+         |  WHERE d.doc_id % 10 <> 0),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |    ((COALESCE(b.cb, 0) + 1) * 1000000) // (COALESCE(u.cu, 0) + (SELECT v FROM v)) AS ppm
+         |  FROM pairs p
+         |  LEFT JOIN lmbi b ON b.bw1 = p.w1 AND b.bw2 = p.w2
+         |  LEFT JOIN lmuni u ON u.w = p.w1),
+         |px AS (
+         |  SELECT doc_id, (-(sum(ppm) // count(*)))::BIGINT AS s
+         |  FROM scored GROUP BY 1),
+         |cnt AS (SELECT s, count(*) AS c FROM px GROUP BY 1),
+         |cum AS (SELECT s, (sum(c) OVER (ORDER BY s) - c)::BIGINT AS start FROM cnt),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM px),
+         |tm AS (SELECT s, (start * 3 // n + 1)::BIGINT AS bucket FROM cum, tot)
+         |SELECT p.doc_id, p.s AS perplexity_ppm, tm.bucket,
+         |  CASE tm.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket_label
+         |FROM px p JOIN tm USING (s)""".stripMargin,
     // train-side positional grams joined to the DISTINCT benchmark gram
     // set (distinct → the join emits each train window at most once), then
     // the d24 coverage merge

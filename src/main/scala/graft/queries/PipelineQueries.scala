@@ -396,6 +396,30 @@ object PipelineQueries {
     Dedup.semanticKeep(t(s, dir, "embeddings"), col("vec_id"),
       col("embedding"), minCosine = 0.4, centroidStride = 50)
 
+  // soft dedup: reweight near-dup families instead of deleting — every
+  // doc keeps a row, a cluster's members share one document's sampling
+  // mass (weight_ppm = 1e6 / cluster size), uniques stay at 1e6. Same
+  // LSH pair set as d7, so the cluster structure is the adjudicated one.
+  private val d28: Q = (s, dir) =>
+    Dedup.softDedupWeights(t(s, dir, "documents"), col("doc_id"),
+      Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, numHashes = 32, bands = 4, minJaccard = 0.5))
+
+  // SemDeDup with the TRAINED coarse quantizer (the paper's actual
+  // k-means): train → cluster → within-cluster prune as ONE declarative
+  // plan — the route semanticKeep's maxFlatCentroids guard points at when
+  // the stride contract would quadratic-ize the flat assignment (trained
+  // k is FIXED, so assignment stays rows × k at any corpus size; at scale
+  // pick k ≈ √N so the within-cluster prune stays bounded too). Same 0.4
+  // threshold as d12; k=8/iters=2/seedStride=50 in lockstep with the
+  // s9/s10 k-means oracle replay.
+  private val d12b: Q = (s, dir) =>
+    Dedup.semanticKeep(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), minCosine = 0.4,
+      centroids = Some(Similarity.kmeansCentroids(
+        Similarity.kmeansTrain(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), k = 8, iters = 2, seedStride = 50))))
+
   // LSH geometry picked by the S-curve selector instead of by hand:
   // lshParams(0.5, 32) = 8 bands × 4 rows — recall-heavier banding than
   // d3's hand-set 4×8 at the same exact-Jaccard verify threshold, chosen
@@ -955,6 +979,8 @@ object PipelineQueries {
     "d4_simhash" -> d4,
     "d5_embedding_neardup" -> d5,
     "d12_semdedup" -> d12,
+    "d12b_semdedup_trained" -> d12b,
+    "d28_softdedup_weights" -> d28,
     "d13_incremental_dedup" -> d13,
     "d10_substring_coverage" -> d10,
     "d11_dedup_report" -> d11,
@@ -1677,6 +1703,19 @@ object PipelineQueries {
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE ${sqlLshClusterCtes()}
          |SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v""".stripMargin,
+    // d7's clusters + per-cluster counts + 1e6/size integer weights, left
+    // joined over the WHOLE corpus (singletons weight 1e6)
+    "d28_softdedup_weights" ->
+      s"""WITH RECURSIVE ${sqlLshClusterCtes()},
+         |cl AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v),
+         |sz AS (SELECT cluster_rep, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(cl.cluster_rep, d.doc_id) AS cluster_rep,
+         |  COALESCE(sz.cluster_size, 1)::BIGINT AS cluster_size,
+         |  (1000000 // COALESCE(sz.cluster_size, 1))::BIGINT AS weight_ppm
+         |FROM documents d
+         |LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |LEFT JOIN sz ON sz.cluster_rep = COALESCE(cl.cluster_rep, d.doc_id)""".stripMargin,
     // the same recursive hash-min walk as d7, over the levenshtein graph
     "d18_fuzzy_clusters" ->
       """WITH RECURSIVE fpairs AS (
@@ -1905,6 +1944,28 @@ object PipelineQueries {
         |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
         |SELECT vec_id, c_id FROM listed
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    // d12's prune CTEs over the s9/s10 trained-centroid replay: the two
+    // unrolled Lloyd iterations produce c2, nearest-trained-centroid
+    // assignment replaces the stride cluster, the within-cluster
+    // drop/keep logic is unchanged
+    "d12b_semdedup_trained" ->
+      s"""WITH $sqlKmeansCtes,
+         |cents AS (
+         |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+         |listed AS (
+         |  SELECT vec_id, v, c_id FROM (
+         |    SELECT b.vec_id, b.embedding AS v, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv), 6) DESC,
+         |                 c.c_id ASC) AS crn
+         |    FROM embeddings b CROSS JOIN cents c)
+         |  WHERE crn <= 1),
+         |dropped AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
+         |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
+         |SELECT vec_id, c_id FROM listed
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "s1_ann_bruteforce" -> sqlS1Exact,
     // MMR replay: the s1 pool + pairwise pool sims in integer micro-units,
     // then five greedy CTE steps with the identical BIGINT score and

@@ -656,6 +656,26 @@ class CorpusSpec extends AnyFunSuite {
     Corpus.unpersistIntermediates(blocking = true)
   }
 
+  test("perplexityBuckets: CCNet head/middle/tail terciles with deterministic ties") {
+    // 6 docs, perplexities 5,5,10,20,20,30 → starts 0,0,2,3,3,5 of N=6 →
+    // bucket = start*3 div 6 + 1 → {5→1, 10→2, 20→2, 30→3}; both ties
+    // land in ONE bucket (counted thresholds, no interpolation)
+    val d = Seq((1L, 5L), (2L, 5L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 30L))
+      .toDF("id", "px")
+    val got = Corpus.perplexityBuckets(d, col("id"), col("px"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._3, r._4)).toSeq == Seq(
+      (1L, 1L, "head"), (2L, 1L, "head"), (3L, 2L, "middle"),
+      (4L, 2L, "middle"), (5L, 2L, "middle"), (6L, 3L, "tail")))
+    assert(got.forall(r => r._2 == Map(1L -> 5L, 2L -> 5L, 3L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> 30L)(r._1)), "score carried through")
+    // non-tercile bucket counts fall back to positional labels
+    val b2 = Corpus.perplexityBuckets(d, col("id"), col("px"), buckets = 2)
+      .select("bucket_label").distinct().as[String].collect().toSet
+    assert(b2 == Set("b1", "b2"))
+    Corpus.unpersistIntermediates(blocking = true)
+  }
+
   test("packedSpans: spans tile each pack exactly — contiguous, 0-based, gap-free") {
     val d = Seq(
       (1L, "a b c"), (2L, "a b"), (3L, "a b c d"), (4L, "a"), (5L, "a b c d e"))

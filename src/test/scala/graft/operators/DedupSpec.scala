@@ -316,6 +316,19 @@ class DedupSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Dedup.lshParams(0.5, 1))
   }
 
+  test("softDedupWeights: a family shares one document's sampling mass, uniques keep 1e6") {
+    // planted edges: {1,2,3} one component, {4,5} another, 6..8 singletons
+    val corpus = Seq.tabulate(8)(i => (i + 1).toLong).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.softDedupWeights(corpus, col("doc_id"), pairs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (4L, 4L, 2L, 500000L), (5L, 4L, 2L, 500000L),
+      (6L, 6L, 1L, 1000000L), (7L, 7L, 1L, 1000000L), (8L, 8L, 1L, 1000000L)))
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("tuned overloads: threshold-driven geometry reproduces the hand-set default") {
     // lshParams(0.5, 16) = (4, 4) — so the tuned pair generator must be
     // bit-identical to the raw (numHashes=16, bands=4, minJaccard=0.5)
