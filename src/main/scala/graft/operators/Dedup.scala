@@ -513,6 +513,57 @@ object Dedup {
       tg.join(bg, Seq("g"), "left_semi").select(col("doc_id"), col("pos")), k)
   }
 
+  /** [[contaminationSpans]] with a Bloom-filter prefilter on the train
+    * side — the shape the gate takes when the benchmark gram set is too
+    * large to ship to every train partition as an exact structure. The
+    * DISTINCT benchmark grams aggregate into one serialized Bloom filter
+    * (a config-bounded model artifact: `expectedGrams · bitsPerGram / 8`
+    * bytes, NEVER corpus-bounded), every train gram probes it IN THE SCAN
+    * STAGE, and only probable hits flow into the exact semi-join. Bloom
+    * filters have no false negatives, so no true overlap is ever lost;
+    * false positives are killed by the exact semi-join that follows —
+    * the output is bit-identical to [[contaminationSpans]] (they share
+    * one oracle), only the plan differs: the train-side shuffle into the
+    * semi-join shrinks from every gram to `true-hit rate + fpp`, which at
+    * decontamination's typical sub-percent hit rates is the entire cost
+    * of the gate. This is Spark's own runtime row-level join filtering
+    * (`InjectRuntimeFilter`) stated explicitly, where it can also be
+    * persisted and reused across queries/batches — the streaming gate
+    * can probe the same serialized filter.
+    */
+  def contaminationSpansBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 8,
+      expectedGrams: Long = 1L << 20,
+      bitsPerGram: Long = 10L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(expectedGrams > 0, s"expectedGrams must be positive: $expectedGrams")
+    require(bitsPerGram >= 1 && bitsPerGram <= 64,
+      s"bitsPerGram out of [1, 64]: $bitsPerGram")
+    val bg = cached(bench
+      .select(explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
+      .select(col("pg.g").as("g")).distinct())
+    // model-artifact collect: one binary of numBits/8 bytes, like loading
+    // a codebook — bounded by config, not by either corpus
+    val bfRow = bg.agg(org.apache.spark.sql.graft.SketchBridge.bloomFilterAgg(
+      xxhash64(col("g")), expectedGrams, expectedGrams * bitsPerGram).as("bf"))
+      .head()
+    val tg = train
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val hits =
+      if (bfRow.isNullAt(0)) tg.filter(lit(false)) // empty bench: no overlap
+      else tg
+        .filter(org.apache.spark.sql.graft.SketchBridge.mightContain(
+          lit(bfRow.getAs[Array[Byte]](0)), xxhash64(col("g"))))
+        .join(bg, Seq("g"), "left_semi")
+    mergeSpans(hits.select(col("doc_id"), col("pos")), k)
+  }
+
   /** Apply [[duplicateSpans]]: per document, the TOKEN-SPACE text with
     * every duplicated span cut out — the action the ExactSubstr pipeline
     * actually performs on the corpus (Lee et al. 2022 remove the

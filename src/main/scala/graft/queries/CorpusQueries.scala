@@ -215,9 +215,43 @@ object CorpusQueries {
   // GPT-3-style overlap decontamination SPANS: which exact train passages
   // leak benchmark 8-grams (c5/c11 say WHICH docs; this says WHERE) —
   // same train/bench split convention as c11
+  private lazy val sqlContaminationSpans =
+    s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+         |tp AS (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS pos
+         |       FROM toks WHERE doc_id % 7 <> 0 AND len(w) >= 8),
+         |tg AS (SELECT doc_id, pos::BIGINT AS pos,
+         |         array_to_string(w[pos:pos+7], ' ') AS g FROM tp),
+         |bp AS (SELECT w, unnest(range(1, len(w) - 8 + 2)) AS pos
+         |       FROM toks WHERE doc_id % 7 = 0 AND len(w) >= 8),
+         |bg AS (SELECT DISTINCT array_to_string(w[pos:pos+7], ' ') AS g FROM bp),
+         |dup AS (SELECT t.doc_id, t.pos FROM tg t JOIN bg ON bg.g = t.g),
+         |m AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM dup),
+         |sp AS (SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |       FROM m)
+         |SELECT doc_id, min(pos)::BIGINT AS span_start,
+         |  (max(pos) + 7)::BIGINT AS span_end,
+         |  (max(pos) + 7 - min(pos) + 1)::BIGINT AS n_tokens
+         |FROM sp GROUP BY doc_id, span_id""".stripMargin
+
   private val c22: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     Dedup.contaminationSpans(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0),
+      col("doc_id"), col("text"), k = 8)
+  }
+
+  // c22 with the Bloom prefilter on the train side: the benchmark gram
+  // set rides as ONE serialized filter probed in the scan stage, the
+  // exact semi-join sees only probable hits. No false negatives → the
+  // output (and the oracle) is c22's, bit for bit; only the plan differs.
+  private val c24: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationSpansBloom(
       docs.filter(col("doc_id") % 7 =!= 0),
       docs.filter(col("doc_id") % 7 === 0),
       col("doc_id"), col("text"), k = 8)
@@ -274,6 +308,7 @@ object CorpusQueries {
     "c11_contamination_minhash" -> c11,
     "c22_contamination_spans" -> c22,
     "c23_ccnet_buckets" -> c23,
+    "c24_contamination_bloom" -> c24,
     "c12_balanced_order" -> c12,
     "c2_stratified_sample" -> c2,
     "c3_shard_manifest" -> c3,
@@ -435,27 +470,11 @@ object CorpusQueries {
     // train-side positional grams joined to the DISTINCT benchmark gram
     // set (distinct → the join emits each train window at most once), then
     // the d24 coverage merge
-    "c22_contamination_spans" ->
-      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
-         |tp AS (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS pos
-         |       FROM toks WHERE doc_id % 7 <> 0 AND len(w) >= 8),
-         |tg AS (SELECT doc_id, pos::BIGINT AS pos,
-         |         array_to_string(w[pos:pos+7], ' ') AS g FROM tp),
-         |bp AS (SELECT w, unnest(range(1, len(w) - 8 + 2)) AS pos
-         |       FROM toks WHERE doc_id % 7 = 0 AND len(w) >= 8),
-         |bg AS (SELECT DISTINCT array_to_string(w[pos:pos+7], ' ') AS g FROM bp),
-         |dup AS (SELECT t.doc_id, t.pos FROM tg t JOIN bg ON bg.g = t.g),
-         |m AS (SELECT doc_id, pos,
-         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
-         |             THEN 1 ELSE 0 END AS brk
-         |      FROM dup),
-         |sp AS (SELECT doc_id, pos,
-         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
-         |       FROM m)
-         |SELECT doc_id, min(pos)::BIGINT AS span_start,
-         |  (max(pos) + 7)::BIGINT AS span_end,
-         |  (max(pos) + 7 - min(pos) + 1)::BIGINT AS n_tokens
-         |FROM sp GROUP BY doc_id, span_id""".stripMargin,
+    "c22_contamination_spans" -> sqlContaminationSpans,
+    // IDENTICAL oracle: the Bloom prefilter has no false negatives and
+    // its false positives die in the exact semi-join, so the operator
+    // must reproduce the exact gate's span set bit-for-bit
+    "c24_contamination_bloom" -> sqlContaminationSpans,
     "c11_contamination_minhash" ->
       s"""WITH base AS (
          |  SELECT doc_id, sh FROM (

@@ -385,6 +385,40 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L, 8L, 6L)), s"got $got")
   }
 
+  test("contaminationSpansBloom ≡ contaminationSpans (no-false-negative prefilter)") {
+    val train = Seq(
+      (1L, "intro words the exact eval question text here closing words"),
+      (2L, "train only content repeated train only content repeated"),
+      (3L, "nothing shared with the benchmark at all today"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the exact eval question text here"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.contaminationSpans(train, bench,
+      col("doc_id"), col("text"), k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val bloom = Dedup.contaminationSpansBloom(train, bench,
+      col("doc_id"), col("text"), k = 3, expectedGrams = 64)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(bloom == exact && exact.nonEmpty)
+    // empty benchmark → null filter → no overlap, not a task failure
+    val none = Dedup.contaminationSpansBloom(train, bench.filter(lit(false)),
+      col("doc_id"), col("text"), k = 3)
+    assert(none.count() == 0)
+    // the prefilter itself prunes: probe a disjoint value set against the
+    // benchmark-gram filter and the pass-through rate stays far below 1
+    // (bounded by the configured fpp, modulo filter granularity)
+    val bg = bench.select(explode(graft.functions.TextFunctions.posGrams(
+      graft.functions.TextFunctions.tokens(col("text")), 3)).as("pg"))
+      .select(col("pg.g").as("g")).distinct()
+    val bf = bg.agg(org.apache.spark.sql.graft.SketchBridge.bloomFilterAgg(
+      xxhash64(col("g")), 64L, 6400L).as("bf")).head().getAs[Array[Byte]](0)
+    val probes = spark.range(0, 1000).toDF("x")
+    val passed = probes.filter(org.apache.spark.sql.graft.SketchBridge
+      .mightContain(lit(bf), xxhash64(col("x")))).count()
+    assert(passed < 100, s"bloom passed $passed of 1000 disjoint probes")
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("cutSpans removes exactly the duplicated token ranges, keeps the rest") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),   // "a b c d e" duplicated with doc 2
