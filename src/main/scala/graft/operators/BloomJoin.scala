@@ -75,6 +75,11 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame = {
     val repr = keyRepr(
       fact.schema(factKey).dataType, dim.schema(dimKey).dataType)
+    // an EMPTY dimension matches nothing — return that directly:
+    // stat.bloomFilter NPEs on zero rows (its merge starts from a null
+    // buffer), and "no dim keys → no fact survivors" is the correct
+    // prefilter answer anyway. limit(1) keeps the eager probe cheap.
+    if (dim.select(col(dimKey)).limit(1).isEmpty) return fact.filter(lit(false))
     val bf = dim.stat.bloomFilter(repr(col(dimKey)), expectedItems, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()

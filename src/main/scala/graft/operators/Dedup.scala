@@ -516,10 +516,11 @@ object Dedup {
   /** [[contaminationSpans]] with a Bloom-filter prefilter on the train
     * side — the shape the gate takes when the benchmark gram set is too
     * large to ship to every train partition as an exact structure. The
-    * DISTINCT benchmark grams aggregate into one serialized Bloom filter
-    * (a config-bounded model artifact: `expectedGrams · bitsPerGram / 8`
-    * bytes, NEVER corpus-bounded), every train gram probes it IN THE SCAN
-    * STAGE, and only probable hits flow into the exact semi-join. Bloom
+    * DISTINCT benchmark grams condense into one serialized Bloom sketch
+    * ([[BloomJoin.prefilter]] — sized by `expectedGrams`/`fpp`, ~1.2 MB
+    * per million grams at 1%, NEVER corpus-bounded), every train gram
+    * probes it IN THE SCAN STAGE, and only probable hits flow into the
+    * exact semi-join. Bloom
     * filters have no false negatives, so no true overlap is ever lost;
     * false positives are killed by the exact semi-join that follows —
     * the output is bit-identical to [[contaminationSpans]] (they share
@@ -538,29 +539,22 @@ object Dedup {
       text: Column,
       k: Int = 8,
       expectedGrams: Long = 1L << 20,
-      bitsPerGram: Long = 10L): DataFrame = {
+      fpp: Double = 0.01): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(expectedGrams > 0, s"expectedGrams must be positive: $expectedGrams")
-    require(bitsPerGram >= 1 && bitsPerGram <= 64,
-      s"bitsPerGram out of [1, 64]: $bitsPerGram")
     val bg = cached(bench
       .select(explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
       .select(col("pg.g").as("g")).distinct())
-    // model-artifact collect: one binary of numBits/8 bytes, like loading
-    // a codebook — bounded by config, not by either corpus
-    val bfRow = bg.agg(org.apache.spark.sql.graft.SketchBridge.bloomFilterAgg(
-      xxhash64(col("g")), expectedGrams, expectedGrams * bitsPerGram).as("bf"))
-      .head()
     val tg = train
       .select(id.as("doc_id"),
         explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
-    val hits =
-      if (bfRow.isNullAt(0)) tg.filter(lit(false)) // empty bench: no overlap
-      else tg
-        .filter(org.apache.spark.sql.graft.SketchBridge.mightContain(
-          lit(bfRow.getAs[Array[Byte]](0)), xxhash64(col("g"))))
-        .join(bg, Seq("g"), "left_semi")
+    // BloomJoin owns the sketch build + codegen'd probe (one
+    // implementation for the fact-join and gram-gate tiers); an EMPTY
+    // benchmark builds an empty sketch that rejects every probe — no
+    // null-filter special case
+    val hits = BloomJoin.prefilter(tg, "g", bg, "g", expectedGrams, fpp)
+      .join(bg, Seq("g"), "left_semi")
     mergeSpans(hits.select(col("doc_id"), col("pos")), k)
   }
 

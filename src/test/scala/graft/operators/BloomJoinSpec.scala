@@ -45,6 +45,17 @@ class BloomJoinSpec extends AnyFunSuite {
     assert((50L to 100L).forall(kept), "bloom dropped a true match")
   }
 
+  test("an empty dimension prefilters to zero survivors instead of NPEing") {
+    // stat.bloomFilter merges from a null buffer on zero rows; the guard
+    // must short-circuit to the correct "nothing matches" answer
+    val fact = Seq(1L, 2L, 3L).toDF("fk")
+    val dim = Seq.empty[Long].toDF("dk")
+    assert(BloomJoin.prefilter(fact, "fk", dim, "dk", expectedItems = 10)
+      .count() == 0)
+    assert(BloomJoin.innerJoin(fact, "fk", dim, "dk", expectedItems = 10)
+      .count() == 0)
+  }
+
   test("mixed numeric key types are rejected loudly (silent match loss otherwise)") {
     // double 5.0 equals int 5 under SQL coercion, but no common long
     // representation exists for the sketch — must throw, not drop matches

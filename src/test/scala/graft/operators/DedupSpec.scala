@@ -400,21 +400,19 @@ class DedupSpec extends AnyFunSuite {
       col("doc_id"), col("text"), k = 3, expectedGrams = 64)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(bloom == exact && exact.nonEmpty)
-    // empty benchmark → null filter → no overlap, not a task failure
+    // empty benchmark → empty sketch rejects every probe → no overlap,
+    // not a task failure
     val none = Dedup.contaminationSpansBloom(train, bench.filter(lit(false)),
       col("doc_id"), col("text"), k = 3)
     assert(none.count() == 0)
     // the prefilter itself prunes: probe a disjoint value set against the
-    // benchmark-gram filter and the pass-through rate stays far below 1
-    // (bounded by the configured fpp, modulo filter granularity)
+    // benchmark-gram sketch and the pass rate stays ~fpp, far below 1
     val bg = bench.select(explode(graft.functions.TextFunctions.posGrams(
       graft.functions.TextFunctions.tokens(col("text")), 3)).as("pg"))
       .select(col("pg.g").as("g")).distinct()
-    val bf = bg.agg(org.apache.spark.sql.graft.SketchBridge.bloomFilterAgg(
-      xxhash64(col("g")), 64L, 6400L).as("bf")).head().getAs[Array[Byte]](0)
-    val probes = spark.range(0, 1000).toDF("x")
-    val passed = probes.filter(org.apache.spark.sql.graft.SketchBridge
-      .mightContain(lit(bf), xxhash64(col("x")))).count()
+    val probes = spark.range(0, 1000).selectExpr("cast(id as string) AS g")
+    val passed = BloomJoin.prefilter(probes, "g", bg, "g",
+      expectedItems = 64, fpp = 0.01).count()
     assert(passed < 100, s"bloom passed $passed of 1000 disjoint probes")
     Dedup.unpersistIntermediates(blocking = true)
   }
