@@ -200,6 +200,35 @@ object Corpus {
         min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
   }
 
+  /** Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    * 1998): each document lands on the shard whose keyed weight wins the
+    * per-document argmax. The property that matters at 100 TB: growing
+    * `numShards` n → n+1 moves ONLY the documents the NEW shard wins —
+    * ~1/(n+1) of the corpus — where mod-hashing ([[shardManifest]]'s
+    * layout) remaps ~n/(n+1) of it; incremental stores, bucketed layouts
+    * and cache affinity all survive a capacity change. Weights are the
+    * same affine family as the MinHash permutations
+    * (`(base·(2s+1) + s²·31 + 7) mod 1e9+7` over the [[graft.functions
+    * .KeyedHash]] base), so the assignment is exact integer arithmetic,
+    * oracle-replayable, and free of engine RNG. Ties (≈ impossible at
+    * p ≈ 1e-9, but determinism is the contract) break to the LOWEST
+    * shard via first-max position.
+    *
+    * Pure narrow projection — the weight array is a per-row higher-order
+    * transform over a `sequence` literal; nothing shuffles.
+    */
+  def rendezvousShards(docs: DataFrame, id: Column, numShards: Int): DataFrame = {
+    require(numShards >= 1 && numShards <= 4096,
+      s"numShards must be in [1, 4096], got $numShards")
+    val P = 1000000007L
+    val base = pmod(graft.functions.KeyedHash.idHash(id, 2654435761L), lit(P))
+    val weights = transform(sequence(lit(0), lit(numShards - 1)),
+      s => pmod(base * (s * 2 + 1) + (s * s * lit(31L) + 7L), lit(P)))
+    docs.select(id.cast("long").as("doc_id"), weights.as("_w"))
+      .select(col("doc_id"),
+        (array_position(col("_w"), array_max(col("_w"))) - 1L).as("shard"))
+  }
+
   /** Exact per-stratum quota: keep at most `cap` rows per stratum,
     * chosen deterministically by hash order (ties broken on the id) — the
     * "no domain exceeds N documents" cap, complementing the rate-based

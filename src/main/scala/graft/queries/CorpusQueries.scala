@@ -49,6 +49,12 @@ object CorpusQueries {
     Corpus.shardManifest(t(s, dir, "documents"), col("doc_id"), col("text"),
       numShards = 8)
 
+  // rendezvous/HRW shard assignment: grow 8 → 9 shards and only ~1/9 of
+  // docs move (vs ~8/9 under mod-hashing) — the reshard-stable layout
+  private val c25: Q = (s, dir) =>
+    Corpus.rendezvousShards(t(s, dir, "documents"), col("doc_id"),
+      numShards = 8)
+
   private val c4: Q = (s, dir) =>
     Corpus.packTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
       numShards = 8, budget = 256L)
@@ -312,6 +318,7 @@ object CorpusQueries {
     "c12_balanced_order" -> c12,
     "c2_stratified_sample" -> c2,
     "c3_shard_manifest" -> c3,
+    "c25_rendezvous_shards" -> c25,
     "c4_token_packing" -> c4,
     "c5_contamination" -> c5,
     "c6_domain_mix" -> c6,
@@ -541,6 +548,18 @@ object CorpusQueries {
          |SELECT shard, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
          |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          |FROM s GROUP BY shard""".stripMargin,
+    // HRW replay: the minhash-style affine weight family over the shared
+    // KeyedHash base, first-max position as the winning shard
+    "c25_rendezvous_shards" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), s ->
+        |      (((doc_id % 2147483648) * 2654435761 % 1000000007) * (s*2 + 1)
+        |       + (s*s*31 + 7)) % 1000000007) AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (list_position(ws, list_max(ws)) - 1)::BIGINT AS shard
+        |FROM w""".stripMargin,
     "c4_token_packing" ->
       s"""WITH RECURSIVE sharded AS (
          |  SELECT $sqlShard AS shard, doc_id,

@@ -656,6 +656,27 @@ class CorpusSpec extends AnyFunSuite {
     Corpus.unpersistIntermediates(blocking = true)
   }
 
+  test("rendezvousShards: balanced assignment, minimal movement on reshard") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    val s8 = Corpus.rendezvousShards(docs, col("doc_id"), numShards = 8)
+      .as[(Long, Long)].collect().toMap
+    // every shard populated, no shard dominates (rough balance)
+    val byShard = s8.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    assert(byShard.values.max < 2 * byShard.values.min + 100,
+      s"unbalanced: $byShard")
+    // THE property: 8 → 9 shards moves ~1/9 of docs (mod-hash moves ~8/9)
+    val s9 = Corpus.rendezvousShards(docs, col("doc_id"), numShards = 9)
+      .as[(Long, Long)].collect().toMap
+    val moved = s8.count { case (id, sh) => s9(id) != sh }
+    assert(moved < 2000 / 4,
+      s"rendezvous moved $moved of 2000 on 8→9 (expect ~222)")
+    assert(s8.forall { case (id, sh) => s9(id) == sh || s9(id) == 8L },
+      "a reshard move can only target the NEW shard")
+    val modMoved = (0L until 2000L).count(id => id % 8 != id % 9)
+    assert(moved < modMoved / 3, s"rendezvous $moved vs mod-hash $modMoved")
+  }
+
   test("perplexityBuckets: CCNet head/middle/tail terciles with deterministic ties") {
     // 6 docs, perplexities 5,5,10,20,20,30 → starts 0,0,2,3,3,5 of N=6 →
     // bucket = start*3 div 6 + 1 → {5→1, 10→2, 20→2, 30→3}; both ties
