@@ -811,6 +811,54 @@ object Dedup {
     docs.join(drop, id === col("_drop_id"), "left_anti")
   }
 
+  /** Preference-pair mining from duplicate clusters: for every near-dup
+    * family, emit the best-scored member as `chosen_id` and the
+    * worst-scored as `rejected_id` — naturally-occurring quality
+    * contrasts over near-identical content, the construction DPO-style
+    * preference tuning consumes (Rafailov et al. 2023, arXiv:2305.18290
+    * defines the objective; the mining step pairs variants of the same
+    * underlying document so the contrast isolates QUALITY, not topic).
+    * Deterministic: chosen = max score breaking ties to the LOWEST id,
+    * rejected = min score breaking ties to the HIGHEST id — an
+    * all-equal-scores family still yields a valid (distinct) pair, and
+    * single-member "clusters" cannot occur ([[clusterPairs]] only emits
+    * docs that have a duplicate partner).
+    *
+    * Scale shape: the score expression runs over cluster MEMBERS only
+    * (the tiny duplicate subset, as in [[keepBest]]); one grouped
+    * aggregation on `cluster_rep` — two struct min/max aggregates, no
+    * window, no pair join.
+    *
+    * Output: `(cluster_rep, chosen_id, rejected_id, chosen_score,
+    * rejected_score, n_members)`.
+    */
+  def preferencePairs(
+      docs: DataFrame,
+      id: Column,
+      clusters: DataFrame,
+      score: Column): DataFrame = {
+    val members = docs
+      .join(clusters.select(col("doc_id").as("_c_id"), col("cluster_rep")),
+        id === col("_c_id"))
+      .select(col("cluster_rep"), id.cast("long").as("_m_id"),
+        score.cast("long").as("_m_score"))
+    // struct ordering does the argmax/argmin with the tiebreak baked in:
+    // max (score, -id) = best score then lowest id; min (score, -id) =
+    // worst score then highest id
+    members
+      .groupBy(col("cluster_rep"))
+      .agg(
+        max(struct(col("_m_score"), (-col("_m_id")).as("_n"))).as("_best"),
+        min(struct(col("_m_score"), (-col("_m_id")).as("_n"))).as("_worst"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_rep"),
+        (-col("_best._n")).as("chosen_id"),
+        (-col("_worst._n")).as("rejected_id"),
+        col("_best._m_score").as("chosen_score"),
+        col("_worst._m_score").as("rejected_score"),
+        col("n_members"))
+  }
+
   /** Per-document MinHash signatures as `(doc_id, sig: array<long>)` —
     * the building block for [[minhashLshPairs]] and for incremental
     * group-level sketches via [[graft.functions.MinHashUnion]] (signatures

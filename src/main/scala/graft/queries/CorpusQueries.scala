@@ -134,6 +134,13 @@ object CorpusQueries {
       qualityScore(col("text")))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  // DPO-style preference mining: per near-dup family, best-vs-worst
+  // quality as a (chosen, rejected) pair — near-identical content, so the
+  // contrast isolates quality, not topic
+  private val c26: Q = (s, dir) =>
+    Dedup.preferencePairs(t(s, dir, "documents"), col("doc_id"),
+      lshClusters(t(s, dir, "documents")), qualityScorePpm(col("text")))
+
   // hard per-source cap (30 docs each), hash-ordered so the kept subset
   // is an unbiased sample of the source
   private val c8: Q = (s, dir) =>
@@ -319,6 +326,7 @@ object CorpusQueries {
     "c2_stratified_sample" -> c2,
     "c3_shard_manifest" -> c3,
     "c25_rendezvous_shards" -> c25,
+    "c26_preference_pairs" -> c26,
     "c4_token_packing" -> c4,
     "c5_contamination" -> c5,
     "c6_domain_mix" -> c6,
@@ -774,5 +782,31 @@ object CorpusQueries {
          |  FROM clusters c JOIN q ON q.doc_id = c.doc_id)
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM ranked r
-         |                  WHERE r.doc_id = d.doc_id AND r.rk > 1)""".stripMargin)
+         |                  WHERE r.doc_id = d.doc_id AND r.rk > 1)""".stripMargin,
+    // d7's clusters joined to the c19 quality score: chosen = rank-1 by
+    // (score desc, id asc), rejected = rank-1 by (score asc, id desc) —
+    // the same order-pair the Spark struct min/max encodes
+    "c26_preference_pairs" ->
+      s"""WITH RECURSIVE ${sqlLshClusterCtes()},
+         |clusters AS (SELECT v AS doc_id, min(l) AS cluster_rep FROM walk GROUP BY v),
+         |$sqlQualityCtes,
+         |mem AS (
+         |  SELECT c.cluster_rep, c.doc_id, q.qual_ppm
+         |  FROM clusters c JOIN q ON q.doc_id = c.doc_id),
+         |best AS (
+         |  SELECT cluster_rep, doc_id AS chosen_id, qual_ppm AS chosen_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_rep
+         |          ORDER BY qual_ppm DESC, doc_id ASC) AS rk FROM mem)
+         |  WHERE rk = 1),
+         |worst AS (
+         |  SELECT cluster_rep, doc_id AS rejected_id, qual_ppm AS rejected_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_rep
+         |          ORDER BY qual_ppm ASC, doc_id DESC) AS rk FROM mem)
+         |  WHERE rk = 1),
+         |sz AS (SELECT cluster_rep, count(*)::BIGINT AS n_members
+         |       FROM mem GROUP BY 1)
+         |SELECT b.cluster_rep, b.chosen_id, w.rejected_id,
+         |  b.chosen_score, w.rejected_score, s.n_members
+         |FROM best b JOIN worst w USING (cluster_rep)
+         |JOIN sz s USING (cluster_rep)""".stripMargin)
 }

@@ -316,6 +316,21 @@ class DedupSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Dedup.lshParams(0.5, 1))
   }
 
+  test("preferencePairs: best-vs-worst per family, ties split to distinct ids") {
+    val docs = Seq(
+      (1L, 50L), (2L, 90L), (3L, 10L), // cluster A: chosen 2, rejected 3
+      (4L, 70L), (5L, 70L),            // cluster B: all-tied → chosen 4 (low id), rejected 5 (high id)
+      (6L, 99L))                       // not clustered → no pair
+      .toDF("doc_id", "sc")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)).toDF("doc_id", "cluster_rep")
+    val got = Dedup.preferencePairs(docs, col("doc_id"), clusters, col("sc"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 3L, 90L, 10L, 3L),
+      (4L, 4L, 5L, 70L, 70L, 2L)))
+  }
+
   test("softDedupWeights: a family shares one document's sampling mass, uniques keep 1e6") {
     // planted edges: {1,2,3} one component, {4,5} another, 6..8 singletons
     val corpus = Seq.tabulate(8)(i => (i + 1).toLong).toDF("doc_id")
