@@ -420,9 +420,12 @@ object Dedup {
     * covered token ranges: gram at pos covers tokens [pos, pos+k-1], so a
     * gap begins when pos jumps by more than k (the first uncovered
     * token). Per-DOC window only — partitioned on doc_id, bounded by
-    * document length.
+    * document length. Public because it is also the batch-side reducer
+    * for [[graft.streaming.DocStreams.contaminationHitsStream]]'s hit
+    * rows (windows cannot run inside a stateless stream; consumers merge
+    * per sink batch or downstream).
     */
-  private def mergeSpans(dupPos: DataFrame, k: Int): DataFrame = {
+  def mergeSpans(dupPos: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dupPos

@@ -71,4 +71,39 @@ object DocStreams {
       .select(col("a.doc_id").as("doc_id"), col("s.doc_id").as("partner"),
         col("a.band").as("band"))
   }
+
+  /** Streaming GRAM-level contamination gate — the continuous-ingestion
+    * deployment of [[graft.operators.Dedup.contaminationSpansBloom]]:
+    * each micro-batch's documents explode to positional k-grams, probe
+    * the STATIC benchmark's Bloom sketch inside the scan stage
+    * ([[graft.operators.BloomJoin.prefilter]] builds it once from the
+    * static side at stream construction), and only probable hits pay the
+    * exact stream-static semi-join. Zero streaming state: no watermark,
+    * no keyed state, Append mode.
+    *
+    * Emits HIT rows `(doc_id, pos)` — one per contaminated window start.
+    * The span merge is a per-document ordering window, which a stateless
+    * stream cannot run; consumers reduce hits to spans per sink batch
+    * with [[graft.operators.Dedup.mergeSpans]] (the parity spec pins
+    * that mergeSpans over the streamed hits equals the batch gate's
+    * spans exactly).
+    */
+  def contaminationHitsStream(
+      docs: DataFrame,
+      benchGrams: DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 8,
+      expectedGrams: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val tg = docs
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    graft.operators.BloomJoin
+      .prefilter(tg, "g", benchGrams, "g", expectedGrams, fpp)
+      .join(benchGrams.select(col("g")), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+  }
 }

@@ -86,4 +86,40 @@ class DocStreamsSpec extends AnyFunSuite {
       Dedup.unpersistIntermediates(blocking = true)
     }
   }
+
+  test("streaming gram gate: mergeSpans over streamed hits equals the batch bloom gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (1L, "intro words the exact eval question text here closing words"),
+      (2L, "nothing shared with the benchmark at all today"))
+    val bench = Seq((100L, "the exact eval question text here"))
+      .toDF("doc_id", "text")
+    val benchGrams = bench
+      .select(explode(graft.functions.TextFunctions.posGrams(
+        graft.functions.TextFunctions.tokens(col("text")), 3)).as("pg"))
+      .select(col("pg.g").as("g")).distinct()
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.contaminationHitsStream(
+      stream.toDF().toDF("doc_id", "text"), benchGrams,
+      col("doc_id"), col("text"), k = 3, expectedGrams = 64)
+      .writeStream.format("memory").queryName("gram_hits")
+      .outputMode("append").start()
+    try {
+      stream.addData(train: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty, "gram gate must be stateless")
+      val hits = spark.table("gram_hits")
+      val streamedSpans = Dedup.mergeSpans(hits, k = 3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batchSpans = Dedup.contaminationSpansBloom(
+        train.toDF("doc_id", "text"), bench,
+        col("doc_id"), col("text"), k = 3, expectedGrams = 64)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamedSpans == batchSpans && batchSpans.nonEmpty,
+        s"stream $streamedSpans vs batch $batchSpans")
+    } finally {
+      q.stop()
+      Dedup.unpersistIntermediates(blocking = true)
+    }
+  }
 }
