@@ -81,6 +81,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate") && !plan.contains("SortMergeJoin"))
   }
 
+  test("c25: rendezvous sharding is a pure narrow projection — zero exchanges") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val plan = planOf("c25_rendezvous_shards")
+    // the table loader's round-robin split for parallelism is the only
+    // exchange allowed; the assignment itself must add no key shuffle
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"HRW assignment must not shuffle:\n${plan.take(600)}")
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"HRW assignment is per-row arithmetic only:\n${plan.take(600)}")
+  }
+
   test("c3: shard manifest aggregates map-side before its single key exchange") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = planOf("c3_shard_manifest")
