@@ -1342,8 +1342,11 @@ object Dedup {
     // (see scaladoc; the only scale-killer-by-default this operator had).
     // A trained centroid table (Similarity.kmeansCentroids — the paper's
     // actual k-means clustering) bypasses the stride contract entirely.
-    if (centroids.isEmpty) {
-      val nCents = emb.filter(id.cast("long") % centroidStride === 0).count()
+    val cents = centroids.getOrElse {
+      val strided =
+        emb.filter(id.cast("long") % centroidStride === 0)
+          .select(id.as("c_id"), vec.as("cv"))
+      val nCents = strided.count()
       require(nCents > 0,
         s"semanticKeep: no id is a multiple of centroidStride=$centroidStride — " +
           "the centroid set is empty and every row would be dropped; pick a " +
@@ -1353,14 +1356,16 @@ object Dedup {
           s"past maxFlatCentroids=$maxFlatCentroids the flat nearest-centroid " +
           "assignment is rows × centroids ≈ N²/stride (quadratic in the corpus). " +
           "Supply trained fixed-k centroids (Similarity.kmeansTrain → " +
-          "kmeansCentroids; k ≈ √N) or raise maxFlatCentroids deliberately")
+          "kmeansCentroids; k ≈ √N — the d12b route, whose benched sf10 wall " +
+          "tracks ~N^1.5, BASELINE.md §9) or raise maxFlatCentroids deliberately")
+      strided
     }
     // three consumers (both join sides + the anti-join probe): persist the
     // centroid assignment or each branch re-runs the broadcast-rank pass.
-    // maxCentroids is deliberately UNCAPPED here, unlike the ANN tiers:
-    // SemDeDup's pair cost is Σ cluster_size² and the stride contract
-    // (cluster size ≈ stride, centroid count ∝ N) is what bounds it —
-    // capping the centroids would grow clusters with the corpus and
+    // The centroid set is deliberately UNCAPPED here, unlike the ANN
+    // tiers: SemDeDup's pair cost is Σ cluster_size² and the stride
+    // contract (cluster size ≈ stride, centroid count ∝ N) is what bounds
+    // it — capping the centroids would grow clusters with the corpus and
     // quadratic-ize the within-cluster prune instead. The price is the
     // flat assignment's rows × centroids cosines — which is why the
     // maxFlatCentroids guard above refuses the stride path past the
@@ -1368,8 +1373,10 @@ object Dedup {
     // `centroids`, the paper's k-means) or route the assignment through
     // an ANN index over the centroid set — the knob exists precisely
     // because no flat SemDeDup avoids an N² term on one side or the other.
+    // `cents` is already validated above (the guard's count IS the probe),
+    // so ivfAssign never re-probes the stride filter.
     val assigned = cached(
-      Similarity.ivfAssign(emb, id, vec, centroidStride, centroids,
+      Similarity.ivfAssign(emb, id, vec, centroidStride, Some(cents),
         maxCentroids = Int.MaxValue))
     val m = assigned.select(col("c_id"), col("vec_id"), col("v"))
     val dropped = m.as("x")

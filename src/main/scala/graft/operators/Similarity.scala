@@ -473,33 +473,53 @@ object Similarity {
     * data because its `tables` independent partitions multiply coverage.
     */
   /** Stride-picked coarse centroids, CAPPED at `maxCentroids` (the first
-    * `maxCentroids` qualifying ids BY RANK — an ordered limit, not an
-    * absolute id bound, so offset or sparse id spaces still yield a full
-    * centroid set). The cap is what keeps the flat assignment linear at
-    * scale: rows × centroids is the assignment cost, and an UNCAPPED
-    * stride grows the centroid count with the corpus — N²/stride, a
-    * quadratic measured directly (s3 at a 100× corpus ran 114× its 1×
-    * wall before the cap; 256 fixed lists restore ~linear). Real IVF
-    * deployments fix the list count the same way (nProbe/lists is the
-    * scanned fraction regardless of N). Fails loudly when the stride
-    * matches NO id at all: an empty centroid set would flow through the
-    * inner assignment join and every probe would silently return zero
-    * rows (the limit(1) probe stops at the first qualifying row, so the
-    * eager check stays cheap).
+    * `maxCentroids` qualifying ids in id order — so offset or sparse id
+    * spaces still yield a full centroid set). The cap is what keeps the
+    * flat assignment linear at scale: rows × centroids is the assignment
+    * cost, and an UNCAPPED stride grows the centroid count with the
+    * corpus — N²/stride, a quadratic measured directly (s3 at a 100×
+    * corpus ran 114× its 1× wall before the cap; 256 fixed lists restore
+    * ~linear). Real IVF deployments fix the list count the same way
+    * (nProbe/lists is the scanned fraction regardless of N). Fails loudly
+    * when the stride matches NO id at all: an empty centroid set would
+    * flow through the inner assignment join and every probe would
+    * silently return zero rows.
+    *
+    * HOW the cap is applied matters as much as that it exists: the
+    * winning ids are collected ONCE on the driver (a ≤`maxCentroids`-long
+    * id list — a config-sized model artifact, the [[kmeansTrain]] seed
+    * pattern) and what reaches every consumer plan is the plain
+    * `id % stride = 0 AND id <= maxWinningId` conjunct, which predicate
+    * pushdown carries into the scan. The r9 alternative — leaving an
+    * `orderBy(id).limit(maxCentroids)` INSIDE the returned frame — was
+    * re-planned as a global TakeOrdered by every consumer (both IVF
+    * assignment sides, the PQ rescore) and demolished the pushed-filter
+    * scan shape: s3/s14 ran 26×/15× slower at a 100× corpus
+    * (BASELINE.md §9). The one-time id collect is also the empty-stride
+    * probe, so no separate eager check runs on the capped path.
     */
   private def ivfCentroids(
       b: DataFrame, centroidStride: Int, maxCentroids: Int): DataFrame = {
-    val qualifying = b.filter(col("vec_id") % centroidStride === 0)
-    require(!qualifying.limit(1).isEmpty,
+    def emptyMsg =
       s"ivfCentroids: no id is a multiple of centroidStride=$centroidStride — " +
         "the centroid set is empty and every probe would return zero rows; " +
-        "pick a stride that selects some ids or supply trained centroids")
-    // Int.MaxValue = caller manages the bound (SemDeDup's stride contract);
-    // a TakeOrdered at that k would be a full global sort for nothing
-    val capped =
-      if (maxCentroids == Int.MaxValue) qualifying
-      else qualifying.orderBy(col("vec_id")).limit(maxCentroids)
-    capped.select(col("vec_id").as("c_id"), col("v").as("cv"))
+        "pick a stride that selects some ids or supply trained centroids"
+    val qualifying = b.filter(col("vec_id") % centroidStride === 0)
+    if (maxCentroids == Int.MaxValue) {
+      // caller manages the bound (SemDeDup's stride contract) — no cap,
+      // and the limit(1) probe stops at the first qualifying row
+      require(!qualifying.limit(1).isEmpty, emptyMsg)
+      qualifying.select(col("vec_id").as("c_id"), col("v").as("cv"))
+    } else {
+      val winners = qualifying
+        .select(col("vec_id").cast("long"))
+        .orderBy(col("vec_id")).limit(maxCentroids)
+        .collect().map(_.getLong(0))
+      require(winners.nonEmpty, emptyMsg)
+      b.filter(col("vec_id") % centroidStride === 0 &&
+          col("vec_id") <= winners.last)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    }
   }
 
   /** Nearest-`keep` centroid assignment of each row in `df` (whose vector
