@@ -57,10 +57,77 @@ object BloomJoin {
         s"$factType vs $dimType — cast both sides to a common type first")
   }
 
+  /** Build `dim`'s key sketch as a SELF-DESCRIBING serialized artifact —
+    * the persistable/reusable form of the prefilter's build side. Write
+    * the bytes anywhere (a file, a table cell, a stream checkpoint dir)
+    * and probe them later with the `prefilter(fact, factKey, sketch)`
+    * overload: a streaming gate cold-starts without re-scanning the
+    * dimension, and several pipelines can gate on one build pass.
+    *
+    * Format: `[tag: 0 = empty dim, 1 = sketch follows][dim-key type DDL,
+    * UTF][bloom bits]`. The recorded key type lets the probe side
+    * re-derive the key representation and keep the loud mixed-numeric
+    * rejection — a sketch is only probeable by keys that map equal
+    * values to equal longs (see [[keyRepr]]). An empty dimension is a
+    * legal artifact (tag 0, a few bytes): probing it yields zero
+    * survivors, the correct prefilter answer.
+    *
+    * @param expectedItems sizing for the sketch (overestimate = more bits,
+    *                      never lost keys); pass the dimension's
+    *                      (approximate) distinct key count
+    */
+  def sketchBytes(
+      dim: DataFrame,
+      dimKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    val dimType = dim.schema(dimKey).dataType
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    // an EMPTY dimension matches nothing — record exactly that:
+    // stat.bloomFilter NPEs on zero rows (its merge starts from a null
+    // buffer), and "no dim keys → no fact survivors" is the correct
+    // prefilter answer anyway. limit(1) keeps the eager probe cheap.
+    if (dim.select(col(dimKey)).limit(1).isEmpty) {
+      out.writeByte(0)
+      out.writeUTF(dimType.catalogString)
+    } else {
+      out.writeByte(1)
+      out.writeUTF(dimType.catalogString)
+      dim.stat.bloomFilter(keyRepr(dimType, dimType)(col(dimKey)),
+        expectedItems, fpp).writeTo(out)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Probe a [[sketchBytes]] artifact: `fact` reduced to rows whose
+    * `factKey` might be in the sketched dimension key set. Same
+    * exact-superset guarantee as the DataFrame form — byte-identical
+    * survivors, since the bits and the probe expression are the same.
+    */
+  def prefilter(fact: DataFrame, factKey: String, sketch: Array[Byte]): DataFrame = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(sketch))
+    val tag = in.readByte()
+    require(tag == 0 || tag == 1, s"not a BloomJoin.sketchBytes artifact (tag $tag)")
+    val dimType = org.apache.spark.sql.types.DataType.fromDDL(in.readUTF())
+    // derive the representation BEFORE the empty short-circuit so a
+    // mixed-numeric probe is rejected loudly even against an empty sketch
+    val repr = keyRepr(fact.schema(factKey).dataType, dimType)
+    if (tag == 0) return fact.filter(lit(false))
+    val bytes = in.readAllBytes()
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), ColumnBridge.expression(repr(col(factKey)))))
+    fact.filter(mightContain)
+  }
+
   /** Build a bloom sketch of `dim`'s `dimKey` values and return `fact`
     * reduced to rows whose `factKey` might be in it. Exact-superset
     * guarantee: every fact row with a real match survives; impostors are
     * ≤ fpp of the rest and must be removed by the exact join that follows.
+    * One-shot convenience over [[sketchBytes]] + the byte-probing
+    * overload — keep the bytes instead when the sketch outlives one query.
     *
     * @param expectedItems sizing for the sketch (overestimate = more bits,
     *                      never lost keys); pass the dimension's
@@ -72,24 +139,8 @@ object BloomJoin {
       dim: DataFrame,
       dimKey: String,
       expectedItems: Long,
-      fpp: Double = 0.01): DataFrame = {
-    val repr = keyRepr(
-      fact.schema(factKey).dataType, dim.schema(dimKey).dataType)
-    // an EMPTY dimension matches nothing — return that directly:
-    // stat.bloomFilter NPEs on zero rows (its merge starts from a null
-    // buffer), and "no dim keys → no fact survivors" is the correct
-    // prefilter answer anyway. limit(1) keeps the eager probe cheap.
-    if (dim.select(col(dimKey)).limit(1).isEmpty) return fact.filter(lit(false))
-    val bf = dim.stat.bloomFilter(repr(col(dimKey)), expectedItems, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    val mightContain = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType), ColumnBridge.expression(repr(col(factKey)))))
-    fact.filter(mightContain)
-  }
+      fpp: Double = 0.01): DataFrame =
+    prefilter(fact, factKey, sketchBytes(dim, dimKey, expectedItems, fpp))
 
   /** Prefilter + exact equi-join: result rows are exactly
     * `fact ⋈ dim` (false positives die in the join), with the fact-side

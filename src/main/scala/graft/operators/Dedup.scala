@@ -29,7 +29,7 @@ object Dedup {
   // clear the whole cache between queries).
   private val intermediates = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private def cached(df: DataFrame): DataFrame = {
+  private[graft] def cached(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     intermediates.add(p)
     p
@@ -545,19 +545,53 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(expectedGrams > 0, s"expectedGrams must be positive: $expectedGrams")
-    val bg = cached(bench
+    val bg = cached(benchGramSet(bench, text, k))
+    contaminationSpansBloom(train, id, text, bg,
+      BloomJoin.sketchBytes(bg, "g", expectedGrams, fpp), k)
+  }
+
+  /** The DISTINCT k-gram set of a benchmark corpus — the persistable
+    * build side of the contamination gates. Write it once (parquet) next
+    * to its [[BloomJoin.sketchBytes]] sketch and feed both to the
+    * byte-accepting [[contaminationSpansBloom]] /
+    * [[graft.streaming.DocStreams.contaminationHitsStream]] overloads:
+    * later batches and stream cold-starts then never re-scan the
+    * benchmark text. Output: `(g)`.
+    */
+  def benchGramSet(bench: DataFrame, text: Column, k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    bench
       .select(explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
-      .select(col("pg.g").as("g")).distinct())
+      .select(col("pg.g").as("g")).distinct()
+  }
+
+  /** [[contaminationSpansBloom]] against a PRE-BUILT benchmark: the
+    * `(g)` gram set (from [[benchGramSet]], typically read back from
+    * parquet) plus its serialized sketch (from [[BloomJoin.sketchBytes]])
+    * — no benchmark scan at all in this call. Survivor set is
+    * byte-identical to the one-shot form: the bloom bits and probe
+    * expression are the same, and the exact semi-join kills the same
+    * false positives.
+    */
+  def contaminationSpansBloom(
+      train: DataFrame,
+      id: Column,
+      text: Column,
+      benchGrams: DataFrame,
+      benchSketch: Array[Byte],
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
     val tg = train
       .select(id.as("doc_id"),
         explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
     // BloomJoin owns the sketch build + codegen'd probe (one
     // implementation for the fact-join and gram-gate tiers); an EMPTY
-    // benchmark builds an empty sketch that rejects every probe — no
-    // null-filter special case
-    val hits = BloomJoin.prefilter(tg, "g", bg, "g", expectedGrams, fpp)
-      .join(bg, Seq("g"), "left_semi")
+    // benchmark short-circuits to `filter(false)` inside prefilter
+    // (zero survivors — the correct prefilter answer) — no null-filter
+    // special case here
+    val hits = BloomJoin.prefilter(tg, "g", benchSketch)
+      .join(benchGrams.select(col("g")), Seq("g"), "left_semi")
     mergeSpans(hits.select(col("doc_id"), col("pos")), k)
   }
 
@@ -1151,7 +1185,10 @@ object Dedup {
     * fraction is an unbiased Jaccard estimator, so `minAgree =
     * ⌈threshold · numHashes⌉` verifies at the threshold the bands were
     * tuned for. The (16-hash, 0.5) default reproduces the hand-set
-    * (bands=4, minAgree=8) geometry exactly.
+    * (bands=4, minAgree=8) geometry exactly. `fpWeight`/`fnWeight`
+    * forward to [[lshParams]] — the same knobs
+    * [[minhashLshPairsTuned]] exposes, so the two tuned entry points
+    * cannot silently pick different band geometries.
     */
   def incrementalDedupTuned(
       increment: DataFrame,
@@ -1161,8 +1198,10 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 16,
       threshold: Double = 0.5,
-      withinBatch: Boolean = true): DataFrame = {
-    val (bands, _) = lshParams(threshold, numHashes)
+      withinBatch: Boolean = true,
+      fpWeight: Double = 0.5,
+      fnWeight: Double = 0.5): DataFrame = {
+    val (bands, _) = lshParams(threshold, numHashes, fpWeight, fnWeight)
     val minAgree = math.max(1, math.ceil(threshold * numHashes).toInt)
     incrementalDedup(increment, store, id, text, n, numHashes, bands,
       minAgree, withinBatch)
@@ -1356,8 +1395,9 @@ object Dedup {
           s"past maxFlatCentroids=$maxFlatCentroids the flat nearest-centroid " +
           "assignment is rows × centroids ≈ N²/stride (quadratic in the corpus). " +
           "Supply trained fixed-k centroids (Similarity.kmeansTrain → " +
-          "kmeansCentroids; k ≈ √N — the d12b route, whose benched sf10 wall " +
-          "tracks ~N^1.5, BASELINE.md §9) or raise maxFlatCentroids deliberately")
+          "kmeansCentroids; pick k ≈ √N to balance assignment against the " +
+          "within-cluster prune — the d12b route, BASELINE.md §9) or raise " +
+          "maxFlatCentroids deliberately")
       strided
     }
     // three consumers (both join sides + the anti-join probe): persist the

@@ -485,10 +485,10 @@ object Similarity {
     * flow through the inner assignment join and every probe would
     * silently return zero rows.
     *
-    * HOW the cap is applied matters as much as that it exists: the
-    * winning ids are collected ONCE on the driver (a ≤`maxCentroids`-long
-    * id list — a config-sized model artifact, the [[kmeansTrain]] seed
-    * pattern) and what reaches every consumer plan is the plain
+    * HOW the cap is applied matters as much as that it exists: ONE
+    * boundary id (the `maxCentroids`-th smallest qualifying id — a
+    * single long, O(1) driver memory at ANY cap) is collected once, and
+    * what reaches every consumer plan is the plain
     * `id % stride = 0 AND id <= maxWinningId` conjunct, which predicate
     * pushdown carries into the scan. The r9 alternative — leaving an
     * `orderBy(id).limit(maxCentroids)` INSIDE the returned frame — was
@@ -511,13 +511,17 @@ object Similarity {
       require(!qualifying.limit(1).isEmpty, emptyMsg)
       qualifying.select(col("vec_id").as("c_id"), col("v").as("cv"))
     } else {
-      val winners = qualifying
-        .select(col("vec_id").cast("long"))
+      // only the BOUNDARY id (the maxCentroids-th smallest) comes back to
+      // the driver — the limit materializes on executors, the agg reduces
+      // it to one row, so driver memory stays O(1) even for a huge cap
+      val boundaryRow = qualifying
+        .select(col("vec_id").cast("long").as("vec_id"))
         .orderBy(col("vec_id")).limit(maxCentroids)
-        .collect().map(_.getLong(0))
-      require(winners.nonEmpty, emptyMsg)
+        .agg(max(col("vec_id")).as("max_id"))
+        .collect().head
+      require(!boundaryRow.isNullAt(0), emptyMsg)
       b.filter(col("vec_id") % centroidStride === 0 &&
-          col("vec_id") <= winners.last)
+          col("vec_id") <= boundaryRow.getLong(0))
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
     }
   }
@@ -675,6 +679,13 @@ object Similarity {
     * as a deployed index would persist them. Deterministic end to end
     * (stride centroids, stride codebook, rounded-cosine/ADC ties broken
     * on ascending id), so the DuckDB oracle replays it bit-for-bit.
+    *
+    * Recall measured at the 100× copy (256 lists, r11 probe, BASELINE.md
+    * §9): recall@10 = 0.94 / 0.98 / 0.96 at nProbe 2 / 8 / 32 — note the
+    * DIP at 32: past ~8 probes the fixed `pool` ADC-rescore cut becomes
+    * the binding constraint (more candidates compete for the same `pool`
+    * slots and ADC estimate error evicts true neighbors), so scale `pool`
+    * with `nProbe` rather than raising `nProbe` alone.
     */
   def ivfPqTopK(
       base: DataFrame,
@@ -729,6 +740,17 @@ object Similarity {
     * [[kmeansCentroids]] of [[kmeansTrain]] — replacing the stride-picked
     * default. Same plan either way; centroids are config-scale and
     * broadcast.
+    *
+    * Recall contract at the capped list count: `nProbe / lists` is the
+    * scanned fraction, so at `maxCentroids = 256` the default `nProbe=2`
+    * scans 2/256 of the corpus — MEASURED at the 100× copy (200k rows,
+    * 256 stride lists, r11 probe, BASELINE.md §9): recall@10 = 0.94 at
+    * nProbe 2, 0.98 at 8, 1.00 at 32, with near-flat wall (the flat
+    * assignment dominates; the scanned slice is secondary). Raise
+    * `nProbe` with the list count if you cap tighter — recall tracks
+    * the scanned fraction, not the corpus size. [[recallAtK]] is the
+    * eval that produced these numbers; re-run it after any index-shape
+    * change.
     */
   def ivfTopK(
       base: DataFrame,
@@ -911,6 +933,16 @@ object Similarity {
     cents
   }
 
+  /** `rankSeeds = false` (the s9/s10 replay contract): seeds are the ids
+    * {0, seedStride, …, (k−1)·seedStride} and `c_id = id div seedStride`
+    * — an ABSOLUTE bound, which on an offset/sparse id space selects
+    * fewer than k seeds and fails the length check (by design: loud).
+    * `rankSeeds = true`: seeds are the first k stride-qualifying ids BY
+    * RANK with `c_id = 0…k−1` — the §8.42/BASELINE §9 lesson applied to
+    * seeding, so k can track the corpus (k ≈ √N, the d12b route) on any
+    * id space. Either way the pick is a one-time config-sized driver
+    * collect (the model-artifact init), never a plan-side limit.
+    */
   def kmeansTrain(
       base: DataFrame,
       id: Column,
@@ -918,21 +950,37 @@ object Similarity {
       k: Int = 8,
       iters: Int = 2,
       seedStride: Int = 50,
-      convergeTol: Option[Long] = None): DataFrame = {
+      convergeTol: Option[Long] = None,
+      rankSeeds: Boolean = false): DataFrame = {
     require(k > 0 && iters > 0, s"k and iters must be positive, got k=$k iters=$iters")
     val spark = base.sparkSession
     import spark.implicits._
     val pts = base.select(lit(0).as("grp"), id.as("pid"), microsOf(vec).as("mv"))
     // seeds: one config-sized collect (the init of the model artifact)
-    val seeds: Array[((Int, Long), Array[Long])] = pts
-      .filter(col("pid") % seedStride === 0 &&
-        expr(s"pid div $seedStride") < k)
-      .select(expr(s"pid div $seedStride").as("c_id"), col("mv").as("cv"))
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
-      .map { case (cid, cv) => (0, cid) -> cv }
-    require(seeds.length == k,
-      s"kmeansTrain: seeds need ids {0, $seedStride, …, ${(k - 1) * seedStride}} " +
-        s"in the base table; found ${seeds.length} of $k")
+    val seeds: Array[((Int, Long), Array[Long])] =
+      if (rankSeeds) {
+        val picked = pts
+          .filter(col("pid") % seedStride === 0)
+          .select(col("pid"), col("mv"))
+          .orderBy(col("pid")).limit(k)
+          .as[(Long, Array[Long])].collect().sortBy(_._1)
+        require(picked.length == k,
+          s"kmeansTrain: rankSeeds needs >= $k ids divisible by " +
+            s"seedStride=$seedStride in the base table; found ${picked.length}")
+        picked.zipWithIndex.map { case ((_, cv), i) => (0, i.toLong) -> cv }
+      } else {
+        val s0 = pts
+          .filter(col("pid") % seedStride === 0 &&
+            expr(s"pid div $seedStride") < k)
+          .select(expr(s"pid div $seedStride").as("c_id"), col("mv").as("cv"))
+          .as[(Long, Array[Long])].collect().sortBy(_._1)
+          .map { case (cid, cv) => (0, cid) -> cv }
+        require(s0.length == k,
+          s"kmeansTrain: seeds need ids {0, $seedStride, …, ${(k - 1) * seedStride}} " +
+            s"in the base table; found ${s0.length} of $k (offset/sparse id " +
+            "space? use rankSeeds = true)")
+        s0
+      }
     lloydLoop(pts, seeds, iters, convergeTol).toSeq
       .flatMap { case ((_, cid), cv) =>
         cv.zipWithIndex.map { case (v, p0) => (cid, (p0 + 1).toLong, v) }

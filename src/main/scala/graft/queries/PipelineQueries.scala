@@ -408,17 +408,23 @@ object PipelineQueries {
   // SemDeDup with the TRAINED coarse quantizer (the paper's actual
   // k-means): train → cluster → within-cluster prune as ONE declarative
   // plan — the route semanticKeep's maxFlatCentroids guard points at when
-  // the stride contract would quadratic-ize the flat assignment (trained
-  // k is FIXED, so assignment stays rows × k at any corpus size; at scale
-  // pick k ≈ √N so the within-cluster prune stays bounded too). Same 0.4
-  // threshold as d12; k=8/iters=2/seedStride=50 in lockstep with the
-  // s9/s10 k-means oracle replay.
-  private val d12b: Q = (s, dir) =>
-    Dedup.semanticKeep(t(s, dir, "embeddings"), col("vec_id"),
-      col("embedding"), minCosine = 0.4,
+  // the stride contract would quadratic-ize the flat assignment. k is
+  // SCALE-HONEST here: k = ⌈√N⌉ (one metadata-cheap count) balances the
+  // rows × k assignment against the Σ cluster² ≈ N²/k within-cluster
+  // prune — both terms then track N^1.5, the best any flat SemDeDup
+  // does (r9 benched fixed k=8 at 392× wall for 100× data; BASELINE.md
+  // §9 has the adjudication). Seeds are RANK-picked (rankSeeds=true,
+  // stride 10) so the pick survives offset/sparse id spaces; the DuckDB
+  // replay computes the same ⌈√count⌉ and the same ranked seed set.
+  // Same 0.4 threshold as d12; iters=2 in lockstep with s9/s10.
+  private val d12b: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    Dedup.semanticKeep(emb, col("vec_id"), col("embedding"), minCosine = 0.4,
       centroids = Some(Similarity.kmeansCentroids(
-        Similarity.kmeansTrain(t(s, dir, "embeddings"),
-          col("vec_id"), col("embedding"), k = 8, iters = 2, seedStride = 50))))
+        Similarity.kmeansTrain(emb, col("vec_id"), col("embedding"),
+          k = k, iters = 2, seedStride = 10, rankSeeds = true))))
+  }
 
   // LSH geometry picked by the S-curve selector instead of by hand:
   // lshParams(0.5, 32) = 8 bands × 4 rows — recall-heavier banding than
@@ -1176,6 +1182,25 @@ object PipelineQueries {
        |c0 AS (
        |  SELECT vec_id // 50 AS c_id, mv AS cv FROM ev
        |  WHERE vec_id % 50 = 0 AND vec_id // 50 < 8),
+       |${sqlKmeansIter(1)},
+       |${sqlKmeansIter(2)}""".stripMargin
+
+  /** d12b's scale-honest variant of [[sqlKmeansCtes]]: k = ⌈√N⌉ computed
+    * from the corpus itself, seeds = the first k stride-10 ids BY RANK
+    * with `c_id = 0…k−1` — in lockstep with `kmeansTrain(k = ⌈√count⌉,
+    * seedStride = 10, rankSeeds = true)`. The Lloyd iterations are
+    * k-agnostic and shared.
+    */
+  private val sqlKmeansCtesRank =
+    s"""ev AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT c_id, cv FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_id, mv AS cv
+       |    FROM ev WHERE vec_id % 10 = 0)
+       |  WHERE c_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
        |${sqlKmeansIter(1)},
        |${sqlKmeansIter(2)}""".stripMargin
 
@@ -1949,7 +1974,7 @@ object PipelineQueries {
     // assignment replaces the stride cluster, the within-cluster
     // drop/keep logic is unchanged
     "d12b_semdedup_trained" ->
-      s"""WITH $sqlKmeansCtes,
+      s"""WITH $sqlKmeansCtesRank,
          |cents AS (
          |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
          |listed AS (

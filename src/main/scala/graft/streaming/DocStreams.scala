@@ -96,13 +96,40 @@ object DocStreams {
       k: Int = 8,
       expectedGrams: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
+    // ONE pass over the benchmark gram pipeline: persist it, build the
+    // sketch from the persisted frame, and let every micro-batch's
+    // stream-static semi-join re-read the cached blocks instead of
+    // recomputing the gram explode (the static side of a stream-static
+    // join is re-evaluated per batch). Registered with Dedup's
+    // intermediates, so `Dedup.unpersistIntermediates()` after the
+    // stream stops is the release handle.
+    val bg = graft.operators.Dedup.cached(benchGrams.select(col("g")))
+    contaminationHitsStream(docs, bg,
+      graft.operators.BloomJoin.sketchBytes(bg, "g", expectedGrams, fpp),
+      id, text, k)
+  }
+
+  /** [[contaminationHitsStream]] against a PRE-BUILT benchmark — the
+    * cold-start form: the `(g)` gram set (read back from parquet, see
+    * [[graft.operators.Dedup.benchGramSet]]) plus its serialized sketch
+    * ([[graft.operators.BloomJoin.sketchBytes]], e.g. loaded from the
+    * checkpoint dir). The stream starts without scanning the benchmark
+    * text at all; hit rows are byte-identical to the one-shot form.
+    */
+  def contaminationHitsStream(
+      docs: DataFrame,
+      benchGrams: DataFrame,
+      benchSketch: Array[Byte],
+      id: Column,
+      text: Column,
+      k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val tg = docs
       .select(id.as("doc_id"),
         explode(graft.functions.TextFunctions.posGrams(tokens(text), k)).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
     graft.operators.BloomJoin
-      .prefilter(tg, "g", benchGrams, "g", expectedGrams, fpp)
+      .prefilter(tg, "g", benchSketch)
       .join(benchGrams.select(col("g")), Seq("g"), "left_semi")
       .select(col("doc_id"), col("pos"))
   }

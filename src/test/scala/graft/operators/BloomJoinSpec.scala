@@ -71,6 +71,56 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(ok == 1)
   }
 
+  test("sketchBytes round-trip: byte-probed survivors are identical to the DataFrame path") {
+    val rnd = new scala.util.Random(7)
+    val fact = Seq.fill(2000)(rnd.nextLong() % 500L).toDF("fk")
+    val dim = (1L to 100L).toDF("dk")
+    val direct = BloomJoin.prefilter(fact, "fk", dim, "dk", expectedItems = 100)
+      .as[Long].collect().sorted.toSeq
+    // persist the artifact through a real file and probe the bytes
+    val f = java.nio.file.Files.createTempFile("bloomsketch", ".bin")
+    java.nio.file.Files.write(f, BloomJoin.sketchBytes(dim, "dk", expectedItems = 100))
+    val viaBytes = BloomJoin.prefilter(fact, "fk", java.nio.file.Files.readAllBytes(f))
+      .as[Long].collect().sorted.toSeq
+    assert(viaBytes == direct && direct.nonEmpty)
+    // string keys round-trip through the xxhash64 representation too
+    val sdim = Seq("a", "c").toDF("dk")
+    val sfact = Seq("a", "b", "c", "zz").toDF("fk")
+    val sGot = BloomJoin.prefilter(sfact, "fk",
+      BloomJoin.sketchBytes(sdim, "dk", expectedItems = 10))
+      .as[String].collect().sorted.toSeq
+    val sDirect = BloomJoin.prefilter(sfact, "fk", sdim, "dk", expectedItems = 10)
+      .as[String].collect().sorted.toSeq
+    assert(sGot == sDirect && sGot.contains("a") && sGot.contains("c"))
+  }
+
+  test("an empty dimension serializes to a legal artifact that probes to zero survivors") {
+    val sketch = BloomJoin.sketchBytes(Seq.empty[Long].toDF("dk"), "dk",
+      expectedItems = 10)
+    assert(sketch.length < 32, "empty artifact should be a few header bytes")
+    assert(BloomJoin.prefilter(Seq(1L, 2L).toDF("fk"), "fk", sketch).count() == 0)
+  }
+
+  test("a serialized sketch still rejects mixed numeric probes loudly") {
+    // the artifact records the dim key type, so the probe-side check is
+    // as loud as the one-shot path — even against an EMPTY sketch
+    val full = BloomJoin.sketchBytes(Seq(5).toDF("dk"), "dk", expectedItems = 10)
+    val e1 = intercept[IllegalArgumentException] {
+      BloomJoin.prefilter(Seq(5.0).toDF("fk"), "fk", full)
+    }
+    assert(e1.getMessage.contains("common type"))
+    val empty = BloomJoin.sketchBytes(Seq.empty[Int].toDF("dk"), "dk",
+      expectedItems = 10)
+    val e2 = intercept[IllegalArgumentException] {
+      BloomJoin.prefilter(Seq(5.0).toDF("fk"), "fk", empty)
+    }
+    assert(e2.getMessage.contains("common type"))
+    // garbage bytes are not silently probed
+    intercept[Exception] {
+      BloomJoin.prefilter(Seq(1L).toDF("fk"), "fk", Array[Byte](9, 9, 9)).count()
+    }
+  }
+
   test("probe is a codegen'd might_contain predicate, not a UDF") {
     // a real file scan keeps the predicate in the executed plan — over a
     // LocalRelation the optimizer evaluates it at plan time (even through

@@ -432,6 +432,29 @@ class DedupSpec extends AnyFunSuite {
     Dedup.unpersistIntermediates(blocking = true)
   }
 
+  test("contaminationSpansBloom cold-start: parquet gram set + serialized sketch ≡ one-shot") {
+    val train = Seq(
+      (1L, "intro words the exact eval question text here closing words"),
+      (2L, "nothing shared with the benchmark at all today"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the exact eval question text here"))
+      .toDF("doc_id", "text")
+    val oneShot = Dedup.contaminationSpansBloom(train, bench,
+      col("doc_id"), col("text"), k = 3, expectedGrams = 64)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the persisted deployment: gram set written once, sketch bytes kept
+    val dir = java.nio.file.Files.createTempDirectory("benchgrams").toString
+    Dedup.benchGramSet(bench, col("text"), k = 3)
+      .write.mode("overwrite").parquet(dir)
+    val bg = spark.read.parquet(dir)
+    val sketch = BloomJoin.sketchBytes(bg, "g", expectedItems = 64)
+    val coldStart = Dedup.contaminationSpansBloom(train,
+      col("doc_id"), col("text"), bg, sketch, k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(coldStart == oneShot && oneShot.nonEmpty)
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("cutSpans removes exactly the duplicated token ranges, keeps the rest") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),   // "a b c d e" duplicated with doc 2

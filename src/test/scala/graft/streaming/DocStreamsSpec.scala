@@ -122,4 +122,74 @@ class DocStreamsSpec extends AnyFunSuite {
       Dedup.unpersistIntermediates(blocking = true)
     }
   }
+
+  test("streaming gram gate cold-start: pre-built sketch + gram parquet ≡ one-shot gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (1L, "intro words the exact eval question text here closing words"),
+      (2L, "nothing shared with the benchmark at all today"))
+    val bench = Seq((100L, "the exact eval question text here"))
+      .toDF("doc_id", "text")
+    // the deployment artifacts: gram set on disk, sketch bytes anywhere
+    val dir = java.nio.file.Files.createTempDirectory("streamgrams").toString
+    Dedup.benchGramSet(bench, col("text"), k = 3)
+      .write.mode("overwrite").parquet(dir)
+    val bg = spark.read.parquet(dir)
+    val sketch = graft.operators.BloomJoin.sketchBytes(bg, "g", expectedItems = 64)
+    val stream = MemoryStream[(Long, String)]
+    // cold start: no benchmark TEXT frame anywhere in this stream
+    val q = DocStreams.contaminationHitsStream(
+      stream.toDF().toDF("doc_id", "text"), bg, sketch,
+      col("doc_id"), col("text"), k = 3)
+      .writeStream.format("memory").queryName("gram_hits_cold")
+      .outputMode("append").start()
+    try {
+      stream.addData(train: _*)
+      q.processAllAvailable()
+      val streamedSpans = Dedup.mergeSpans(spark.table("gram_hits_cold"), k = 3)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batchSpans = Dedup.contaminationSpansBloom(
+        train.toDF("doc_id", "text"), bench,
+        col("doc_id"), col("text"), k = 3, expectedGrams = 64)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamedSpans == batchSpans && batchSpans.nonEmpty,
+        s"cold-start $streamedSpans vs batch $batchSpans")
+    } finally {
+      q.stop()
+      Dedup.unpersistIntermediates(blocking = true)
+    }
+  }
+
+  test("streaming gram gate evaluates the benchmark gram pipeline once, not per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the exact eval question text here"))
+      .toDF("doc_id", "text")
+    // count row-level evaluations of the gram pipeline: the persisted
+    // static side should materialize ONCE (≈ nGrams touches); without the
+    // cache the probe, the sketch build, and EACH micro-batch's
+    // stream-static join would re-run it (≥ 4 × nGrams for two batches)
+    val acc = spark.sparkContext.longAccumulator("gramEvals")
+    val counted = Dedup.benchGramSet(bench, col("text"), k = 3)
+      .as[String].map { g => acc.add(1); g }.toDF("g")
+    val nGrams = 4 // 6 tokens, k=3 → 4 positional grams, all distinct
+    val stream = MemoryStream[(Long, String)]
+    val q = DocStreams.contaminationHitsStream(
+      stream.toDF().toDF("doc_id", "text"), counted,
+      col("doc_id"), col("text"), k = 3, expectedGrams = 64)
+      .writeStream.format("memory").queryName("gram_hits_once")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "intro words the exact eval question text here"))
+      q.processAllAvailable()
+      stream.addData((2L, "the exact eval question text here again"))
+      q.processAllAvailable()
+      assert(spark.table("gram_hits_once").count() > 0)
+      assert(acc.value <= 2L * nGrams,
+        s"benchmark gram pipeline evaluated ${acc.value} row-touches for " +
+          s"$nGrams grams — static side not persisted?")
+    } finally {
+      q.stop()
+      Dedup.unpersistIntermediates(blocking = true)
+    }
+  }
 }
