@@ -1396,7 +1396,8 @@ object Dedup {
           "assignment is rows × centroids ≈ N²/stride (quadratic in the corpus). " +
           "Supply trained fixed-k centroids (Similarity.kmeansTrain → " +
           "kmeansCentroids; pick k ≈ √N to balance assignment against the " +
-          "within-cluster prune — the d12b route, BASELINE.md §9) or raise " +
+          "within-cluster prune, and train on an id-stride sample at scale " +
+          "— the d12b/d12c routes, measured in BASELINE.md §9) or raise " +
           "maxFlatCentroids deliberately")
       strided
     }

@@ -426,6 +426,23 @@ object PipelineQueries {
           k = k, iters = 2, seedStride = 10, rankSeeds = true))))
   }
 
+  // d12b with the trainer on a deterministic 1-in-5 stride SAMPLE — the
+  // deployment shape at 100 TB (faiss-style: k-means trains on a sample,
+  // the index assigns the full corpus). Train cost drops rows×k →
+  // (rows/5)×k per iteration while k stays ⌈√N_full⌉ (it balances the
+  // FULL-corpus prune, which is unchanged). The sample is id-stride, not
+  // random, so the DuckDB oracle replays the identical training set;
+  // stride-10 seeds are a subset of the stride-5 sample by construction.
+  private val d12c: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    Dedup.semanticKeep(emb, col("vec_id"), col("embedding"), minCosine = 0.4,
+      centroids = Some(Similarity.kmeansCentroids(
+        Similarity.kmeansTrain(emb.filter(col("vec_id") % 5 === 0),
+          col("vec_id"), col("embedding"),
+          k = k, iters = 2, seedStride = 10, rankSeeds = true))))
+  }
+
   // LSH geometry picked by the S-curve selector instead of by hand:
   // lshParams(0.5, 32) = 8 bands × 4 rows — recall-heavier banding than
   // d3's hand-set 4×8 at the same exact-Jaccard verify threshold, chosen
@@ -986,6 +1003,7 @@ object PipelineQueries {
     "d5_embedding_neardup" -> d5,
     "d12_semdedup" -> d12,
     "d12b_semdedup_trained" -> d12b,
+    "d12c_semdedup_sampled" -> d12c,
     "d28_softdedup_weights" -> d28,
     "d13_incremental_dedup" -> d13,
     "d10_substring_coverage" -> d10,
@@ -1146,14 +1164,14 @@ object PipelineQueries {
     * update, empty-cluster coalesce. `cI` is the iteration's output
     * centroid list table; `mI` the same exploded to (c_id, pos, val).
     */
-  private def sqlKmeansIter(i: Int): String = {
+  private def sqlKmeansIter(i: Int, src: String = "ev"): String = {
     val prev = if (i == 1) "c0" else s"c${i - 1}"
     s"""d$i AS (
        |  SELECT e.vec_id, c.c_id, e.mv,
        |    list_reduce(list_transform(range(1, 65),
        |      i -> (e.mv[i::INT] - c.cv[i::INT]) * (e.mv[i::INT] - c.cv[i::INT])),
        |      (a, b) -> a + b) AS dist
-       |  FROM ev e CROSS JOIN $prev c),
+       |  FROM $src e CROSS JOIN $prev c),
        |a$i AS (
        |  SELECT c_id, mv FROM (
        |    SELECT vec_id, c_id, mv,
@@ -1203,6 +1221,28 @@ object PipelineQueries {
        |  WHERE c_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
        |${sqlKmeansIter(1)},
        |${sqlKmeansIter(2)}""".stripMargin
+
+  /** d12c's sampled-train variant of [[sqlKmeansCtesRank]]: the Lloyd
+    * iterations run over the deterministic 1-in-5 stride SAMPLE
+    * (`vec_id % 5 = 0` — the faiss/SemDeDup deployment shape: train on a
+    * sample, assign the full corpus), k = ⌈√N⌉ still from the FULL
+    * corpus (it balances the full-corpus prune, not the train), seeds =
+    * first k stride-10 ids by rank (stride-10 ⊂ stride-5, so every seed
+    * is in the sample).
+    */
+  private val sqlKmeansCtesSampled =
+    s"""ev AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+       |  FROM embeddings),
+       |evs AS (SELECT vec_id, mv FROM ev WHERE vec_id % 5 = 0),
+       |c0 AS (
+       |  SELECT c_id, cv FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c_id, mv AS cv
+       |    FROM evs WHERE vec_id % 10 = 0)
+       |  WHERE c_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
+       |${sqlKmeansIter(1, "evs")},
+       |${sqlKmeansIter(2, "evs")}""".stripMargin
 
   /** s2's LSH-ranking replay — also the candidate side of s8. */
   private val sqlS2Lsh =
@@ -1975,6 +2015,24 @@ object PipelineQueries {
     // drop/keep logic is unchanged
     "d12b_semdedup_trained" ->
       s"""WITH $sqlKmeansCtesRank,
+         |cents AS (
+         |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+         |listed AS (
+         |  SELECT vec_id, v, c_id FROM (
+         |    SELECT b.vec_id, b.embedding AS v, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv), 6) DESC,
+         |                 c.c_id ASC) AS crn
+         |    FROM embeddings b CROSS JOIN cents c)
+         |  WHERE crn <= 1),
+         |dropped AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
+         |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
+         |SELECT vec_id, c_id FROM listed
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "d12c_semdedup_sampled" ->
+      s"""WITH $sqlKmeansCtesSampled,
          |cents AS (
          |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
          |listed AS (

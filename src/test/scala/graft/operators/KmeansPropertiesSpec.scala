@@ -45,6 +45,42 @@ class KmeansPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("rankSeeds: seed pick survives an OFFSET id space and c_ids are dense 0..k-1") {
+    // absolute-bound seeding needs ids {0, stride, …, (k-1)·stride} and
+    // fails on offset ids (the §8.42 trap); rank seeding takes the first
+    // k qualifying ids wherever they sit
+    val vs = sampleVecs(7L)
+    val dim = vs.head.length
+    val offset = 1000000L // every id ≥ 1e6, still divisible by 10
+    val df = vs.zipWithIndex.map { case (v, i) => (offset + i * 10L, v) }
+      .toDF("vec_id", "embedding")
+    val k = math.min(3, vs.size)
+    // absolute mode rejects loudly and points at rankSeeds
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(df, col("vec_id"), col("embedding"),
+        k = k, iters = 1, seedStride = 10)
+    }
+    assert(e.getMessage.contains("rankSeeds"))
+    // rank mode trains: k centroids, c_id 0..k-1, each of the vector dim
+    val out = Similarity.kmeansTrain(df, col("vec_id"), col("embedding"),
+      k = k, iters = 1, seedStride = 10, rankSeeds = true)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).distinct.sorted.toSeq == (0L until k).toSeq)
+    assert(out.length == k * dim)
+    // rank seeding over a DENSE 0-based id space picks the same seed
+    // ROWS as absolute seeding when both are feasible (ids i·10 →
+    // absolute c_id = i = rank index): identical trained output
+    val dense = vs.zipWithIndex.map { case (v, i) => (i * 10L, v) }
+      .toDF("vec_id", "embedding")
+    val abs = Similarity.kmeansTrain(dense, col("vec_id"), col("embedding"),
+      k = k, iters = 2, seedStride = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val rank = Similarity.kmeansTrain(dense, col("vec_id"), col("embedding"),
+      k = k, iters = 2, seedStride = 10, rankSeeds = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rank == abs, "rank-picked seeds must train identically on a dense id space")
+  }
+
   test("k-means output is invariant to physical row order") {
     val vs = sampleVecs(99L).zipWithIndex.map { case (v, id) => (id.toLong, v) }
     val df = vs.toDF("vec_id", "embedding")
