@@ -1031,6 +1031,10 @@ object PipelineQueries {
     // the join, so the eval never costs a corpus pass of its own
     "s8_recall_eval" -> ((s, dir) => Similarity.recallAtK(
       s1(s, dir), s2(s, dir), k = 10)),
+    // same eval over the capped-IVF tier: the 256-list recall contract
+    // (ivfTopK scaladoc, BASELINE.md §9) hash-checked every round
+    "s17_recall_ivf" -> ((s, dir) => Similarity.recallAtK(
+      s1(s, dir), s3(s, dir), k = 10)),
     "mm1_media_meta" -> mm1,
     "mm2_frame_sample" -> mm2,
     "mm3_patch_grid" -> mm3,
@@ -1243,6 +1247,38 @@ object PipelineQueries {
        |  WHERE c_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
        |${sqlKmeansIter(1, "evs")},
        |${sqlKmeansIter(2, "evs")}""".stripMargin
+
+  /** s3's capped-IVF replay — also the candidate side of s17. */
+  private val sqlS3Ivf =
+    """WITH cents AS (
+      |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+      |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
+      |listed AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT b.vec_id, b.embedding AS v, c.c_id,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+      |                 c.c_id ASC) AS crn
+      |    FROM embeddings b CROSS JOIN cents c)
+      |  WHERE crn <= 1),
+      |probed AS (
+      |  SELECT q_id, qv, c_id FROM (
+      |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+      |                 c.c_id ASC) AS crn
+      |    FROM embeddings q CROSS JOIN cents c
+      |    WHERE q.vec_id < 5)
+      |  WHERE crn <= 2)
+      |SELECT q_id, vec_id, cos, rn FROM (
+      |  SELECT p.q_id, l.vec_id,
+      |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+      |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) DESC,
+      |               l.vec_id ASC) AS rn
+      |  FROM listed l JOIN probed p ON l.c_id = p.c_id
+      |  WHERE p.q_id <> l.vec_id)
+      |WHERE rn <= 10""".stripMargin
 
   /** s2's LSH-ranking replay — also the candidate side of s8. */
   private val sqlS2Lsh =
@@ -2142,36 +2178,18 @@ object PipelineQueries {
          |  FROM listed l JOIN probed p ON l.c_id = p.c_id
          |  WHERE p.q_id <> l.vec_id)
          |WHERE rn <= 10""".stripMargin,
-    "s3_ann_ivf" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
-        |listed AS (
-        |  SELECT vec_id, v, c_id FROM (
-        |    SELECT b.vec_id, b.embedding AS v, c.c_id,
-        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-        |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
-        |                 c.c_id ASC) AS crn
-        |    FROM embeddings b CROSS JOIN cents c)
-        |  WHERE crn <= 1),
-        |probed AS (
-        |  SELECT q_id, qv, c_id FROM (
-        |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
-        |                 c.c_id ASC) AS crn
-        |    FROM embeddings q CROSS JOIN cents c
-        |    WHERE q.vec_id < 5)
-        |  WHERE crn <= 2)
-        |SELECT q_id, vec_id, cos, rn FROM (
-        |  SELECT p.q_id, l.vec_id,
-        |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
-        |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-        |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) DESC,
-        |               l.vec_id ASC) AS rn
-        |  FROM listed l JOIN probed p ON l.c_id = p.c_id
-        |  WHERE p.q_id <> l.vec_id)
-        |WHERE rn <= 10""".stripMargin,
+    "s3_ann_ivf" -> sqlS3Ivf,
+    // recall@10 of the capped-IVF ranking vs exact — the s8 pattern over
+    // s3, so the 256-list recall contract (ivfTopK scaladoc, BASELINE.md
+    // §9) is hash-checked every round, not just probed once
+    "s17_recall_ivf" ->
+      s"""WITH exact AS (SELECT * FROM ($sqlS1Exact)),
+         |approx AS (SELECT * FROM ($sqlS3Ivf))
+         |SELECT e.q_id, count(a.vec_id)::BIGINT AS hits, 10::BIGINT AS k,
+         |  (count(a.vec_id) * 1000000) // 10 AS recall_ppm
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |GROUP BY e.q_id""".stripMargin,
     "s4_ann_quantized" ->
       """WITH nb AS (
         |  SELECT vec_id, embedding,
