@@ -1416,9 +1416,27 @@ object Dedup {
     // because no flat SemDeDup avoids an N² term on one side or the other.
     // `cents` is already validated above (the guard's count IS the probe),
     // so ivfAssign never re-probes the stride filter.
-    val assigned = cached(
+    semanticKeepAssigned(
       Similarity.ivfAssign(emb, id, vec, centroidStride, Some(cents),
-        maxCentroids = Int.MaxValue))
+        maxCentroids = Int.MaxValue),
+      minCosine)
+  }
+
+  /** SemDeDup's within-cluster prune over a CALLER-SUPPLIED centroid
+    * assignment `(c_id, vec_id, v)` — the separable second half of
+    * [[semanticKeep]], exposed so the assignment strategy is pluggable:
+    * the flat broadcast-rank pass ([[graft.operators.Similarity
+    * .ivfAssign]], what [[semanticKeep]] feeds it), or the two-level
+    * [[graft.operators.Similarity.ivfAssignHierarchical]] when the
+    * centroid count makes the flat rows × k pass the dominant term (the
+    * d12d route). Keep/drop semantics are identical regardless of the
+    * assignment's provenance: within each cluster, every row cosine-≥
+    * `minCosine` to a LOWER-id row is dropped.
+    */
+  def semanticKeepAssigned(assignment: DataFrame, minCosine: Double): DataFrame = {
+    // three consumers (both join sides + the anti-join probe): persist
+    // the assignment or each branch re-runs the upstream pass
+    val assigned = cached(assignment)
     val m = assigned.select(col("c_id"), col("vec_id"), col("v"))
     val dropped = m.as("x")
       .join(m.as("y"),

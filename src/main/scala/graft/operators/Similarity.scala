@@ -562,6 +562,78 @@ object Similarity {
     ivfAssignTo(cents, b, "v", "vec_id", 1)
   }
 
+  /** TWO-LEVEL centroid assignment — [[ivfAssign]]'s scale path when the
+    * centroid count itself grows with the corpus (SemDeDup's k ≈ √N
+    * contract): instead of ranking every row against all k centroids
+    * (rows × k cosines — the N^1.5 term that dominates the d12c route,
+    * BASELINE.md §9), the centroids are grouped under every
+    * `superStride`-th centroid BY RANK (k/superStride super-centroids;
+    * rank-picked, so any id space works), each row probes its `sProbe`
+    * nearest super-lists, and the exact argmax runs only over the
+    * centroids IN those lists: rows × (k/superStride + sProbe·superStride)
+    * cosines, minimized at superStride ≈ √k — N·k^½ total, N^1.25 when
+    * k ≈ √N. This is faiss's IVF-on-the-quantizer trick re-expressed as
+    * three broadcast-rank passes; everything stays deterministic
+    * (rounded cosines, ties on ascending id), so an external engine
+    * replays the identical assignment.
+    *
+    * APPROXIMATE by design: a row whose true nearest centroid sits in an
+    * unprobed super-list lands in its best PROBED list instead — the
+    * standard IVF recall trade, moved one level up. `sProbe` ≥ the
+    * super-centroid count degenerates to the exact flat argmax
+    * (spec-pinned), which is the knob's contract: raise `sProbe` to buy
+    * assignment fidelity with assignment cost.
+    *
+    * Output: `(c_id, vec_id, v)` — the [[ivfAssign]] shape, accepted by
+    * [[graft.operators.Dedup.semanticKeepAssigned]].
+    */
+  def ivfAssignHierarchical(
+      base: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: DataFrame,
+      superStride: Int,
+      sProbe: Int = 2): DataFrame = {
+    require(superStride > 0, s"superStride must be positive, got $superStride")
+    require(sProbe > 0, s"sProbe must be positive, got $sProbe")
+    import org.apache.spark.sql.expressions.Window
+    val b = base.select(id.as("vec_id"), vec.as("v"))
+    val cents = centroids.select(col("c_id"), col("cv"))
+    // super-centroids: every superStride-th centroid by c_id rank — the
+    // centroid table is config-sized, so the single-partition window is a
+    // driver-scale sort, not a data-scale one
+    val supers = cents
+      .withColumn("crk", row_number().over(Window.orderBy(col("c_id"))) - 1)
+      .filter(col("crk") % superStride === 0)
+      .select(col("c_id").as("s_id"), col("cv").as("sv"))
+    // each centroid files under its nearest super (k × k/superStride,
+    // config × config — broadcast both ways, exact argmax)
+    val wC = Window.partitionBy(col("c_id"))
+      .orderBy(col("s_cos").desc, col("s_id").asc)
+    val c2s = cents.join(broadcast(supers), col("s_id") =!= lit(-1))
+      .select(col("c_id"), col("cv"), col("s_id"),
+        round(cosine(col("cv"), col("sv")), 6).as("s_cos"))
+      .withColumn("srn", row_number().over(wC)).filter(col("srn") === 1)
+      .select(col("s_id"), col("c_id"), col("cv"))
+    // rows probe their sProbe nearest super-lists (rows × k/superStride)
+    val wR = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s_cos").desc, col("s_id").asc)
+    val r2s = b.join(broadcast(supers), col("s_id") =!= lit(-1))
+      .select(col("vec_id"), col("v"), col("s_id"),
+        round(cosine(col("v"), col("sv")), 6).as("s_cos"))
+      .withColumn("srn", row_number().over(wR)).filter(col("srn") <= sProbe)
+      .select(col("vec_id"), col("v"), col("s_id"))
+    // exact argmax over the probed lists' centroids only — each centroid
+    // lives in exactly one super-list, so (vec_id, c_id) pairs are unique
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    r2s.join(broadcast(c2s), Seq("s_id"))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        round(cosine(col("v"), col("cv")), 6).as("c_cos"))
+      .withColumn("crn", row_number().over(wA)).filter(col("crn") === 1)
+      .select(col("c_id"), col("vec_id"), col("v"))
+  }
+
   /** Flat product-quantization ANN (Jégou et al., "Product quantization
     * for nearest neighbor search", TPAMI 2011): base vectors are PQ-coded
     * (`numSubspaces` sub-vectors, each snapped to its nearest codebook

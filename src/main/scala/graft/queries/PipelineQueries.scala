@@ -443,6 +443,28 @@ object PipelineQueries {
           k = k, iters = 2, seedStride = 10, rankSeeds = true))))
   }
 
+  // the full 100 TB SemDeDup composition: sampled trainer (d12c) +
+  // TWO-LEVEL centroid assignment (rows probe sProbe of the ~√k
+  // super-lists, exact argmax only within them — assignment drops from
+  // rows × k to rows × ~2√k, N^1.25 total when k ≈ √N) + the shared
+  // within-cluster prune via semanticKeepAssigned. Assignment is
+  // approximate (the IVF recall trade moved one level up), so the
+  // keep-set legitimately differs from d12c's — it has its own oracle
+  // replaying the identical two-level argmax.
+  private val d12d: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    val superStride = math.ceil(math.sqrt(k.toDouble)).toInt
+    val cents = Similarity.kmeansCentroids(
+      Similarity.kmeansTrain(emb.filter(col("vec_id") % 5 === 0),
+        col("vec_id"), col("embedding"),
+        k = k, iters = 2, seedStride = 10, rankSeeds = true))
+    Dedup.semanticKeepAssigned(
+      Similarity.ivfAssignHierarchical(emb, col("vec_id"), col("embedding"),
+        cents, superStride = superStride, sProbe = 2),
+      minCosine = 0.4)
+  }
+
   // LSH geometry picked by the S-curve selector instead of by hand:
   // lshParams(0.5, 32) = 8 bands × 4 rows — recall-heavier banding than
   // d3's hand-set 4×8 at the same exact-Jaccard verify threshold, chosen
@@ -1004,6 +1026,7 @@ object PipelineQueries {
     "d12_semdedup" -> d12,
     "d12b_semdedup_trained" -> d12b,
     "d12c_semdedup_sampled" -> d12c,
+    "d12d_semdedup_ann" -> d12d,
     "d28_softdedup_weights" -> d28,
     "d13_incremental_dedup" -> d13,
     "d10_substring_coverage" -> d10,
@@ -2078,6 +2101,46 @@ object PipelineQueries {
          |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv), 6) DESC,
          |                 c.c_id ASC) AS crn
          |    FROM embeddings b CROSS JOIN cents c)
+         |  WHERE crn <= 1),
+         |dropped AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
+         |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
+         |SELECT vec_id, c_id FROM listed
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "d12d_semdedup_ann" ->
+      s"""WITH $sqlKmeansCtesSampled,
+         |cents AS (
+         |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+         |rankedc AS (
+         |  SELECT c_id, cv, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
+         |supers AS (
+         |  SELECT c_id AS s_id, cv AS sv FROM rankedc
+         |  WHERE crk % (SELECT CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT)
+         |               FROM embeddings) = 0),
+         |c2s AS (
+         |  SELECT s_id, c_id, cv FROM (
+         |    SELECT c.c_id, c.cv, s.s_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.c_id
+         |        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 6) DESC,
+         |                 s.s_id ASC) AS srn
+         |    FROM cents c CROSS JOIN supers s)
+         |  WHERE srn = 1),
+         |r2s AS (
+         |  SELECT vec_id, v, s_id FROM (
+         |    SELECT b.vec_id, b.embedding AS v, s.s_id,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], s.sv), 6) DESC,
+         |                 s.s_id ASC) AS srn
+         |    FROM embeddings b CROSS JOIN supers s)
+         |  WHERE srn <= 2),
+         |listed AS (
+         |  SELECT vec_id, v, c_id FROM (
+         |    SELECT r.vec_id, r.v, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+         |        ORDER BY round(list_cosine_similarity(r.v::DOUBLE[], c.cv), 6) DESC,
+         |                 c.c_id ASC) AS crn
+         |    FROM r2s r JOIN c2s c ON r.s_id = c.s_id)
          |  WHERE crn <= 1),
          |dropped AS (
          |  SELECT DISTINCT x.vec_id

@@ -70,6 +70,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assigned.count() == 10) // every row assigned, none lost
   }
 
+  test("hierarchical assignment degenerates to the exact flat argmax when sProbe covers all super-lists") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(Similarity.kmeansTrain(
+      emb, col("vec_id"), col("embedding"), k = 9, iters = 1, seedStride = 10,
+      rankSeeds = true))
+    // superStride 3 over 9 centroids → 3 super-lists; sProbe = 3 probes
+    // them ALL, so the two-level argmax must equal ivfAssign's flat one
+    val flat = Similarity.ivfAssign(emb, col("vec_id"), col("embedding"),
+      centroids = Some(cents))
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    val hier = Similarity.ivfAssignHierarchical(emb, col("vec_id"),
+      col("embedding"), cents, superStride = 3, sProbe = 3)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(hier == flat && flat.nonEmpty)
+    // at sProbe = 1 every row still lands in exactly one list (no row
+    // lost, no row duplicated) — the approximation changes WHICH list,
+    // never the assignment's shape
+    val approx = Similarity.ivfAssignHierarchical(emb, col("vec_id"),
+      col("embedding"), cents, superStride = 3, sProbe = 1)
+    assert(approx.count() == emb.count())
+    assert(approx.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("IVF fails loudly when the stride matches no id (empty centroid set)") {
     val odd = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
