@@ -1058,6 +1058,11 @@ object PipelineQueries {
     // (ivfTopK scaladoc, BASELINE.md §9) hash-checked every round
     "s17_recall_ivf" -> ((s, dir) => Similarity.recallAtK(
       s1(s, dir), s3(s, dir), k = 10)),
+    // and over the IVF×PQ tier, whose recall is pool-bound past ~8
+    // probes (the measured nProbe=32 dip, ivfPqTopK scaladoc) — pinned
+    // here at the benched nProbe=2/pool=50 config
+    "s18_recall_ivfpq" -> ((s, dir) => Similarity.recallAtK(
+      s1(s, dir), s14(s, dir), k = 10)),
     "mm1_media_meta" -> mm1,
     "mm2_frame_sample" -> mm2,
     "mm3_patch_grid" -> mm3,
@@ -1270,6 +1275,72 @@ object PipelineQueries {
        |  WHERE c_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)),
        |${sqlKmeansIter(1, "evs")},
        |${sqlKmeansIter(2, "evs")}""".stripMargin
+
+  /** s14's IVF×PQ replay — also the candidate side of s18. */
+  private val sqlS14IvfPq =
+      """WITH cents AS (
+        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
+        |listed AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT b.vec_id, b.embedding AS v, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+        |                 c.c_id ASC) AS crn
+        |    FROM embeddings b CROSS JOIN cents c)
+        |  WHERE crn <= 1),
+        |probed AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+        |                 c.c_id ASC) AS crn
+        |    FROM embeddings q CROSS JOIN cents c
+        |    WHERE q.vec_id < 5)
+        |  WHERE crn <= 2),
+        |cbv AS (
+        |  SELECT vec_id // 16 AS j, embedding AS cv FROM embeddings
+        |  WHERE vec_id % 16 = 0 AND vec_id // 16 < 16),
+        |sub AS (
+        |  SELECT t.s AS s, j, list_slice(cv, t.s*8 + 1, t.s*8 + 8) AS c
+        |  FROM cbv, unnest(range(0, 8)) t(s)),
+        |dist AS (
+        |  SELECT b.vec_id, sub.s, sub.j,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)
+        |           * (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)),
+        |      (x, y) -> x + y) AS d
+        |  FROM embeddings b CROSS JOIN sub),
+        |enc AS (
+        |  SELECT vec_id, s, j AS code FROM (
+        |    SELECT vec_id, s, j,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+        |    FROM dist)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT p.q_id, l.vec_id,
+        |    list_reduce(list(qd.d ORDER BY qd.s), (x, y) -> x + y) AS est
+        |  FROM probed p
+        |  JOIN listed l ON l.c_id = p.c_id AND l.vec_id <> p.q_id
+        |  JOIN enc e ON e.vec_id = l.vec_id
+        |  JOIN dist qd ON qd.vec_id = p.q_id AND qd.s = e.s AND qd.j = e.code
+        |  GROUP BY p.q_id, l.vec_id),
+        |pool AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id ASC) AS ern
+        |    FROM cand)
+        |  WHERE ern <= 50)
+        |SELECT q_id, vec_id, cos, rn FROM (
+        |  SELECT p.q_id, p.vec_id,
+        |    round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+        |      ORDER BY round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) DESC,
+        |               p.vec_id ASC) AS rn
+        |  FROM pool p
+        |  JOIN embeddings qv ON qv.vec_id = p.q_id
+        |  JOIN embeddings bv ON bv.vec_id = p.vec_id)
+        |WHERE rn <= 10""".stripMargin
 
   /** s3's capped-IVF replay — also the candidate side of s17. */
   private val sqlS3Ivf =
@@ -2253,6 +2324,14 @@ object PipelineQueries {
          |FROM exact e LEFT JOIN approx a
          |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
          |GROUP BY e.q_id""".stripMargin,
+    "s18_recall_ivfpq" ->
+      s"""WITH exact AS (SELECT * FROM ($sqlS1Exact)),
+         |approx AS (SELECT * FROM ($sqlS14IvfPq))
+         |SELECT e.q_id, count(a.vec_id)::BIGINT AS hits, 10::BIGINT AS k,
+         |  (count(a.vec_id) * 1000000) // 10 AS recall_ppm
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |GROUP BY e.q_id""".stripMargin,
     "s4_ann_quantized" ->
       """WITH nb AS (
         |  SELECT vec_id, embedding,
@@ -2288,70 +2367,7 @@ object PipelineQueries {
     // s7's PQ CTEs (cbv/sub/dist/enc); candidates are the list join, the
     // ADC estimate folds the query-side LUT rows in subspace order, pool
     // rank then exact cosine rescore — lockstep with Similarity.ivfPqTopK
-    "s14_ann_ivfpq" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
-        |listed AS (
-        |  SELECT vec_id, v, c_id FROM (
-        |    SELECT b.vec_id, b.embedding AS v, c.c_id,
-        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-        |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
-        |                 c.c_id ASC) AS crn
-        |    FROM embeddings b CROSS JOIN cents c)
-        |  WHERE crn <= 1),
-        |probed AS (
-        |  SELECT q_id, qv, c_id FROM (
-        |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
-        |                 c.c_id ASC) AS crn
-        |    FROM embeddings q CROSS JOIN cents c
-        |    WHERE q.vec_id < 5)
-        |  WHERE crn <= 2),
-        |cbv AS (
-        |  SELECT vec_id // 16 AS j, embedding AS cv FROM embeddings
-        |  WHERE vec_id % 16 = 0 AND vec_id // 16 < 16),
-        |sub AS (
-        |  SELECT t.s AS s, j, list_slice(cv, t.s*8 + 1, t.s*8 + 8) AS c
-        |  FROM cbv, unnest(range(0, 8)) t(s)),
-        |dist AS (
-        |  SELECT b.vec_id, sub.s, sub.j,
-        |    list_reduce(list_transform(range(1, 9),
-        |      i -> (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)
-        |           * (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)),
-        |      (x, y) -> x + y) AS d
-        |  FROM embeddings b CROSS JOIN sub),
-        |enc AS (
-        |  SELECT vec_id, s, j AS code FROM (
-        |    SELECT vec_id, s, j,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
-        |    FROM dist)
-        |  WHERE rn = 1),
-        |cand AS (
-        |  SELECT p.q_id, l.vec_id,
-        |    list_reduce(list(qd.d ORDER BY qd.s), (x, y) -> x + y) AS est
-        |  FROM probed p
-        |  JOIN listed l ON l.c_id = p.c_id AND l.vec_id <> p.q_id
-        |  JOIN enc e ON e.vec_id = l.vec_id
-        |  JOIN dist qd ON qd.vec_id = p.q_id AND qd.s = e.s AND qd.j = e.code
-        |  GROUP BY p.q_id, l.vec_id),
-        |pool AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q_id, vec_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id ASC) AS ern
-        |    FROM cand)
-        |  WHERE ern <= 50)
-        |SELECT q_id, vec_id, cos, rn FROM (
-        |  SELECT p.q_id, p.vec_id,
-        |    round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) AS cos,
-        |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-        |      ORDER BY round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) DESC,
-        |               p.vec_id ASC) AS rn
-        |  FROM pool p
-        |  JOIN embeddings qv ON qv.vec_id = p.q_id
-        |  JOIN embeddings bv ON bv.vec_id = p.vec_id)
-        |WHERE rn <= 10""".stripMargin,
+    "s14_ann_ivfpq" -> sqlS14IvfPq,
     // PQ replay: codebook slices, per-(vector, subspace, code) squared-L2
     // folds (left-to-right — list_reduce's first-element seed equals the
     // 0.0 seed on non-negative squared terms), argmin encode, ADC sum in
