@@ -593,9 +593,11 @@ object Similarity {
       vec: Column,
       centroids: DataFrame,
       superStride: Int,
-      sProbe: Int = 2): DataFrame = {
+      sProbe: Int = 2,
+      keep: Int = 1): DataFrame = {
     require(superStride > 0, s"superStride must be positive, got $superStride")
     require(sProbe > 0, s"sProbe must be positive, got $sProbe")
+    require(keep > 0, s"keep must be positive, got $keep")
     import org.apache.spark.sql.expressions.Window
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = centroids.select(col("c_id"), col("cv"))
@@ -630,8 +632,46 @@ object Similarity {
     r2s.join(broadcast(c2s), Seq("s_id"))
       .select(col("vec_id"), col("v"), col("c_id"),
         round(cosine(col("v"), col("cv")), 6).as("c_cos"))
-      .withColumn("crn", row_number().over(wA)).filter(col("crn") === 1)
+      .withColumn("crn", row_number().over(wA)).filter(col("crn") <= keep)
       .select(col("c_id"), col("vec_id"), col("v"))
+  }
+
+  /** [[ivfTopK]] with BOTH sides assigned hierarchically — the shape for
+    * a capped index whose flat assignment dominates the wall (s3's sf10
+    * profile: 19.8 of 20.7 s was the rows × 256 pass, BASELINE.md §9).
+    * The stored lists come from [[ivfAssignHierarchical]] (rows ×
+    * (256/superStride + sProbe·superStride) instead of rows × 256) and
+    * each query probes its `nProbe` lists through the same two-level
+    * rank. Doubly approximate — list membership AND list choice carry
+    * the super-probe trade — so it has its own oracle and its recall
+    * rides [[recallAtK]] like every other tier.
+    */
+  def ivfTopKHierarchical(
+      base: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 10,
+      centroidStride: Int = 50,
+      nProbe: Int = 2,
+      maxCentroids: Int = 256,
+      superStride: Int = 16,
+      sProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = base.select(id.as("vec_id"), vec.as("v"))
+    val cents = ivfCentroids(b, centroidStride, maxCentroids)
+    val listed = ivfAssignHierarchical(base, id, vec, cents, superStride, sProbe)
+    val probed = ivfAssignHierarchical(queries, id, vec, cents, superStride,
+        sProbe, keep = nProbe)
+      .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    listed.join(probed, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
   }
 
   /** Flat product-quantization ANN (Jégou et al., "Product quantization
