@@ -811,7 +811,10 @@ object Similarity {
       numCodes: Int = 16,
       codeStride: Int = 16,
       pool: Int = 50,
-      maxCentroids: Int = 256): DataFrame = {
+      maxCentroids: Int = 256,
+      hierarchical: Boolean = false,
+      superStride: Int = 16,
+      sProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.ColumnBridge
     val cb = pqCodebook(base, id, vec, numSubspaces, numCodes, codeStride)
@@ -822,11 +825,23 @@ object Similarity {
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = ivfCentroids(b, centroidStride, maxCentroids)
     // the stored index rows: list id + PQ codes (+ the full vector, read
-    // again only by the pool-bounded rescore)
-    val listed = ivfAssignTo(cents, b, "v", "vec_id", 1)
+    // again only by the pool-bounded rescore). `hierarchical` swaps the
+    // flat rows × centroids assignment for the two-level
+    // [[ivfAssignHierarchical]] on BOTH sides (the s19 trade — the PQ
+    // machinery below is independent of how list membership was decided).
+    val listedBase =
+      if (hierarchical) ivfAssignHierarchical(base, id, vec, cents, superStride, sProbe)
+      else ivfAssignTo(cents, b, "v", "vec_id", 1)
+    val listed = listedBase
       .select(col("c_id"), col("vec_id"), col("v"), enc(col("v")).as("codes"))
-    val probed = ivfAssignTo(
-      cents, queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)
+    val probedBase =
+      if (hierarchical)
+        ivfAssignHierarchical(queries, id, vec, cents, superStride, sProbe,
+          keep = nProbe)
+          .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
+      else ivfAssignTo(
+        cents, queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)
+    val probed = probedBase
       .select(col("c_id"), col("q_id"), col("qv"), lut(col("qv")).as("lut"))
     // ADC estimate in subspace order, identical to [[pqTopK]]
     val est = (0 until numSubspaces)

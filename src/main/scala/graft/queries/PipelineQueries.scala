@@ -705,6 +705,14 @@ object PipelineQueries {
       col("vec_id"), col("embedding"), k = 10, centroidStride = 50, nProbe = 2,
       maxCentroids = 256, superStride = 16, sProbe = 2)
 
+  // s14 with the same two-level assignment on both sides — the PQ
+  // encode/ADC/pool-rescore tail is untouched
+  private val s20: Q = (s, dir) =>
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, centroidStride = 50, nProbe = 2,
+      numSubspaces = 8, numCodes = 16, codeStride = 16, pool = 50,
+      hierarchical = true, superStride = 16, sProbe = 2)
+
   // int8 quantize → integer-dot candidate ranking → exact rescore of the
   // k survivors; the integer ranking replays bit-for-bit in the oracle
   private val s4: Q = (s, dir) =>
@@ -1046,6 +1054,7 @@ object PipelineQueries {
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s19_ann_ivf_hier" -> s19,
+    "s20_ann_ivfpq_hier" -> s20,
     "s4_ann_quantized" -> s4,
     "s12_ann_rp" -> s12,
     "s13_ann_mmr" -> s13,
@@ -1351,6 +1360,55 @@ object PipelineQueries {
         |  JOIN embeddings qv ON qv.vec_id = p.q_id
         |  JOIN embeddings bv ON bv.vec_id = p.vec_id)
         |WHERE rn <= 10""".stripMargin
+
+  /** The two-level (hierarchical) IVF assignment CTEs over the
+    * stride-capped centroid set — shared by s19 (plain rescore tail) and
+    * s20 (s14's PQ tail): super-centroids every 16th by rank, each
+    * centroid filed under its nearest super, rows/queries probe their 2
+    * nearest super-lists, exact argmax within. `listed` keeps crn <= 1
+    * (one list per stored row), `probed` keeps crn <= 2 (= nProbe).
+    */
+  private val sqlHierIvfCtes =
+    """cents AS (
+      |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+      |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
+      |rankedc AS (
+      |  SELECT c_id, cv, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
+      |supers AS (
+      |  SELECT c_id AS s_id, cv AS sv FROM rankedc WHERE crk % 16 = 0),
+      |c2s AS (
+      |  SELECT s_id, c_id, cv FROM (
+      |    SELECT c.c_id, c.cv, s.s_id,
+      |      ROW_NUMBER() OVER (PARTITION BY c.c_id
+      |        ORDER BY round(list_cosine_similarity(c.cv::DOUBLE[], s.sv::DOUBLE[]), 6) DESC,
+      |                 s.s_id ASC) AS srn
+      |    FROM cents c CROSS JOIN supers s)
+      |  WHERE srn = 1),
+      |r2s AS (
+      |  SELECT vec_id, v, s_id FROM (
+      |    SELECT b.vec_id, b.embedding AS v, s.s_id,
+      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+      |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], s.sv::DOUBLE[]), 6) DESC,
+      |                 s.s_id ASC) AS srn
+      |    FROM embeddings b CROSS JOIN supers s)
+      |  WHERE srn <= 2),
+      |listed AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT r.vec_id, r.v, c.c_id,
+      |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+      |        ORDER BY round(list_cosine_similarity(r.v::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+      |                 c.c_id ASC) AS crn
+      |    FROM r2s r JOIN c2s c ON r.s_id = c.s_id)
+      |  WHERE crn <= 1),
+      |probed AS (
+      |  SELECT vec_id AS q_id, v AS qv, c_id FROM (
+      |    SELECT r.vec_id, r.v, c.c_id,
+      |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+      |        ORDER BY round(list_cosine_similarity(r.v::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+      |                 c.c_id ASC) AS crn
+      |    FROM r2s r JOIN c2s c ON r.s_id = c.s_id
+      |    WHERE r.vec_id < 5)
+      |  WHERE crn <= 2)""".stripMargin
 
   /** s3's capped-IVF replay — also the candidate side of s17. */
   private val sqlS3Ivf =
@@ -2326,46 +2384,7 @@ object PipelineQueries {
     // s3's two-level variant: the identical super-grouping/argmax CTEs as
     // d12d, over the stride-picked 256-cap centroid set
     "s19_ann_ivf_hier" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-         |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
-         |rankedc AS (
-         |  SELECT c_id, cv, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
-         |supers AS (
-         |  SELECT c_id AS s_id, cv AS sv FROM rankedc WHERE crk % 16 = 0),
-         |c2s AS (
-         |  SELECT s_id, c_id, cv FROM (
-         |    SELECT c.c_id, c.cv, s.s_id,
-         |      ROW_NUMBER() OVER (PARTITION BY c.c_id
-         |        ORDER BY round(list_cosine_similarity(c.cv::DOUBLE[], s.sv::DOUBLE[]), 6) DESC,
-         |                 s.s_id ASC) AS srn
-         |    FROM cents c CROSS JOIN supers s)
-         |  WHERE srn = 1),
-         |r2s AS (
-         |  SELECT vec_id, v, s_id FROM (
-         |    SELECT b.vec_id, b.embedding AS v, s.s_id,
-         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-         |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], s.sv::DOUBLE[]), 6) DESC,
-         |                 s.s_id ASC) AS srn
-         |    FROM embeddings b CROSS JOIN supers s)
-         |  WHERE srn <= 2),
-         |listed AS (
-         |  SELECT vec_id, v, c_id FROM (
-         |    SELECT r.vec_id, r.v, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
-         |        ORDER BY round(list_cosine_similarity(r.v::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
-         |                 c.c_id ASC) AS crn
-         |    FROM r2s r JOIN c2s c ON r.s_id = c.s_id)
-         |  WHERE crn <= 1),
-         |probed AS (
-         |  SELECT vec_id AS q_id, v AS qv, c_id FROM (
-         |    SELECT r.vec_id, r.v, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
-         |        ORDER BY round(list_cosine_similarity(r.v::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
-         |                 c.c_id ASC) AS crn
-         |    FROM r2s r JOIN c2s c ON r.s_id = c.s_id
-         |    WHERE r.vec_id < 5)
-         |  WHERE crn <= 2)
+      s"""WITH $sqlHierIvfCtes
          |SELECT q_id, vec_id, cos, rn FROM (
          |  SELECT p.q_id, l.vec_id,
          |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
@@ -2375,6 +2394,13 @@ object PipelineQueries {
          |  FROM listed l JOIN probed p ON l.c_id = p.c_id
          |  WHERE p.q_id <> l.vec_id)
          |WHERE rn <= 10""".stripMargin,
+    // s14's two-level variant: the hierarchical listed/probed CTEs + the
+    // UNCHANGED PQ tail spliced straight out of the s14 replay (the PQ
+    // machinery is independent of how list membership was decided, so
+    // the two stay in lockstep by construction)
+    "s20_ann_ivfpq_hier" ->
+      ("WITH " + sqlHierIvfCtes + ",\n" +
+        sqlS14IvfPq.substring(sqlS14IvfPq.indexOf("cbv AS ("))),
     // recall@10 of the capped-IVF ranking vs exact — the s8 pattern over
     // s3, so the 256-list recall contract (ivfTopK scaladoc, BASELINE.md
     // §9) is hash-checked every round, not just probed once
