@@ -57,6 +57,15 @@ object BloomJoin {
         s"$factType vs $dimType — cast both sides to a common type first")
   }
 
+  /** Magic + version prefix of every [[sketchBytes]] artifact. A bare
+    * 1-byte tag was the whole header before; a corrupted/truncated blob
+    * whose first byte happened to be 0 and whose next bytes parsed as a
+    * UTF type string would then be accepted as a legal "empty dimension"
+    * and silently filter out EVERY fact row. The probe now requires this
+    * exact string first, so foreign bytes fail loudly instead.
+    */
+  private val Magic = "graft-bloomsketch:v1"
+
   /** Build `dim`'s key sketch as a SELF-DESCRIBING serialized artifact —
     * the persistable/reusable form of the prefilter's build side. Write
     * the bytes anywhere (a file, a table cell, a stream checkpoint dir)
@@ -64,13 +73,14 @@ object BloomJoin {
     * overload: a streaming gate cold-starts without re-scanning the
     * dimension, and several pipelines can gate on one build pass.
     *
-    * Format: `[tag: 0 = empty dim, 1 = sketch follows][dim-key type DDL,
-    * UTF][bloom bits]`. The recorded key type lets the probe side
-    * re-derive the key representation and keep the loud mixed-numeric
-    * rejection — a sketch is only probeable by keys that map equal
-    * values to equal longs (see [[keyRepr]]). An empty dimension is a
-    * legal artifact (tag 0, a few bytes): probing it yields zero
-    * survivors, the correct prefilter answer.
+    * Format: `[magic "graft-bloomsketch:v1", UTF][tag: 0 = empty dim,
+    * 1 = sketch follows][dim-key type DDL, UTF][bloom bits]`. The
+    * recorded key type lets the probe side re-derive the key
+    * representation and keep the loud mixed-numeric rejection — a sketch
+    * is only probeable by keys that map equal values to equal longs (see
+    * [[keyRepr]]). An empty dimension is a legal artifact (tag 0, a few
+    * header bytes): probing it yields zero survivors, the correct
+    * prefilter answer.
     *
     * @param expectedItems sizing for the sketch (overestimate = more bits,
     *                      never lost keys); pass the dimension's
@@ -85,6 +95,7 @@ object BloomJoin {
     val dimType = dim.schema(dimKey).dataType
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    out.writeUTF(Magic)
     // an EMPTY dimension matches nothing — record exactly that:
     // stat.bloomFilter NPEs on zero rows (its merge starts from a null
     // buffer), and "no dim keys → no fact survivors" is the correct
@@ -109,6 +120,11 @@ object BloomJoin {
     */
   def prefilter(fact: DataFrame, factKey: String, sketch: Array[Byte]): DataFrame = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(sketch))
+    // verify the magic BEFORE trusting anything else in the blob — see
+    // [[Magic]]; readUTF on garbage throws (also the desired loud failure)
+    val magic = scala.util.Try(in.readUTF()).getOrElse("")
+    require(magic == Magic,
+      s"not a BloomJoin.sketchBytes artifact (missing '$Magic' header)")
     val tag = in.readByte()
     require(tag == 0 || tag == 1, s"not a BloomJoin.sketchBytes artifact (tag $tag)")
     val dimType = org.apache.spark.sql.types.DataType.fromDDL(in.readUTF())

@@ -534,7 +534,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idc))
       .orderBy(col("c_cos").desc, col("c_id").asc)
-    df.join(broadcast(cents), col("c_id") =!= lit(-1))
+    df.crossJoin(broadcast(cents))
       .select(df.columns.toIndexedSeq.map(col) :+ col("c_id") :+
         round(cosine(col(v), col("cv")), 6).as("c_cos"): _*)
       .withColumn("crn", row_number().over(w))
@@ -582,7 +582,12 @@ object Similarity {
     * standard IVF recall trade, moved one level up. `sProbe` ≥ the
     * super-centroid count degenerates to the exact flat argmax
     * (spec-pinned), which is the knob's contract: raise `sProbe` to buy
-    * assignment fidelity with assignment cost.
+    * assignment fidelity with assignment cost. NEVER lossy on rows: every
+    * super list is guaranteed non-empty (a super-centroid always files
+    * under itself — see the c2s tie-break below), so every input row
+    * reaches the argmax with ≥ 1 candidate and appears in the output
+    * (spec-pinned on a rounded-tie corpus built to trigger the
+    * displacement that would otherwise empty a list).
     *
     * Output: `(c_id, vec_id, v)` — the [[ivfAssign]] shape, accepted by
     * [[graft.operators.Dedup.semanticKeepAssigned]].
@@ -609,10 +614,21 @@ object Similarity {
       .filter(col("crk") % superStride === 0)
       .select(col("c_id").as("s_id"), col("cv").as("sv"))
     // each centroid files under its nearest super (k × k/superStride,
-    // config × config — broadcast both ways, exact argmax)
+    // config × config — broadcast both ways, exact argmax). The middle
+    // tie-break term pins a SUPER-centroid to its own list: cosine(c, c)
+    // is exactly 1.0 — the maximum — so without it another super whose
+    // ROUNDED cosine ties at 1.0 with a lower id would capture the
+    // super-centroid, leave its list empty, and rows probing only empty
+    // lists would vanish from the inner assignment join below (silent
+    // row loss inside a dedup operator when consumed by
+    // semanticKeepAssigned). With every super list guaranteed ≥ its own
+    // centroid, every probed row gets ≥ 1 candidate and the argmax keeps
+    // exactly `keep` — no row can be lost (HierarchicalAssignSpec pins
+    // the tie construction).
     val wC = Window.partitionBy(col("c_id"))
-      .orderBy(col("s_cos").desc, col("s_id").asc)
-    val c2s = cents.join(broadcast(supers), col("s_id") =!= lit(-1))
+      .orderBy(col("s_cos").desc, (col("s_id") === col("c_id")).desc,
+        col("s_id").asc)
+    val c2s = cents.crossJoin(broadcast(supers))
       .select(col("c_id"), col("cv"), col("s_id"),
         round(cosine(col("cv"), col("sv")), 6).as("s_cos"))
       .withColumn("srn", row_number().over(wC)).filter(col("srn") === 1)
@@ -620,7 +636,7 @@ object Similarity {
     // rows probe their sProbe nearest super-lists (rows × k/superStride)
     val wR = Window.partitionBy(col("vec_id"))
       .orderBy(col("s_cos").desc, col("s_id").asc)
-    val r2s = b.join(broadcast(supers), col("s_id") =!= lit(-1))
+    val r2s = b.crossJoin(broadcast(supers))
       .select(col("vec_id"), col("v"), col("s_id"),
         round(cosine(col("v"), col("sv")), 6).as("s_cos"))
       .withColumn("srn", row_number().over(wR)).filter(col("srn") <= sProbe)
@@ -796,8 +812,13 @@ object Similarity {
     * §9): recall@10 = 0.94 / 0.98 / 0.96 at nProbe 2 / 8 / 32 — note the
     * DIP at 32: past ~8 probes the fixed `pool` ADC-rescore cut becomes
     * the binding constraint (more candidates compete for the same `pool`
-    * slots and ADC estimate error evicts true neighbors), so scale `pool`
-    * with `nProbe` rather than raising `nProbe` alone.
+    * slots and ADC estimate error evicts true neighbors), so `pool` must
+    * scale with `nProbe`. That contract is ENFORCED, not advisory: the
+    * effective pool is `max(pool, k·nProbe)` — raising `nProbe` alone can
+    * no longer silently construct the measured dip configuration
+    * (`pool=50` binding at `nProbe=32`), and the benched configs
+    * (k=10 · nProbe=2 = 20 ≤ 50) are unchanged. Spec-pinned: a
+    * deliberately tiny `pool` still yields full-k result sets.
     */
   def ivfPqTopK(
       base: DataFrame,
@@ -817,6 +838,12 @@ object Similarity {
       sProbe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.ColumnBridge
+    // the pool-vs-nProbe contract (see scaladoc): the ADC-rescore cut
+    // must grow with the probed candidate volume or added probes EVICT
+    // true neighbors instead of finding them (the measured nProbe=32
+    // recall dip). k·nProbe is the floor that keeps one full result set
+    // per probed list competitive in the pool.
+    val effPool = math.max(pool, k * nProbe)
     val cb = pqCodebook(base, id, vec, numSubspaces, numCodes, codeStride)
     def enc(v: Column) = ColumnBridge.column(
       graft.functions.PqEncode(ColumnBridge.expression(v.cast("array<double>")), cb))
@@ -856,7 +883,7 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("v"), col("qv"), est.as("est"))
       .withColumn("ern", row_number().over(wEst))
-      .filter(col("ern") <= pool)
+      .filter(col("ern") <= effPool)
       .select(col("q_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
       .withColumn("rn", row_number().over(wCos).cast("long"))

@@ -419,6 +419,10 @@ object PipelineQueries {
   // Same 0.4 threshold as d12; iters=2 in lockstep with s9/s10.
   private val d12b: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
+    // note: this count() is an EAGER job at query-build time (as are the
+    // identical ones in d12c/d12d) — one cheap metadata-backed scan-agg
+    // per invocation, the price of a k that tracks the corpus. A
+    // deployment sizing k from catalog statistics would skip it.
     val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
     Dedup.semanticKeep(emb, col("vec_id"), col("embedding"), minCosine = 0.4,
       centroids = Some(Similarity.kmeansCentroids(
@@ -1082,6 +1086,12 @@ object PipelineQueries {
     // here at the benched nProbe=2/pool=50 config
     "s18_recall_ivfpq" -> ((s, dir) => Similarity.recallAtK(
       s1(s, dir), s14(s, dir), k = 10)),
+    // the same standing-recall contract over the HIERARCHICAL tiers —
+    // s19/s20's 0.96 sf10 recall was a one-off probe until these rows
+    "s21_recall_ivf_hier" -> ((s, dir) => Similarity.recallAtK(
+      s1(s, dir), s19(s, dir), k = 10)),
+    "s22_recall_ivfpq_hier" -> ((s, dir) => Similarity.recallAtK(
+      s1(s, dir), s20(s, dir), k = 10)),
     "mm1_media_meta" -> mm1,
     "mm2_frame_sample" -> mm2,
     "mm3_patch_grid" -> mm3,
@@ -1295,9 +1305,12 @@ object PipelineQueries {
        |${sqlKmeansIter(1, "evs")},
        |${sqlKmeansIter(2, "evs")}""".stripMargin
 
-  /** s14's IVF×PQ replay — also the candidate side of s18. */
-  private val sqlS14IvfPq =
-      """WITH cents AS (
+  /** The flat capped-IVF CTEs (`cents`, `listed`, `probed`) shared by the
+    * s3 / s14 / s23 / s24 / s25 replays: 256 stride-picked centroids,
+    * nearest-centroid lists, queries probe their 2 nearest lists.
+    */
+  private val sqlIvfFlatCtes =
+      """cents AS (
         |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
         |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
         |listed AS (
@@ -1316,8 +1329,32 @@ object PipelineQueries {
         |                 c.c_id ASC) AS crn
         |    FROM embeddings q CROSS JOIN cents c
         |    WHERE q.vec_id < 5)
-        |  WHERE crn <= 2),
-        |cbv AS (
+        |  WHERE crn <= 2)""".stripMargin
+
+  /** The exact-cosine rescore tail over `listed ⋈ probed` — the final
+    * SELECT shared by the s3 (flat) and s19 (hierarchical) replays; which
+    * assignment produced the two CTEs is invisible to it, exactly as in
+    * the Spark operators.
+    */
+  private val sqlIvfRescoreTail =
+    """SELECT q_id, vec_id, cos, rn FROM (
+      |  SELECT p.q_id, l.vec_id,
+      |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
+      |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+      |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) DESC,
+      |               l.vec_id ASC) AS rn
+      |  FROM listed l JOIN probed p ON l.c_id = p.c_id
+      |  WHERE p.q_id <> l.vec_id)
+      |WHERE rn <= 10""".stripMargin
+
+  /** The PQ codebook/encode/ADC/pool/rescore tail (CTEs `cbv` … final
+    * SELECT) over whatever `listed`/`probed` precede it — one named
+    * constant CONCATENATED by both the s14 (flat) and s20 (hierarchical)
+    * replays, so the two can never drift (previously s20 substring-spliced
+    * s14's text, which a CTE rename would have silently broken).
+    */
+  private val sqlPqTail =
+      """cbv AS (
         |  SELECT vec_id // 16 AS j, embedding AS cv FROM embeddings
         |  WHERE vec_id % 16 = 0 AND vec_id // 16 < 16),
         |sub AS (
@@ -1381,7 +1418,7 @@ object PipelineQueries {
       |    SELECT c.c_id, c.cv, s.s_id,
       |      ROW_NUMBER() OVER (PARTITION BY c.c_id
       |        ORDER BY round(list_cosine_similarity(c.cv::DOUBLE[], s.sv::DOUBLE[]), 6) DESC,
-      |                 s.s_id ASC) AS srn
+      |                 (s.s_id = c.c_id) DESC, s.s_id ASC) AS srn
       |    FROM cents c CROSS JOIN supers s)
       |  WHERE srn = 1),
       |r2s AS (
@@ -1410,37 +1447,18 @@ object PipelineQueries {
       |    WHERE r.vec_id < 5)
       |  WHERE crn <= 2)""".stripMargin
 
+  /** s14's IVF×PQ replay — also the candidate side of s18. */
+  private val sqlS14IvfPq = s"WITH $sqlIvfFlatCtes,\n$sqlPqTail"
+
+  /** s19's hierarchical-IVF replay — also the candidate side of s21. */
+  private val sqlS19HierIvf = s"WITH $sqlHierIvfCtes\n$sqlIvfRescoreTail"
+
+  /** s20's hierarchical-IVF×PQ replay — also the candidate side of s22.
+    * Identical PQ tail as s14 by construction (shared constant). */
+  private val sqlS20HierIvfPq = s"WITH $sqlHierIvfCtes,\n$sqlPqTail"
+
   /** s3's capped-IVF replay — also the candidate side of s17. */
-  private val sqlS3Ivf =
-    """WITH cents AS (
-      |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-      |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
-      |listed AS (
-      |  SELECT vec_id, v, c_id FROM (
-      |    SELECT b.vec_id, b.embedding AS v, c.c_id,
-      |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-      |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
-      |                 c.c_id ASC) AS crn
-      |    FROM embeddings b CROSS JOIN cents c)
-      |  WHERE crn <= 1),
-      |probed AS (
-      |  SELECT q_id, qv, c_id FROM (
-      |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
-      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-      |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
-      |                 c.c_id ASC) AS crn
-      |    FROM embeddings q CROSS JOIN cents c
-      |    WHERE q.vec_id < 5)
-      |  WHERE crn <= 2)
-      |SELECT q_id, vec_id, cos, rn FROM (
-      |  SELECT p.q_id, l.vec_id,
-      |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
-      |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-      |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) DESC,
-      |               l.vec_id ASC) AS rn
-      |  FROM listed l JOIN probed p ON l.c_id = p.c_id
-      |  WHERE p.q_id <> l.vec_id)
-      |WHERE rn <= 10""".stripMargin
+  private val sqlS3Ivf = s"WITH $sqlIvfFlatCtes\n$sqlIvfRescoreTail"
 
   /** s2's LSH-ranking replay — also the candidate side of s8. */
   private val sqlS2Lsh =
@@ -2262,7 +2280,7 @@ object PipelineQueries {
          |    SELECT c.c_id, c.cv, s.s_id,
          |      ROW_NUMBER() OVER (PARTITION BY c.c_id
          |        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 6) DESC,
-         |                 s.s_id ASC) AS srn
+         |                 (s.s_id = c.c_id) DESC, s.s_id ASC) AS srn
          |    FROM cents c CROSS JOIN supers s)
          |  WHERE srn = 1),
          |r2s AS (
@@ -2382,25 +2400,33 @@ object PipelineQueries {
          |WHERE rn <= 10""".stripMargin,
     "s3_ann_ivf" -> sqlS3Ivf,
     // s3's two-level variant: the identical super-grouping/argmax CTEs as
-    // d12d, over the stride-picked 256-cap centroid set
-    "s19_ann_ivf_hier" ->
-      s"""WITH $sqlHierIvfCtes
-         |SELECT q_id, vec_id, cos, rn FROM (
-         |  SELECT p.q_id, l.vec_id,
-         |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
-         |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-         |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) DESC,
-         |               l.vec_id ASC) AS rn
-         |  FROM listed l JOIN probed p ON l.c_id = p.c_id
-         |  WHERE p.q_id <> l.vec_id)
-         |WHERE rn <= 10""".stripMargin,
+    // d12d, over the stride-picked 256-cap centroid set; the rescore tail
+    // is the SAME named constant as s3's
+    "s19_ann_ivf_hier" -> sqlS19HierIvf,
     // s14's two-level variant: the hierarchical listed/probed CTEs + the
-    // UNCHANGED PQ tail spliced straight out of the s14 replay (the PQ
-    // machinery is independent of how list membership was decided, so
-    // the two stay in lockstep by construction)
-    "s20_ann_ivfpq_hier" ->
-      ("WITH " + sqlHierIvfCtes + ",\n" +
-        sqlS14IvfPq.substring(sqlS14IvfPq.indexOf("cbv AS ("))),
+    // UNCHANGED PQ tail — the same named constant s14 concatenates, so
+    // the two stay in lockstep by construction
+    "s20_ann_ivfpq_hier" -> sqlS20HierIvfPq,
+    // recall@10 of the HIERARCHICAL tiers vs exact — s17/s18's pattern
+    // over s19/s20, so the two-level assignment's recall (0.96 measured
+    // at sf10, BASELINE.md §9) is hash-checked every round instead of
+    // probed once
+    "s21_recall_ivf_hier" ->
+      s"""WITH exact AS (SELECT * FROM ($sqlS1Exact)),
+         |approx AS (SELECT * FROM ($sqlS19HierIvf))
+         |SELECT e.q_id, count(a.vec_id)::BIGINT AS hits, 10::BIGINT AS k,
+         |  (count(a.vec_id) * 1000000) // 10 AS recall_ppm
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |GROUP BY e.q_id""".stripMargin,
+    "s22_recall_ivfpq_hier" ->
+      s"""WITH exact AS (SELECT * FROM ($sqlS1Exact)),
+         |approx AS (SELECT * FROM ($sqlS20HierIvfPq))
+         |SELECT e.q_id, count(a.vec_id)::BIGINT AS hits, 10::BIGINT AS k,
+         |  (count(a.vec_id) * 1000000) // 10 AS recall_ppm
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |GROUP BY e.q_id""".stripMargin,
     // recall@10 of the capped-IVF ranking vs exact — the s8 pattern over
     // s3, so the 256-list recall contract (ivfTopK scaladoc, BASELINE.md
     // §9) is hash-checked every round, not just probed once

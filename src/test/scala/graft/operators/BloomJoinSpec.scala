@@ -97,8 +97,29 @@ class BloomJoinSpec extends AnyFunSuite {
   test("an empty dimension serializes to a legal artifact that probes to zero survivors") {
     val sketch = BloomJoin.sketchBytes(Seq.empty[Long].toDF("dk"), "dk",
       expectedItems = 10)
-    assert(sketch.length < 32, "empty artifact should be a few header bytes")
+    assert(sketch.length < 64, "empty artifact should be a few header bytes")
     assert(BloomJoin.prefilter(Seq(1L, 2L).toDF("fk"), "fk", sketch).count() == 0)
+  }
+
+  test("a foreign blob that mimics the old empty-dim shape is rejected, not probed") {
+    // pre-magic format: [tag 0][UTF type ddl] — a corrupted artifact
+    // starting with a 0 byte and parseable UTF would have been accepted
+    // as 'empty dimension' and silently filtered out EVERY fact row
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeByte(0); out.writeUTF("bigint"); out.flush()
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.prefilter(Seq(1L).toDF("fk"), "fk", bos.toByteArray)
+    }
+    assert(e.getMessage.contains("graft-bloomsketch:v1"))
+    // and a versioned-but-wrong magic is rejected the same way
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val out2 = new java.io.DataOutputStream(bos2)
+    out2.writeUTF("graft-bloomsketch:v999"); out2.writeByte(0)
+    out2.writeUTF("bigint"); out2.flush()
+    intercept[IllegalArgumentException] {
+      BloomJoin.prefilter(Seq(1L).toDF("fk"), "fk", bos2.toByteArray)
+    }
   }
 
   test("a serialized sketch still rejects mixed numeric probes loudly") {

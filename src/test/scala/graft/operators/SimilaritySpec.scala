@@ -95,6 +95,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.select("vec_id").distinct().count() == emb.count())
   }
 
+  test("hierarchical assignment loses no row even when a rounded tie would empty a super-list") {
+    // The displacement scenario (ADVICE r11): super c2's vector is within
+    // 1e-4 of super c0's, so round(cos(c2, c0), 6) = 1.000000 ties with
+    // round(cos(c2, c2), 6) and the ascending-s_id tiebreak alone would
+    // file c2 UNDER c0 — leaving c2's super-list empty. A row whose
+    // nearest super is strictly c2 (sProbe = 1) would then probe only an
+    // empty list and vanish from the inner join: silent data loss once
+    // semanticKeepAssigned consumes the assignment. The self-preference
+    // tiebreak pins every super-centroid to its own list instead.
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, -1e-4f)),
+      (2L, Array(1.0f, 1e-4f)), // ~ c0: the displacement-prone super
+      (3L, Array(1.0f, 2e-4f)))
+      .toDF("c_id", "cv")
+    // v = (1, 0.5): cos to c2 ≈ 0.894472 > cos to c0 ≈ 0.894427 — the
+    // 1e-4 component separates them at the 5th decimal, so v's single
+    // probed super is c2, the list the tie would have emptied
+    val base = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.8f, 0.1f)),
+      (12L, Array(1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssignHierarchical(base, col("vec_id"),
+      col("embedding"), cents, superStride = 2, sProbe = 1)
+    assert(assigned.count() == 3, "no row may be lost to an empty super-list")
+    val vRow = assigned.filter(col("vec_id") === 12L)
+      .select("c_id").as[Long].collect().toSeq
+    assert(vRow == Seq(2L),
+      "the row probing the displacement-prone super must reach its own centroid")
+  }
+
+  test("ivfPqTopK enforces pool >= k*nProbe, so a tiny pool still yields full result sets") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    // pool = 1 would cut the ADC pool to ONE candidate per query and the
+    // result to one row; the enforced floor max(pool, k·nProbe) = 20
+    // keeps a full top-10 per query — the dip configuration (pool
+    // binding as nProbe grows) is no longer constructible silently
+    val perQuery = Similarity.ivfPqTopK(emb, q, col("vec_id"),
+        col("embedding"), k = 10, nProbe = 2, pool = 1)
+      .groupBy("q_id").count().select("count").as[Long].collect().toSeq
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 10L))
+  }
+
   test("IVF fails loudly when the stride matches no id (empty centroid set)") {
     val odd = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
