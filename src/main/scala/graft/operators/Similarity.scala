@@ -498,7 +498,7 @@ object Similarity {
     * (BASELINE.md §9). The one-time id collect is also the empty-stride
     * probe, so no separate eager check runs on the capped path.
     */
-  private def ivfCentroids(
+  private[operators] def ivfCentroids(
       b: DataFrame, centroidStride: Int, maxCentroids: Int): DataFrame = {
     def emptyMsg =
       s"ivfCentroids: no id is a multiple of centroidStride=$centroidStride — " +
@@ -529,7 +529,7 @@ object Similarity {
   /** Nearest-`keep` centroid assignment of each row in `df` (whose vector
     * column is `v` and row id is `idc`) — broadcast centroids, window rank.
     */
-  private def ivfAssignTo(
+  private[operators] def ivfAssignTo(
       cents: DataFrame, df: DataFrame, v: String, idc: String, keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idc))

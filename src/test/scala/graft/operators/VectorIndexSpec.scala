@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.TestSpark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF / IVF×PQ store: parity with the in-flight tiers,
+  * partition pruning of the probe (the store must NOT be scanned in
+  * full), append semantics, and the loud failure modes.
+  */
+class VectorIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def emb: DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private def queries: DataFrame = emb.filter(col("vec_id") < 5)
+
+  private def tmpStore(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString + "/store"
+  }
+
+  private def ranking(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select("q_id", "vec_id", "rn").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+
+  /** Run `body` with AQE off: the executed plan then exposes its
+    * FileSourceScanExec leaves to `collect` directly (under AQE they hide
+    * inside query stages). The pruning being pinned is STATIC — AQE
+    * neither creates nor removes it.
+    */
+  private def withoutAqe[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("probe of a written hierarchical store is bit-identical to the in-flight s19 tier") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfstore")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      centroidStride = 50, maxCentroids = 256, hierarchical = true,
+      superStride = 16, sProbe = 2)
+    assert(VectorIndex.isComplete(path))
+    val stored = VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2)
+    val inflight = Similarity.ivfTopKHierarchical(emb, queries,
+      col("vec_id"), col("embedding"), k = 10, centroidStride = 50,
+      nProbe = 2, maxCentroids = 256, superStride = 16, sProbe = 2)
+    assert(ranking(stored) == ranking(inflight) && ranking(stored).nonEmpty)
+  }
+
+  test("probe of a flat store matches the in-flight s3 tier, and meta routes the mode") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfflat")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false)
+    val stored = VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2)
+    val inflight = Similarity.ivfTopK(emb, queries, col("vec_id"),
+      col("embedding"), k = 10, centroidStride = 50, nProbe = 2)
+    assert(ranking(stored) == ranking(inflight) && ranking(stored).nonEmpty)
+  }
+
+  test("the probe scan is partition-pruned to the probed lists (IO tracks nProbe/lists, not the corpus)") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfprune")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path)
+    val totalLists = new java.io.File(s"$path/lists").listFiles()
+      .count(_.getName.startsWith("c_id="))
+    withoutAqe {
+    // ONE query × nProbe=2 → at most 2 of the store's lists may be read
+    val probe = VectorIndex.probeIvfIndex(spark, path,
+      emb.filter(col("vec_id") === 0), col("vec_id"), col("embedding"),
+      k = 10, nProbe = 2)
+    probe.write.mode("overwrite").format("noop").save()
+    // the literal IN filter must reach the scan as a PARTITION filter —
+    // a data filter (or a cast around the partition column) would read
+    // every list and fall back to row-level filtering
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("c_id"),
+      s"expected a partition filter on c_id in:\n$plan")
+    // runtime pin: the scan touched at most the probed partitions
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("lists")) => s
+    }
+    assert(scans.nonEmpty, "no file scan over the lists store found")
+    val partsRead = scans.map(_.metrics("numPartitions").value).max
+    assert(totalLists > 2, s"store too small to make pruning observable: $totalLists")
+    assert(partsRead <= 2,
+      s"probe read $partsRead of $totalLists list partitions — not pruned")
+    }
+  }
+
+  test("append assigns the increment with the STORED model and probes see the union") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfappend")
+    val batch1 = emb.filter(col("vec_id") % 7 =!= 0)
+    val batch2 = emb.filter(col("vec_id") % 7 === 0)
+    VectorIndex.writeIvfIndex(batch1, col("vec_id"), col("embedding"), path)
+    VectorIndex.appendToIvfIndex(batch2, col("vec_id"), col("embedding"), path)
+    val stored = VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2)
+    // expected: the full corpus assigned against batch1's FIXED centroid
+    // model (the append contract — the model never retrains), probed the
+    // same way. Build it in-flight from the same parts.
+    import org.apache.spark.sql.expressions.Window
+    val cents = Similarity.ivfCentroids(
+      batch1.select(col("vec_id"), col("embedding").as("v")), 50, 256)
+    val listed = Similarity.ivfAssignHierarchical(emb, col("vec_id"),
+      col("embedding"), cents, superStride = 16, sProbe = 2)
+    val probed = Similarity.ivfAssignHierarchical(queries, col("vec_id"),
+      col("embedding"), cents, superStride = 16, sProbe = 2, keep = 2)
+      .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val expected = listed.join(probed, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+    assert(ranking(stored) == ranking(expected) && ranking(stored).nonEmpty)
+    // the appended rows really landed inside the existing partition dirs
+    val n = spark.read.parquet(s"$path/lists").count()
+    assert(n == emb.count())
+  }
+
+  test("PQ store: codes-only candidate scan probes bit-identically to in-flight IVF×PQ") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfpq")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = true, pq = true)
+    val inflight = Similarity.ivfPqTopK(emb, queries, col("vec_id"),
+      col("embedding"), k = 10, centroidStride = 50, nProbe = 2,
+      numSubspaces = 8, numCodes = 16, codeStride = 16, pool = 50,
+      hierarchical = true, superStride = 16, sProbe = 2)
+    withoutAqe {
+    val stored = VectorIndex.probeIvfPqIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2, pool = 50)
+    assert(ranking(stored) == ranking(inflight) && ranking(stored).nonEmpty)
+    // the ADC scan must not read the vector column: its scan schema is
+    // (vec_id, codes) only — column pruning × partition pruning is the
+    // point of storing codes beside the lists
+    stored.write.mode("overwrite").format("noop").save()
+    val scans = stored.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("lists")) => s
+    }
+    assert(scans.size >= 2, "expected the codes scan and the rescore fetch")
+    assert(scans.exists(s => {
+      val schema = s.requiredSchema.fieldNames.toSet
+      schema.contains("codes") && !schema.contains("v")
+    }), s"no codes-only scan found: ${scans.map(_.requiredSchema.fieldNames.mkString(","))}")
+    }
+  }
+
+  test("loud failures: probing an incomplete store, PQ-probing a non-PQ store, appending to nothing") {
+    val path = tmpStore("ivfbad")
+    intercept[IllegalArgumentException] {
+      VectorIndex.probeIvfIndex(spark, path, queries, col("vec_id"), col("embedding"))
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndex.appendToIvfIndex(queries, col("vec_id"), col("embedding"), path)
+    }
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      pq = false)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.probeIvfPqIndex(spark, path, queries, col("vec_id"),
+        col("embedding"))
+    }
+    assert(e.getMessage.contains("pq"))
+  }
+}
