@@ -592,6 +592,57 @@ object Similarity {
     * Output: `(c_id, vec_id, v)` — the [[ivfAssign]] shape, accepted by
     * [[graft.operators.Dedup.semanticKeepAssigned]].
     */
+  /** Super-centroids: every `superStride`-th centroid by c_id rank — the
+    * centroid table is config-sized, so the single-partition window is a
+    * driver-scale sort, not a data-scale one.
+    */
+  private[operators] def hierSupers(cents: DataFrame, superStride: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cents
+      .withColumn("crk", row_number().over(Window.orderBy(col("c_id"))) - 1)
+      .filter(col("crk") % superStride === 0)
+      .select(col("c_id").as("s_id"), col("cv").as("sv"))
+  }
+
+  /** Each centroid filed under its nearest super (k × k/superStride,
+    * config × config — broadcast both ways, exact argmax). The middle
+    * tie-break term pins a SUPER-centroid to its own list: cosine(c, c)
+    * is exactly 1.0 — the maximum — so without it another super whose
+    * ROUNDED cosine ties at 1.0 with a lower id would capture the
+    * super-centroid, leave its list empty, and rows probing only empty
+    * lists would vanish from the inner assignment join (silent row loss
+    * inside a dedup operator when consumed by semanticKeepAssigned).
+    * With every super list guaranteed ≥ its own centroid, every probed
+    * row gets ≥ 1 candidate — no row can be lost (SimilaritySpec pins
+    * the tie construction).
+    */
+  private[operators] def hierC2s(cents: DataFrame, supers: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wC = Window.partitionBy(col("c_id"))
+      .orderBy(col("s_cos").desc, (col("s_id") === col("c_id")).desc,
+        col("s_id").asc)
+    cents.crossJoin(broadcast(supers))
+      .select(col("c_id"), col("cv"), col("s_id"),
+        round(cosine(col("cv"), col("sv")), 6).as("s_cos"))
+      .withColumn("srn", row_number().over(wC)).filter(col("srn") === 1)
+      .select(col("s_id"), col("c_id"), col("cv"))
+  }
+
+  /** Each row's `sProbe` nearest super-lists, with the probe rank kept as
+    * `srn` so one pass can serve several sProbe values ([[assignmentAgreement]]).
+    */
+  private[operators] def hierR2s(
+      b: DataFrame, supers: DataFrame, sProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wR = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s_cos").desc, col("s_id").asc)
+    b.crossJoin(broadcast(supers))
+      .select(col("vec_id"), col("v"), col("s_id"),
+        round(cosine(col("v"), col("sv")), 6).as("s_cos"))
+      .withColumn("srn", row_number().over(wR)).filter(col("srn") <= sProbe)
+      .select(col("vec_id"), col("v"), col("s_id"), col("srn"))
+  }
+
   def ivfAssignHierarchical(
       base: DataFrame,
       id: Column,
@@ -606,41 +657,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = centroids.select(col("c_id"), col("cv"))
-    // super-centroids: every superStride-th centroid by c_id rank — the
-    // centroid table is config-sized, so the single-partition window is a
-    // driver-scale sort, not a data-scale one
-    val supers = cents
-      .withColumn("crk", row_number().over(Window.orderBy(col("c_id"))) - 1)
-      .filter(col("crk") % superStride === 0)
-      .select(col("c_id").as("s_id"), col("cv").as("sv"))
-    // each centroid files under its nearest super (k × k/superStride,
-    // config × config — broadcast both ways, exact argmax). The middle
-    // tie-break term pins a SUPER-centroid to its own list: cosine(c, c)
-    // is exactly 1.0 — the maximum — so without it another super whose
-    // ROUNDED cosine ties at 1.0 with a lower id would capture the
-    // super-centroid, leave its list empty, and rows probing only empty
-    // lists would vanish from the inner assignment join below (silent
-    // row loss inside a dedup operator when consumed by
-    // semanticKeepAssigned). With every super list guaranteed ≥ its own
-    // centroid, every probed row gets ≥ 1 candidate and the argmax keeps
-    // exactly `keep` — no row can be lost (HierarchicalAssignSpec pins
-    // the tie construction).
-    val wC = Window.partitionBy(col("c_id"))
-      .orderBy(col("s_cos").desc, (col("s_id") === col("c_id")).desc,
-        col("s_id").asc)
-    val c2s = cents.crossJoin(broadcast(supers))
-      .select(col("c_id"), col("cv"), col("s_id"),
-        round(cosine(col("cv"), col("sv")), 6).as("s_cos"))
-      .withColumn("srn", row_number().over(wC)).filter(col("srn") === 1)
-      .select(col("s_id"), col("c_id"), col("cv"))
+    val supers = hierSupers(cents, superStride)
+    val c2s = hierC2s(cents, supers)
     // rows probe their sProbe nearest super-lists (rows × k/superStride)
-    val wR = Window.partitionBy(col("vec_id"))
-      .orderBy(col("s_cos").desc, col("s_id").asc)
-    val r2s = b.crossJoin(broadcast(supers))
-      .select(col("vec_id"), col("v"), col("s_id"),
-        round(cosine(col("v"), col("sv")), 6).as("s_cos"))
-      .withColumn("srn", row_number().over(wR)).filter(col("srn") <= sProbe)
-      .select(col("vec_id"), col("v"), col("s_id"))
+    val r2s = hierR2s(b, supers, sProbe).drop("srn")
     // exact argmax over the probed lists' centroids only — each centroid
     // lives in exactly one super-list, so (vec_id, c_id) pairs are unique
     val wA = Window.partitionBy(col("vec_id"))
@@ -957,6 +977,72 @@ object Similarity {
       .agg(count(col("_av")).as("hits"))
       .select(col("q_id"), col("hits"), lit(k.toLong).as("k"),
         expr(s"(hits * 1000000) div $k").as("recall_ppm"))
+  }
+
+  /** The stride-picked capped coarse-centroid set `(c_id, cv)` as a public
+    * frame — the model every IVF tier derives internally, exposed so
+    * composing operators ([[assignmentAgreement]], a [[VectorIndex]]
+    * build over a custom subset) can hold the SAME set the tiers use.
+    */
+  def coarseCentroids(
+      base: DataFrame,
+      id: Column,
+      vec: Column,
+      centroidStride: Int = 50,
+      maxCentroids: Int = 256): DataFrame =
+    ivfCentroids(base.select(id.as("vec_id"), vec.as("v")),
+      centroidStride, maxCentroids)
+
+  /** Assignment-fidelity eval for [[ivfAssignHierarchical]]: for each
+    * requested `sProbe`, the fraction of rows whose two-level centroid
+    * equals the exact flat argmax — the measured curve behind the sProbe
+    * knob, the way [[recallAtK]] is the curve behind nProbe. Output one
+    * row per sProbe: `(s_probe, n_rows, n_agree, agree_ppm)`, all-integer
+    * ppm so any engine replays it bit-for-bit.
+    *
+    * Scale shape: the flat ground-truth assignment runs ONCE (rows × k —
+    * the eval's declared dominant term, same cost class as the s3 tier it
+    * grades), and ONE rows × supers pass serves every sProbe value: the
+    * per-row super ranks are computed to `max(sProbes)` and each sProbe
+    * re-cuts them with a broadcast `srn <= s_probe` theta-join — no
+    * per-sProbe corpus passes, no cross product wider than
+    * rows × max(sProbes) · superStride.
+    */
+  def assignmentAgreement(
+      base: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: DataFrame,
+      superStride: Int = 16,
+      sProbes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(sProbes.nonEmpty && sProbes.forall(_ > 0),
+      s"sProbes must be positive, got $sProbes")
+    import org.apache.spark.sql.expressions.Window
+    val spark = base.sparkSession
+    import spark.implicits._
+    val b = base.select(id.as("vec_id"), vec.as("v"))
+    val cents = centroids.select(col("c_id"), col("cv"))
+    val flat = ivfAssignTo(cents, b, "v", "vec_id", 1)
+      .select(col("vec_id"), col("c_id").as("flat_c"))
+    val supers = hierSupers(cents, superStride)
+    val c2s = hierC2s(cents, supers)
+    val r2s = hierR2s(b, supers, sProbes.max)
+    val spx = sProbes.distinct.sorted.toDF("s_probe")
+    val wA = Window.partitionBy(col("s_probe"), col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val hier = r2s
+      .join(broadcast(spx), col("srn") <= col("s_probe"))
+      .join(broadcast(c2s), Seq("s_id"))
+      .select(col("s_probe"), col("vec_id"), col("c_id"),
+        round(cosine(col("v"), col("cv")), 6).as("c_cos"))
+      .withColumn("crn", row_number().over(wA)).filter(col("crn") === 1)
+      .select(col("s_probe"), col("vec_id"), col("c_id"))
+    hier.join(flat, Seq("vec_id"))
+      .groupBy(col("s_probe"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_id") === col("flat_c"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("s_probe"), col("n_rows"), col("n_agree"),
+        expr("(n_agree * 1000000) div n_rows").as("agree_ppm"))
   }
 
   /** Deterministic distributed Lloyd k-means over a float-vector column —
