@@ -287,6 +287,118 @@ object VectorIndex {
       .filter(col("rn") <= k)
   }
 
+  /** File manifest of the store's inverted lists, one row per data file:
+    * `(c_id, file_id, bytes)` — the metadata view a maintenance job plans
+    * on. Built through the Hadoop FS API, so it works unchanged on
+    * HDFS/S3 at deployment scale; at 100 TB the manifest is thousands of
+    * rows where the lists are billions — maintenance plans on the
+    * manifest, never the data.
+    */
+  def listManifest(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lists = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = lists.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = fs.listStatus(lists).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
+      .flatMap { dir =>
+        val cId = dir.getPath.getName.stripPrefix("c_id=").toLong
+        fs.listStatus(dir.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+          .map(f => (cId, f.getPath.getName, f.getLen))
+      }
+    rows.toDF("c_id", "file_id", "bytes")
+  }
+
+  /** Small-file compaction for a store grown by [[appendToIvfIndex]] —
+    * the `OPTIMIZE` analog: every append drops one file set per touched
+    * `c_id=` directory, so a continuously-ingesting store drifts toward
+    * drizzle-sized files and probe IO pays per-file open cost instead of
+    * row-group scans. Planning is [[Layout.compactionPlan]] over
+    * [[listManifest]] (group = list, next-fit by byte offset into
+    * `targetBytes` bins); only lists where merging wins (some bin holds
+    * more than one file) are rewritten, through a partition-pruned read
+    * and a DYNAMIC partition overwrite — untouched lists are never read
+    * or rewritten. Rows are routed to `bins(c_id)` output files via a
+    * deterministic `xxhash64(vec_id) % bins` split, so a compacted list
+    * lands in row-group-friendly blocks of ≈`targetBytes`.
+    *
+    * Probe results are bit-identical before and after (the store's ROWS
+    * are untouched — spec-pinned, and `s28`'s standing oracle replays the
+    * probe of a compacted store); the completeness marker is dropped for
+    * the duration of the rewrite so a killed compaction fails the next
+    * probe loudly instead of serving a half-rewritten store.
+    *
+    * @return the pre-compaction plan for the rewritten lists — one row
+    *         per merged file: (`c_id`, `file_id`, `bytes`, `bin`,
+    *         `bin_files`, `bin_bytes`)
+    */
+  def compactIvfIndex(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    require(isComplete(path), s"no completed IVF store at $path")
+    val manifest = listManifest(spark, path)
+    val plan = Layout.compactionPlan(manifest, col("c_id"), col("file_id"),
+      col("bytes"), targetBytes)
+      .withColumnRenamed("group", "c_id")
+    // lists where some bin holds >1 file — the only ones worth rewriting
+    val needy = plan.groupBy(col("c_id"))
+      .agg(max(col("bin_files")).as("max_files"), countDistinct(col("bin")).as("bins"))
+      .filter(col("max_files") > 1)
+      .select(col("c_id").cast("long"), col("bins").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    if (needy.nonEmpty) {
+      val ids = needy.keys.toArray.sorted
+      val rows = prunedLists(spark, path, ids)
+      val binsOf = typedLit(needy)
+      val rewrite = rows
+        .withColumn("_bin",
+          pmod(xxhash64(col("vec_id")), element_at(binsOf, col("c_id"))))
+        .repartition(math.max(needy.values.sum, 1), col("c_id"), col("_bin"))
+        .drop("_bin")
+      val conf = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      java.nio.file.Files.deleteIfExists(markerPath(path))
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        rewrite.write.mode("overwrite").partitionBy("c_id")
+          .parquet(s"$path/lists")
+      } finally {
+        conf.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      }
+      java.nio.file.Files.createFile(markerPath(path))
+    }
+    import spark.implicits._
+    plan.join(broadcast(needy.keys.toSeq.toDF("c_id")), Seq("c_id"))
+  }
+
+  /** Continuous ingestion into a persisted store: each micro-batch of
+    * `(id, vec)` rows is assigned against the STORED model and appended
+    * via [[appendToIvfIndex]] — the streaming face of the same append
+    * contract, so the store a batch job builds and the store this stream
+    * grows are the same artifact (the [[EventStreams.ingestDedupStream]]
+    * shape applied to vectors).
+    *
+    * `foreachBatch` (not a stateful operator) is the right Spark shape:
+    * the store is external shared state that must outlive the query and
+    * stay probeable mid-stream. Assignment is deterministic, so an
+    * at-least-once replay appends identical rows; exactly-once callers
+    * dedup on `vec_id` at probe time or fence batches upstream — the
+    * same caveat [[appendToIvfIndex]] documents for batch re-runs.
+    */
+  def appendStream(
+      vecs: DataFrame,
+      id: Column,
+      vec: Column,
+      path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) appendToIvfIndex(batch, id, vec, path)
+      }
+      .start()
+
   /** Probe a PQ store ([[writeIvfIndex]] with `pq = true`): the ADC
     * candidate ranking reads ONLY `(vec_id, codes)` from ONLY the probed
     * partitions (column pruning × partition pruning — the scan that makes

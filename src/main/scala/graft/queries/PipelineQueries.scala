@@ -787,6 +787,23 @@ object PipelineQueries {
       col("embedding"), k = 10, nProbe = 2)
   }
 
+  // store maintenance as a standing contract: build on the %7!=0 slice,
+  // drizzle-append the increment, COMPACT (the OPTIMIZE analog — merge
+  // each touched list's per-append file sets into target-sized blocks),
+  // probe. Result ≡ s25 by construction: compaction must never change a
+  // probe — the oracle IS that invariant, hash-checked every round.
+  private val s28: Q = (s, dir) => {
+    val path = ivfStorePath(dir, "cmp")
+    val emb = t(s, dir, "embeddings")
+    VectorIndex.writeIvfIndex(emb.filter(col("vec_id") % 7 =!= 0),
+      col("vec_id"), col("embedding"), path, hierarchical = true)
+    VectorIndex.appendToIvfIndex(emb.filter(col("vec_id") % 7 === 0),
+      col("vec_id"), col("embedding"), path)
+    VectorIndex.compactIvfIndex(s, path)
+    VectorIndex.probeIvfIndex(s, path, queriesDf(s, dir), col("vec_id"),
+      col("embedding"), k = 10, nProbe = 2)
+  }
+
   // assignment-fidelity curve for the two-level assignment: ppm of rows
   // whose hierarchical centroid equals the flat argmax, per sProbe —
   // the sProbe knob's measured curve, the way s17/s18 are nProbe's
@@ -1154,6 +1171,7 @@ object PipelineQueries {
     "s24_ann_ivf_store" -> s24,
     "s25_ann_ivf_store_append" -> s25,
     "s26_assign_fidelity" -> s26,
+    "s28_ivf_store_compact" -> s28,
     "s27_ann_ivfpq_store" -> s27,
     "s4_ann_quantized" -> s4,
     "s12_ann_rp" -> s12,
@@ -2537,6 +2555,12 @@ object PipelineQueries {
     // assigned against the SUBSET's centroid model (the fixed-model
     // append contract, visible in the cents predicate)
     "s25_ann_ivf_store_append" ->
+      ("WITH " + sqlHierIvfCtesWith(" AND vec_id % 7 <> 0") + "\n" +
+        sqlIvfRescoreTail),
+    // append → compact → probe ≡ append → probe: compaction rewrites
+    // FILES, never rows, so s28 shares s25's replay verbatim — the
+    // oracle is the "maintenance changes nothing" invariant itself
+    "s28_ivf_store_compact" ->
       ("WITH " + sqlHierIvfCtesWith(" AND vec_id % 7 <> 0") + "\n" +
         sqlIvfRescoreTail),
     // the sProbe fidelity curve: per sProbe ∈ {1,2,4}, agreement of the

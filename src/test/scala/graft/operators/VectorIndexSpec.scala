@@ -3,6 +3,7 @@ package graft.operators
 import graft.TestSpark
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -158,6 +159,74 @@ class VectorIndexSpec extends AnyFunSuite {
       schema.contains("codes") && !schema.contains("v")
     }), s"no codes-only scan found: ${scans.map(_.requiredSchema.fieldNames.mkString(","))}")
     }
+  }
+
+  test("compaction merges drizzle files, skips healthy lists, and probes are bit-identical") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfcompact")
+    // build on one slice, then drizzle three appends — every touched list
+    // directory accumulates one file set per append
+    VectorIndex.writeIvfIndex(emb.filter(col("vec_id") % 4 === 0),
+      col("vec_id"), col("embedding"), path)
+    (1 to 3).foreach(r => VectorIndex.appendToIvfIndex(
+      emb.filter(col("vec_id") % 4 === r), col("vec_id"), col("embedding"), path))
+    val before = VectorIndex.listManifest(spark, path)
+      .groupBy("c_id").count().as[(Long, Long)].collect().toMap
+    assert(before.values.max > 1, s"appends produced no drizzle: $before")
+    val probeBefore = ranking(VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2))
+    val plan = VectorIndex.compactIvfIndex(spark, path)
+    // the returned plan covers exactly the lists that had mergeable bins
+    val planned = plan.select("c_id").distinct().as[Long].collect().toSet
+    val needy = before.filter(_._2 > 1).keySet
+    assert(planned == needy, s"planned $planned vs needy $needy")
+    val after = VectorIndex.listManifest(spark, path)
+      .groupBy("c_id").count().as[(Long, Long)].collect().toMap
+    // default targetBytes puts each tiny list in ONE bin → one file
+    assert(needy.forall(c => after(c) == 1L),
+      s"compacted lists still fragmented: ${after.filter(_._2 > 1)}")
+    assert(VectorIndex.isComplete(path))
+    // rows and probe results are untouched
+    assert(spark.read.parquet(s"$path/lists").count() == emb.count())
+    val probeAfter = ranking(VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2))
+    assert(probeAfter == probeBefore && probeAfter.nonEmpty)
+    // a store with nothing to merge is a no-op plan
+    assert(VectorIndex.compactIvfIndex(spark, path).isEmpty)
+  }
+
+  test("appendStream grows the store per micro-batch against the stored model") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpStore("ivfstream")
+    val base = emb.filter(col("vec_id") % 7 =!= 0)
+    VectorIndex.writeIvfIndex(base, col("vec_id"), col("embedding"), path)
+    val inc = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = VectorIndex.appendStream(
+      stream.toDF().toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), path)
+    try {
+      val (b1, b2) = inc.splitAt(inc.size / 2)
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$path/lists").count() ==
+        base.count() + b1.size)
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$path/lists").count() == emb.count())
+    } finally q.stop()
+    // the streamed store is the batch-append store: same rows, same lists
+    val batchPath = tmpStore("ivfstreamref")
+    VectorIndex.writeIvfIndex(base, col("vec_id"), col("embedding"), batchPath)
+    VectorIndex.appendToIvfIndex(emb.filter(col("vec_id") % 7 === 0),
+      col("vec_id"), col("embedding"), batchPath)
+    def listed(p: String) = spark.read.parquet(s"$p/lists")
+      .select(col("c_id").cast("long"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(listed(path) == listed(batchPath))
   }
 
   test("loud failures: probing an incomplete store, PQ-probing a non-PQ store, appending to nothing") {
