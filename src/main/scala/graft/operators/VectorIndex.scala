@@ -94,6 +94,14 @@ object VectorIndex {
     * vector ([[graft.functions.PqEncode]], codebook from the FULL corpus
     * — stored codes must be probe-independent) plus the codebook itself,
     * enabling [[probeIvfPqIndex]]'s codes-only candidate scan.
+    *
+    * `centroids` overrides the default stride-picked coarse quantizer
+    * with a caller-trained `(c_id, cv)` model (the faiss deployment
+    * shape: k-means trains on a sample, the index is built with the
+    * trained centroids — [[Similarity.kmeansCentroids]] output plugs in
+    * directly). The model is persisted beside the lists either way, so
+    * probes and appends replay the caller's geometry from the store
+    * alone.
     */
   def writeIvfIndex(
       base: DataFrame,
@@ -108,11 +116,13 @@ object VectorIndex {
       pq: Boolean = false,
       numSubspaces: Int = 8,
       numCodes: Int = 16,
-      codeStride: Int = 16): Unit = {
+      codeStride: Int = 16,
+      centroids: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = base.sparkSession
     val b = base.select(id.as("vec_id"), vec.as("v"))
-    val cents = Similarity.ivfCentroids(b, centroidStride, maxCentroids)
+    val cents = centroids.map(_.select(col("c_id"), col("cv")))
+      .getOrElse(Similarity.ivfCentroids(b, centroidStride, maxCentroids))
     val listed =
       if (hierarchical)
         Similarity.ivfAssignHierarchical(base, id, vec, cents, superStride, sProbe)
@@ -163,7 +173,11 @@ object VectorIndex {
       codeStride: Int = 16): Unit =
     if (!isComplete(path))
       writeIvfIndex(base, id, vec, path, centroidStride, maxCentroids,
-        hierarchical, superStride, sProbe, pq, numSubspaces, numCodes, codeStride)
+        hierarchical, superStride, sProbe, pq, numSubspaces, numCodes,
+        codeStride)
+    // callers with a TRAINED model check isComplete themselves before
+    // training (the model derivation may run eager jobs — an ensure that
+    // trains just to discard the result would defeat its own point)
 
   /** Assign `increment` against the STORED centroids (and, for a
     * hierarchical store, the same super-geometry — both re-derived from
@@ -396,6 +410,33 @@ object VectorIndex {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) appendToIvfIndex(batch, id, vec, path)
+      }
+      .start()
+
+  /** Continuous serving against a persisted store: each micro-batch of
+    * `(id, vec)` query rows is probed via [[probeIvfIndex]] and the
+    * `(q_id, vec_id, cos, rn)` top-k rows are handed to `onResults` —
+    * the read face of [[appendStream]], together the full
+    * ingest-and-serve loop over one store artifact. Probing is stateless
+    * per batch (the store is the state), so at-least-once replays re-emit
+    * identical rows, and a store refreshed between batches is picked up
+    * by the next batch's probe — mid-rewrite batches fail loudly on the
+    * completeness marker rather than serving a half-written store.
+    */
+  def probeStream(
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      path: String,
+      onResults: (DataFrame, Long) => Unit,
+      k: Int = 10,
+      nProbe: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          onResults(probeIvfIndex(batch.sparkSession, path, batch, id, vec,
+            k, nProbe), batchId)
       }
       .start()
 

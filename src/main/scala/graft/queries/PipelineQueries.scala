@@ -469,6 +469,31 @@ object PipelineQueries {
       minCosine = 0.4)
   }
 
+  // d12d served FROM the persisted store: the trained model + two-level
+  // assignment are written once (ensure — steady-state runs pay neither
+  // training nor assignment), and SemDeDup's within-cluster prune runs
+  // over the lists read back from disk. One persisted assignment, many
+  // consumers (ANN probes AND dedup) — the keep-set is d12d's verbatim,
+  // so the shared oracle hash-checks the store round-trip every run.
+  private val d12e: Q = (s, dir) => {
+    val path = ivfStorePath(dir, "sem")
+    val emb = t(s, dir, "embeddings")
+    if (!VectorIndex.isComplete(path)) {
+      val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      val superStride = math.ceil(math.sqrt(k.toDouble)).toInt
+      VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+        hierarchical = true, superStride = superStride, sProbe = 2,
+        centroids = Some(Similarity.kmeansCentroids(
+          Similarity.kmeansTrain(emb.filter(col("vec_id") % 5 === 0),
+            col("vec_id"), col("embedding"),
+            k = k, iters = 2, seedStride = 10, rankSeeds = true))))
+    }
+    Dedup.semanticKeepAssigned(
+      s.read.parquet(s"$path/lists")
+        .select(col("c_id").cast("long").as("c_id"), col("vec_id"), col("v")),
+      minCosine = 0.4)
+  }
+
   // LSH geometry picked by the S-curve selector instead of by hand:
   // lshParams(0.5, 32) = 8 bands × 4 rows — recall-heavier banding than
   // d3's hand-set 4×8 at the same exact-Jaccard verify threshold, chosen
@@ -1156,6 +1181,7 @@ object PipelineQueries {
     "d12b_semdedup_trained" -> d12b,
     "d12c_semdedup_sampled" -> d12c,
     "d12d_semdedup_ann" -> d12d,
+    "d12e_semdedup_store" -> d12e,
     "d28_softdedup_weights" -> d28,
     "d13_incremental_dedup" -> d13,
     "d10_substring_coverage" -> d10,
@@ -1567,6 +1593,52 @@ object PipelineQueries {
   private val sqlS14IvfPq = s"WITH $sqlIvfFlatCtes,\n$sqlPqTail"
 
   /** s19's hierarchical-IVF replay — also the candidate side of s21. */
+  /** d12d's full replay: sampled-train k-means + two-level assignment +
+    * within-cluster prune. Shared verbatim by d12e (the store-served
+    * composition probes the same model, so the keep-set is identical by
+    * construction — a named constant, not a substring splice).
+    */
+  private val sqlD12dSemdedupAnn =
+    s"""WITH $sqlKmeansCtesSampled,
+       |cents AS (
+       |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+       |rankedc AS (
+       |  SELECT c_id, cv, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
+       |supers AS (
+       |  SELECT c_id AS s_id, cv AS sv FROM rankedc
+       |  WHERE crk % (SELECT CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT)
+       |               FROM embeddings) = 0),
+       |c2s AS (
+       |  SELECT s_id, c_id, cv FROM (
+       |    SELECT c.c_id, c.cv, s.s_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.c_id
+       |        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 6) DESC,
+       |                 (s.s_id = c.c_id) DESC, s.s_id ASC) AS srn
+       |    FROM cents c CROSS JOIN supers s)
+       |  WHERE srn = 1),
+       |r2s AS (
+       |  SELECT vec_id, v, s_id FROM (
+       |    SELECT b.vec_id, b.embedding AS v, s.s_id,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], s.sv), 6) DESC,
+       |                 s.s_id ASC) AS srn
+       |    FROM embeddings b CROSS JOIN supers s)
+       |  WHERE srn <= 2),
+       |listed AS (
+       |  SELECT vec_id, v, c_id FROM (
+       |    SELECT r.vec_id, r.v, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+       |        ORDER BY round(list_cosine_similarity(r.v::DOUBLE[], c.cv), 6) DESC,
+       |                 c.c_id ASC) AS crn
+       |    FROM r2s r JOIN c2s c ON r.s_id = c.s_id)
+       |  WHERE crn <= 1),
+       |dropped AS (
+       |  SELECT DISTINCT x.vec_id
+       |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
+       |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
+       |SELECT vec_id, c_id FROM listed
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+
   private val sqlS19HierIvf = s"WITH $sqlHierIvfCtes\n$sqlIvfRescoreTail"
 
   /** s20's hierarchical-IVF×PQ replay — also the candidate side of s22.
@@ -2381,46 +2453,11 @@ object PipelineQueries {
          |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
          |SELECT vec_id, c_id FROM listed
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
-    "d12d_semdedup_ann" ->
-      s"""WITH $sqlKmeansCtesSampled,
-         |cents AS (
-         |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
-         |rankedc AS (
-         |  SELECT c_id, cv, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
-         |supers AS (
-         |  SELECT c_id AS s_id, cv AS sv FROM rankedc
-         |  WHERE crk % (SELECT CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT)
-         |               FROM embeddings) = 0),
-         |c2s AS (
-         |  SELECT s_id, c_id, cv FROM (
-         |    SELECT c.c_id, c.cv, s.s_id,
-         |      ROW_NUMBER() OVER (PARTITION BY c.c_id
-         |        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 6) DESC,
-         |                 (s.s_id = c.c_id) DESC, s.s_id ASC) AS srn
-         |    FROM cents c CROSS JOIN supers s)
-         |  WHERE srn = 1),
-         |r2s AS (
-         |  SELECT vec_id, v, s_id FROM (
-         |    SELECT b.vec_id, b.embedding AS v, s.s_id,
-         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-         |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], s.sv), 6) DESC,
-         |                 s.s_id ASC) AS srn
-         |    FROM embeddings b CROSS JOIN supers s)
-         |  WHERE srn <= 2),
-         |listed AS (
-         |  SELECT vec_id, v, c_id FROM (
-         |    SELECT r.vec_id, r.v, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
-         |        ORDER BY round(list_cosine_similarity(r.v::DOUBLE[], c.cv), 6) DESC,
-         |                 c.c_id ASC) AS crn
-         |    FROM r2s r JOIN c2s c ON r.s_id = c.s_id)
-         |  WHERE crn <= 1),
-         |dropped AS (
-         |  SELECT DISTINCT x.vec_id
-         |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
-         |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
-         |SELECT vec_id, c_id FROM listed
-         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "d12d_semdedup_ann" -> sqlD12dSemdedupAnn,
+    // the store-served composition probes the SAME model + assignment, so
+    // the keep-set is d12d's verbatim — "one persisted assignment, many
+    // consumers" as a hash-checked invariant
+    "d12e_semdedup_store" -> sqlD12dSemdedupAnn,
     "s1_ann_bruteforce" -> sqlS1Exact,
     // MMR replay: the s1 pool + pairwise pool sims in integer micro-units,
     // then five greedy CTE steps with the identical BIGINT score and

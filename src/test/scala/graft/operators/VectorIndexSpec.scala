@@ -229,6 +229,38 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(listed(path) == listed(batchPath))
   }
 
+  test("probeStream serves each micro-batch from the store, in parity with the batch probe") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpStore("ivfserve")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path)
+    val qs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = VectorIndex.probeStream(
+      stream.toDF().toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), path,
+      (res, _) => got.synchronized {
+        got ++= res.select("q_id", "vec_id", "rn")
+          .as[(Long, Long, Long)].collect()
+      },
+      k = 10, nProbe = 2)
+    try {
+      val (b1, b2) = qs.splitAt(2)
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      assert(got.map(_._1).toSet == b1.map(_._1).toSet)
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-batch serving ≡ one batch probe of all queries: probing is
+    // stateless, the store is the state
+    val batch = ranking(VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2))
+    assert(got.sortBy(r => (r._1, r._3)).toSeq == batch && batch.nonEmpty)
+  }
+
   test("loud failures: probing an incomplete store, PQ-probing a non-PQ store, appending to nothing") {
     val path = tmpStore("ivfbad")
     intercept[IllegalArgumentException] {
