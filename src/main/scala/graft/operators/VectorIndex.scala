@@ -46,6 +46,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  /** Bump when the ASSIGNMENT SEMANTICS change (centroid pick, tie-break,
+    * super-geometry, PQ encode) in a way that makes previously-written
+    * lists disagree with what the same config would write today — cached
+    * store paths embed it, so a semantics change can never silently probe
+    * a stale store built by older code (`meta/` holds the config, but
+    * only the version names the code generation).
+    */
+  val FormatVersion = 1
+
   /** Marker written LAST: a store is only probeable once fully written
     * (a killed build leaves no marker and the probe fails loudly).
     */

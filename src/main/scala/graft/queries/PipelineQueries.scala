@@ -753,9 +753,12 @@ object PipelineQueries {
     sys.env.getOrElse("SPARK_GRAFT_STORE_DIR", "/root/repo/tmp/stores")
 
   /** Deterministic per-(corpus, config) store path: keyed on the sfDir
-    * path AND the embeddings parquet's newest mtime, so a regenerated
-    * corpus at the same path gets a FRESH store instead of probing a
-    * stale one.
+    * path, the embeddings parquet's newest mtime, AND
+    * [[VectorIndex.FormatVersion]] — so a regenerated corpus at the same
+    * path gets a FRESH store instead of probing a stale one, and a
+    * code-generation change in the assignment semantics (version bump)
+    * invalidates every cached store instead of serving lists older code
+    * wrote.
     */
   private def ivfStorePath(dir: String, tag: String): String = {
     def newest(f: java.io.File): Long =
@@ -764,7 +767,7 @@ object PipelineQueries {
     val mt = newest(new java.io.File(s"$dir/embeddings.parquet"))
     val key = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(s"$dir|$mt"))
-    s"$storeRoot/ivf_${tag}_$key"
+    s"$storeRoot/ivf_${tag}_v${VectorIndex.FormatVersion}_$key"
   }
 
   // the store BUILD as its own timed query (always overwrite — honest

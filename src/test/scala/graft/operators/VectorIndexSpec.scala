@@ -229,6 +229,32 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(listed(path) == listed(batchPath))
   }
 
+  test("PQ store maintenance: append encodes the increment with the STORED codebook; compaction preserves codes") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfpqmaint")
+    // build slice keeps every stride-picked codebook id (0,16,…,240)
+    val base = emb.filter(col("vec_id") < 250 || col("vec_id") >= 300)
+    // PQ model (codebook) trained on the BUILD slice — appended rows must
+    // be encoded with the stored model, never a retrained one
+    VectorIndex.writeIvfIndex(base, col("vec_id"), col("embedding"), path,
+      hierarchical = true, pq = true)
+    VectorIndex.appendToIvfIndex(emb.filter(col("vec_id") >= 250 && col("vec_id") < 300),
+      col("vec_id"), col("embedding"), path)
+    val beforeCompact = ranking(VectorIndex.probeIvfPqIndex(spark, path,
+      queries, col("vec_id"), col("embedding"), k = 10, nProbe = 2, pool = 50))
+    assert(beforeCompact.nonEmpty)
+    // every stored row (built + appended) carries codes of the same width
+    val widths = spark.read.parquet(s"$path/lists")
+      .select(size(col("codes"))).distinct().as[Int].collect().toSet
+    assert(widths == Set(8), s"code widths after append: $widths")
+    assert(spark.read.parquet(s"$path/lists").filter(col("codes").isNull).count() == 0)
+    // compaction rewrites files, codes ride along, probe is bit-identical
+    VectorIndex.compactIvfIndex(spark, path)
+    val afterCompact = ranking(VectorIndex.probeIvfPqIndex(spark, path,
+      queries, col("vec_id"), col("embedding"), k = 10, nProbe = 2, pool = 50))
+    assert(afterCompact == beforeCompact)
+  }
+
   test("probeStream serves each micro-batch from the store, in parity with the batch probe") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     implicit val sqlCtx = spark.sqlContext
