@@ -285,6 +285,89 @@ object Dedup {
       .select("doc_a", "doc_b", "na", "nb", "containment_ppm")
   }
 
+  /** APPROXIMATE containment pairs — the production rung of the
+    * containment family, the same trade [[graft.operators.Similarity]]'s
+    * two-level assignment makes for SemDeDup: constant work per document
+    * instead of work that grows with the document.
+    *
+    * [[containmentPairs]] probes the index with a rarest-first PREFIX of
+    * `|S_A| − ⌈t·|S_A|⌉ + 1` shingles per document — lossless, but at
+    * t = 0.7 that is ~30 % of every document's shingles, and the probe
+    * volume grows with document size. This tier probes with the `k`
+    * smallest shingles of `S_A` in [[graft.functions.PolyHash]] order — a
+    * deterministic uniform-without-replacement SAMPLE of `S_A` (hash
+    * order is corpus-independent, so the same shingle sorts the same way
+    * everywhere). For a candidate pair the hit count of the sample
+    * against `S_B` is hypergeometric with mean `k·cont(A→B)`, so
+    * `hits · 1e6 / min(k, |S_A|)` is an unbiased containment estimate
+    * with sd ≈ `sqrt(c(1−c)/k)` (k = 16 → ±11 % at c = 0.5, tighter at
+    * the ends); documents with `|S_A| ≤ k` are sampled whole and their
+    * estimate is EXACT. The estimate doubles as the candidate generator:
+    * one sample×postings join + one pair aggregation — no prefix
+    * ranking, no full-set `array_intersect` verify, probe volume
+    * k·docs = constant per document.
+    *
+    * APPROXIMATION CONTRACT (documented like d2b's / d21b's): both false
+    * negatives (a contained pair whose sample under-hits the threshold)
+    * and false positives (over-hits) occur with hypergeometric
+    * probability; `d21d_containment_approx_eval` measures
+    * recall/precision against the exact tier as a standing oracle row.
+    * `maxDocFreq` caps index-side postings exactly like
+    * [[containmentPairs]]' cap, with the same recall-only effect.
+    *
+    * Output: `(doc_a, doc_b, sample_hits, sample_size,
+    * containment_est_ppm)` for pairs with estimate ≥
+    * `minContainmentPpm`; `doc_a` is the (estimated-)contained side.
+    */
+  def containmentApproxPairs(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      k: Int = 16,
+      minContainmentPpm: Long = 700000L,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"sample size k must be positive, got $k")
+    require(minContainmentPpm > 0 && minContainmentPpm <= 1000000L,
+      s"minContainmentPpm out of (0, 1e6]: $minContainmentPpm")
+    val base = cached(
+      docs.select(id.as("doc_id"), shingles(tokens(text), n).as("sh")))
+      .filter(size(col("sh")) > 0)
+    val sh = base.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    // bottom-k of S_A by (polyhash, shingle) — the per-doc window ranks
+    // each document's own shingles only (the same window shape the exact
+    // tier's prefix ranking uses), never a corpus-wide key
+    val wD = Window.partitionBy(col("doc_id"))
+      .orderBy(polyHash(col("s")).asc, col("s").asc)
+    val sig = sh.withColumn("rk", row_number().over(wD)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("n_sh"), col("s"))
+    // index side: full postings, optionally df-capped (shared rule with
+    // containmentPairs so the two tiers' caps mean the same thing)
+    val idx =
+      if (maxDocFreq == Int.MaxValue) sh.select(col("doc_id"), col("s"))
+      else {
+        val dfs = sh.select("s").groupBy("s").agg(count(lit(1)).as("df"))
+        sh.join(dfs.filter(col("df") > maxDocFreq).select("s"),
+          Seq("s"), "left_anti").select(col("doc_id"), col("s"))
+      }
+    // shingle arrays are distinct per doc, so each sampled shingle found
+    // in S_B contributes exactly one row: count(*) IS the hit count
+    sig.as("a")
+      .join(idx.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_sh_a"))
+      .agg(count(lit(1)).as("sample_hits"))
+      .withColumn("sample_size", least(lit(k.toLong), col("n_sh_a")))
+      .withColumn("containment_est_ppm",
+        expr("sample_hits * 1000000 div sample_size"))
+      .filter(col("containment_est_ppm") >= minContainmentPpm)
+      .select("doc_a", "doc_b", "sample_hits", "sample_size",
+        "containment_est_ppm")
+  }
+
   /** Containment-based keep rule — "drop the quote, keep the article":
     * a document is dropped iff it is ≥ `minContainmentPpm` contained in a
     * DOMINATING partner (strictly larger shingle set, or equal set size

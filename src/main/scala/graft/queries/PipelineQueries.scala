@@ -344,6 +344,37 @@ object PipelineQueries {
     Dedup.containmentPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
       n = 3, minContainmentPpm = 700000L, maxDocFreq = 50)
 
+  // the PRODUCTION rung of the containment family (the heaviest exact
+  // tier on the sf10 board): constant k=16 bottom-polyhash sample probes
+  // per doc instead of the ~30%-of-doc rarest-first prefix, estimate ≡
+  // candidate count — no full-set verify. Unbiased hypergeometric
+  // estimator; d21d pins its recall/precision against the exact tier.
+  private val d21c: Q = (s, dir) =>
+    Dedup.containmentApproxPairs(t(s, dir, "documents"), col("doc_id"),
+      col("text"), n = 3, k = 16, minContainmentPpm = 700000L,
+      maxDocFreq = 50)
+
+  // the estimator's measured quality contract (the s17 pattern applied
+  // to containment): recall and precision of the k=16 approx tier vs the
+  // exact tier at the same threshold and cap, as one hash-checked row
+  private val d21d: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val ex = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+      n = 3, minContainmentPpm = 700000L, maxDocFreq = 50)
+      .select("doc_a", "doc_b")
+    val ap = Dedup.containmentApproxPairs(docs, col("doc_id"), col("text"),
+      n = 3, k = 16, minContainmentPpm = 700000L, maxDocFreq = 50)
+      .select("doc_a", "doc_b")
+    val exn = ex.agg(count(lit(1)).as("n_exact"))
+    val apn = ap.agg(count(lit(1)).as("n_approx"))
+    val bn = ex.join(ap, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_both"))
+    exn.crossJoin(apn).crossJoin(bn)
+      .select(col("n_exact"), col("n_approx"), col("n_both"),
+        expr("(n_both * 1000000) div n_exact").as("recall_ppm"),
+        expr("(n_both * 1000000) div n_approx").as("precision_ppm"))
+  }
+
   // "drop the quote, keep the article": a doc is dropped iff ≥70%
   // contained in a strictly-bigger partner (or an equal-set earlier id —
   // mutual 1e6-ppm exact dups keep the min id deterministically)
@@ -1163,6 +1194,8 @@ object PipelineQueries {
     "d27_lsh_tuned" -> d27,
     "d21_containment" -> d21,
     "d21b_containment_capped" -> d21b,
+    "d21c_containment_approx" -> d21c,
+    "d21d_containment_approx_eval" -> d21d,
     "d22_containment_keep" -> d22,
     "d24_dup_spans" -> d24,
     "d25_cut_spans" -> d25,
@@ -1596,6 +1629,62 @@ object PipelineQueries {
   private val sqlS14IvfPq = s"WITH $sqlIvfFlatCtes,\n$sqlPqTail"
 
   /** s19's hierarchical-IVF replay — also the candidate side of s21. */
+  /** Shared containment CTEs: tokenized shingles, per-doc set sizes,
+    * corpus df, and the df≤50 capped index — the common prefix of the
+    * exact (d21b), sampling (d21c), and eval (d21d) replays.
+    */
+  private val sqlContainmentCtes =
+    s"""toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+       |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s)
+       |        WHERE df <= 50)""".stripMargin
+
+  /** d21b's pipeline over [[sqlContainmentCtes]]: uncapped-df rarest-first
+    * prefixes probing the capped index, exact verify on the full sets —
+    * final pair set in `exctn`.
+    */
+  private val sqlContainmentExactTail =
+    """rk AS (SELECT sh.doc_id, sh.s, cnt.n_sh,
+      |         row_number() OVER (PARTITION BY sh.doc_id
+      |                            ORDER BY dfs.df ASC, sh.s ASC) AS rk
+      |       FROM sh JOIN dfs USING (s) JOIN cnt USING (doc_id)),
+      |pref AS (SELECT doc_id, s FROM rk
+      |         WHERE rk <= n_sh - ((n_sh * 700000 + 999999) // 1000000) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM pref a JOIN idx b ON a.s = b.s AND a.doc_id <> b.doc_id),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+      |          JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      |          GROUP BY 1, 2),
+      |exctn AS (SELECT doc_a, doc_b,
+      |            CAST(inter * 1000000 // ca.n_sh AS BIGINT) AS containment_ppm
+      |          FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+      |          WHERE inter * 1000000 // ca.n_sh >= 700000)""".stripMargin
+
+  /** d21c's pipeline over [[sqlContainmentCtes]]: each doc's bottom-16
+    * shingles in polyhash order probe the capped index, the hit count IS
+    * the estimate — final rows in `apctn`.
+    */
+  private val sqlContainmentApproxTail =
+    s"""srk AS (SELECT sh.doc_id, cnt.n_sh, sh.s,
+       |          row_number() OVER (PARTITION BY sh.doc_id
+       |                             ORDER BY (${sqlPolyHash("sh.s")}) ASC,
+       |                                      sh.s ASC) AS rk
+       |        FROM sh JOIN cnt USING (doc_id)),
+       |sig AS (SELECT doc_id, n_sh, s FROM srk WHERE rk <= 16),
+       |apctn AS (
+       |  SELECT doc_a, doc_b, sample_hits, sample_size,
+       |    (sample_hits * 1000000 // sample_size)::BIGINT AS containment_est_ppm
+       |  FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      count(*)::BIGINT AS sample_hits,
+       |      least(16, a.n_sh)::BIGINT AS sample_size
+       |    FROM sig a JOIN idx b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |    GROUP BY 1, 2, a.n_sh)
+       |  WHERE sample_hits * 1000000 // sample_size >= 700000)""".stripMargin
+
   /** d12d's full replay: sampled-train k-means + two-level assignment +
     * within-cluster prune. Shared verbatim by d12e (the store-served
     * composition probes the same model, so the keep-set is identical by
@@ -2019,28 +2108,32 @@ object PipelineQueries {
     // definition), so this oracle replays the full pipeline: uncapped-df
     // rarest-first prefixes probing a df≤50 index, exact verify on top
     "d21b_containment_capped" ->
-      s"""WITH toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
-         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
-         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-         |rk AS (SELECT sh.doc_id, sh.s, cnt.n_sh,
-         |         row_number() OVER (PARTITION BY sh.doc_id
-         |                            ORDER BY dfs.df ASC, sh.s ASC) AS rk
-         |       FROM sh JOIN dfs USING (s) JOIN cnt USING (doc_id)),
-         |pref AS (SELECT doc_id, s FROM rk
-         |         WHERE rk <= n_sh - ((n_sh * 700000 + 999999) // 1000000) + 1),
-         |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s)
-         |        WHERE df <= 50),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM pref a JOIN idx b ON a.s = b.s AND a.doc_id <> b.doc_id),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |          FROM cand c JOIN sh x ON x.doc_id = c.doc_a
-         |          JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
-         |          GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  CAST(inter * 1000000 // ca.n_sh AS BIGINT) AS containment_ppm
-         |FROM inter JOIN cnt ca ON ca.doc_id = doc_a
-         |WHERE inter * 1000000 // ca.n_sh >= 700000""".stripMargin,
+      s"""WITH $sqlContainmentCtes,
+         |$sqlContainmentExactTail
+         |SELECT doc_a, doc_b, containment_ppm FROM exctn""".stripMargin,
+    // full replay of the sampling tier: bottom-16 of each doc's shingles
+    // in polyhash order probing the same df≤50 index, hit count = the
+    // estimate — in lockstep with containmentApproxPairs
+    "d21c_containment_approx" ->
+      s"""WITH $sqlContainmentCtes,
+         |$sqlContainmentApproxTail
+         |SELECT doc_a, doc_b, sample_hits, sample_size,
+         |  containment_est_ppm FROM apctn""".stripMargin,
+    // both tiers replayed side by side; the quality row is exact integer
+    // arithmetic over their pair-set counts
+    "d21d_containment_approx_eval" ->
+      s"""WITH $sqlContainmentCtes,
+         |$sqlContainmentExactTail,
+         |$sqlContainmentApproxTail,
+         |exn AS (SELECT count(*)::BIGINT AS n_exact FROM exctn),
+         |apn AS (SELECT count(*)::BIGINT AS n_approx FROM apctn),
+         |bn AS (SELECT count(*)::BIGINT AS n_both
+         |       FROM exctn e JOIN apctn a
+         |         ON e.doc_a = a.doc_a AND e.doc_b = a.doc_b)
+         |SELECT n_exact, n_approx, n_both,
+         |  (n_both * 1000000 // n_exact)::BIGINT AS recall_ppm,
+         |  (n_both * 1000000 // n_approx)::BIGINT AS precision_ppm
+         |FROM exn, apn, bn""".stripMargin,
     // top-N ties broken gram-ascending on both sides; rank replayed over
     // the already-cut 20 rows
     "d26_boilerplate" ->

@@ -51,6 +51,40 @@ class DedupSpec extends AnyFunSuite {
     Dedup.unpersistIntermediates(blocking = true)
   }
 
+  test("containmentApproxPairs: docs at or under k sampled whole (exact), estimator fields consistent") {
+    // every doc here has ≤ 16 shingles, so the bottom-16 sample IS the
+    // full set and the estimate must equal the exact containment
+    val d = Seq(
+      (10L, "a b c d e"),
+      (11L, "a b c d e f g"),
+      (12L, "x y z w v u t")).toDF("doc_id", "text")
+    val got = Dedup.containmentApproxPairs(d, col("doc_id"), col("text"),
+      3, 16, 700000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // cont(10→11) = 3/3 exact; sample covers all 3 shingles of 10
+    assert(got == Set((10L, 11L, 3L, 3L, 1000000L)), s"got $got")
+    // threshold: the 11→10 direction (3/5 = 600000) must not pass
+    val loose = Dedup.containmentApproxPairs(d, col("doc_id"), col("text"),
+      3, 16, 500000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(loose.contains((11L, 10L, 3L, 5L, 600000L)), s"got $loose")
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
+  test("containmentApproxPairs: k bounds the probe (sample_size = min(k, |S_A|)), estimate within sampling error") {
+    // a 30-shingle doc fully contained in a bigger one: with k = 4 the
+    // sample is 4 of 30, but containment is 1.0 so EVERY sampled shingle
+    // hits — estimate must still read 1e6 and sample_size must read 4
+    val small = (1 to 32).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (33 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((20L, small), (21L, big)).toDF("doc_id", "text")
+    val got = Dedup.containmentApproxPairs(d, col("doc_id"), col("text"),
+      3, 4, 700000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got.contains((20L, 21L, 4L, 4L, 1000000L)), s"got $got")
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("containmentKeep drops contained docs; exact dups keep the min id") {
     val d = Seq(
       (10L, "a b c d e"),            // ⊂ 11 → dropped (bigger partner)
