@@ -63,6 +63,15 @@ object BloomJoin {
     * UTF type string would then be accepted as a legal "empty dimension"
     * and silently filter out EVERY fact row. The probe now requires this
     * exact string first, so foreign bytes fail loudly instead.
+    *
+    * MIGRATION NOTE: artifacts persisted by the pre-magic format (bare
+    * `[tag][ddl][bits]`, shipped before this header existed) fail the
+    * probe LOUDLY with the missing-header message — deliberately no
+    * legacy sniff, because the legacy header is exactly the ambiguous
+    * shape this magic exists to reject (a corrupted blob can parse as
+    * it). Rebuild persisted sketches with [[sketchBytes]] once on
+    * upgrade; a build is one dimension scan, the same cost the original
+    * artifact took to write.
     */
   private val Magic = "graft-bloomsketch:v1"
 
@@ -81,6 +90,11 @@ object BloomJoin {
     * [[keyRepr]]). An empty dimension is a legal artifact (tag 0, a few
     * header bytes): probing it yields zero survivors, the correct
     * prefilter answer.
+    *
+    * COMPATIBILITY: artifacts written by the pre-magic format (before
+    * the `graft-bloomsketch:v1` header) are rejected loudly by
+    * `prefilter` — rebuild them once on upgrade (see [[Magic]] for why
+    * no legacy sniff exists).
     *
     * @param expectedItems sizing for the sketch (overestimate = more bits,
     *                      never lost keys); pass the dimension's

@@ -313,7 +313,15 @@ object Dedup {
     * probability; `d21d_containment_approx_eval` measures
     * recall/precision against the exact tier as a standing oracle row.
     * `maxDocFreq` caps index-side postings exactly like
-    * [[containmentPairs]]' cap, with the same recall-only effect.
+    * [[containmentPairs]]' cap, with the same recall-only effect — and
+    * unlike the exact tier it DEFAULTS to a finite cap (1000): the exact
+    * tier's probes are rarest-FIRST so a boilerplate stop-shingle rarely
+    * makes the prefix, but this tier's bottom-polyhash sample is
+    * hash-uniform, so a stop-shingle shared by F documents lands in
+    * samples at its natural rate and alone contributes O(F²/corpus·k)
+    * candidate rows — unbounded by default is exactly the worst case a
+    * production rung must not ship with. Pass `Int.MaxValue` to restore
+    * the uncapped join when the corpus is known boilerplate-free.
     *
     * Output: `(doc_a, doc_b, sample_hits, sample_size,
     * containment_est_ppm)` for pairs with estimate ≥
@@ -326,7 +334,7 @@ object Dedup {
       n: Int = 3,
       k: Int = 16,
       minContainmentPpm: Long = 700000L,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxDocFreq: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"sample size k must be positive, got $k")
     require(minContainmentPpm > 0 && minContainmentPpm <= 1000000L,

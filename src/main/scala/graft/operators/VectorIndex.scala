@@ -57,13 +57,45 @@ object VectorIndex {
 
   /** Marker written LAST: a store is only probeable once fully written
     * (a killed build leaves no marker and the probe fails loudly).
+    *
+    * All marker operations go through the Hadoop FileSystem API — like
+    * [[listManifest]] — so completeness works unchanged when the store
+    * path is `hdfs://`/`s3a://` (the module's design point). A
+    * `java.nio.file` marker would live on the DRIVER'S local disk for
+    * any non-local store: every probe on another node would reject a
+    * good store, and the compaction marker-drop protocol would protect
+    * nothing.
     */
   private val OkMarker = "_GRAFT_IVF_STORE_OK"
 
-  private def markerPath(path: String) = java.nio.file.Paths.get(path, OkMarker)
+  private def hadoopConf() =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def markerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, OkMarker)
 
   /** True iff `path` holds a completely written store. */
-  def isComplete(path: String): Boolean = java.nio.file.Files.exists(markerPath(path))
+  def isComplete(path: String): Boolean = {
+    val m = markerPath(path)
+    m.getFileSystem(hadoopConf()).exists(m)
+  }
+
+  /** Drop the completeness marker — the FIRST statement of any store
+    * mutation, so a concurrent probe can never read a half-rewritten
+    * artifact as complete.
+    */
+  private def dropMarker(path: String): Unit = {
+    val m = markerPath(path)
+    m.getFileSystem(hadoopConf()).delete(m, false)
+  }
+
+  /** (Re)create the completeness marker — written LAST. */
+  private def putMarker(path: String): Unit = {
+    val m = markerPath(path)
+    m.getFileSystem(hadoopConf()).create(m, true).close()
+  }
 
   /** Index configuration, persisted in `meta/` beside the lists so a
     * probe re-derives the exact assignment geometry from the store alone.
@@ -129,6 +161,11 @@ object VectorIndex {
       centroids: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = base.sparkSession
+    // invalidate BEFORE any artifact is touched: a rebuild of an existing
+    // complete store overwrites the codebook eagerly below, and a
+    // concurrent probe in that window must fail loudly on the missing
+    // marker rather than read the NEW codebook against the OLD lists
+    dropMarker(path)
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = centroids.map(_.select(col("c_id"), col("cv")))
       .getOrElse(Similarity.ivfCentroids(b, centroidStride, maxCentroids))
@@ -154,12 +191,11 @@ object VectorIndex {
           .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
         listed.withColumn("codes", enc)
       }
-    java.nio.file.Files.deleteIfExists(markerPath(path))
     rows.write.mode("overwrite").partitionBy("c_id").parquet(s"$path/lists")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeMeta(spark, path, Meta(hierarchical, superStride, sProbe, pq,
       numSubspaces, numCodes))
-    java.nio.file.Files.createFile(markerPath(path))
+    putMarker(path)
   }
 
   /** [[writeIvfIndex]] only when `path` has no completed store — the
@@ -381,7 +417,7 @@ object VectorIndex {
         .repartition(math.max(needy.values.sum, 1), col("c_id"), col("_bin"))
         .drop("_bin")
       val conf = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      java.nio.file.Files.deleteIfExists(markerPath(path))
+      dropMarker(path)
       try {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         rewrite.write.mode("overwrite").partitionBy("c_id")
@@ -390,7 +426,7 @@ object VectorIndex {
         conf.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
       }
-      java.nio.file.Files.createFile(markerPath(path))
+      putMarker(path)
     }
     import spark.implicits._
     plan.join(broadcast(needy.keys.toSeq.toDF("c_id")), Seq("c_id"))

