@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.TypeBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Exact unit-micros projection of a float/double-vector column — the
+  * integer grid on which every ASSIGNMENT-DECIDING cosine comparison in
+  * [[graft.operators.Similarity]] runs (flat/hierarchical IVF argmax,
+  * super-list ranking, the s26 fidelity eval):
+  *
+  *  1. `m_i = floor(x_i · 10⁶ + 0.5)` — integer micros per component
+  *     (half-up via floor: `round()` half-up/half-even conventions
+  *     differ across engines, `floor` never does);
+  *  2. `nsq = Σ m_i²` — EXACT long arithmetic (order-independent);
+  *  3. `u_i = floor(m_i / √nsq · 10⁶ + 0.5)` — the quantized unit
+  *     vector, so `dot(u_a, u_b)` (a [[VectorDot]] long fold, also
+  *     exact) is a ~10¹²-scaled cosine whose COMPARISONS are pure
+  *     integer: no engine-dependent floating summation ever decides an
+  *     argmax.
+  *
+  * Why this is bit-reproducible across engines where `round(cosine, 6)`
+  * was not: a float cosine is a multi-term SUM whose accumulation order
+  * differs between engines (Spark's fused loop vs DuckDB's
+  * `list_cosine_similarity`), so values land within an ulp of a
+  * round-6 boundary on different sides — measured: 121 of 512k
+  * row×centroid cosines at sf0.1 sat within 5e-4 micro-units of a
+  * boundary, and ONE flip changes an aggregate eval's hash. Here every
+  * floating step is a SINGLE exactly-rounded IEEE-754 scalar operation
+  * on bit-identical inputs (multiply, add, divide, `sqrt` of an exact
+  * integer — all correctly rounded by the standard, in every engine),
+  * and every SUM is integer — there is no boundary class left.
+  *
+  * Quantization error: `|u| ≈ 10⁶ ± 0.5` per component, so the scaled
+  * cosine `dot/10¹²` sits within ~√dim·10⁻⁶ of the true cosine —
+  * indistinguishable for ranking quality (recall gates unchanged), but
+  * the ARGMAX is now a deterministic function of the stored bytes.
+  *
+  * Edge semantics: mismatched ranking still handles NULLs as the
+  * rounded-cosine formulation did — a NULL element or NULL array → NULL
+  * (sorts last under `desc`); an all-zero (or empty) vector projects to
+  * all zeros, dotting to 0 with everything (ties then break on id).
+  * Component magnitudes past ~2²⁶ micros would overflow the `Σ m_i²`
+  * long and raise (ANSI-style loud), unreachable for unit-scale
+  * embedding data.
+  */
+case class UnitMicros(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_unit_micros"
+
+  override def inputTypes = Seq(TypeBridge.doubleArray)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<double> input, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
+    val xs = a.toDoubleArray()
+    val m = new Array[Long](n)
+    var nsq = 0L
+    i = 0
+    while (i < n) {
+      m(i) = Math.floor(xs(i) * 1.0e6 + 0.5).toLong
+      nsq = Math.addExact(nsq, Math.multiplyExact(m(i), m(i)))
+      i += 1
+    }
+    val u = new Array[Long](n)
+    if (nsq != 0L) {
+      val nrm = Math.sqrt(nsq.toDouble)
+      i = 0
+      while (i < n) {
+        u(i) = Math.floor(m(i).toDouble / nrm * 1.0e6 + 0.5).toLong
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(u)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("umI")
+      val n = ctx.freshName("umN")
+      val bad = ctx.freshName("umBad")
+      val xs = ctx.freshName("umXs")
+      val m = ctx.freshName("umM")
+      val u = ctx.freshName("umU")
+      val nsq = ctx.freshName("umNsq")
+      val nrm = ctx.freshName("umNrm")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = false;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  $bad = $a.isNullAt($i);
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $xs = $a.toDoubleArray();
+         |  long[] $m = new long[$n];
+         |  long $nsq = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $m[$i] = (long) Math.floor($xs[$i] * 1.0E6D + 0.5D);
+         |    $nsq = Math.addExact($nsq, Math.multiplyExact($m[$i], $m[$i]));
+         |  }
+         |  long[] $u = new long[$n];
+         |  if ($nsq != 0L) {
+         |    double $nrm = Math.sqrt((double) $nsq);
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $u[$i] = (long) Math.floor((double) $m[$i] / $nrm * 1.0E6D + 0.5D);
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($u);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): UnitMicros =
+    copy(child = newChild)
+}

@@ -47,6 +47,20 @@ object Similarity {
     ColumnBridge.column(graft.functions.VectorDot(
       ColumnBridge.expression(x), ColumnBridge.expression(y)))
 
+  /** Exact unit-micros projection of a float-vector column
+    * ([[graft.functions.UnitMicros]]): integer micros, exact long
+    * `Σ m²`, then `floor(m/√nsq · 10⁶ + 0.5)` per component. The dot of
+    * two unit-micros vectors is a ~10¹²-scaled cosine computed in PURE
+    * INTEGER arithmetic — the grid every assignment-deciding comparison
+    * in this module ranks on, so no engine-dependent floating summation
+    * can ever flip an argmax (the round-6 boundary class that made the
+    * s26 fidelity eval's hash fragile across DuckDB builds; see the
+    * expression's scaladoc for the measured failure surface).
+    */
+  def unitMicros(v: Column): Column =
+    ColumnBridge.column(graft.functions.UnitMicros(
+      ColumnBridge.expression(v.cast("array<double>"))))
+
   /** Exact top-k by cosine for each query vector. Queries are broadcast
     * (they're small by construction); rank is deterministic: cosine is
     * rounded to 6 digits before ordering and ties break on ascending base
@@ -528,18 +542,27 @@ object Similarity {
 
   /** Nearest-`keep` centroid assignment of each row in `df` (whose vector
     * column is `v` and row id is `idc`) — broadcast centroids, window rank.
+    * The rank runs on the EXACT integer unit-micros dot ([[unitMicros]] +
+    * one long [[graft.functions.VectorDot]] fold per pair — ties on
+    * ascending centroid id), so which list a row lands in is a
+    * deterministic function of the stored bytes in ANY engine: no
+    * rounded-double comparison decides membership. Each side's unit
+    * vector is computed ONCE per input row (before the broadcast join),
+    * so the per-pair cost is one fused integer loop — cheaper than the
+    * three-accumulator rounded cosine it replaces.
     */
   private[operators] def ivfAssignTo(
       cents: DataFrame, df: DataFrame, v: String, idc: String, keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idc))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    df.crossJoin(broadcast(cents))
+      .orderBy(col("c_dot").desc, col("c_id").asc)
+    df.withColumn("_vu", unitMicros(col(v)))
+      .crossJoin(broadcast(cents.withColumn("_cu", unitMicros(col("cv")))))
       .select(df.columns.toIndexedSeq.map(col) :+ col("c_id") :+
-        round(cosine(col(v), col("cv")), 6).as("c_cos"): _*)
+        dotNative(col("_vu"), col("_cu")).as("c_dot"): _*)
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") <= keep)
-      .drop("c_cos", "crn")
+      .drop("c_dot", "crn")
   }
 
   /** The IVF inverted-list table `(vec_id, v, c_id)` — every base vector
@@ -574,8 +597,10 @@ object Similarity {
     * cosines, minimized at superStride ≈ √k — N·k^½ total, N^1.25 when
     * k ≈ √N. This is faiss's IVF-on-the-quantizer trick re-expressed as
     * three broadcast-rank passes; everything stays deterministic
-    * (rounded cosines, ties on ascending id), so an external engine
-    * replays the identical assignment.
+    * (EXACT integer unit-micros dots — see [[unitMicros]] — ties on
+    * ascending id), so an external engine replays the identical
+    * assignment from the stored bytes alone, with no floating-summation
+    * boundary class.
     *
     * APPROXIMATE by design: a row whose true nearest centroid sits in an
     * unprobed super-list lands in its best PROBED list instead — the
@@ -605,25 +630,30 @@ object Similarity {
   }
 
   /** Each centroid filed under its nearest super (k × k/superStride,
-    * config × config — broadcast both ways, exact argmax). The middle
-    * tie-break term pins a SUPER-centroid to its own list: cosine(c, c)
-    * is exactly 1.0 — the maximum — so without it another super whose
-    * ROUNDED cosine ties at 1.0 with a lower id would capture the
-    * super-centroid, leave its list empty, and rows probing only empty
-    * lists would vanish from the inner assignment join (silent row loss
-    * inside a dedup operator when consumed by semanticKeepAssigned).
-    * With every super list guaranteed ≥ its own centroid, every probed
-    * row gets ≥ 1 candidate — no row can be lost (SimilaritySpec pins
-    * the tie construction).
+    * config × config — broadcast both ways, exact integer-dot argmax).
+    * The self-preference term is the PRIMARY sort key: a super-centroid
+    * ALWAYS files under itself, unconditionally. Under rounded cosines
+    * this was a tie-break (cosine(c,c) = 1.0 was the un-beatable
+    * maximum, so self always won anyway); under quantized unit-micros
+    * dots a near-identical other super with a hair-larger quantized norm
+    * could in principle out-dot the self-dot, so the guarantee is made
+    * structural rather than numeric — same semantics, now invariant to
+    * the grid. Why it matters: a captured super-centroid would leave its
+    * own list empty, and rows probing only empty lists would vanish from
+    * the inner assignment join (silent row loss inside a dedup operator
+    * when consumed by semanticKeepAssigned). With every super list
+    * guaranteed ≥ its own centroid, every probed row gets ≥ 1 candidate
+    * — no row can be lost (SimilaritySpec pins the construction).
     */
   private[operators] def hierC2s(cents: DataFrame, supers: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wC = Window.partitionBy(col("c_id"))
-      .orderBy(col("s_cos").desc, (col("s_id") === col("c_id")).desc,
+      .orderBy((col("s_id") === col("c_id")).desc, col("s_dot").desc,
         col("s_id").asc)
-    cents.crossJoin(broadcast(supers))
+    cents.withColumn("_cu", unitMicros(col("cv")))
+      .crossJoin(broadcast(supers.withColumn("_su", unitMicros(col("sv")))))
       .select(col("c_id"), col("cv"), col("s_id"),
-        round(cosine(col("cv"), col("sv")), 6).as("s_cos"))
+        dotNative(col("_cu"), col("_su")).as("s_dot"))
       .withColumn("srn", row_number().over(wC)).filter(col("srn") === 1)
       .select(col("s_id"), col("c_id"), col("cv"))
   }
@@ -635,10 +665,11 @@ object Similarity {
       b: DataFrame, supers: DataFrame, sProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wR = Window.partitionBy(col("vec_id"))
-      .orderBy(col("s_cos").desc, col("s_id").asc)
-    b.crossJoin(broadcast(supers))
+      .orderBy(col("s_dot").desc, col("s_id").asc)
+    b.withColumn("_vu", unitMicros(col("v")))
+      .crossJoin(broadcast(supers.withColumn("_su", unitMicros(col("sv")))))
       .select(col("vec_id"), col("v"), col("s_id"),
-        round(cosine(col("v"), col("sv")), 6).as("s_cos"))
+        dotNative(col("_vu"), col("_su")).as("s_dot"))
       .withColumn("srn", row_number().over(wR)).filter(col("srn") <= sProbe)
       .select(col("vec_id"), col("v"), col("s_id"), col("srn"))
   }
@@ -661,13 +692,18 @@ object Similarity {
     val c2s = hierC2s(cents, supers)
     // rows probe their sProbe nearest super-lists (rows × k/superStride)
     val r2s = hierR2s(b, supers, sProbe).drop("srn")
-    // exact argmax over the probed lists' centroids only — each centroid
-    // lives in exactly one super-list, so (vec_id, c_id) pairs are unique
+    // exact integer-dot argmax over the probed lists' centroids only —
+    // each centroid lives in exactly one super-list, so (vec_id, c_id)
+    // pairs are unique. The row's unit vector is recomputed once per
+    // surviving (row × sProbe) r2s row rather than carried through the
+    // r2s window shuffle (512 B/row of shuffle width for a cheap
+    // per-row recompute).
     val wA = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    r2s.join(broadcast(c2s), Seq("s_id"))
+      .orderBy(col("c_dot").desc, col("c_id").asc)
+    r2s.withColumn("_vu", unitMicros(col("v")))
+      .join(broadcast(c2s.withColumn("_cu", unitMicros(col("cv")))), Seq("s_id"))
       .select(col("vec_id"), col("v"), col("c_id"),
-        round(cosine(col("v"), col("cv")), 6).as("c_cos"))
+        dotNative(col("_vu"), col("_cu")).as("c_dot"))
       .withColumn("crn", row_number().over(wA)).filter(col("crn") <= keep)
       .select(col("c_id"), col("vec_id"), col("v"))
   }
@@ -825,8 +861,9 @@ object Similarity {
     * The codebook deliberately comes from the FULL base corpus (not the
     * probed subset) — the stored codes must be probe-independent, exactly
     * as a deployed index would persist them. Deterministic end to end
-    * (stride centroids, stride codebook, rounded-cosine/ADC ties broken
-    * on ascending id), so the DuckDB oracle replays it bit-for-bit.
+    * (stride centroids and codebook, exact integer-dot list assignment,
+    * ADC/rescore ties broken on ascending id), so the DuckDB oracle
+    * replays it bit-for-bit.
     *
     * Recall measured at the 100× copy (256 lists, r11 probe, BASELINE.md
     * §9): recall@10 = 0.94 / 0.98 / 0.96 at nProbe 2 / 8 / 32 — note the
@@ -1029,12 +1066,13 @@ object Similarity {
     val r2s = hierR2s(b, supers, sProbes.max)
     val spx = sProbes.distinct.sorted.toDF("s_probe")
     val wA = Window.partitionBy(col("s_probe"), col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
+      .orderBy(col("c_dot").desc, col("c_id").asc)
     val hier = r2s
       .join(broadcast(spx), col("srn") <= col("s_probe"))
-      .join(broadcast(c2s), Seq("s_id"))
+      .withColumn("_vu", unitMicros(col("v")))
+      .join(broadcast(c2s.withColumn("_cu", unitMicros(col("cv")))), Seq("s_id"))
       .select(col("s_probe"), col("vec_id"), col("c_id"),
-        round(cosine(col("v"), col("cv")), 6).as("c_cos"))
+        dotNative(col("_vu"), col("_cu")).as("c_dot"))
       .withColumn("crn", row_number().over(wA)).filter(col("crn") === 1)
       .select(col("s_probe"), col("vec_id"), col("c_id"))
     hier.join(flat, Seq("vec_id"))
@@ -1262,7 +1300,7 @@ object Similarity {
     val spark = base.sparkSession
     import spark.implicits._
     val dim = base.select(vec.cast("array<double>").as("v"))
-      .head.getSeq[Double](0).length
+      .head().getSeq[Double](0).length
     require(dim % numSubspaces == 0,
       s"pqTrainCodebook: dim $dim not divisible by numSubspaces=$numSubspaces")
     val subDim = dim / numSubspaces

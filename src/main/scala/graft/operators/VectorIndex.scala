@@ -40,9 +40,11 @@ import org.apache.spark.sql.functions._
   *    tracks the increment, never the store (the d13/incrementalDedup
   *    contract, applied to vectors).
   *
-  * Everything is deterministic (stride centroids, rounded cosines, ties
-  * on ascending id), so a probe of a written store replays bit-for-bit
-  * in the DuckDB oracle — the persisted path shares s19/s20's oracles.
+  * Everything is deterministic (stride centroids, exact integer
+  * unit-micros dots for every list-membership decision —
+  * [[Similarity.unitMicros]] — ties on ascending id), so a probe of a
+  * written store replays bit-for-bit in the DuckDB oracle — the
+  * persisted path shares s19/s20's oracles.
   */
 object VectorIndex {
 
@@ -52,8 +54,13 @@ object VectorIndex {
     * store paths embed it, so a semantics change can never silently probe
     * a stale store built by older code (`meta/` holds the config, but
     * only the version names the code generation).
+    *
+    * v2: assignment-deciding comparisons moved from `round(cosine, 6)`
+    * doubles to exact integer unit-micros dots
+    * ([[Similarity.unitMicros]]) — list membership for a handful of
+    * near-boundary vectors differs from v1 stores.
     */
-  val FormatVersion = 1
+  val FormatVersion = 2
 
   /** Marker written LAST: a store is only probeable once fully written
     * (a killed build leaves no marker and the probe fails loudly).

@@ -1513,31 +1513,71 @@ object PipelineQueries {
        |${sqlKmeansIter(1, "evs")},
        |${sqlKmeansIter(2, "evs")}""".stripMargin
 
-  /** The flat capped-IVF CTEs (`cents`, `listed`, `probed`) shared by the
-    * s3 / s14 / s23 / s24 / s25 replays: 256 stride-picked centroids,
-    * nearest-centroid lists, queries probe their 2 nearest lists.
+  /** DuckDB replay of [[graft.functions.UnitMicros]] as a CTE
+    * `name(id, u)`: integer micros `floor(x·1e6 + 0.5)`, EXACT BIGINT
+    * `Σ m²`, then `floor(m/√nsq·1e6 + 0.5)` per component. Every
+    * floating step is a single exactly-rounded IEEE scalar op on
+    * bit-identical inputs and every sum is integer, so the produced
+    * vectors — and therefore every integer-dot argmax ranked on them —
+    * are bit-identical across engines (the fix for the round-6 cosine
+    * boundary class that made s26's hash fragile across DuckDB builds).
+    */
+  private def sqlUnitCte(
+      name: String, id: String, vec: String, src: String): String =
+    s"""$name AS (
+       |  SELECT $id,
+       |    CASE WHEN nsq = 0 THEN list_transform(mv, y -> 0::BIGINT)
+       |         ELSE list_transform(mv,
+       |                y -> floor(y / sqrt(nsq) * 1000000 + 0.5)::BIGINT)
+       |    END AS u
+       |  FROM (
+       |    SELECT $id, mv,
+       |      list_reduce(list_transform(mv, y -> y * y), (a, b) -> a + b) AS nsq
+       |    FROM (
+       |      SELECT $id,
+       |        list_transform($vec, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+       |      FROM $src)))""".stripMargin
+
+  /** Exact BIGINT dot of two unit-micros list expressions — the
+    * assignment-ranking score ([[graft.functions.VectorDot]]'s long
+    * fold; integer addition is order-independent, so `list_reduce`
+    * replays it exactly).
+    */
+  private def sqlUDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |      i -> $a[i::INT] * $b[i::INT]), (x, y) -> x + y)""".stripMargin
+
+  /** The flat capped-IVF CTEs (`ue`, `cents`, `listed`, `probed`) shared
+    * by the s3 / s14 / s17 / s18 replays: 256 stride-picked centroids,
+    * nearest-centroid lists by EXACT integer unit-micros dot (in
+    * lockstep with [[graft.operators.Similarity.ivfAssignTo]]), queries
+    * probe their 2 nearest lists.
     */
   private val sqlIvfFlatCtes =
-      """cents AS (
-        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
-        |listed AS (
-        |  SELECT vec_id, v, c_id FROM (
-        |    SELECT b.vec_id, b.embedding AS v, c.c_id,
-        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-        |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
-        |                 c.c_id ASC) AS crn
-        |    FROM embeddings b CROSS JOIN cents c)
-        |  WHERE crn <= 1),
-        |probed AS (
-        |  SELECT q_id, qv, c_id FROM (
-        |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
-        |                 c.c_id ASC) AS crn
-        |    FROM embeddings q CROSS JOIN cents c
-        |    WHERE q.vec_id < 5)
-        |  WHERE crn <= 2)""".stripMargin
+    s"""${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+       |cents AS (
+       |  SELECT vec_id AS c_id, embedding AS cv, u AS cu
+       |  FROM embeddings JOIN ue USING (vec_id)
+       |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
+       |listed AS (
+       |  SELECT vec_id, v, c_id FROM (
+       |    SELECT b.vec_id, b.embedding AS v, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${sqlUDot("bu.u", "c.cu")} DESC,
+       |                 c.c_id ASC) AS crn
+       |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+       |    CROSS JOIN cents c)
+       |  WHERE crn <= 1),
+       |probed AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlUDot("qu.u", "c.cu")} DESC,
+       |                 c.c_id ASC) AS crn
+       |    FROM embeddings q JOIN ue qu ON qu.vec_id = q.vec_id
+       |    CROSS JOIN cents c
+       |    WHERE q.vec_id < 5)
+       |  WHERE crn <= 2)""".stripMargin
 
   /** The exact-cosine rescore tail over `listed ⋈ probed` — the final
     * SELECT shared by the s3 (flat) and s19 (hierarchical) replays; which
@@ -1609,39 +1649,46 @@ object PipelineQueries {
   /** The two-level (hierarchical) IVF assignment CTEs over the
     * stride-capped centroid set — shared by s19 (plain rescore tail) and
     * s20 (s14's PQ tail): super-centroids every 16th by rank, each
-    * centroid filed under its nearest super, rows/queries probe their 2
-    * nearest super-lists, exact argmax within. `listed` keeps crn <= 1
-    * (one list per stored row), `probed` keeps crn <= 2 (= nProbe).
+    * centroid filed under its nearest super (a super files under ITSELF
+    * first — the structural no-row-loss guarantee, mirrored from
+    * `hierC2s`), rows/queries probe their 2 nearest super-lists, exact
+    * argmax within. Every rank runs on the exact integer unit-micros
+    * dot ([[sqlUnitCte]]/[[sqlUDot]] — in lockstep with the Spark
+    * assignment family). `listed` keeps crn <= 1 (one list per stored
+    * row), `probed` keeps crn <= 2 (= nProbe).
     */
   private def sqlHierIvfCtesWith(centsPred: String): String =
-    s"""cents AS (
-      |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+    s"""${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+      |cents AS (
+      |  SELECT vec_id AS c_id, embedding AS cv, u AS cu
+      |  FROM embeddings JOIN ue USING (vec_id)
       |  WHERE vec_id % 50 = 0$centsPred ORDER BY vec_id LIMIT 256),
       |rankedc AS (
-      |  SELECT c_id, cv, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
+      |  SELECT c_id, cv, cu, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
       |supers AS (
-      |  SELECT c_id AS s_id, cv AS sv FROM rankedc WHERE crk % 16 = 0),
+      |  SELECT c_id AS s_id, cv AS sv, cu AS su FROM rankedc WHERE crk % 16 = 0),
       |c2s AS (
-      |  SELECT s_id, c_id, cv FROM (
-      |    SELECT c.c_id, c.cv, s.s_id,
+      |  SELECT s_id, c_id, cv, cu FROM (
+      |    SELECT c.c_id, c.cv, c.cu, s.s_id,
       |      ROW_NUMBER() OVER (PARTITION BY c.c_id
-      |        ORDER BY round(list_cosine_similarity(c.cv::DOUBLE[], s.sv::DOUBLE[]), 6) DESC,
-      |                 (s.s_id = c.c_id) DESC, s.s_id ASC) AS srn
+      |        ORDER BY (s.s_id = c.c_id) DESC,
+      |                 ${sqlUDot("c.cu", "s.su")} DESC, s.s_id ASC) AS srn
       |    FROM cents c CROSS JOIN supers s)
       |  WHERE srn = 1),
       |r2s AS (
-      |  SELECT vec_id, v, s_id FROM (
-      |    SELECT b.vec_id, b.embedding AS v, s.s_id,
+      |  SELECT vec_id, v, u, s_id FROM (
+      |    SELECT b.vec_id, b.embedding AS v, bu.u, s.s_id,
       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-      |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], s.sv::DOUBLE[]), 6) DESC,
+      |        ORDER BY ${sqlUDot("bu.u", "s.su")} DESC,
       |                 s.s_id ASC) AS srn
-      |    FROM embeddings b CROSS JOIN supers s)
+      |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+      |    CROSS JOIN supers s)
       |  WHERE srn <= 2),
       |listed AS (
       |  SELECT vec_id, v, c_id FROM (
       |    SELECT r.vec_id, r.v, c.c_id,
       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
-      |        ORDER BY round(list_cosine_similarity(r.v::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+      |        ORDER BY ${sqlUDot("r.u", "c.cu")} DESC,
       |                 c.c_id ASC) AS crn
       |    FROM r2s r JOIN c2s c ON r.s_id = c.s_id)
       |  WHERE crn <= 1),
@@ -1649,7 +1696,7 @@ object PipelineQueries {
       |  SELECT vec_id AS q_id, v AS qv, c_id FROM (
       |    SELECT r.vec_id, r.v, c.c_id,
       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
-      |        ORDER BY round(list_cosine_similarity(r.v::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+      |        ORDER BY ${sqlUDot("r.u", "c.cu")} DESC,
       |                 c.c_id ASC) AS crn
       |    FROM r2s r JOIN c2s c ON r.s_id = c.s_id
       |    WHERE r.vec_id < 5)
@@ -1724,35 +1771,40 @@ object PipelineQueries {
     */
   private val sqlD12dSemdedupAnn =
     s"""WITH $sqlKmeansCtesSampled,
-       |cents AS (
+       |cents0 AS (
        |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+       |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+       |${sqlUnitCte("cu", "c_id", "cv", "cents0")},
+       |cents AS (
+       |  SELECT c.c_id, c.cv, cu.u AS cuv FROM cents0 c JOIN cu ON cu.c_id = c.c_id),
        |rankedc AS (
-       |  SELECT c_id, cv, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
+       |  SELECT c_id, cv, cuv, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
        |supers AS (
-       |  SELECT c_id AS s_id, cv AS sv FROM rankedc
+       |  SELECT c_id AS s_id, cv AS sv, cuv AS su FROM rankedc
        |  WHERE crk % (SELECT CAST(ceil(sqrt(ceil(sqrt(count(*))))) AS BIGINT)
        |               FROM embeddings) = 0),
        |c2s AS (
-       |  SELECT s_id, c_id, cv FROM (
-       |    SELECT c.c_id, c.cv, s.s_id,
+       |  SELECT s_id, c_id, cv, cuv FROM (
+       |    SELECT c.c_id, c.cv, c.cuv, s.s_id,
        |      ROW_NUMBER() OVER (PARTITION BY c.c_id
-       |        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 6) DESC,
-       |                 (s.s_id = c.c_id) DESC, s.s_id ASC) AS srn
+       |        ORDER BY (s.s_id = c.c_id) DESC,
+       |                 ${sqlUDot("c.cuv", "s.su")} DESC, s.s_id ASC) AS srn
        |    FROM cents c CROSS JOIN supers s)
        |  WHERE srn = 1),
        |r2s AS (
-       |  SELECT vec_id, v, s_id FROM (
-       |    SELECT b.vec_id, b.embedding AS v, s.s_id,
+       |  SELECT vec_id, v, u, s_id FROM (
+       |    SELECT b.vec_id, b.embedding AS v, bu.u, s.s_id,
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-       |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], s.sv), 6) DESC,
+       |        ORDER BY ${sqlUDot("bu.u", "s.su")} DESC,
        |                 s.s_id ASC) AS srn
-       |    FROM embeddings b CROSS JOIN supers s)
+       |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+       |    CROSS JOIN supers s)
        |  WHERE srn <= 2),
        |listed AS (
        |  SELECT vec_id, v, c_id FROM (
        |    SELECT r.vec_id, r.v, c.c_id,
        |      ROW_NUMBER() OVER (PARTITION BY r.vec_id
-       |        ORDER BY round(list_cosine_similarity(r.v::DOUBLE[], c.cv), 6) DESC,
+       |        ORDER BY ${sqlUDot("r.u", "c.cuv")} DESC,
        |                 c.c_id ASC) AS crn
        |    FROM r2s r JOIN c2s c ON r.s_id = c.s_id)
        |  WHERE crn <= 1),
@@ -2525,15 +2577,18 @@ object PipelineQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) i
          |LEFT JOIN dup d USING (doc_id)""".stripMargin,
     "d12_semdedup" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH ${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+        |cents AS (
+        |  SELECT vec_id AS c_id, embedding AS cv, u AS cu
+        |  FROM embeddings JOIN ue USING (vec_id) WHERE vec_id % 50 = 0),
         |listed AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT b.vec_id, b.embedding AS v, c.c_id,
         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-        |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+        |        ORDER BY ${sqlUDot("bu.u", "c.cu")} DESC,
         |                 c.c_id ASC) AS crn
-        |    FROM embeddings b CROSS JOIN cents c)
+        |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+        |    CROSS JOIN cents c)
         |  WHERE crn <= 1),
         |dropped AS (
         |  SELECT DISTINCT x.vec_id
@@ -2549,13 +2604,16 @@ object PipelineQueries {
       s"""WITH $sqlKmeansCtesRank,
          |cents AS (
          |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+         |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+         |${sqlUnitCte("cu", "c_id", "cv", "cents")},
          |listed AS (
          |  SELECT vec_id, v, c_id FROM (
          |    SELECT b.vec_id, b.embedding AS v, c.c_id,
          |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-         |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv), 6) DESC,
+         |        ORDER BY ${sqlUDot("bu.u", "cu.u")} DESC,
          |                 c.c_id ASC) AS crn
-         |    FROM embeddings b CROSS JOIN cents c)
+         |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+         |    CROSS JOIN cents c JOIN cu ON cu.c_id = c.c_id)
          |  WHERE crn <= 1),
          |dropped AS (
          |  SELECT DISTINCT x.vec_id
@@ -2567,13 +2625,16 @@ object PipelineQueries {
       s"""WITH $sqlKmeansCtesSampled,
          |cents AS (
          |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+         |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+         |${sqlUnitCte("cu", "c_id", "cv", "cents")},
          |listed AS (
          |  SELECT vec_id, v, c_id FROM (
          |    SELECT b.vec_id, b.embedding AS v, c.c_id,
          |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-         |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv), 6) DESC,
+         |        ORDER BY ${sqlUDot("bu.u", "cu.u")} DESC,
          |                 c.c_id ASC) AS crn
-         |    FROM embeddings b CROSS JOIN cents c)
+         |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+         |    CROSS JOIN cents c JOIN cu ON cu.c_id = c.c_id)
          |  WHERE crn <= 1),
          |dropped AS (
          |  SELECT DISTINCT x.vec_id
@@ -2653,21 +2714,25 @@ object PipelineQueries {
       s"""WITH $sqlKmeansCtes,
          |cents AS (
          |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+         |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+         |${sqlUnitCte("cu", "c_id", "cv", "cents")},
          |listed AS (
          |  SELECT vec_id, v, c_id FROM (
          |    SELECT b.vec_id, b.embedding AS v, c.c_id,
          |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-         |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv), 6) DESC,
+         |        ORDER BY ${sqlUDot("bu.u", "cu.u")} DESC,
          |                 c.c_id ASC) AS crn
-         |    FROM embeddings b CROSS JOIN cents c)
+         |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+         |    CROSS JOIN cents c JOIN cu ON cu.c_id = c.c_id)
          |  WHERE crn <= 1),
          |probed AS (
          |  SELECT q_id, qv, c_id FROM (
          |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.cv), 6) DESC,
+         |        ORDER BY ${sqlUDot("qu.u", "cu.u")} DESC,
          |                 c.c_id ASC) AS crn
-         |    FROM embeddings q CROSS JOIN cents c
+         |    FROM embeddings q JOIN ue qu ON qu.vec_id = q.vec_id
+         |    CROSS JOIN cents c JOIN cu ON cu.c_id = c.c_id
          |    WHERE q.vec_id < 5)
          |  WHERE crn <= 2)
          |SELECT q_id, vec_id, cos, rn FROM (
@@ -2734,42 +2799,46 @@ object PipelineQueries {
     // re-cuts them — in lockstep with assignmentAgreement's single-pass
     // plan shape
     "s26_assign_fidelity" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+      s"""WITH ${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+        |cents AS (
+        |  SELECT vec_id AS c_id, u AS cu
+        |  FROM embeddings JOIN ue USING (vec_id)
         |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
         |flatl AS (
         |  SELECT vec_id, c_id AS flat_c FROM (
         |    SELECT b.vec_id, c.c_id,
         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-        |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+        |        ORDER BY ${sqlUDot("bu.u", "c.cu")} DESC,
         |                 c.c_id ASC) AS crn
-        |    FROM embeddings b CROSS JOIN cents c)
+        |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+        |    CROSS JOIN cents c)
         |  WHERE crn <= 1),
         |rankedc AS (
-        |  SELECT c_id, cv, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
+        |  SELECT c_id, cu, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
         |supers AS (
-        |  SELECT c_id AS s_id, cv AS sv FROM rankedc WHERE crk % 16 = 0),
+        |  SELECT c_id AS s_id, cu AS su FROM rankedc WHERE crk % 16 = 0),
         |c2s AS (
-        |  SELECT s_id, c_id, cv FROM (
-        |    SELECT c.c_id, c.cv, s.s_id,
+        |  SELECT s_id, c_id, cu FROM (
+        |    SELECT c.c_id, c.cu, s.s_id,
         |      ROW_NUMBER() OVER (PARTITION BY c.c_id
-        |        ORDER BY round(list_cosine_similarity(c.cv::DOUBLE[], s.sv::DOUBLE[]), 6) DESC,
-        |                 (s.s_id = c.c_id) DESC, s.s_id ASC) AS srn
+        |        ORDER BY (s.s_id = c.c_id) DESC,
+        |                 ${sqlUDot("c.cu", "s.su")} DESC, s.s_id ASC) AS srn
         |    FROM cents c CROSS JOIN supers s)
         |  WHERE srn = 1),
         |sup AS (
-        |  SELECT vec_id, v, s_id, srn FROM (
-        |    SELECT b.vec_id, b.embedding AS v, s.s_id,
+        |  SELECT vec_id, u, s_id, srn FROM (
+        |    SELECT b.vec_id, bu.u, s.s_id,
         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-        |        ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], s.sv::DOUBLE[]), 6) DESC,
+        |        ORDER BY ${sqlUDot("bu.u", "s.su")} DESC,
         |                 s.s_id ASC) AS srn
-        |    FROM embeddings b CROSS JOIN supers s)
+        |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+        |    CROSS JOIN supers s)
         |  WHERE srn <= 4),
         |hier AS (
         |  SELECT s_probe, vec_id, c_id FROM (
         |    SELECT sp.s_probe, r.vec_id, c.c_id,
         |      ROW_NUMBER() OVER (PARTITION BY sp.s_probe, r.vec_id
-        |        ORDER BY round(list_cosine_similarity(r.v::DOUBLE[], c.cv::DOUBLE[]), 6) DESC,
+        |        ORDER BY ${sqlUDot("r.u", "c.cu")} DESC,
         |                 c.c_id ASC) AS crn
         |    FROM sup r
         |    JOIN (VALUES (1), (2), (4)) sp(s_probe) ON r.srn <= sp.s_probe

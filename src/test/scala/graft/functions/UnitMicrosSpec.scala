@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.TestSpark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[UnitMicros]] is the integer grid every assignment-deciding cosine
+  * comparison ranks on: its output must match a reference reimplementation
+  * component-for-component (any engine replaying the formula gets the
+  * same longs), its dot must approximate the true cosine within the
+  * quantization bound, and its NULL/zero edges must mirror the
+  * rounded-cosine formulation it replaced.
+  */
+class UnitMicrosSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def unit(v: Column): Column =
+    ColumnBridge.column(UnitMicros(ColumnBridge.expression(v.cast("array<double>"))))
+
+  private def dotNative(x: Column, y: Column): Column =
+    ColumnBridge.column(VectorDot(
+      ColumnBridge.expression(x), ColumnBridge.expression(y)))
+
+  /** Reference replay of the documented formula, plain Scala. */
+  private def unitRef(xs: Array[Float]): Array[Long] = {
+    val m = xs.map(x => Math.floor(x.toDouble * 1.0e6 + 0.5).toLong)
+    val nsq = m.map(v => v * v).sum
+    if (nsq == 0L) new Array[Long](m.length)
+    else {
+      val nrm = Math.sqrt(nsq.toDouble)
+      m.map(v => Math.floor(v.toDouble / nrm * 1.0e6 + 0.5).toLong)
+    }
+  }
+
+  private def randVecs(n: Int, dim: Int): Seq[Array[Float]] =
+    (0 until n).map { i =>
+      Array.tabulate(dim) { d =>
+        val h = (i * 1299721L + d * 104729L + 17L) * 2654435761L
+        ((h % 20000L) / 10000.0f) - 1.0f
+      }
+    }
+
+  test("matches the reference formula component-for-component (codegen and interpreted agree)") {
+    val vs = randVecs(64, 16) :+ Array.fill(16)(0.0f)
+    val got = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), unit(col("v")).as("u"))
+      .orderBy("id").as[(Long, Array[Long])].collect()
+    vs.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i)._2.toSeq == unitRef(v).toSeq, s"vector $i")
+    }
+  }
+
+  test("unit dot / 1e12 tracks the true cosine within the quantization bound") {
+    val vs = randVecs(40, 32)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(
+        (dotNative(unit(col("a.v")), unit(col("b.v"))).cast("double") / 1e12)
+          .as("ucos"),
+        ColumnBridge.column(CosineSim(
+          ColumnBridge.expression(col("a.v").cast("array<double>")),
+          ColumnBridge.expression(col("b.v").cast("array<double>")))).as("cos"))
+      .collect()
+    pairs.foreach { r =>
+      // per-component error ≤ 0.5 micro on each side → dot error well
+      // under √dim·1e-5 for unit-scale vectors; assert a loose 1e-4
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-4)
+    }
+  }
+
+  test("edge semantics: zero vector → zeros; null element → NULL; self-dot ≈ 1e12") {
+    val out = Seq(
+      (1L, Array[java.lang.Float](0.0f, 0.0f, 0.0f)),
+      (2L, Array[java.lang.Float](1.0f, null, 0.0f)),
+      (3L, Array[java.lang.Float](0.6f, -0.8f, 0.0f)))
+      .toDF("id", "v")
+      .select(col("id"), unit(col("v")).as("u"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1) == Seq(0L, 0L, 0L))
+    assert(out(1).isNullAt(1))
+    val u3 = out(2).getSeq[Long](1)
+    val selfDot = u3.map(x => x * x).sum
+    assert(math.abs(selfDot - 1000000000000L) <= 4000000L,
+      s"self-dot $selfDot should be ~1e12 (unit norm on the micros grid)")
+  }
+}

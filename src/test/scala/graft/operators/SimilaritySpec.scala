@@ -95,24 +95,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.select("vec_id").distinct().count() == emb.count())
   }
 
-  test("hierarchical assignment loses no row even when a rounded tie would empty a super-list") {
+  test("hierarchical assignment loses no row even when near-identical supers invite displacement") {
     // The displacement scenario (ADVICE r11): super c2's vector is within
-    // 1e-4 of super c0's, so round(cos(c2, c0), 6) = 1.000000 ties with
-    // round(cos(c2, c2), 6) and the ascending-s_id tiebreak alone would
-    // file c2 UNDER c0 — leaving c2's super-list empty. A row whose
-    // nearest super is strictly c2 (sProbe = 1) would then probe only an
-    // empty list and vanish from the inner join: silent data loss once
+    // 1e-4 of super c0's. Under the old rounded-cosine ranking,
+    // round(cos(c2, c0), 6) = 1.000000 tied with round(cos(c2, c2), 6)
+    // and the ascending-s_id tiebreak alone would file c2 UNDER c0 —
+    // leaving c2's super-list empty; a row whose nearest super is
+    // strictly c2 (sProbe = 1) would then probe only an empty list and
+    // vanish from the inner join: silent data loss once
     // semanticKeepAssigned consumes the assignment. The self-preference
-    // tiebreak pins every super-centroid to its own list instead.
+    // term — now the PRIMARY c2s sort key, so the guarantee is
+    // structural rather than a tie outcome — pins every super-centroid
+    // to its own list regardless of how the quantized dots land.
     val cents = Seq(
       (0L, Array(1.0f, 0.0f)),
       (1L, Array(1.0f, -1e-4f)),
       (2L, Array(1.0f, 1e-4f)), // ~ c0: the displacement-prone super
       (3L, Array(1.0f, 2e-4f)))
       .toDF("c_id", "cv")
-    // v = (1, 0.5): cos to c2 ≈ 0.894472 > cos to c0 ≈ 0.894427 — the
-    // 1e-4 component separates them at the 5th decimal, so v's single
-    // probed super is c2, the list the tie would have emptied
+    // v = (1, 0.5): cos to c2 ≈ 0.894472 > cos to c0 ≈ 0.894427, so v's
+    // single probed super is c2 — the list displacement would have
+    // emptied
     val base = Seq(
       (10L, Array(1.0f, 0.0f)),
       (11L, Array(0.8f, 0.1f)),
@@ -121,10 +124,17 @@ class SimilaritySpec extends AnyFunSuite {
     val assigned = Similarity.ivfAssignHierarchical(base, col("vec_id"),
       col("embedding"), cents, superStride = 2, sProbe = 1)
     assert(assigned.count() == 3, "no row may be lost to an empty super-list")
+    // under exact integer dots (no round-6 collapse) c3 = (1, 2e-4)
+    // strictly prefers c2 over c0 and files in c2's list, so the probed
+    // list is {c2, c3} and the exact argmax for v = (1, 0.5) is c3 —
+    // the row reaches the displacement-prone super's list and picks its
+    // true nearest member (under rounded cosines the tie sent c3 to
+    // c0's list and v could only see c2)
     val vRow = assigned.filter(col("vec_id") === 12L)
       .select("c_id").as[Long].collect().toSeq
-    assert(vRow == Seq(2L),
-      "the row probing the displacement-prone super must reach its own centroid")
+    assert(vRow == Seq(3L),
+      "the row probing the displacement-prone super must reach that " +
+        "super's list and pick the exact argmax within it")
   }
 
   test("ivfPqTopK enforces pool >= k*nProbe, so a tiny pool still yields full result sets") {
