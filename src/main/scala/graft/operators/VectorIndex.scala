@@ -106,24 +106,36 @@ object VectorIndex {
 
   /** Index configuration, persisted in `meta/` beside the lists so a
     * probe re-derives the exact assignment geometry from the store alone.
+    * `payload` names the metadata columns stored inline with each vector
+    * (empty = none) — recorded so [[appendToIvfIndex]] selects the same
+    * columns from every increment and a schema drift fails loudly at
+    * append time, not silently at probe time.
     */
   private case class Meta(
       hierarchical: Boolean, superStride: Int, sProbe: Int,
-      pq: Boolean, numSubspaces: Int, numCodes: Int)
+      pq: Boolean, numSubspaces: Int, numCodes: Int,
+      payload: Seq[String])
 
   private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
     import spark.implicits._
-    Seq((m.hierarchical, m.superStride, m.sProbe, m.pq, m.numSubspaces, m.numCodes))
+    Seq((m.hierarchical, m.superStride, m.sProbe, m.pq, m.numSubspaces,
+      m.numCodes, m.payload.mkString(",")))
       .toDF("hierarchical", "super_stride", "s_probe", "pq", "num_subspaces",
-        "num_codes")
+        "num_codes", "payload")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
-    val r = spark.read.parquet(s"$path/meta").collect().head
+    val df = spark.read.parquet(s"$path/meta")
+    // stores written before the payload field existed have a 6-column
+    // meta — they stay probeable (payload = none), no rebuild required
+    val hasPayload = df.schema.fieldNames.contains("payload")
+    val r = df.collect().head
     Meta(r.getAs[Boolean]("hierarchical"), r.getAs[Int]("super_stride"),
       r.getAs[Int]("s_probe"), r.getAs[Boolean]("pq"),
-      r.getAs[Int]("num_subspaces"), r.getAs[Int]("num_codes"))
+      r.getAs[Int]("num_subspaces"), r.getAs[Int]("num_codes"),
+      if (hasPayload) r.getAs[String]("payload").split(",").toSeq.filter(_.nonEmpty)
+      else Nil)
   }
 
   /** Write the IVF index of `base` at `path`: inverted lists partitioned
@@ -150,6 +162,17 @@ object VectorIndex {
     * directly). The model is persisted beside the lists either way, so
     * probes and appends replay the caller's geometry from the store
     * alone.
+    *
+    * `payload` stores extra metadata columns of `base` INLINE with each
+    * vector (named/aliased `Column`s — e.g. `col("label")`,
+    * `col("lang")`) — the filtered-vector-search layout: a probe's
+    * `where` predicate on a payload column is evaluated inside the
+    * pruned list scan (parquet data filter on only the probed
+    * partitions), never as a post-hoc join against a corpus-sized
+    * attribute table. Unfiltered probes don't pay for it: the payload
+    * columns are column-pruned out of their scans. Costs one co-keyed
+    * join on `vec_id` at build time; the column NAMES are recorded in
+    * `meta/` so appends select the same columns from every increment.
     */
   def writeIvfIndex(
       base: DataFrame,
@@ -165,9 +188,18 @@ object VectorIndex {
       numSubspaces: Int = 8,
       numCodes: Int = 16,
       codeStride: Int = 16,
-      centroids: Option[DataFrame] = None): Unit = {
+      centroids: Option[DataFrame] = None,
+      payload: Seq[Column] = Nil): Unit = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = base.sparkSession
+    // payload validation FIRST: a name collision must fail before any
+    // artifact (marker, codebook) of an existing store is touched
+    val pay = base.select((id.as("vec_id") +: payload): _*)
+    val payNames = pay.columns.toSeq.drop(1)
+    val reserved = Set("vec_id", "v", "c_id", "codes")
+    require(payNames.forall(n => !reserved(n)),
+      s"payload column names collide with store columns: " +
+        payNames.filter(reserved).mkString(", "))
     // invalidate BEFORE any artifact is touched: a rebuild of an existing
     // complete store overwrites the codebook eagerly below, and a
     // concurrent probe in that window must fail loudly on the missing
@@ -198,10 +230,11 @@ object VectorIndex {
           .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
         listed.withColumn("codes", enc)
       }
-    rows.write.mode("overwrite").partitionBy("c_id").parquet(s"$path/lists")
+    val stored = if (payload.isEmpty) rows else rows.join(pay, Seq("vec_id"))
+    stored.write.mode("overwrite").partitionBy("c_id").parquet(s"$path/lists")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeMeta(spark, path, Meta(hierarchical, superStride, sProbe, pq,
-      numSubspaces, numCodes))
+      numSubspaces, numCodes, payNames))
     putMarker(path)
   }
 
@@ -222,11 +255,12 @@ object VectorIndex {
       pq: Boolean = false,
       numSubspaces: Int = 8,
       numCodes: Int = 16,
-      codeStride: Int = 16): Unit =
+      codeStride: Int = 16,
+      payload: Seq[Column] = Nil): Unit =
     if (!isComplete(path))
       writeIvfIndex(base, id, vec, path, centroidStride, maxCentroids,
         hierarchical, superStride, sProbe, pq, numSubspaces, numCodes,
-        codeStride)
+        codeStride, payload = payload)
     // callers with a TRAINED model check isComplete themselves before
     // training (the model derivation may run eager jobs — an ensure that
     // trains just to discard the result would defeat its own point)
@@ -265,7 +299,15 @@ object VectorIndex {
           ColumnBridge.expression(col("v").cast("array<double>")), cb))
         listed.withColumn("codes", enc)
       }
-    rows.write.mode("append").partitionBy("c_id").parquet(s"$path/lists")
+    // payload columns are selected BY THE NAMES the build recorded, so an
+    // increment missing one fails loudly here instead of appending rows
+    // a filtered probe would silently treat as predicate-false
+    val stored =
+      if (meta.payload.isEmpty) rows
+      else rows.join(
+        increment.select((id.as("vec_id") +: meta.payload.map(col)): _*),
+        Seq("vec_id"))
+    stored.write.mode("append").partitionBy("c_id").parquet(s"$path/lists")
   }
 
   private def readCodebook(
@@ -329,6 +371,15 @@ object VectorIndex {
     * (`q_id, vec_id, cos, rn`), bit-identical to the in-flight tier that
     * shares the store's geometry (spec-pinned), with probe IO that tracks
     * the probed lists instead of the corpus.
+    *
+    * `where` is PRE-FILTERED vector search over the store's inline
+    * payload columns (see [[writeIvfIndex]]): the predicate restricts the
+    * CANDIDATE set before ranking — each query still gets its full `k`
+    * survivors among matching rows (post-filtering a plain top-k would
+    * return < k and miss matches outside the unfiltered top) — and it
+    * evaluates inside the pruned list scan as a pushed parquet data
+    * filter, so a filtered probe reads the same `nProbe`-pruned
+    * partitions and never joins a corpus-sized attribute table.
     */
   def probeIvfIndex(
       spark: SparkSession,
@@ -337,12 +388,13 @@ object VectorIndex {
       id: Column,
       vec: Column,
       k: Int = 10,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2,
+      where: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(isComplete(path), s"no completed IVF store at $path")
     val meta = readMeta(spark, path)
     val (probed, ids) = probedLists(spark, path, meta, queries, id, vec, nProbe)
-    val lists = prunedLists(spark, path, ids)
+    val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     lists.join(broadcast(probed), Seq("c_id"))
@@ -482,13 +534,14 @@ object VectorIndex {
       path: String,
       onResults: (DataFrame, Long) => Unit,
       k: Int = 10,
-      nProbe: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      nProbe: Int = 2,
+      where: Option[Column] = None): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           onResults(probeIvfIndex(batch.sparkSession, path, batch, id, vec,
-            k, nProbe), batchId)
+            k, nProbe, where), batchId)
       }
       .start()
 
@@ -501,6 +554,13 @@ object VectorIndex {
     * the result is bit-identical to [[Similarity.ivfPqTopK]] over the
     * same geometry (spec-pinned). The pool floor `max(pool, k·nProbe)`
     * matches `ivfPqTopK`'s enforced contract.
+    *
+    * `where` pre-filters candidates on the store's inline payload
+    * columns, exactly as in [[probeIvfIndex]] — applied BEFORE the ADC
+    * pool cut, so the pool holds `effPool` MATCHING candidates (filtering
+    * after the cut would shrink the rescore pool below its floor). The
+    * candidate scan then reads the predicate's columns beside
+    * `(vec_id, codes)`; payload stays unread when `where` is empty.
     */
   def probeIvfPqIndex(
       spark: SparkSession,
@@ -510,7 +570,8 @@ object VectorIndex {
       vec: Column,
       k: Int = 10,
       nProbe: Int = 2,
-      pool: Int = 50): DataFrame = {
+      pool: Int = 50,
+      where: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.ColumnBridge
     require(isComplete(path), s"no completed IVF store at $path")
@@ -523,7 +584,8 @@ object VectorIndex {
       ColumnBridge.expression(col("qv").cast("array<double>")), cb))
     val (probed, ids) = probedLists(spark, path, meta, queries, id, vec, nProbe)
     val probedLut = probed.select(col("c_id"), col("q_id"), lut.as("lut"))
-    val lists = prunedLists(spark, path, ids)
+    val all = prunedLists(spark, path, ids)
+    val lists = where.foldLeft(all)(_.filter(_))
     val est = (0 until meta.numSubspaces)
       .map(s => element_at(col("lut"),
         element_at(col("codes"), s + 1) + s * meta.numCodes + 1))
@@ -542,8 +604,10 @@ object VectorIndex {
       .select(col("q_id"), col("vec_id"))
     // rescore fetch: pool·|queries| rows broadcast back onto the SAME
     // pruned partitions — full vectors are read only for survivors
+    // (pool rows already satisfy `where`; re-filtering here would only
+    // drag the predicate's payload columns into the vector scan)
     val qv = queries.select(id.as("q_id"), vec.as("qv"))
-    lists.select(col("vec_id"), col("v"))
+    all.select(col("vec_id"), col("v"))
       .join(broadcast(poolRows), Seq("vec_id"))
       .join(broadcast(qv), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),

@@ -916,6 +916,22 @@ object PipelineQueries {
       col("embedding"), k = 10, nProbe = 2, pool = 50)
   }
 
+  // METADATA-FILTERED vector search against the persisted store: the
+  // store is built with `label` as an inline payload column, and the
+  // probe's `where` pre-filters candidates (each query gets its full k
+  // among label < 4 rows) INSIDE the pruned list scan — a pushed parquet
+  // data filter on only the probed partitions, never a join against a
+  // corpus-sized attribute table
+  private val s29: Q = (s, dir) => {
+    val path = ivfStorePath(dir, "fil")
+    VectorIndex.ensureIvfIndex(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), path, hierarchical = true,
+      payload = Seq(col("label")))
+    VectorIndex.probeIvfIndex(s, path, queriesDf(s, dir), col("vec_id"),
+      col("embedding"), k = 10, nProbe = 2,
+      where = Some(col("label") < 4))
+  }
+
   // int8 quantize → integer-dot candidate ranking → exact rescore of the
   // k survivors; the integer ranking replays bit-for-bit in the oracle
   private val s4: Q = (s, dir) =>
@@ -1267,6 +1283,7 @@ object PipelineQueries {
     "s26_assign_fidelity" -> s26,
     "s28_ivf_store_compact" -> s28,
     "s27_ann_ivfpq_store" -> s27,
+    "s29_ann_store_filtered" -> s29,
     "s4_ann_quantized" -> s4,
     "s12_ann_rp" -> s12,
     "s13_ann_mmr" -> s13,
@@ -2793,6 +2810,22 @@ object PipelineQueries {
     "s28_ivf_store_compact" ->
       ("WITH " + sqlHierIvfCtesWith(" AND vec_id % 7 <> 0") + "\n" +
         sqlIvfRescoreTail),
+    // filtered probe = s19's geometry with the candidate set restricted
+    // to label < 4 BEFORE the per-query rank (pre-filter semantics: the
+    // full k among matching rows) — the replay applies the same
+    // predicate via the base table the payload column was copied from
+    "s29_ann_store_filtered" ->
+      s"""WITH $sqlHierIvfCtes
+         |SELECT q_id, vec_id, cos, rn FROM (
+         |  SELECT p.q_id, l.vec_id,
+         |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) DESC,
+         |               l.vec_id ASC) AS rn
+         |  FROM listed l JOIN probed p ON l.c_id = p.c_id
+         |  JOIN embeddings e ON e.vec_id = l.vec_id
+         |  WHERE p.q_id <> l.vec_id AND e.label < 4)
+         |WHERE rn <= 10""".stripMargin,
     // the sProbe fidelity curve: per sProbe ∈ {1,2,4}, agreement of the
     // two-level argmax with the flat one, in integer ppm. `sup` computes
     // the per-row super ranks once (to the max sProbe); each sProbe

@@ -287,6 +287,93 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got.sortBy(r => (r._1, r._3)).toSeq == batch && batch.nonEmpty)
   }
 
+  test("filtered probe: full k among matching rows, predicate pushed into the pruned scan") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivffil")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      payload = Seq(col("label")))
+    val filtered = VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2,
+      where = Some(col("label") < 4))
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val got = ranking(filtered)
+    assert(got.nonEmpty && got.forall(r => labels(r._2) < 4))
+    // pre-filter semantics: filtering an UNCAPPED unfiltered probe of the
+    // same store per query and re-ranking the survivors is the same
+    // top-10 — the filter restricts candidates, it never costs a match
+    val all = ranking(VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 1000000, nProbe = 2))
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(_._3).filter(r => labels(r._2) < 4).take(10)
+        .zipWithIndex.map { case (r, i) => (q, r._2, (i + 1).toLong) }
+    }.sortBy(r => (r._1, r._3))
+    assert(got == expected)
+    // the predicate reaches the store scan as a PUSHED parquet filter on
+    // only the probed partitions — never a post-scan attribute join
+    withoutAqe {
+      val one = VectorIndex.probeIvfIndex(spark, path,
+        emb.filter(col("vec_id") === 0), col("vec_id"), col("embedding"),
+        k = 10, nProbe = 2, where = Some(col("label") < 4))
+      one.write.mode("overwrite").format("noop").save()
+      val scans = one.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains("lists")) => s
+      }
+      assert(scans.nonEmpty)
+      assert(scans.exists(_.metadata.get("PushedFilters")
+          .exists(_.contains("LessThan(label,4)"))),
+        scans.map(_.metadata.get("PushedFilters")).mkString("\n"))
+      assert(scans.map(_.metrics("numPartitions").value).max <= 2)
+    }
+  }
+
+  test("filtered PQ probe: pool holds MATCHING candidates; with a covering pool it equals the flat filtered probe") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivffilpq")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      pq = true, payload = Seq(col("label")))
+    val pred = Some(col("label") < 4)
+    // pool ≥ any list's size ⇒ ADC ordering is immaterial and the exact
+    // rescore ranks ALL matching candidates — must equal the flat
+    // filtered probe over the same store
+    val pq = ranking(VectorIndex.probeIvfPqIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2, pool = 1000000,
+      where = pred))
+    val flat = ranking(VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2, where = pred))
+    assert(pq == flat && pq.nonEmpty)
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    assert(pq.forall(r => labels(r._2) < 4))
+  }
+
+  test("append carries the recorded payload columns; an increment missing one fails loudly") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivffilapp")
+    VectorIndex.writeIvfIndex(emb.filter(col("vec_id") % 7 =!= 0),
+      col("vec_id"), col("embedding"), path, payload = Seq(col("label")))
+    VectorIndex.appendToIvfIndex(emb.filter(col("vec_id") % 7 === 0),
+      col("vec_id"), col("embedding"), path)
+    val lists = spark.read.parquet(s"$path/lists")
+    assert(lists.columns.contains("label"))
+    assert(lists.count() == emb.count())
+    assert(lists.filter(col("label").isNull).count() == 0)
+    // the filtered probe sees appended rows through the same predicate
+    val got = ranking(VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2,
+      where = Some(col("label") < 4)))
+    assert(got.nonEmpty)
+    // increments must carry the build's payload schema — a missing
+    // column is an analysis-time error, not rows a filtered probe
+    // silently treats as predicate-false
+    intercept[org.apache.spark.sql.AnalysisException] {
+      VectorIndex.appendToIvfIndex(
+        emb.filter(col("vec_id") % 7 === 0).drop("label"),
+        col("vec_id"), col("embedding"), path)
+    }
+  }
+
   test("loud failures: probing an incomplete store, PQ-probing a non-PQ store, appending to nothing") {
     val path = tmpStore("ivfbad")
     intercept[IllegalArgumentException] {
@@ -296,6 +383,11 @@ class VectorIndexSpec extends AnyFunSuite {
       VectorIndex.appendToIvfIndex(queries, col("vec_id"), col("embedding"), path)
     }
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    // payload names may not collide with the store's own columns
+    intercept[IllegalArgumentException] {
+      VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+        payload = Seq(col("label").as("codes")))
+    }
     VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
       pq = false)
     val e = intercept[IllegalArgumentException] {
