@@ -173,6 +173,18 @@ object VectorIndex {
     * columns are column-pruned out of their scans. Costs one co-keyed
     * join on `vec_id` at build time; the column NAMES are recorded in
     * `meta/` so appends select the same columns from every increment.
+    *
+    * `filesPerList` bounds the file count per `c_id=` directory: rows
+    * are routed by a deterministic `xxhash64(vec_id) % filesPerList`
+    * split co-partitioned with `c_id` before the write (the
+    * [[compactIvfIndex]] bin trick applied AT BUILD TIME). Without it a
+    * partitionBy write fans every upstream task across every list —
+    * `tasks × lists` drizzle files (81,920 at the 100× gate: ~20 s of
+    * file-open tax on the build's own read-back, and per-file open cost
+    * on every probe thereafter). One extra corpus exchange buys
+    * `≤ lists × filesPerList` right-sized files; deployments size
+    * `filesPerList` so a file ≈ one HDFS block / row-group, and writer
+    * parallelism = `lists × filesPerList` tasks.
     */
   def writeIvfIndex(
       base: DataFrame,
@@ -189,7 +201,8 @@ object VectorIndex {
       numCodes: Int = 16,
       codeStride: Int = 16,
       centroids: Option[DataFrame] = None,
-      payload: Seq[Column] = Nil): Unit = {
+      payload: Seq[Column] = Nil,
+      filesPerList: Int = 1): Unit = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = base.sparkSession
     // payload validation FIRST: a name collision must fail before any
@@ -231,12 +244,25 @@ object VectorIndex {
         listed.withColumn("codes", enc)
       }
     val stored = if (payload.isEmpty) rows else rows.join(pay, Seq("vec_id"))
-    stored.write.mode("overwrite").partitionBy("c_id").parquet(s"$path/lists")
+    require(filesPerList > 0, s"filesPerList must be positive, got $filesPerList")
+    routeToLists(stored, filesPerList)
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/lists")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeMeta(spark, path, Meta(hierarchical, superStride, sProbe, pq,
       numSubspaces, numCodes, payNames))
     putMarker(path)
   }
+
+  /** Co-partition rows with their target list (plus a deterministic
+    * `xxhash64(vec_id) % filesPerList` sub-split), so the partitionBy
+    * writer emits `≤ filesPerList` files per `c_id=` directory instead
+    * of one per upstream task per list. Row content is untouched —
+    * routing only decides WHICH file a row lands in.
+    */
+  private def routeToLists(rows: DataFrame, filesPerList: Int): DataFrame =
+    rows.withColumn("_f", pmod(xxhash64(col("vec_id")), lit(filesPerList.toLong)))
+      .repartition(col("c_id"), col("_f"))
+      .drop("_f")
 
   /** [[writeIvfIndex]] only when `path` has no completed store — the
     * serving pattern (build once, probe many); callers that must refresh
@@ -256,11 +282,12 @@ object VectorIndex {
       numSubspaces: Int = 8,
       numCodes: Int = 16,
       codeStride: Int = 16,
-      payload: Seq[Column] = Nil): Unit =
+      payload: Seq[Column] = Nil,
+      filesPerList: Int = 1): Unit =
     if (!isComplete(path))
       writeIvfIndex(base, id, vec, path, centroidStride, maxCentroids,
         hierarchical, superStride, sProbe, pq, numSubspaces, numCodes,
-        codeStride, payload = payload)
+        codeStride, payload = payload, filesPerList = filesPerList)
     // callers with a TRAINED model check isComplete themselves before
     // training (the model derivation may run eager jobs — an ensure that
     // trains just to discard the result would defeat its own point)
@@ -278,7 +305,8 @@ object VectorIndex {
       increment: DataFrame,
       id: Column,
       vec: Column,
-      path: String): Unit = {
+      path: String,
+      filesPerList: Int = 1): Unit = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = increment.sparkSession
     require(isComplete(path), s"no completed IVF store at $path — build with " +
@@ -307,7 +335,13 @@ object VectorIndex {
       else rows.join(
         increment.select((id.as("vec_id") +: meta.payload.map(col)): _*),
         Seq("vec_id"))
-    stored.write.mode("append").partitionBy("c_id").parquet(s"$path/lists")
+    require(filesPerList > 0, s"filesPerList must be positive, got $filesPerList")
+    // same routing as the build: an append adds ≤ filesPerList files per
+    // TOUCHED list per batch (not one per upstream task per list), which
+    // is what keeps compaction an occasional maintenance job instead of
+    // a per-batch necessity
+    routeToLists(stored, filesPerList)
+      .write.mode("append").partitionBy("c_id").parquet(s"$path/lists")
   }
 
   private def readCodebook(

@@ -287,6 +287,27 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got.sortBy(r => (r._1, r._3)).toSeq == batch && batch.nonEmpty)
   }
 
+  test("build and append write ≤ filesPerList files per list, not one per upstream task") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivffiles")
+    // many upstream partitions: the un-routed failure mode would emit up
+    // to (tasks × lists) files; the routed write is bounded per list
+    VectorIndex.writeIvfIndex(emb.repartition(16).filter(col("vec_id") % 7 =!= 0),
+      col("vec_id"), col("embedding"), path)
+    def filesPerDir(): Map[String, Int] =
+      new java.io.File(s"$path/lists").listFiles().toSeq
+        .filter(_.getName.startsWith("c_id="))
+        .map(d => d.getName -> d.listFiles()
+          .count(f => f.getName.endsWith(".parquet"))).toMap
+    val afterBuild = filesPerDir()
+    assert(afterBuild.nonEmpty && afterBuild.values.max <= 1, afterBuild.toString)
+    VectorIndex.appendToIvfIndex(emb.repartition(16).filter(col("vec_id") % 7 === 0),
+      col("vec_id"), col("embedding"), path, filesPerList = 2)
+    val afterAppend = filesPerDir()
+    // a touched list gains at most filesPerList new files per batch
+    assert(afterAppend.values.max <= 1 + 2, afterAppend.toString)
+  }
+
   test("filtered probe: full k among matching rows, predicate pushed into the pruned scan") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val path = tmpStore("ivffil")
