@@ -41,11 +41,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *
   * Edge semantics: mismatched ranking still handles NULLs as the
   * rounded-cosine formulation did — a NULL element or NULL array → NULL
-  * (sorts last under `desc`); an all-zero (or empty) vector projects to
-  * all zeros, dotting to 0 with everything (ties then break on id).
-  * Component magnitudes past ~2²⁶ micros would overflow the `Σ m_i²`
-  * long and raise (ANSI-style loud), unreachable for unit-scale
-  * embedding data.
+  * (sorts last under `desc`), and a NaN/±Infinity component also → NULL
+  * (`(long) Math.floor(NaN)` is 0: silently filing a corrupt vector as
+  * if the component were zero is the one thing a bit-reproducibility
+  * expression must never do — under the replaced rounded cosine the NaN
+  * at least propagated into the ordering); an all-zero (or empty)
+  * vector projects to all zeros, dotting to 0 with everything (ties
+  * then break on id). Component magnitudes past ~2²⁶ micros would
+  * overflow the `Σ m_i²` long and raise (ANSI-style loud), unreachable
+  * for unit-scale embedding data. The DuckDB replays assume finite
+  * vectors (a NaN raises on the BIGINT cast there — loud, not
+  * divergent-silent).
   */
 case class UnitMicros(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -75,6 +81,8 @@ case class UnitMicros(child: Expression)
     var nsq = 0L
     i = 0
     while (i < n) {
+      if (java.lang.Double.isNaN(xs(i)) || java.lang.Double.isInfinite(xs(i)))
+        return null
       m(i) = Math.floor(xs(i) * 1.0e6 + 0.5).toLong
       nsq = Math.addExact(nsq, Math.multiplyExact(m(i), m(i)))
       i += 1
@@ -107,10 +115,15 @@ case class UnitMicros(child: Expression)
          |for (int $i = 0; !$bad && $i < $n; $i++) {
          |  $bad = $a.isNullAt($i);
          |}
+         |double[] $xs = $bad ? null : $a.toDoubleArray();
+         |if (!$bad) {
+         |  for (int $i = 0; !$bad && $i < $n; $i++) {
+         |    $bad = Double.isNaN($xs[$i]) || Double.isInfinite($xs[$i]);
+         |  }
+         |}
          |if ($bad) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double[] $xs = $a.toDoubleArray();
          |  long[] $m = new long[$n];
          |  long $nsq = 0L;
          |  for (int $i = 0; $i < $n; $i++) {

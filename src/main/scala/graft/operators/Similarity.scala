@@ -1067,9 +1067,12 @@ object Similarity {
     val spx = sProbes.distinct.sorted.toDF("s_probe")
     val wA = Window.partitionBy(col("s_probe"), col("vec_id"))
       .orderBy(col("c_dot").desc, col("c_id").asc)
+    // _vu BEFORE the sProbe fan-out: the join duplicates the computed
+    // unit vector instead of recomputing the per-component projection
+    // once per (row × qualifying s_probe) pair
     val hier = r2s
-      .join(broadcast(spx), col("srn") <= col("s_probe"))
       .withColumn("_vu", unitMicros(col("v")))
+      .join(broadcast(spx), col("srn") <= col("s_probe"))
       .join(broadcast(c2s.withColumn("_cu", unitMicros(col("cv")))), Seq("s_id"))
       .select(col("s_probe"), col("vec_id"), col("c_id"),
         dotNative(col("_vu"), col("_cu")).as("c_dot"))

@@ -109,34 +109,59 @@ object VectorIndex {
     * `payload` names the metadata columns stored inline with each vector
     * (empty = none) — recorded so [[appendToIvfIndex]] selects the same
     * columns from every increment and a schema drift fails loudly at
-    * append time, not silently at probe time.
+    * append time, not silently at probe time. `version` is the
+    * [[FormatVersion]] the store was BUILT under — persisted so a probe
+    * by a newer code generation rejects the store loudly instead of
+    * assigning queries with semantics the stored lists were never filed
+    * under (the path convention in the query layer embeds the version
+    * too, but the STORE must carry its own: caller-supplied paths don't).
     */
   private case class Meta(
       hierarchical: Boolean, superStride: Int, sProbe: Int,
       pq: Boolean, numSubspaces: Int, numCodes: Int,
-      payload: Seq[String])
+      payload: Seq[String], version: Int)
 
   private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
     import spark.implicits._
     Seq((m.hierarchical, m.superStride, m.sProbe, m.pq, m.numSubspaces,
-      m.numCodes, m.payload.mkString(",")))
+      m.numCodes, m.payload.mkString(","), m.version))
       .toDF("hierarchical", "super_stride", "s_probe", "pq", "num_subspaces",
-        "num_codes", "payload")
+        "num_codes", "payload", "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  private def readMeta(spark: SparkSession, path: String): Meta = {
+  private def readMeta(spark: SparkSession, path: String,
+      requireCurrent: Boolean = true): Meta = {
     val df = spark.read.parquet(s"$path/meta")
-    // stores written before the payload field existed have a 6-column
-    // meta — they stay probeable (payload = none), no rebuild required
-    val hasPayload = df.schema.fieldNames.contains("payload")
+    val fields = df.schema.fieldNames.toSet
     val r = df.collect().head
-    Meta(r.getAs[Boolean]("hierarchical"), r.getAs[Int]("super_stride"),
+    val meta = Meta(r.getAs[Boolean]("hierarchical"), r.getAs[Int]("super_stride"),
       r.getAs[Int]("s_probe"), r.getAs[Boolean]("pq"),
       r.getAs[Int]("num_subspaces"), r.getAs[Int]("num_codes"),
-      if (hasPayload) r.getAs[String]("payload").split(",").toSeq.filter(_.nonEmpty)
-      else Nil)
+      if (fields("payload"))
+        r.getAs[String]("payload").split(",").toSeq.filter(_.nonEmpty)
+      else Nil,
+      // a meta without the field predates version-stamping — its lists
+      // were filed under an earlier assignment-semantics generation
+      if (fields("format_version")) r.getAs[Int]("format_version") else 1)
+    if (requireCurrent) require(meta.version == FormatVersion,
+      s"store at $path was built under assignment-semantics generation " +
+        s"${meta.version}, this code is generation $FormatVersion — its " +
+        "list membership would disagree with the probe's query " +
+        "assignment; rebuild with writeIvfIndex")
+    meta
   }
+
+  /** True iff `path` holds a completely written store of THIS code's
+    * assignment-semantics generation — the build-if-needed gate
+    * ([[ensureIvfIndex]] and callers managing their own build): a
+    * complete store of an older generation must be REBUILT, where a
+    * probe/append of one must FAIL (they do — loudly, on the meta's
+    * recorded generation).
+    */
+  def isServable(spark: SparkSession, path: String): Boolean =
+    isComplete(path) &&
+      readMeta(spark, path, requireCurrent = false).version == FormatVersion
 
   /** Write the IVF index of `base` at `path`: inverted lists partitioned
     * by `c_id` (+ PQ codes when `pq`), the centroid model, and the config.
@@ -206,13 +231,20 @@ object VectorIndex {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = base.sparkSession
     // payload validation FIRST: a name collision must fail before any
-    // artifact (marker, codebook) of an existing store is touched
+    // artifact (marker, codebook) of an existing store is touched.
+    // Reserved names cover the store's own columns, the routing split,
+    // AND every name the probe plans introduce (a payload named q_id
+    // would build a store whose every probe dies on an ambiguous
+    // column); commas would mis-split meta's recorded name list.
     val pay = base.select((id.as("vec_id") +: payload): _*)
     val payNames = pay.columns.toSeq.drop(1)
-    val reserved = Set("vec_id", "v", "c_id", "codes")
-    require(payNames.forall(n => !reserved(n)),
-      s"payload column names collide with store columns: " +
-        payNames.filter(reserved).mkString(", "))
+    val reserved = Set("vec_id", "v", "c_id", "codes", "_f",
+      "q_id", "qv", "cos", "rn", "lut", "est", "ern")
+    val bad = payNames.filter(n => reserved(n) || n.contains(","))
+    require(bad.isEmpty,
+      s"payload column names reserved by the store or its probes (or " +
+        s"containing ','): ${bad.mkString(", ")}")
+    require(filesPerList > 0, s"filesPerList must be positive, got $filesPerList")
     // invalidate BEFORE any artifact is touched: a rebuild of an existing
     // complete store overwrites the codebook eagerly below, and a
     // concurrent probe in that window must fail loudly on the missing
@@ -244,12 +276,11 @@ object VectorIndex {
         listed.withColumn("codes", enc)
       }
     val stored = if (payload.isEmpty) rows else rows.join(pay, Seq("vec_id"))
-    require(filesPerList > 0, s"filesPerList must be positive, got $filesPerList")
     routeToLists(stored, filesPerList)
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/lists")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeMeta(spark, path, Meta(hierarchical, superStride, sProbe, pq,
-      numSubspaces, numCodes, payNames))
+      numSubspaces, numCodes, payNames, FormatVersion))
     putMarker(path)
   }
 
@@ -284,11 +315,11 @@ object VectorIndex {
       codeStride: Int = 16,
       payload: Seq[Column] = Nil,
       filesPerList: Int = 1): Unit =
-    if (!isComplete(path))
+    if (!isServable(base.sparkSession, path))
       writeIvfIndex(base, id, vec, path, centroidStride, maxCentroids,
         hierarchical, superStride, sProbe, pq, numSubspaces, numCodes,
         codeStride, payload = payload, filesPerList = filesPerList)
-    // callers with a TRAINED model check isComplete themselves before
+    // callers with a TRAINED model check isServable themselves before
     // training (the model derivation may run eager jobs — an ensure that
     // trains just to discard the result would defeat its own point)
 

@@ -508,10 +508,11 @@ object PipelineQueries {
   // consumers (ANN probes AND dedup) — the keep-set is d12d's verbatim,
   // so the shared oracle hash-checks the store round-trip every run.
   private val d12e: Q = (s, dir) => {
-    val path = ivfStorePath(dir, "sem")
+    val ver = embeddingsVersion(dir)
+    val path = ivfStorePath(dir, "sem", ver)
     val emb = t(s, dir, "embeddings")
-    if (!VectorIndex.isComplete(path)) {
-      val k = math.ceil(math.sqrt(embeddingsCount(s, dir).toDouble)).toInt
+    if (!VectorIndex.isServable(s, path)) {
+      val k = math.ceil(math.sqrt(embeddingsCount(s, dir, ver).toDouble)).toInt
       val superStride = math.ceil(math.sqrt(k.toDouble)).toInt
       VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
         hierarchical = true, superStride = superStride, sProbe = 2,
@@ -812,8 +813,14 @@ object PipelineQueries {
     newest(fs, fs.getFileStatus(p))
   }
 
-  private def ivfStorePath(dir: String, tag: String): String = {
-    val mt = embeddingsVersion(dir)
+  private def ivfStorePath(dir: String, tag: String): String =
+    ivfStorePath(dir, tag, embeddingsVersion(dir))
+
+  /** Overload for callers that also need [[embeddingsCount]]: compute
+    * [[embeddingsVersion]] (a full recursive FS walk — a latency tax per
+    * call on an object store) ONCE per query build and pass it to both.
+    */
+  private def ivfStorePath(dir: String, tag: String, mt: Long): String = {
     val key = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(s"$dir|$mt"))
     s"$storeRoot/ivf_${tag}_v${VectorIndex.FormatVersion}_$key"
@@ -830,7 +837,9 @@ object PipelineQueries {
   private val corpusNCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
   private def embeddingsCount(s: SparkSession, dir: String): Long =
-    corpusNCache.computeIfAbsent((dir, embeddingsVersion(dir)),
+    embeddingsCount(s, dir, embeddingsVersion(dir))
+  private def embeddingsCount(s: SparkSession, dir: String, mt: Long): Long =
+    corpusNCache.computeIfAbsent((dir, mt),
       _ => t(s, dir, "embeddings").count())
 
   // the store BUILD as its own timed query (always overwrite — honest
@@ -1549,7 +1558,9 @@ object PipelineQueries {
        |    END AS u
        |  FROM (
        |    SELECT $id, mv,
-       |      list_reduce(list_transform(mv, y -> y * y), (a, b) -> a + b) AS nsq
+       |      CASE WHEN len(mv) = 0 THEN 0
+       |           ELSE list_reduce(list_transform(mv, y -> y * y), (a, b) -> a + b)
+       |      END AS nsq
        |    FROM (
        |      SELECT $id,
        |        list_transform($vec, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
@@ -1561,8 +1572,9 @@ object PipelineQueries {
     * replays it exactly).
     */
   private def sqlUDot(a: String, b: String): String =
-    s"""list_reduce(list_transform(range(1, len($a) + 1),
-       |      i -> $a[i::INT] * $b[i::INT]), (x, y) -> x + y)""".stripMargin
+    s"""(CASE WHEN len($a) = 0 THEN 0
+       |      ELSE list_reduce(list_transform(range(1, len($a) + 1),
+       |             i -> $a[i::INT] * $b[i::INT]), (x, y) -> x + y) END)""".stripMargin
 
   /** The flat capped-IVF CTEs (`ue`, `cents`, `listed`, `probed`) shared
     * by the s3 / s14 / s17 / s18 replays: 256 stride-picked centroids,

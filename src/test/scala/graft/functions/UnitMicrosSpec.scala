@@ -89,4 +89,26 @@ class UnitMicrosSpec extends AnyFunSuite {
     assert(math.abs(selfDot - 1000000000000L) <= 4000000L,
       s"self-dot $selfDot should be ~1e12 (unit norm on the micros grid)")
   }
+
+  test("a NaN or infinite component → NULL, never a silently-zeroed micros entry") {
+    // (long) Math.floor(NaN) is 0 — filing a corrupt vector as if the
+    // component were zero would silently assign it to a real list; the
+    // expression returns NULL instead (sorts last, like a NULL array).
+    // Both the interpreted and codegen paths must agree.
+    val rows = Seq(
+      (1L, Array(Float.NaN, 1.0f)),
+      (2L, Array(Float.PositiveInfinity, 1.0f)),
+      (3L, Array(Float.NegativeInfinity, 1.0f)),
+      (4L, Array(0.5f, 0.5f)))
+    val out = rows.toDF("id", "v")
+      .select(col("id"), unit(col("v")).as("u")).orderBy("id").collect()
+    assert(out(0).isNullAt(1) && out(1).isNullAt(1) && out(2).isNullAt(1))
+    assert(!out(3).isNullAt(1))
+    val interpreted = rows.map { case (i, xs) =>
+      val r = spark.range(1).select(
+        unit(typedlit(xs.toSeq)).as("u")).collect().head
+      i -> r.isNullAt(0)
+    }.toMap
+    assert(interpreted(1L) && interpreted(2L) && interpreted(3L) && !interpreted(4L))
+  }
 }

@@ -395,6 +395,34 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a store built under another assignment-semantics generation is rejected, not silently probed") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfgen")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path)
+    // simulate a generation-1 store: its meta predates version-stamping
+    // (the field is absent), so its lists were filed under rounded-cosine
+    // semantics that today's probe assignment would disagree with
+    val legacy = spark.read.parquet(s"$path/meta").drop("format_version")
+      .collect()
+    val schema = spark.read.parquet(s"$path/meta").drop("format_version").schema
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(legacy: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.probeIvfIndex(spark, path, queries,
+        col("vec_id"), col("embedding"))
+    }
+    assert(e.getMessage.contains("generation"))
+    // ensure = build-if-needed: an older-generation store is REBUILT
+    // (probe/append fail, the serving gate refreshes)
+    assert(!VectorIndex.isServable(spark, path))
+    VectorIndex.ensureIvfIndex(emb, col("vec_id"), col("embedding"), path)
+    assert(VectorIndex.isServable(spark, path))
+    assert(ranking(VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"))).nonEmpty)
+  }
+
   test("loud failures: probing an incomplete store, PQ-probing a non-PQ store, appending to nothing") {
     val path = tmpStore("ivfbad")
     intercept[IllegalArgumentException] {
