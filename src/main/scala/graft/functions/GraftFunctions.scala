@@ -11,6 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `graft_cosine_sim(a, b)` — fused one-pass cosine ([[CosineSim]])
   *   - `graft_vector_dot(a, b)` — fused dot product ([[VectorDot]])
   *   - `graft_polyhash(s)`      — rolling document hash ([[PolyHash]])
+  *   - `graft_unit_micros(v)`   — exact integer unit-micros projection
+  *     ([[UnitMicros]]): `graft_vector_dot(graft_unit_micros(a),
+  *     graft_unit_micros(b))` is the bit-reproducible scaled cosine every
+  *     assignment-deciding comparison ranks on — exposed so SQL-side
+  *     pipelines can rank on the same grid the operators persist
   *
   * Two registration routes share one builder table:
   * [[register]] adds them to a live session's function registry
@@ -42,7 +47,8 @@ object GraftFunctions {
   val all: Seq[Description] = Seq(
     fn("graft_cosine_sim", classOf[CosineSim], 2)(a => CosineSim(a(0), a(1))),
     fn("graft_vector_dot", classOf[VectorDot], 2)(a => VectorDot(a(0), a(1))),
-    fn("graft_polyhash", classOf[PolyHash], 1)(a => PolyHash(a(0))))
+    fn("graft_polyhash", classOf[PolyHash], 1)(a => PolyHash(a(0))),
+    fn("graft_unit_micros", classOf[UnitMicros], 1)(a => UnitMicros(a(0))))
 
   /** Register every function on a live session (replaces on re-register,
     * so repeated calls are safe).

@@ -349,6 +349,34 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("probeStream passes the filter through: streamed filtered serving ≡ the batch filtered probe") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmpStore("ivfservefil")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      payload = Seq(col("label")))
+    val pred = Some(col("label") < 4)
+    val qs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = VectorIndex.probeStream(
+      stream.toDF().toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), path,
+      (res, _) => got.synchronized {
+        got ++= res.select("q_id", "vec_id", "rn")
+          .as[(Long, Long, Long)].collect()
+      },
+      k = 10, nProbe = 2, where = pred)
+    try {
+      stream.addData(qs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = ranking(VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2, where = pred))
+    assert(got.sortBy(r => (r._1, r._3)).toSeq == batch && batch.nonEmpty)
+  }
+
   test("filtered PQ probe: pool holds MATCHING candidates; with a covering pool it equals the flat filtered probe") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val path = tmpStore("ivffilpq")
