@@ -470,6 +470,44 @@ object VectorIndex {
       .filter(col("rn") <= k)
   }
 
+  /** Radius (range) search against a persisted store: every candidate in
+    * the probed lists with `cosine ≥ minCosine` — top-k's standard
+    * sibling for "all near-duplicates / all matches above a bar" calls
+    * (the SemDeDup prune's question, served from the index instead of
+    * re-derived). Same probe shape as [[probeIvfIndex]] — config-sized
+    * probed-list collect, static partition pruning, broadcast query
+    * assignment, optional `where` pre-filter on payload columns — but no
+    * per-query RESULT window at all: the threshold replaces the rank, so
+    * top-k's one `k·|queries|`-bounded rank exchange disappears and the
+    * store side flows scan→filter→join→project with no shuffle (the only
+    * remaining exchanges are the config-sized query-assignment's own).
+    * Output `(q_id, vec_id, cos)`, the cosine
+    * rounded to 6 digits exactly as the top-k tiers emit it; result size
+    * is data-dependent by definition — callers bound it with `minCosine`
+    * (and `nProbe`), not `k`. APPROXIMATE like every IVF probe: a
+    * neighbor above the bar whose list is unprobed is missed — recall
+    * rides the same nProbe knob the top-k tiers measure.
+    */
+  def probeIvfRange(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      minCosine: Double,
+      nProbe: Int = 2,
+      where: Option[Column] = None): DataFrame = {
+    require(isComplete(path), s"no completed IVF store at $path")
+    val meta = readMeta(spark, path)
+    val (probed, ids) = probedLists(spark, path, meta, queries, id, vec, nProbe)
+    val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
+    lists.join(broadcast(probed), Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   /** File manifest of the store's inverted lists, one row per data file:
     * `(c_id, file_id, bytes)` — the metadata view a maintenance job plans
     * on. Built through the Hadoop FS API, so it works unchanged on

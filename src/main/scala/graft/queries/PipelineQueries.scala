@@ -941,6 +941,18 @@ object PipelineQueries {
       where = Some(col("label") < 4))
   }
 
+  // RADIUS search served from the same persisted store s24 probes: every
+  // candidate in the probed lists with cos >= 0.25 — no per-query rank,
+  // so the probe is entirely exchange-free (the threshold replaces
+  // top-k's one bounded exchange); shares the "hier" store artifact
+  private val s30: Q = (s, dir) => {
+    val path = ivfStorePath(dir, "hier")
+    VectorIndex.ensureIvfIndex(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), path, hierarchical = true)
+    VectorIndex.probeIvfRange(s, path, queriesDf(s, dir), col("vec_id"),
+      col("embedding"), minCosine = 0.25, nProbe = 2)
+  }
+
   // int8 quantize → integer-dot candidate ranking → exact rescore of the
   // k survivors; the integer ranking replays bit-for-bit in the oracle
   private val s4: Q = (s, dir) =>
@@ -1293,6 +1305,7 @@ object PipelineQueries {
     "s28_ivf_store_compact" -> s28,
     "s27_ann_ivfpq_store" -> s27,
     "s29_ann_store_filtered" -> s29,
+    "s30_ann_store_range" -> s30,
     "s4_ann_quantized" -> s4,
     "s12_ann_rp" -> s12,
     "s13_ann_mmr" -> s13,
@@ -2838,6 +2851,15 @@ object PipelineQueries {
          |  JOIN embeddings e ON e.vec_id = l.vec_id
          |  WHERE p.q_id <> l.vec_id AND e.label < 4)
          |WHERE rn <= 10""".stripMargin,
+    // radius search over the same store/geometry: the threshold replaces
+    // the rank — no window in either engine
+    "s30_ann_store_range" ->
+      s"""WITH $sqlHierIvfCtes
+         |SELECT p.q_id, l.vec_id,
+         |  round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos
+         |FROM listed l JOIN probed p ON l.c_id = p.c_id
+         |WHERE p.q_id <> l.vec_id
+         |  AND round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) >= 0.25""".stripMargin,
     // the sProbe fidelity curve: per sProbe ∈ {1,2,4}, agreement of the
     // two-level argmax with the flat one, in integer ppm. `sup` computes
     // the per-row super ranks once (to the max sProbe); each sProbe

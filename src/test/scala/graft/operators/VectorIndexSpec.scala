@@ -349,6 +349,54 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("range probe: threshold replaces the rank; equals the uncapped probe filtered by cos, composes with where") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfrange")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      payload = Seq(col("label")))
+    val t = 0.25
+    val range = VectorIndex.probeIvfRange(spark, path, queries,
+      col("vec_id"), col("embedding"), minCosine = t, nProbe = 2)
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // same candidates as an uncapped top-k probe of the same store,
+    // cut by threshold instead of rank
+    val viaTopK = VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 1000000, nProbe = 2)
+      .filter(col("cos") >= t)
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(range == viaTopK && range.nonEmpty)
+    // the threshold replaces top-k's final per-query rank: the range plan
+    // has no Window at all and strictly fewer exchanges than the top-k
+    // probe of the same store (the query-ASSIGNMENT subplan's own
+    // exchanges are shared by both)
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val rangePlan = planOf(VectorIndex.probeIvfRange(spark, path, queries,
+      col("vec_id"), col("embedding"), minCosine = t, nProbe = 2))
+    val topkPlan = planOf(VectorIndex.probeIvfIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2))
+    def count(s: String, token: String) = s.sliding(token.length).count(_ == token)
+    // the query-ASSIGNMENT's windows (partitioned by the query id) exist
+    // in both plans; the per-query RESULT rank (partitioned by q_id) only
+    // in top-k's
+    assert(!rangePlan.contains("windowspecdefinition(q_id"), rangePlan)
+    assert(topkPlan.contains("windowspecdefinition(q_id"), topkPlan)
+    assert(count(rangePlan, "Exchange") < count(topkPlan, "Exchange"),
+      s"range=${count(rangePlan, "Exchange")} topk=${count(topkPlan, "Exchange")}")
+    // pre-filter composes: every survivor matches the payload predicate
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val filtered = VectorIndex.probeIvfRange(spark, path, queries,
+      col("vec_id"), col("embedding"), minCosine = t, nProbe = 2,
+      where = Some(col("label") < 4))
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    assert(filtered.nonEmpty && filtered.forall(r => labels(r._2) < 4))
+    assert(filtered.toSet == range.filter(r => labels(r._2) < 4)
+      .map(r => (r._1, r._2)).toSet)
+  }
+
   test("probeStream passes the filter through: streamed filtered serving ≡ the batch filtered probe") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     implicit val sqlCtx = spark.sqlContext
