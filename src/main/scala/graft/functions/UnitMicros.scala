@@ -16,11 +16,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *     (half-up via floor: `round()` half-up/half-even conventions
   *     differ across engines, `floor` never does);
   *  2. `nsq = Σ m_i²` — EXACT long arithmetic (order-independent);
-  *  3. `u_i = floor(m_i / √nsq · 10⁶ + 0.5)` — the quantized unit
-  *     vector, so `dot(u_a, u_b)` (a [[VectorDot]] long fold, also
-  *     exact) is a ~10¹²-scaled cosine whose COMPARISONS are pure
-  *     integer: no engine-dependent floating summation ever decides an
-  *     argmax.
+  *  3. `s = isqrt(nsq)` — the EXACT floor integer square root
+  *     ([[UnitMicros.isqrt]]: a double-`sqrt` SEED corrected by pure
+  *     integer comparisons, so the result is a function of the integer
+  *     `nsq` alone — an engine whose `sqrt` differs by an ulp lands on
+  *     the same `s`);
+  *  4. `u_i = sign(m_i) · ((|m_i| · 10⁶) div s)` — the quantized unit
+  *     vector by INTEGER division (sign-split so truncating and
+  *     flooring division agree), so `dot(u_a, u_b)` (a [[VectorDot]]
+  *     long fold, also exact) is a ~10¹²-scaled cosine whose
+  *     COMPARISONS are pure integer: no engine-dependent floating
+  *     summation — or float at all past step 1's single rounded op —
+  *     ever decides an argmax.
   *
   * Why this is bit-reproducible across engines where `round(cosine, 6)`
   * was not: a float cosine is a multi-term SUM whose accumulation order
@@ -28,16 +35,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * `list_cosine_similarity`), so values land within an ulp of a
   * round-6 boundary on different sides — measured: 121 of 512k
   * row×centroid cosines at sf0.1 sat within 5e-4 micro-units of a
-  * boundary, and ONE flip changes an aggregate eval's hash. Here every
-  * floating step is a SINGLE exactly-rounded IEEE-754 scalar operation
-  * on bit-identical inputs (multiply, add, divide, `sqrt` of an exact
-  * integer — all correctly rounded by the standard, in every engine),
-  * and every SUM is integer — there is no boundary class left.
+  * boundary, and ONE flip changes an aggregate eval's hash. An earlier
+  * formulation kept one float chain in step 4
+  * (`floor(m_i/√nsq·10⁶+0.5)` — three rounded ops whose
+  * contraction/evaluation order an engine may legally vary, e.g. FMA)
+  * and the driver's DuckDB build disagreed with Spark on a handful of
+  * argmaxes two rounds running; now the ONLY floating op anywhere is
+  * step 1's single exactly-rounded multiply-add on bit-identical input
+  * doubles, every later step is integer arithmetic, and the `sqrt`
+  * inside `isqrt` is correction-shielded — there is no boundary class
+  * left and no op-ordering freedom to exploit.
   *
-  * Quantization error: `|u| ≈ 10⁶ ± 0.5` per component, so the scaled
-  * cosine `dot/10¹²` sits within ~√dim·10⁻⁶ of the true cosine —
-  * indistinguishable for ranking quality (recall gates unchanged), but
-  * the ARGMAX is now a deterministic function of the stored bytes.
+  * Quantization error: `|u| ≈ 10⁶` with ≤ 1 unit truncation error per
+  * component, so the scaled cosine `dot/10¹²` sits within ~√dim·10⁻⁶
+  * of the true cosine — indistinguishable for ranking quality (recall
+  * gates unchanged), but the ARGMAX is now a deterministic function of
+  * the stored bytes.
   *
   * Edge semantics: mismatched ranking still handles NULLs as the
   * rounded-cosine formulation did — a NULL element or NULL array → NULL
@@ -89,10 +102,11 @@ case class UnitMicros(child: Expression)
     }
     val u = new Array[Long](n)
     if (nsq != 0L) {
-      val nrm = Math.sqrt(nsq.toDouble)
+      val isq = UnitMicros.isqrt(nsq)
       i = 0
       while (i < n) {
-        u(i) = Math.floor(m(i).toDouble / nrm * 1.0e6 + 0.5).toLong
+        val q = Math.multiplyExact(Math.abs(m(i)), 1000000L) / isq
+        u(i) = if (m(i) < 0L) -q else q
         i += 1
       }
     }
@@ -108,7 +122,8 @@ case class UnitMicros(child: Expression)
       val m = ctx.freshName("umM")
       val u = ctx.freshName("umU")
       val nsq = ctx.freshName("umNsq")
-      val nrm = ctx.freshName("umNrm")
+      val isq = ctx.freshName("umIsq")
+      val q = ctx.freshName("umQ")
       s"""
          |int $n = $a.numElements();
          |boolean $bad = false;
@@ -132,9 +147,10 @@ case class UnitMicros(child: Expression)
          |  }
          |  long[] $u = new long[$n];
          |  if ($nsq != 0L) {
-         |    double $nrm = Math.sqrt((double) $nsq);
+         |    long $isq = graft.functions.UnitMicros.isqrt($nsq);
          |    for (int $i = 0; $i < $n; $i++) {
-         |      $u[$i] = (long) Math.floor((double) $m[$i] / $nrm * 1.0E6D + 0.5D);
+         |      long $q = Math.multiplyExact(Math.abs($m[$i]), 1000000L) / $isq;
+         |      $u[$i] = $m[$i] < 0L ? -$q : $q;
          |    }
          |  }
          |  ${ev.value} =
@@ -145,4 +161,25 @@ case class UnitMicros(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): UnitMicros =
     copy(child = newChild)
+}
+
+object UnitMicros {
+  /** Exact floor integer square root. The double `sqrt` is only a SEED:
+    * the two correction loops compare in pure long arithmetic
+    * (`x² ≤ n ⟺ x ≤ n div x` for positive `x` — division-form, so no
+    * `x²` overflow), so the result is a function of `n` alone, immune
+    * to any engine/platform `sqrt` ulp. Loops run ≤ 1 step when the
+    * seed is correctly rounded (always, for `n < 2⁵³`); they fully
+    * correct any seed regardless. The SQL replay
+    * (PipelineQueries.sqlUnitCte) mirrors the seed + integer-correction
+    * shape with CASE steps.
+    */
+  def isqrt(n: Long): Long = {
+    if (n <= 0L) return 0L
+    var x = Math.floor(Math.sqrt(n.toDouble)).toLong
+    if (x < 1L) x = 1L
+    while (x > n / x) x -= 1L
+    while (x + 1L <= n / (x + 1L)) x += 1L
+    x
+  }
 }

@@ -55,12 +55,26 @@ object VectorIndex {
     * a stale store built by older code (`meta/` holds the config, but
     * only the version names the code generation).
     *
+    * This includes EXPRESSION-semantics changes that affect assignment
+    * (e.g. [[graft.functions.UnitMicros]]'s quantization or NaN
+    * handling), not just operator-level geometry: if the same stored
+    * vector could file under a different list today, bump.
+    *
     * v2: assignment-deciding comparisons moved from `round(cosine, 6)`
     * doubles to exact integer unit-micros dots
     * ([[Similarity.unitMicros]]) — list membership for a handful of
-    * near-boundary vectors differs from v1 stores.
+    * near-boundary vectors differs from v1 stores. Defined as: stamped
+    * meta + NaN/Infinity-guarded UnitMicros (corrupt vectors → NULL,
+    * never silently zero-filed).
+    *
+    * v3: the unit-micros quantization itself went all-integer —
+    * `sign(m)·((|m|·10⁶) div isqrt(nsq))` replaces the
+    * `floor(m/√nsq·10⁶+0.5)` float chain (whose legal op
+    * contraction/reorder let another engine's replay flip near-boundary
+    * argmaxes) — per-component values shift by ≤ 1 micro-unit, so list
+    * membership for near-tied vectors differs from v2 stores.
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   /** Marker written LAST: a store is only probeable once fully written
     * (a killed build leaves no marker and the probe fails loudly).

@@ -1554,30 +1554,53 @@ object PipelineQueries {
 
   /** DuckDB replay of [[graft.functions.UnitMicros]] as a CTE
     * `name(id, u)`: integer micros `floor(x·1e6 + 0.5)`, EXACT BIGINT
-    * `Σ m²`, then `floor(m/√nsq·1e6 + 0.5)` per component. Every
-    * floating step is a single exactly-rounded IEEE scalar op on
-    * bit-identical inputs and every sum is integer, so the produced
-    * vectors — and therefore every integer-dot argmax ranked on them —
-    * are bit-identical across engines (the fix for the round-6 cosine
-    * boundary class that made s26's hash fragile across DuckDB builds).
+    * `Σ m²`, the EXACT floor integer square root `isq = isqrt(nsq)`
+    * (double-`sqrt` SEED, then pure-integer CASE corrections in the
+    * overflow-free division form `x² ≤ n ⟺ x ≤ n div x` — one step down
+    * guarded to `≥ 1`, one step up; the result is a function of the
+    * BIGINT `nsq` alone, immune to any engine's `sqrt` ulp), then
+    * `u_i = sign(m)·((|m|·1e6) div isq)` per component — sign-split so
+    * the replay never leans on an engine's negative-integer-division
+    * convention (`//` truncates in current DuckDB; floor elsewhere).
+    * The ONLY floating op anywhere is the single exactly-rounded
+    * `x·1e6 + 0.5` on bit-identical input doubles; every later step is
+    * integer, so the produced vectors — and therefore every integer-dot
+    * argmax ranked on them — are bit-identical across engines (the fix
+    * for the round-6 cosine boundary class, and for its successor, the
+    * `floor(m/√nsq·1e6+0.5)` three-op float chain whose legal
+    * contraction/reorder made s26's hash driver-DuckDB-fragile two
+    * rounds running).
     */
   private def sqlUnitCte(
       name: String, id: String, vec: String, src: String): String =
     s"""$name AS (
        |  SELECT $id,
-       |    CASE WHEN nsq = 0 THEN list_transform(mv, y -> 0::BIGINT)
+       |    CASE WHEN isq = 0 THEN list_transform(mv, y -> 0::BIGINT)
        |         ELSE list_transform(mv,
-       |                y -> floor(y / sqrt(nsq) * 1000000 + 0.5)::BIGINT)
+       |                y -> CASE WHEN y < 0 THEN -(((-y) * 1000000) // isq)
+       |                          ELSE ((y * 1000000) // isq) END)
        |    END AS u
        |  FROM (
        |    SELECT $id, mv,
-       |      CASE WHEN len(mv) = 0 THEN 0
-       |           ELSE list_reduce(list_transform(mv, y -> y * y), (a, b) -> a + b)
-       |      END AS nsq
+       |      CASE WHEN nsq = 0 THEN 0
+       |           WHEN s1 + 1 <= nsq // (s1 + 1) THEN s1 + 1
+       |           ELSE s1 END AS isq
        |    FROM (
-       |      SELECT $id,
-       |        list_transform($vec, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
-       |      FROM $src)))""".stripMargin
+       |      SELECT $id, mv, nsq,
+       |        CASE WHEN s0 > 1 AND s0 > nsq // s0 THEN s0 - 1 ELSE s0 END AS s1
+       |      FROM (
+       |        SELECT $id, mv, nsq,
+       |          CASE WHEN nsq = 0 THEN 1
+       |               ELSE greatest(floor(sqrt(nsq::DOUBLE))::BIGINT, 1) END AS s0
+       |        FROM (
+       |          SELECT $id, mv,
+       |            CASE WHEN len(mv) = 0 THEN 0
+       |                 ELSE list_reduce(list_transform(mv, y -> y * y), (a, b) -> a + b)
+       |            END AS nsq
+       |          FROM (
+       |            SELECT $id,
+       |              list_transform($vec, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+       |            FROM $src))))))""".stripMargin
 
   /** Exact BIGINT dot of two unit-micros list expressions — the
     * assignment-ranking score ([[graft.functions.VectorDot]]'s long

@@ -25,14 +25,20 @@ class UnitMicrosSpec extends AnyFunSuite {
     ColumnBridge.column(VectorDot(
       ColumnBridge.expression(x), ColumnBridge.expression(y)))
 
-  /** Reference replay of the documented formula, plain Scala. */
+  /** Reference replay of the documented formula, plain Scala — integer
+    * end to end past the single rounded micros op: exact `isqrt` by
+    * linear search from zero (deliberately NOT the expression's seeded
+    * form, so a seed/correction bug can't hide), then sign-split
+    * truncating division.
+    */
   private def unitRef(xs: Array[Float]): Array[Long] = {
     val m = xs.map(x => Math.floor(x.toDouble * 1.0e6 + 0.5).toLong)
     val nsq = m.map(v => v * v).sum
     if (nsq == 0L) new Array[Long](m.length)
     else {
-      val nrm = Math.sqrt(nsq.toDouble)
-      m.map(v => Math.floor(v.toDouble / nrm * 1.0e6 + 0.5).toLong)
+      var s = 0L
+      while ((s + 1L) * (s + 1L) <= nsq) s += 1L
+      m.map(v => if (v < 0L) -((-v * 1000000L) / s) else (v * 1000000L) / s)
     }
   }
 
@@ -88,6 +94,23 @@ class UnitMicrosSpec extends AnyFunSuite {
     val selfDot = u3.map(x => x * x).sum
     assert(math.abs(selfDot - 1000000000000L) <= 4000000L,
       s"self-dot $selfDot should be ~1e12 (unit norm on the micros grid)")
+  }
+
+  test("isqrt is the exact floor square root (boundary values, both sides of every square)") {
+    val cases = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 24L, 25L,
+      999999L, 1000000L, 1000001L, (1L << 52) - 1, 1L << 52, (1L << 52) + 1,
+      Long.MaxValue, Long.MaxValue - 1)
+    cases.foreach { n =>
+      val s = UnitMicros.isqrt(n)
+      assert(s >= 0L && s <= n / math.max(s, 1L),
+        s"isqrt($n)=$s: s² must be ≤ n")
+      assert(n / (s + 1L) < s + 1L, s"isqrt($n)=$s: (s+1)² must be > n")
+    }
+    // perfect squares land exactly
+    Seq(3L, 1000L, 3037000498L).foreach { r =>
+      assert(UnitMicros.isqrt(r * r) == r)
+      assert(UnitMicros.isqrt(r * r - 1) == r - 1)
+    }
   }
 
   test("a NaN or infinite component → NULL, never a silently-zeroed micros entry") {
