@@ -89,28 +89,8 @@ case class UnitMicros(child: Expression)
       if (a.isNullAt(i)) return null
       i += 1
     }
-    val xs = a.toDoubleArray()
-    val m = new Array[Long](n)
-    var nsq = 0L
-    i = 0
-    while (i < n) {
-      if (java.lang.Double.isNaN(xs(i)) || java.lang.Double.isInfinite(xs(i)))
-        return null
-      m(i) = Math.floor(xs(i) * 1.0e6 + 0.5).toLong
-      nsq = Math.addExact(nsq, Math.multiplyExact(m(i), m(i)))
-      i += 1
-    }
-    val u = new Array[Long](n)
-    if (nsq != 0L) {
-      val isq = UnitMicros.isqrt(nsq)
-      i = 0
-      while (i < n) {
-        val q = Math.multiplyExact(Math.abs(m(i)), 1000000L) / isq
-        u(i) = if (m(i) < 0L) -q else q
-        i += 1
-      }
-    }
-    UnsafeArrayData.fromPrimitiveArray(u)
+    val u = UnitMicros.project(a.toDoubleArray())
+    if (u == null) null else UnsafeArrayData.fromPrimitiveArray(u)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -164,6 +144,39 @@ case class UnitMicros(child: Expression)
 }
 
 object UnitMicros {
+  /** The expression's exact scalar form on a plain double array — ALSO
+    * the formula per-partition kernels replicate
+    * ([[graft.operators.Dedup.embeddingNearDupPairs]]'s pair tiles), kept
+    * here so a Scala-side replication can never drift from the Catalyst
+    * path (the interpreted eval calls this directly; the codegen inlines
+    * the identical steps, spec-pinned against it). Returns null for a
+    * NaN/Infinity component — the expression's NULL contract.
+    */
+  def project(xs: Array[Double]): Array[Long] = {
+    val n = xs.length
+    val m = new Array[Long](n)
+    var nsq = 0L
+    var i = 0
+    while (i < n) {
+      if (java.lang.Double.isNaN(xs(i)) || java.lang.Double.isInfinite(xs(i)))
+        return null
+      m(i) = Math.floor(xs(i) * 1.0e6 + 0.5).toLong
+      nsq = Math.addExact(nsq, Math.multiplyExact(m(i), m(i)))
+      i += 1
+    }
+    val u = new Array[Long](n)
+    if (nsq != 0L) {
+      val isq = isqrt(nsq)
+      i = 0
+      while (i < n) {
+        val q = Math.multiplyExact(Math.abs(m(i)), 1000000L) / isq
+        u(i) = if (m(i) < 0L) -q else q
+        i += 1
+      }
+    }
+    u
+  }
+
   /** Exact floor integer square root. The double `sqrt` is only a SEED:
     * the two correction loops compare in pure long arithmetic
     * (`x² ≤ n ⟺ x ≤ n div x` for positive `x` — division-form, so no

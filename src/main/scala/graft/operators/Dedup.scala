@@ -108,13 +108,17 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // the THRESHOLD is pure integer (inter·1e6 ≥ ppm·union — no float
+    // compare decides membership; the s26 convention applied to sets);
+    // `jaccard` stays the 6-dp display quotient of the survivors
     inter
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("ca.n_sh") + col("cb.n_sh") - col("inter")).as("_uni"))
+      .filter(col("inter") * 1000000L >= lit(Math.round(minJaccard * 1e6)) * col("_uni"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("ca.n_sh") + col("cb.n_sh") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+        round(col("inter").cast("double") / col("_uni"), 6).as("jaccard"))
   }
 
   /** PPJoin-style prefix-filtered Jaccard pairs (Xiao et al., "Efficient
@@ -175,15 +179,19 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verify over the candidates' FULL shingle sets
+    // integer threshold, identical to [[ngramJaccardPairs]]' — the two
+    // tiers must stay bit-identical (d19's losslessness claim is "same
+    // pairs as the exact formulation", so the deciding predicate is the
+    // SAME integer cross-multiplication, never a separately-rounded float)
     cand
       .join(base.as("fa"), col("doc_a") === col("fa.doc_id"))
       .join(base.as("fb"), col("doc_b") === col("fb.doc_id"))
       .withColumn("inter", size(array_intersect(col("fa.sh"), col("fb.sh"))))
+      .withColumn("_uni",
+        size(col("fa.sh")) + size(col("fb.sh")) - col("inter"))
+      .filter(col("inter") * 1000000L >= lit(minJaccardPpm) * col("_uni"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (size(col("fa.sh")) + size(col("fb.sh")) - col("inter")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJaccardPpm.toDouble / 1e6)
+        round(col("inter").cast("double") / col("_uni"), 6).as("jaccard"))
   }
 
   /** Exact shingle-set containment pairs — the ASYMMETRIC near-dup
@@ -780,10 +788,12 @@ object Dedup {
     candidates
       .join(shs.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("_int", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .withColumn("_uni", size(array_union(col("sa.sh"), col("sb.sh"))))
+      // integer verify threshold (the ngramJaccardPairs convention)
+      .filter(col("_int") * 1000000L >= lit(Math.round(minJaccard * 1e6)) * col("_uni"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          size(array_union(col("sa.sh"), col("sb.sh"))), 6).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+        round(col("_int").cast("double") / col("_uni"), 6).as("jaccard"))
   }
 
   /** Duplicate-cluster assignment from near-dup pairs: connected
@@ -1115,39 +1125,44 @@ object Dedup {
         collect_list(when(col("blk") <= col("p"), col("r"))).as("_3"),
         collect_list(when(col("blk") > col("p"), col("r"))).as("_4"))
       .as[(Int, Int, Array[(Long, Array[Float])], Array[(Long, Array[Float])])]
+    // pair MEMBERSHIP decides on the exact integer unit-micros dot grid
+    // (the s26 convention — [[graft.functions.UnitMicros.project]], the
+    // same formula the Catalyst expression runs, shared so the kernel
+    // can't drift); the emitted `cos` is the 6-dp display rounding of the
+    // float cosine, computed only for survivors
+    val minUDot = Similarity.cosineMicros2(minCosine)
     tiles.flatMap { case (ba, bb, ra, rb) =>
-      def prep(rows: Array[(Long, Array[Float])]): Array[(Long, Array[Double], Double)] =
+      def prep(rows: Array[(Long, Array[Float])])
+          : Array[(Long, Array[Double], Double, Array[Long])] =
         rows.map { case (i, v) =>
           val d = v.map(_.toDouble)
           var n = 0.0; var j = 0
           while (j < d.length) { n += d(j) * d(j); j += 1 }
-          // fail loudly on zero/NaN norms: cosine is undefined and the NaN
-          // it produces would otherwise fail every >= test and silently
-          // drop the vector's pairs (corrupt embeddings must surface)
-          if (n == 0.0 || n.isNaN)
+          // fail loudly on zero/NaN/Inf norms: cosine is undefined (or the
+          // micros projection is NULL) and the comparison failures would
+          // otherwise silently drop the vector's pairs (corrupt embeddings
+          // must surface)
+          if (n == 0.0 || n.isNaN || n.isInfinite)
             throw new IllegalArgumentException(
-              s"embedding id=$i has ${if (n == 0.0) "zero" else "NaN"} norm — cosine undefined")
-          (i, d, math.sqrt(n))
+              s"embedding id=$i has ${if (n == 0.0) "zero" else "non-finite"} " +
+                "norm — cosine undefined")
+          (i, d, math.sqrt(n), graft.functions.UnitMicros.project(d))
         }
       val pa = prep(ra)
       val diagonal = ba == bb
       val pb = if (diagonal) pa else prep(rb)
       val out = Iterator.range(0, pa.length).flatMap { x =>
-        val (ia, da, sqa) = pa(x)
+        val (ia, da, sqa, ua) = pa(x)
         Iterator.range(if (diagonal) x + 1 else 0, pb.length).flatMap { y =>
-          val (ib, db, sqb) = pb(y)
-          var dot = 0.0; var k = 0
-          while (k < da.length) { dot += da(k) * db(k); k += 1 }
-          val raw = dot / (sqa * sqb)
-          // HALF_UP to 6 digits moves a value by < 1e-6, so anything below
-          // minCosine - 1e-6 cannot round across the threshold — skip the
-          // BigDecimal allocation for the overwhelming non-match majority
-          if (raw >= minCosine - 1e-6) {
-            val cos = BigDecimal(raw)
+          val (ib, db, sqb, ub) = pb(y)
+          var udot = 0L; var k = 0
+          while (k < ua.length) { udot += ua(k) * ub(k); k += 1 }
+          if (udot >= minUDot) {
+            var dot = 0.0; k = 0
+            while (k < da.length) { dot += da(k) * db(k); k += 1 }
+            val cos = BigDecimal(dot / (sqa * sqb))
               .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (cos >= minCosine)
-              Some(if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
-            else None
+            Some(if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
           } else None
         }
       }
@@ -1528,11 +1543,18 @@ object Dedup {
     // three consumers (both join sides + the anti-join probe): persist
     // the assignment or each branch re-runs the upstream pass
     val assigned = cached(assignment)
+    // the drop decision runs on the exact integer unit-micros dot grid
+    // ([[graft.operators.Similarity.unitDot]] — the s26 convention): a
+    // float cosine at the minCosine bar decides row MEMBERSHIP, the one
+    // comparison that must never hang on an engine's summation order.
+    // Each row's unit vector is computed once, before the pair join.
     val m = assigned.select(col("c_id"), col("vec_id"), col("v"))
+      .withColumn("_vu", Similarity.unitMicros(col("v")))
     val dropped = m.as("x")
       .join(m.as("y"),
         col("x.c_id") === col("y.c_id") && col("y.vec_id") < col("x.vec_id"))
-      .filter(round(Similarity.cosine(col("x.v"), col("y.v")), 6) >= minCosine)
+      .filter(Similarity.unitDot(col("x._vu"), col("y._vu")) >=
+        Similarity.cosineMicros2(minCosine))
       .select(col("x.vec_id").as("vec_id")).distinct()
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("c_id"))

@@ -49,22 +49,47 @@ object Similarity {
 
   /** Exact unit-micros projection of a float-vector column
     * ([[graft.functions.UnitMicros]]): integer micros, exact long
-    * `Σ m²`, then `floor(m/√nsq · 10⁶ + 0.5)` per component. The dot of
-    * two unit-micros vectors is a ~10¹²-scaled cosine computed in PURE
-    * INTEGER arithmetic — the grid every assignment-deciding comparison
-    * in this module ranks on, so no engine-dependent floating summation
-    * can ever flip an argmax (the round-6 boundary class that made the
-    * s26 fidelity eval's hash fragile across DuckDB builds; see the
-    * expression's scaladoc for the measured failure surface).
+    * `Σ m²`, exact integer `isqrt(nsq)`, then
+    * `sign(m)·((|m|·10⁶) div isqrt)` per component — integer end to
+    * end past the single rounded micros op. The dot of two unit-micros
+    * vectors is a ~10¹²-scaled cosine computed in PURE INTEGER
+    * arithmetic — the grid every assignment-deciding comparison in this
+    * module ranks on, so no engine-dependent floating summation (or
+    * float op-ordering freedom at all) can ever flip an argmax (the
+    * round-6 boundary class that made the s26 fidelity eval's hash
+    * fragile across DuckDB builds; see the expression's scaladoc for
+    * the measured failure surface).
     */
   def unitMicros(v: Column): Column =
     ColumnBridge.column(graft.functions.UnitMicros(
       ColumnBridge.expression(v.cast("array<double>"))))
 
+  /** The ~10¹²-scaled integer cosine of two [[unitMicros]] columns — the
+    * RANK/THRESHOLD score every result-deciding comparison in this module
+    * (and [[VectorIndex]]/[[Dedup.semanticKeepAssigned]]) runs on. The
+    * emitted `cos` columns stay `round(cosine, 6)` doubles for display,
+    * but no ORDER BY or WHERE that decides OUTPUT ROWS compares floats:
+    * a float cosine is an order-sensitive sum that lands within an ulp
+    * of a rounding boundary on different sides across engines (the s26
+    * lesson, measured), where this fold is exact long arithmetic on
+    * engine-reproducible integer vectors.
+    */
+  private[operators] def unitDot(au: Column, bu: Column): Column =
+    dotNative(au, bu)
+
+  /** A cosine threshold on the unit-micros dot grid: `cos ≥ c` becomes
+    * `unitDot ≥ cosineMicros2(c)`. Half-up at the pm² grid (irrelevant
+    * in practice — callers pass 6-dp-scale constants).
+    */
+  private[operators] def cosineMicros2(c: Double): Long =
+    Math.round(c * 1e12)
+
   /** Exact top-k by cosine for each query vector. Queries are broadcast
-    * (they're small by construction); rank is deterministic: cosine is
-    * rounded to 6 digits before ordering and ties break on ascending base
-    * id, so Spark and the oracle agree bit-for-bit.
+    * (they're small by construction); rank is deterministic: the order
+    * runs on the exact integer [[unitDot]] (each side's unit-micros
+    * vector computed ONCE before the join) with ties on ascending base
+    * id, so Spark and the oracle agree bit-for-bit; `cos` is the 6-dp
+    * display rescore of the survivors.
     */
   def bruteForceTopK(
       base: DataFrame,
@@ -73,15 +98,17 @@ object Similarity {
       vec: Column,
       k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = base.select(id.as("vec_id"), vec.as("v"))
-    val q = queries.select(id.as("q_id"), vec.as("qv"))
+    val b = base.select(id.as("vec_id"), vec.as("v"), unitMicros(vec).as("_vu"))
+    val q = queries.select(id.as("q_id"), vec.as("qv"), unitMicros(vec).as("_qu"))
     val scored = b.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosine(col("qv"), col("v")), 6).as("cos"),
+        unitDot(col("_qu"), col("_vu")).as("_ud"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+      .orderBy(col("_ud").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
+      .drop("_ud")
   }
 
   /** MMR-diversified top-k (Carbonell & Goldstein): re-rank each query's
@@ -231,19 +258,20 @@ object Similarity {
       bits: Int = 4,
       maxDim: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def bucketed(df: DataFrame, idName: String, vName: String) =
-      df.select(col(idName), col(vName),
+    def bucketed(df: DataFrame, idName: String, vName: String, uName: String) =
+      df.select(col(idName), col(vName), unitMicros(col(vName)).as(uName),
           posexplode(bucketIds(col(vName), tables, bits, maxDim)).as(Seq("tbl", "bucket")))
-    val bb = bucketed(base.select(id.as("vec_id"), vec.as("v")), "vec_id", "v")
-    val qb = bucketed(queries.select(id.as("q_id"), vec.as("qv")), "q_id", "qv")
+    val bb = bucketed(base.select(id.as("vec_id"), vec.as("v")), "vec_id", "v", "_vu")
+    val qb = bucketed(queries.select(id.as("q_id"), vec.as("qv")), "q_id", "qv", "_qu")
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+      .orderBy(col("_ud").desc, col("vec_id").asc)
     bb.as("a")
       .join(qb.hint("broadcast").as("qq"),
         col("a.tbl") === col("qq.tbl") && col("a.bucket") === col("qq.bucket") &&
           col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosine(col("qv"), col("v")), 6).as("cos"),
+        unitDot(col("_qu"), col("_vu")).as("_ud"))
       // duplicate copies of a pair (one per colliding table) are identical
       // and adjacent under the window order; dense_rank = rank among
       // distinct pairs, lag keeps only each pair's first copy — both run in
@@ -251,7 +279,7 @@ object Similarity {
       .withColumn("rn", dense_rank().over(w).cast("long"))
       .withColumn("_dup", lag(col("vec_id"), 1).over(w) === col("vec_id"))
       .filter(col("rn") <= k && !coalesce(col("_dup"), lit(false)))
-      .drop("_dup")
+      .drop("_dup", "_ud")
   }
 
   /** Multi-probe LSH ANN: like [[lshTopK]], but each query probes its own
@@ -284,31 +312,32 @@ object Similarity {
       bits: Int = 4,
       maxDim: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bb = base.select(id.as("vec_id"), vec.as("v"),
+    val bb = base.select(id.as("vec_id"), vec.as("v"), unitMicros(vec).as("_vu"),
       posexplode(bucketIds(vec, tables, bits, maxDim)).as(Seq("tbl", "bucket")))
     // query side: own bucket + the `bits` Hamming-1 flips, exploded —
     // queries × tables × (bits+1) rows, still broadcast-sized
     val probeSet = (c: Column) => array(c +: (0 until bits).map(j =>
       c.bitwiseXOR(lit(1L << j))): _*)
-    val qb = queries.select(id.as("q_id"), vec.as("qv"),
+    val qb = queries.select(id.as("q_id"), vec.as("qv"), unitMicros(vec).as("_qu"),
         posexplode(bucketIds(vec, tables, bits, maxDim)).as(Seq("tbl", "qbucket")))
-      .select(col("q_id"), col("qv"), col("tbl"),
+      .select(col("q_id"), col("qv"), col("_qu"), col("tbl"),
         explode(probeSet(col("qbucket"))).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+      .orderBy(col("_ud").desc, col("vec_id").asc)
     bb.as("a")
       .join(qb.hint("broadcast").as("qq"),
         col("a.tbl") === col("qq.tbl") && col("a.bucket") === col("qq.bucket") &&
           col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosine(col("qv"), col("v")), 6).as("cos"),
+        unitDot(col("_qu"), col("_vu")).as("_ud"))
       // same in-window dedup as lshTopK: copies of a pair (several probe
       // hits) are adjacent under the order; dense_rank + lag drop them
       // without an extra shuffle
       .withColumn("rn", dense_rank().over(w).cast("long"))
       .withColumn("_dup", lag(col("vec_id"), 1).over(w) === col("vec_id"))
       .filter(col("rn") <= k && !coalesce(col("_dup"), lit(false)))
-      .drop("_dup")
+      .drop("_dup", "_ud")
   }
 
   /** L2 norm of a float-array column, in double (left-to-right
@@ -411,6 +440,19 @@ object Similarity {
       dotNative(vd, lit(Array.tabulate(dim)(d => rpWeight(j, d))))): _*)
   }
 
+  /** [[unitMicros]] of an UNNORMALIZED projected vector whose components
+    * reach ~dim·2¹⁵ (a raw [[randomProject]] output — micros of that
+    * would overflow the Σm² long): an EXACT power-of-two pre-scale
+    * (÷2²², a pure exponent shift, NO rounding — the scaled doubles are
+    * bit-identical functions of the inputs in any engine) brings
+    * components under the grid's headroom before the expression's single
+    * rounded entry op. Cosine is scale-invariant and the grid
+    * normalizes, so the ranking is the projected-space cosine up to
+    * quantization.
+    */
+  private def unitMicrosScaled(v: Column): Column =
+    unitMicros(transform(v, x => x / lit(4194304.0d)))
+
   /** Random-projection ANN (Johnson–Lindenstrauss): base and queries are
     * projected to `targetDim` dims ([[randomProject]] — one narrow
     * codegen'd map, no shuffle), candidates rank by projected cosine, and
@@ -431,9 +473,10 @@ object Similarity {
     * for `pool·|queries|` survivor rows, never shuffled through the
     * ranking.
     *
-    * Output `(q_id, vec_id, pcos, cos, rn)`: rank is by exact cosine of
-    * the survivors (ties ascending id); `pcos` is the projected-space
-    * cosine that chose them.
+    * Output `(q_id, vec_id, pcos, cos, rn)`: the pool cut ranks on the
+    * projected-space [[unitDot]] (via [[unitMicrosScaled]]) and the final
+    * rank on the full-dimension [[unitDot]] (ties ascending id); `pcos`
+    * and `cos` are the 6-dp display cosines of those two spaces.
     */
   def rpTopK(
       base: DataFrame,
@@ -445,28 +488,35 @@ object Similarity {
       dim: Int = 64,
       pool: Int = 150): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def projected(df: DataFrame, idName: String, p: String) =
+    def projected(df: DataFrame, idName: String, p: String, u: String) =
       df.select(id.as(idName), randomProject(vec, targetDim, dim).as(p))
-    val pb = projected(base, "vec_id", "pv")
-    val pq = projected(queries, "q_id", "pq")
+        .withColumn(u, unitMicrosScaled(col(p)))
+    val pb = projected(base, "vec_id", "pv", "_pvu")
+    val pq = projected(queries, "q_id", "pq", "_pqu")
     val wEst = Window.partitionBy(col("q_id"))
-      .orderBy(col("pcos").desc, col("vec_id").asc)
+      .orderBy(col("_pud").desc, col("vec_id").asc)
     val wCos = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+      .orderBy(col("_ud").desc, col("vec_id").asc)
     val top = pb.join(broadcast(pq), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("pq"), col("pv")), 6).as("pcos"))
+        round(cosine(col("pq"), col("pv")), 6).as("pcos"),
+        unitDot(col("_pqu"), col("_pvu")).as("_pud"))
       .withColumn("ern", row_number().over(wEst))
       .filter(col("ern") <= pool)
     // pool·|queries| survivors by construction — broadcast them against
     // the base so the exact rescore never shuffles the full vectors
     broadcast(top)
-      .join(base.select(id.as("vec_id"), vec.as("v")), "vec_id")
-      .join(broadcast(queries.select(id.as("q_id"), vec.as("qv"))), "q_id")
+      .join(base.select(id.as("vec_id"), vec.as("v"), unitMicros(vec).as("_vu")),
+        "vec_id")
+      .join(broadcast(
+        queries.select(id.as("q_id"), vec.as("qv"), unitMicros(vec).as("_qu"))),
+        "q_id")
       .select(col("q_id"), col("vec_id"), col("pcos"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosine(col("qv"), col("v")), 6).as("cos"),
+        unitDot(col("_qu"), col("_vu")).as("_ud"))
       .withColumn("rn", row_number().over(wCos).cast("long"))
       .filter(col("rn") <= k)
+      .drop("_ud")
   }
 
   /** IVF ANN: coarse centroids are the base vectors whose id ≡ 0 (mod
@@ -733,17 +783,21 @@ object Similarity {
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = ivfCentroids(b, centroidStride, maxCentroids)
     val listed = ivfAssignHierarchical(base, id, vec, cents, superStride, sProbe)
+      .withColumn("_vu", unitMicros(col("v")))
     val probed = ivfAssignHierarchical(queries, id, vec, cents, superStride,
         sProbe, keep = nProbe)
       .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("_qu", unitMicros(col("qv")))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+      .orderBy(col("_ud").desc, col("vec_id").asc)
     listed.join(probed, Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosine(col("qv"), col("v")), 6).as("cos"),
+        unitDot(col("_qu"), col("_vu")).as("_ud"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
+      .drop("_ud")
   }
 
   /** Flat product-quantization ANN (Jégou et al., "Product quantization
@@ -808,15 +862,17 @@ object Similarity {
         element_at(col("codes"), s + 1) + s * numCodes + 1))
       .reduce(_ + _)
     val wEst = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id").asc)
-    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("_ud").desc, col("vec_id").asc)
     b.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("v"), col("qv"), est.as("est"))
       .withColumn("ern", row_number().over(wEst))
       .filter(col("ern") <= pool)
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosine(col("qv"), col("v")), 6).as("cos"),
+        unitDot(unitMicros(col("qv")), unitMicros(col("v"))).as("_ud"))
       .withColumn("rn", row_number().over(wCos).cast("long"))
       .filter(col("rn") <= k)
+      .drop("_ud")
   }
 
   /** Deterministic stride-picked PQ codebook from `src`: code `j` of
@@ -933,7 +989,7 @@ object Similarity {
         element_at(col("codes"), s + 1) + s * numCodes + 1))
       .reduce(_ + _)
     val wEst = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id").asc)
-    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("_ud").desc, col("vec_id").asc)
     // each base row lives in exactly ONE list, so a (query, candidate)
     // pair appears at most once — no dedup needed before the pool rank
     listed.join(probed, Seq("c_id"))
@@ -942,9 +998,11 @@ object Similarity {
       .withColumn("ern", row_number().over(wEst))
       .filter(col("ern") <= effPool)
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosine(col("qv"), col("v")), 6).as("cos"),
+        unitDot(unitMicros(col("qv")), unitMicros(col("v"))).as("_ud"))
       .withColumn("rn", row_number().over(wCos).cast("long"))
       .filter(col("rn") <= k)
+      .drop("_ud")
   }
 
   /** `centroids`: optional trained coarse quantizer `(c_id, cv)` — e.g.
@@ -979,16 +1037,20 @@ object Similarity {
       .map(_.select(col("c_id"), col("cv")))
       .getOrElse(ivfCentroids(b, centroidStride, maxCentroids))
     val listed = ivfAssignTo(cents, b, "v", "vec_id", 1)
+      .withColumn("_vu", unitMicros(col("v")))
     val probed = ivfAssignTo(
       cents, queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)
+      .withColumn("_qu", unitMicros(col("qv")))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+      .orderBy(col("_ud").desc, col("vec_id").asc)
     listed.join(probed, Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosine(col("qv"), col("v")), 6).as("cos"),
+        unitDot(col("_qu"), col("_vu")).as("_ud"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
+      .drop("_ud")
   }
 
   /** Recall@k of an approximate ranking against the exact one — the eval

@@ -89,6 +89,26 @@ object VectorIndex {
     */
   private val OkMarker = "_GRAFT_IVF_STORE_OK"
 
+  /** Internal routing columns, named in ONE place so the write path
+    * ([[routeToLists]]'s `_f`) and compaction ([[compactIvfIndex]]'s
+    * `_bin`) can never drift from the payload-name validation: a payload
+    * column shadowing either would be silently replaced-and-dropped by
+    * the corresponding `withColumn(...).drop(...)` rewrite, removing it
+    * from every rewritten row.
+    */
+  private val BuildRouteCol = "_f"
+  private val CompactRouteCol = "_bin"
+
+  /** Every column name the store or its probe plans introduce — a payload
+    * column colliding with any of these must be rejected at BUILD time
+    * (a payload named `q_id` would make every probe die on an ambiguous
+    * column; `_f`/`_bin` would be clobbered by write/compaction routing;
+    * `_vu`/`_qu`/`_ud` by the probe's unit-micros rank columns).
+    */
+  private val ReservedNames = Set("vec_id", "v", "c_id", "codes",
+    BuildRouteCol, CompactRouteCol,
+    "q_id", "qv", "cos", "rn", "lut", "est", "ern", "_vu", "_qu", "_ud")
+
   private def hadoopConf() =
     SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
@@ -171,11 +191,25 @@ object VectorIndex {
     * ([[ensureIvfIndex]] and callers managing their own build): a
     * complete store of an older generation must be REBUILT, where a
     * probe/append of one must FAIL (they do — loudly, on the meta's
-    * recorded generation).
+    * recorded generation). A marker-complete store whose `meta/` cannot
+    * be read (truncated/damaged by hand — the marker protocol can't have
+    * produced it) is NOT servable rather than an error: the gate's
+    * callers want "rebuild", not a crash pointing away from the cause.
+    *
+    * `payload`: when given, the store must ALSO have been built with
+    * exactly these inline payload column names — a servable-looking
+    * store missing a requested payload column would make the caller's
+    * filtered probe die on an unresolved column far from the cause
+    * (meta records the names precisely so this drift is detectable
+    * here, at ensure time).
     */
-  def isServable(spark: SparkSession, path: String): Boolean =
-    isComplete(path) &&
-      readMeta(spark, path, requireCurrent = false).version == FormatVersion
+  def isServable(spark: SparkSession, path: String,
+      payload: Seq[String] = Nil): Boolean =
+    isComplete(path) && scala.util.Try(readMeta(spark, path,
+        requireCurrent = false))
+      .toOption
+      .exists(m => m.version == FormatVersion &&
+        (payload.isEmpty || m.payload == payload))
 
   /** Write the IVF index of `base` at `path`: inverted lists partitioned
     * by `c_id` (+ PQ codes when `pq`), the centroid model, and the config.
@@ -212,6 +246,10 @@ object VectorIndex {
     * columns are column-pruned out of their scans. Costs one co-keyed
     * join on `vec_id` at build time; the column NAMES are recorded in
     * `meta/` so appends select the same columns from every increment.
+    * PRECONDITION: `id` must be unique in `base` — the payload join is
+    * an inner join of two projections of `base` on `vec_id`, so a
+    * duplicated id that would merely duplicate list rows without payload
+    * SQUARES its stored rows with payload (dup × dup join fan-out).
     *
     * `filesPerList` bounds the file count per `c_id=` directory: rows
     * are routed by a deterministic `xxhash64(vec_id) % filesPerList`
@@ -221,9 +259,19 @@ object VectorIndex {
     * `tasks × lists` drizzle files (81,920 at the 100× gate: ~20 s of
     * file-open tax on the build's own read-back, and per-file open cost
     * on every probe thereafter). One extra corpus exchange buys
-    * `≤ lists × filesPerList` right-sized files; deployments size
-    * `filesPerList` so a file ≈ one HDFS block / row-group, and writer
-    * parallelism = `lists × filesPerList` tasks.
+    * `≤ lists × filesPerList` right-sized files; writer parallelism =
+    * `lists × filesPerList` tasks.
+    *
+    * The DEFAULT (`filesPerList = 0`) AUTO-SIZES from the data: per-list
+    * bytes ≈ input size (Catalyst's file-index estimate) / list count,
+    * routed to `ceil(listBytes / targetFileBytes)` splits — so a file ≈
+    * one HDFS block / row-group at ANY corpus size. A fixed 1 was the
+    * 100 TB failure mode in the other direction from drizzle: ~400 GB
+    * single files per list and writer parallelism collapsed to ≤ `lists`
+    * tasks. Sources without a real size estimate (estimate ≥ the
+    * session's `defaultSizeInBytes` sentinel) fall back to 1, and the
+    * result is clamped to [1, 4096] (4096 ≈ a 512 GB list at the 128 MB
+    * default target — past that, raise `targetFileBytes` deliberately).
     */
   def writeIvfIndex(
       base: DataFrame,
@@ -241,7 +289,8 @@ object VectorIndex {
       codeStride: Int = 16,
       centroids: Option[DataFrame] = None,
       payload: Seq[Column] = Nil,
-      filesPerList: Int = 1): Unit = {
+      filesPerList: Int = 0,
+      targetFileBytes: Long = 128L << 20): Unit = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = base.sparkSession
     // payload validation FIRST: a name collision must fail before any
@@ -252,13 +301,15 @@ object VectorIndex {
     // column); commas would mis-split meta's recorded name list.
     val pay = base.select((id.as("vec_id") +: payload): _*)
     val payNames = pay.columns.toSeq.drop(1)
-    val reserved = Set("vec_id", "v", "c_id", "codes", "_f",
-      "q_id", "qv", "cos", "rn", "lut", "est", "ern")
+    val reserved = ReservedNames
     val bad = payNames.filter(n => reserved(n) || n.contains(","))
     require(bad.isEmpty,
       s"payload column names reserved by the store or its probes (or " +
         s"containing ','): ${bad.mkString(", ")}")
-    require(filesPerList > 0, s"filesPerList must be positive, got $filesPerList")
+    require(filesPerList >= 0,
+      s"filesPerList must be positive (or 0 = auto), got $filesPerList")
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
     // invalidate BEFORE any artifact is touched: a rebuild of an existing
     // complete store overwrites the codebook eagerly below, and a
     // concurrent probe in that window must fail loudly on the missing
@@ -267,6 +318,12 @@ object VectorIndex {
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = centroids.map(_.select(col("c_id"), col("cv")))
       .getOrElse(Similarity.ivfCentroids(b, centroidStride, maxCentroids))
+    // one config-sized count job, and only when a split could happen
+    // (explicit filesPerList = 1 never forces it)
+    lazy val nLists = cents.count()
+    val fpl =
+      if (filesPerList > 0) filesPerList
+      else autoFilesPerList(base, nLists, targetFileBytes)
     val listed =
       if (hierarchical)
         Similarity.ivfAssignHierarchical(base, id, vec, cents, superStride, sProbe)
@@ -290,7 +347,7 @@ object VectorIndex {
         listed.withColumn("codes", enc)
       }
     val stored = if (payload.isEmpty) rows else rows.join(pay, Seq("vec_id"))
-    routeToLists(stored, filesPerList)
+    routeToLists(stored, fpl, if (fpl > 1) nLists else 1L)
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/lists")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeMeta(spark, path, Meta(hierarchical, superStride, sProbe, pq,
@@ -298,16 +355,55 @@ object VectorIndex {
     putMarker(path)
   }
 
+  /** filesPerList derived from DATA (see [[writeIvfIndex]]'s scaladoc):
+    * `ceil((inputBytes / lists) / targetFileBytes)`, where `inputBytes`
+    * is Catalyst's plan-stats estimate — for file sources this is the
+    * FileIndex's real byte count (metadata, no data pass). An estimate at
+    * or above the session's `defaultSizeInBytes` sentinel means the
+    * source has no real size (in-memory test frames) → fall back to 1
+    * file per list rather than trusting an 8 EB placeholder. Clamped to
+    * [1, 4096].
+    */
+  private def autoFilesPerList(
+      base: DataFrame, nLists: Long, targetFileBytes: Long): Int = {
+    val stats = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    val unknown = BigInt(
+      base.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (stats >= unknown || stats <= 0) 1
+    else {
+      val perList = stats / BigInt(math.max(nLists, 1L))
+      val files = (perList + targetFileBytes - 1) / targetFileBytes
+      files.max(1).min(4096).toInt
+    }
+  }
+
   /** Co-partition rows with their target list (plus a deterministic
     * `xxhash64(vec_id) % filesPerList` sub-split), so the partitionBy
     * writer emits `≤ filesPerList` files per `c_id=` directory instead
     * of one per upstream task per list. Row content is untouched —
     * routing only decides WHICH file a row lands in.
+    *
+    * At `filesPerList = 1` the exchange keys on `c_id` alone (each list
+    * lands wholly in one task — exactly one file, under any AQE
+    * coalescing). At > 1 the partition COUNT is pinned to
+    * `lists × filesPerList` (the intended writer parallelism): an
+    * adaptive exchange would COALESCE the small sub-splits back into
+    * shared tasks — same-list splits in one task merge into one file —
+    * and silently undo the sizing (measured: a 76-way split wrote 1 file
+    * per list under AQE before the pin). Capped at 65536 tasks; past
+    * that a task holds several sub-splits and files grow past
+    * `targetFileBytes` proportionally — still bounded, never drizzle.
     */
-  private def routeToLists(rows: DataFrame, filesPerList: Int): DataFrame =
-    rows.withColumn("_f", pmod(xxhash64(col("vec_id")), lit(filesPerList.toLong)))
-      .repartition(col("c_id"), col("_f"))
-      .drop("_f")
+  private def routeToLists(
+      rows: DataFrame, filesPerList: Int, nLists: Long): DataFrame =
+    if (filesPerList <= 1) rows.repartition(col("c_id"))
+    else {
+      val parts = math.min(math.max(nLists, 1L) * filesPerList, 65536L).toInt
+      rows.withColumn(BuildRouteCol,
+          pmod(xxhash64(col("vec_id")), lit(filesPerList.toLong)))
+        .repartition(parts, col("c_id"), col(BuildRouteCol))
+        .drop(BuildRouteCol)
+    }
 
   /** [[writeIvfIndex]] only when `path` has no completed store — the
     * serving pattern (build once, probe many); callers that must refresh
@@ -328,14 +424,24 @@ object VectorIndex {
       numCodes: Int = 16,
       codeStride: Int = 16,
       payload: Seq[Column] = Nil,
-      filesPerList: Int = 1): Unit =
-    if (!isServable(base.sparkSession, path))
+      filesPerList: Int = 0,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    // resolve the requested payload NAMES the same way the build records
+    // them, so a servable store built without (or with different) payload
+    // columns is rebuilt here instead of failing the caller's filtered
+    // probe on an unresolved column
+    val payNames =
+      if (payload.isEmpty) Nil
+      else base.select((id.as("vec_id") +: payload): _*).columns.toSeq.drop(1)
+    if (!isServable(base.sparkSession, path, payNames))
       writeIvfIndex(base, id, vec, path, centroidStride, maxCentroids,
         hierarchical, superStride, sProbe, pq, numSubspaces, numCodes,
-        codeStride, payload = payload, filesPerList = filesPerList)
+        codeStride, payload = payload, filesPerList = filesPerList,
+        targetFileBytes = targetFileBytes)
     // callers with a TRAINED model check isServable themselves before
     // training (the model derivation may run eager jobs — an ensure that
     // trains just to discard the result would defeat its own point)
+  }
 
   /** Assign `increment` against the STORED centroids (and, for a
     * hierarchical store, the same super-geometry — both re-derived from
@@ -351,7 +457,8 @@ object VectorIndex {
       id: Column,
       vec: Column,
       path: String,
-      filesPerList: Int = 1): Unit = {
+      filesPerList: Int = 0,
+      targetFileBytes: Long = 128L << 20): Unit = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = increment.sparkSession
     require(isComplete(path), s"no completed IVF store at $path — build with " +
@@ -380,12 +487,21 @@ object VectorIndex {
       else rows.join(
         increment.select((id.as("vec_id") +: meta.payload.map(col)): _*),
         Seq("vec_id"))
-    require(filesPerList > 0, s"filesPerList must be positive, got $filesPerList")
+    require(filesPerList >= 0,
+      s"filesPerList must be positive (or 0 = auto), got $filesPerList")
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
     // same routing as the build: an append adds ≤ filesPerList files per
     // TOUCHED list per batch (not one per upstream task per list), which
     // is what keeps compaction an occasional maintenance job instead of
-    // a per-batch necessity
-    routeToLists(stored, filesPerList)
+    // a per-batch necessity. Auto-sizing uses the INCREMENT's bytes over
+    // the STORE's list count: a small batch routes to 1 file per touched
+    // list, a bulk backfill gets block-sized files like a build would.
+    lazy val nLists = cents.count()
+    val fpl =
+      if (filesPerList > 0) filesPerList
+      else autoFilesPerList(increment, nLists, targetFileBytes)
+    routeToLists(stored, fpl, if (fpl > 1) nLists else 1L)
       .write.mode("append").partitionBy("c_id").parquet(s"$path/lists")
   }
 
@@ -474,14 +590,21 @@ object VectorIndex {
     val meta = readMeta(spark, path)
     val (probed, ids) = probedLists(spark, path, meta, queries, id, vec, nProbe)
     val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
+    // rank on the exact integer unit-micros dot (the s26 convention —
+    // each side's unit vector computed once, store-side per candidate
+    // row, query-side on the config-sized broadcast); `cos` is display
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    lists.join(broadcast(probed), Seq("c_id"))
+      .orderBy(col("_ud").desc, col("vec_id").asc)
+    lists.withColumn("_vu", Similarity.unitMicros(col("v")))
+      .join(broadcast(probed.withColumn("_qu", Similarity.unitMicros(col("qv")))),
+        Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"))
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"),
+        Similarity.unitDot(col("_qu"), col("_vu")).as("_ud"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
+      .drop("_ud")
   }
 
   /** Radius (range) search against a persisted store: every candidate in
@@ -495,9 +618,12 @@ object VectorIndex {
     * top-k's one `k·|queries|`-bounded rank exchange disappears and the
     * store side flows scan→filter→join→project with no shuffle (the only
     * remaining exchanges are the config-sized query-assignment's own).
-    * Output `(q_id, vec_id, cos)`, the cosine
-    * rounded to 6 digits exactly as the top-k tiers emit it; result size
-    * is data-dependent by definition — callers bound it with `minCosine`
+    * Membership decides on the exact integer unit-micros dot grid
+    * (`minCosine` scaled to the ~10¹² grid — see
+    * [[Similarity.cosineMicros2]]), never on a float boundary; output is
+    * `(q_id, vec_id, cos)` with the cosine rounded to 6 digits for
+    * display exactly as the top-k tiers emit it. Result size is
+    * data-dependent by definition — callers bound it with `minCosine`
     * (and `nProbe`), not `k`. APPROXIMATE like every IVF probe: a
     * neighbor above the bar whose list is unprobed is missed — recall
     * rides the same nProbe knob the top-k tiers measure.
@@ -515,11 +641,18 @@ object VectorIndex {
     val meta = readMeta(spark, path)
     val (probed, ids) = probedLists(spark, path, meta, queries, id, vec, nProbe)
     val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
-    lists.join(broadcast(probed), Seq("c_id"))
+    // row MEMBERSHIP decides on the exact integer unit-micros dot grid
+    // (`udot ≥ minCosine·10¹²` — the one comparison a float boundary must
+    // never own: a candidate AT the bar would flip rows_match across
+    // engines, not just a hash); `cos` stays the 6-dp display column
+    lists.withColumn("_vu", Similarity.unitMicros(col("v")))
+      .join(broadcast(probed.withColumn("_qu", Similarity.unitMicros(col("qv")))),
+        Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
+      .filter(Similarity.unitDot(col("_qu"), col("_vu")) >=
+        Similarity.cosineMicros2(minCosine))
       .select(col("q_id"), col("vec_id"),
         round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"))
-      .filter(col("cos") >= minCosine)
   }
 
   /** File manifest of the store's inverted lists, one row per data file:
@@ -588,10 +721,11 @@ object VectorIndex {
       val rows = prunedLists(spark, path, ids)
       val binsOf = typedLit(needy)
       val rewrite = rows
-        .withColumn("_bin",
+        .withColumn(CompactRouteCol,
           pmod(xxhash64(col("vec_id")), element_at(binsOf, col("c_id"))))
-        .repartition(math.max(needy.values.sum, 1), col("c_id"), col("_bin"))
-        .drop("_bin")
+        .repartition(math.max(needy.values.sum, 1), col("c_id"),
+          col(CompactRouteCol))
+        .drop(CompactRouteCol)
       val conf = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       dropMarker(path)
       try {
@@ -710,7 +844,7 @@ object VectorIndex {
     val wEst = Window.partitionBy(col("q_id"))
       .orderBy(col("est").asc, col("vec_id").asc)
     val wCos = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+      .orderBy(col("_ud").desc, col("vec_id").asc)
     // candidate scan: codes only — the store's vectors are not read here
     val poolRows = lists.select(col("c_id"), col("vec_id"), col("codes"))
       .join(broadcast(probedLut), Seq("c_id"))
@@ -723,13 +857,16 @@ object VectorIndex {
     // pruned partitions — full vectors are read only for survivors
     // (pool rows already satisfy `where`; re-filtering here would only
     // drag the predicate's payload columns into the vector scan)
-    val qv = queries.select(id.as("q_id"), vec.as("qv"))
+    val qv = queries.select(id.as("q_id"), vec.as("qv"),
+      Similarity.unitMicros(vec).as("_qu"))
     all.select(col("vec_id"), col("v"))
       .join(broadcast(poolRows), Seq("vec_id"))
       .join(broadcast(qv), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"))
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"),
+        Similarity.unitDot(col("_qu"), Similarity.unitMicros(col("v"))).as("_ud"))
       .withColumn("rn", row_number().over(wCos).cast("long"))
       .filter(col("rn") <= k)
+      .drop("_ud")
   }
 }

@@ -420,7 +420,8 @@ object CorpusQueries {
     // 3-probe walk, first representative that is neither endpoint
     "c17_contrastive_triplets" ->
       s"""WITH ${sqlLshPairCtes()},
-         |prs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+         |prs AS (SELECT doc_a, doc_b FROM verified
+         |        WHERE inter * 1000000 >= 500000 * uni),
          |pool AS (
          |  SELECT (doc_id % ${Corpus.IdMod}) * ${Corpus.TripletMult} % 64 AS pb,
          |         min(doc_id) AS cand

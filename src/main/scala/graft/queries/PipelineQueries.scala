@@ -82,7 +82,7 @@ object PipelineQueries {
        |FROM pairs
        |JOIN cnt ca ON ca.doc_id = doc_a
        |JOIN cnt cb ON cb.doc_id = doc_b
-       |WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5""".stripMargin
+       |WHERE inter * 1000000 >= 500000 * (ca.n_sh + cb.n_sh - inter)""".stripMargin
 
   /** DuckDB CTEs `qm, q`: per-doc `qual_ppm` in lockstep with
     * `TextFunctions.qualityScorePpm` (shared by the t6 gate and the t14
@@ -356,9 +356,17 @@ object PipelineQueries {
 
   // the estimator's measured quality contract (the s17 pattern applied
   // to containment): recall and precision of the k=16 approx tier vs the
-  // exact tier at the same threshold and cap, as one hash-checked row
+  // exact tier at the same threshold and cap, as one hash-checked row.
+  // Runs on a DETERMINISTIC id-hash QUARTER of the corpus (the c2 keyed-
+  // sample pattern, MINSTD multiplier): the eval pays the exact tier by
+  // definition — 346-429 s at sf10 on the full corpus — so the standing
+  // benched row measures estimator quality at sample scale, the stated
+  // deployment shape for a quality gate; the FULL eval stays one filter
+  // removal away (the same two operators over unsampled docs)
   private val d21d: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val docs = t(s, dir, "documents").filter(
+      graft.functions.KeyedHash.idHash(col("doc_id"), D21dSampleMult)
+        % 1000000L < D21dSamplePpm)
     val ex = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
       n = 3, minContainmentPpm = 700000L, maxDocFreq = 50)
       .select("doc_a", "doc_b")
@@ -377,6 +385,13 @@ object PipelineQueries {
         expr("(n_both * 1000000) div nullif(n_exact, 0)").as("recall_ppm"),
         expr("(n_both * 1000000) div nullif(n_approx, 0)").as("precision_ppm"))
   }
+
+  /** d21d's keyed quarter-sample constants (shared with its oracle so the
+    * replay arithmetic can't drift): `idHash(doc_id, MINSTD) % 1e6 <
+    * 250000`.
+    */
+  private val D21dSampleMult = 48271L
+  private val D21dSamplePpm = 250000L
 
   // "drop the quote, keep the article": a doc is dropped iff ≥70%
   // contained in a strictly-bigger partner (or an equal-set earlier id —
@@ -1423,13 +1438,16 @@ object PipelineQueries {
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
        |verified AS (
-       |  SELECT doc_a, doc_b,
-       |    round(len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))::DOUBLE
-       |          / (len(sa.sh) + len(sb.sh)
-       |             - len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))), 6) AS jaccard
-       |  FROM cand
-       |  JOIN base sa ON sa.doc_id = doc_a
-       |  JOIN base sb ON sb.doc_id = doc_b)""".stripMargin
+       |  SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 6) AS jaccard,
+       |    inter, uni
+       |  FROM (
+       |    SELECT doc_a, doc_b,
+       |      len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS inter,
+       |      len(sa.sh) + len(sb.sh)
+       |        - len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS uni
+       |    FROM cand
+       |    JOIN base sa ON sa.doc_id = doc_a
+       |    JOIN base sb ON sb.doc_id = doc_b))""".stripMargin
 
   /** Hash-min connected components over the LSH pairs + canonical-rep
     * labeling, as a recursive walk (DuckDB side of `Dedup.clusterPairs`).
@@ -1438,7 +1456,7 @@ object PipelineQueries {
     */
   private[queries] def sqlLshClusterCtes(src: String = "documents"): String =
     s"""${sqlLshPairCtes(src)},
-       |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+       |pairs AS (SELECT doc_a, doc_b FROM verified WHERE inter * 1000000 >= 500000 * uni),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -1452,14 +1470,17 @@ object PipelineQueries {
     * template — a ranking fix lands in both by construction.
     */
   private def sqlExactTopK(basePred: String = ""): String =
-    s"""SELECT q_id, vec_id, cos, rn FROM (
+    s"""WITH ${sqlUnitCte("xue", "vec_id", "embedding", "embeddings")}
+       |SELECT q_id, vec_id, cos, rn FROM (
        |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
        |    round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
        |    ROW_NUMBER() OVER (
        |      PARTITION BY q.vec_id
-       |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+       |      ORDER BY ${sqlUDot("qu.u", "bu.u")} DESC,
        |               b.vec_id ASC) AS rn
        |  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+       |  JOIN xue qu ON qu.vec_id = q.vec_id
+       |  JOIN xue bu ON bu.vec_id = b.vec_id
        |  WHERE q.vec_id < 5$basePred)
        |WHERE rn <= 10""".stripMargin
 
@@ -1650,13 +1671,15 @@ object PipelineQueries {
     * the Spark operators.
     */
   private val sqlIvfRescoreTail =
-    """SELECT q_id, vec_id, cos, rn FROM (
+    s"""SELECT q_id, vec_id, cos, rn FROM (
       |  SELECT p.q_id, l.vec_id,
       |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-      |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) DESC,
+      |      ORDER BY ${sqlUDot("pu.u", "lu.u")} DESC,
       |               l.vec_id ASC) AS rn
       |  FROM listed l JOIN probed p ON l.c_id = p.c_id
+      |  JOIN ue lu ON lu.vec_id = l.vec_id
+      |  JOIN ue pu ON pu.vec_id = p.q_id
       |  WHERE p.q_id <> l.vec_id)
       |WHERE rn <= 10""".stripMargin
 
@@ -1667,7 +1690,7 @@ object PipelineQueries {
     * s14's text, which a CTE rename would have silently broken).
     */
   private val sqlPqTail =
-      """cbv AS (
+      s"""cbv AS (
         |  SELECT vec_id // 16 AS j, embedding AS cv FROM embeddings
         |  WHERE vec_id % 16 = 0 AND vec_id // 16 < 16),
         |sub AS (
@@ -1704,11 +1727,13 @@ object PipelineQueries {
         |  SELECT p.q_id, p.vec_id,
         |    round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) AS cos,
         |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-        |      ORDER BY round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) DESC,
+        |      ORDER BY ${sqlUDot("qu.u", "bu.u")} DESC,
         |               p.vec_id ASC) AS rn
         |  FROM pool p
         |  JOIN embeddings qv ON qv.vec_id = p.q_id
-        |  JOIN embeddings bv ON bv.vec_id = p.vec_id)
+        |  JOIN embeddings bv ON bv.vec_id = p.vec_id
+        |  JOIN ue qu ON qu.vec_id = p.q_id
+        |  JOIN ue bu ON bu.vec_id = p.vec_id)
         |WHERE rn <= 10""".stripMargin
 
   /** The two-level (hierarchical) IVF assignment CTEs over the
@@ -1777,13 +1802,15 @@ object PipelineQueries {
     * corpus df, and the df≤50 capped index — the common prefix of the
     * exact (d21b), sampling (d21c), and eval (d21d) replays.
     */
-  private val sqlContainmentCtes =
-    s"""toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
+  private def sqlContainmentCtesWhere(docPred: String): String =
+    s"""toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents$docPred),
        |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
        |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s)
        |        WHERE df <= 50)""".stripMargin
+
+  private val sqlContainmentCtes = sqlContainmentCtesWhere("")
 
   /** d21b's pipeline over [[sqlContainmentCtes]]: uncapped-df rarest-first
     * prefixes probing the capped index, exact verify on the full sets —
@@ -1876,7 +1903,9 @@ object PipelineQueries {
        |dropped AS (
        |  SELECT DISTINCT x.vec_id
        |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
-       |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
+       |  JOIN ue xu ON xu.vec_id = x.vec_id
+       |  JOIN ue yu ON yu.vec_id = y.vec_id
+       |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 400000000000)
        |SELECT vec_id, c_id FROM listed
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
@@ -1899,15 +1928,19 @@ object PipelineQueries {
        |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS vec_id
        |  FROM b x JOIN b q ON x.t = q.t AND x.bucket = q.bucket
        |  WHERE q.vec_id < 5 AND q.vec_id <> x.vec_id),
+       |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
        |scored AS (
        |  SELECT c.q_id, c.vec_id,
-       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos
+       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos,
+       |    ${sqlUDot("qu.u", "bu.u")} AS ud
        |  FROM cand c
        |  JOIN embeddings qe ON qe.vec_id = c.q_id
-       |  JOIN embeddings be ON be.vec_id = c.vec_id)
+       |  JOIN embeddings be ON be.vec_id = c.vec_id
+       |  JOIN ue qu ON qu.vec_id = c.q_id
+       |  JOIN ue bu ON bu.vec_id = c.vec_id)
        |SELECT q_id, vec_id, cos, rn FROM (
        |  SELECT q_id, vec_id, cos,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ud DESC, vec_id ASC) AS rn
        |  FROM scored)
        |WHERE rn <= 10""".stripMargin
 
@@ -1929,15 +1962,19 @@ object PipelineQueries {
        |  SELECT DISTINCT p.q_id, x.vec_id
        |  FROM b x JOIN probes p ON x.t = p.t AND x.bucket = p.bucket
        |  WHERE p.q_id <> x.vec_id),
+       |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
        |scored AS (
        |  SELECT c.q_id, c.vec_id,
-       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos
+       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos,
+       |    ${sqlUDot("qu.u", "bu.u")} AS ud
        |  FROM cand c
        |  JOIN embeddings qe ON qe.vec_id = c.q_id
-       |  JOIN embeddings be ON be.vec_id = c.vec_id)
+       |  JOIN embeddings be ON be.vec_id = c.vec_id
+       |  JOIN ue qu ON qu.vec_id = c.q_id
+       |  JOIN ue bu ON bu.vec_id = c.vec_id)
        |SELECT q_id, vec_id, cos, rn FROM (
        |  SELECT q_id, vec_id, cos,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ud DESC, vec_id ASC) AS rn
        |  FROM scored)
        |WHERE rn <= 10""".stripMargin
 
@@ -1959,24 +1996,31 @@ object PipelineQueries {
        |  SELECT vec_id, embedding,
        |    ${sqlRpProject(16)} AS pv
        |  FROM embeddings),
+       |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+       |${sqlUnitCte("pu", "vec_id", "list_transform(pv, x -> x / 4194304)", "pb")},
        |pool AS (
        |  SELECT q_id, vec_id, pcos FROM (
        |    SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
        |      round(list_cosine_similarity(q.pv, b.pv), 6) AS pcos,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |        ORDER BY round(list_cosine_similarity(q.pv, b.pv), 6) DESC,
+       |        ORDER BY ${sqlUDot("qpu.u", "bpu.u")} DESC,
        |                 b.vec_id ASC) AS ern
-       |    FROM pb b JOIN pb q ON q.vec_id < 5 AND q.vec_id <> b.vec_id)
+       |    FROM pb b JOIN pb q ON q.vec_id < 5 AND q.vec_id <> b.vec_id
+       |    JOIN pu qpu ON qpu.vec_id = q.vec_id
+       |    JOIN pu bpu ON bpu.vec_id = b.vec_id)
        |  WHERE ern <= 150),
        |scored AS (
        |  SELECT p.q_id, p.vec_id, p.pcos,
-       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos
+       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos,
+       |    ${sqlUDot("qu.u", "bu.u")} AS ud
        |  FROM pool p
        |  JOIN embeddings qe ON qe.vec_id = p.q_id
-       |  JOIN embeddings be ON be.vec_id = p.vec_id)
+       |  JOIN embeddings be ON be.vec_id = p.vec_id
+       |  JOIN ue qu ON qu.vec_id = p.q_id
+       |  JOIN ue bu ON bu.vec_id = p.vec_id)
        |SELECT q_id, vec_id, pcos, cos, rn FROM (
        |  SELECT q_id, vec_id, pcos, cos,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ud DESC, vec_id ASC) AS rn
        |  FROM scored)
        |WHERE rn <= 10""".stripMargin
 
@@ -2270,8 +2314,12 @@ object PipelineQueries {
          |  containment_est_ppm FROM apctn""".stripMargin,
     // both tiers replayed side by side; the quality row is exact integer
     // arithmetic over their pair-set counts
+    // the same exact/approx composition over the keyed quarter-sample —
+    // the WHERE replays d21d's idHash arithmetic verbatim
     "d21d_containment_approx_eval" ->
-      s"""WITH $sqlContainmentCtes,
+      s"""WITH ${sqlContainmentCtesWhere(
+             s" WHERE (doc_id % ${graft.functions.KeyedHash.IdMod})" +
+               s" * $D21dSampleMult % 1000000 < $D21dSamplePpm")},
          |$sqlContainmentExactTail,
          |$sqlContainmentApproxTail,
          |exn AS (SELECT count(*)::BIGINT AS n_exact FROM exctn),
@@ -2391,18 +2439,18 @@ object PipelineQueries {
          |FROM pairs
          |JOIN cnt ca ON ca.doc_id = doc_a
          |JOIN cnt cb ON cb.doc_id = doc_b
-         |WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5""".stripMargin,
+         |WHERE inter * 1000000 >= 500000 * (ca.n_sh + cb.n_sh - inter)""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH ${sqlLshPairCtes()}
-         |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin,
+         |SELECT doc_a, doc_b, jaccard FROM verified WHERE inter * 1000000 >= 500000 * uni""".stripMargin,
     // same replay with the lshParams-selected 8×4 geometry (the Spark side
     // derives it from threshold=0.5; the oracle pins the selected shape)
     "d27_lsh_tuned" ->
       s"""WITH ${sqlLshPairCtes(bands = 8, rowsPerBand = 4)}
-         |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin,
+         |SELECT doc_a, doc_b, jaccard FROM verified WHERE inter * 1000000 >= 500000 * uni""".stripMargin,
     "d20_source_overlap" ->
       s"""WITH ${sqlLshPairCtes()},
-         |pairs AS (SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5),
+         |pairs AS (SELECT doc_a, doc_b, jaccard FROM verified WHERE inter * 1000000 >= 500000 * uni),
          |lab AS (
          |  SELECT least(sa.source, sb.source) AS source_a,
          |    greatest(sa.source, sb.source) AS source_b,
@@ -2461,7 +2509,7 @@ object PipelineQueries {
     // set (d2's CTEs) semi-joined against the LSH pair set (d3's CTEs)
     "d16_dedup_recall" ->
       s"""WITH ${sqlLshPairCtes()},
-         |lshp AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+         |lshp AS (SELECT doc_a, doc_b FROM verified WHERE inter * 1000000 >= 500000 * uni),
          |toks AS (SELECT doc_id, ${sqlToks("text")} AS w FROM documents),
          |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM toks),
          |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -2473,7 +2521,7 @@ object PipelineQueries {
          |  SELECT doc_a, doc_b FROM ip
          |  JOIN cnt ca ON ca.doc_id = doc_a
          |  JOIN cnt cb ON cb.doc_id = doc_b
-         |  WHERE round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) >= 0.5),
+         |  WHERE inter * 1000000 >= 500000 * (ca.n_sh + cb.n_sh - inter)),
          |m AS (SELECT count(*)::BIGINT AS n_matched FROM epairs e
          |      JOIN lshp l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
          |SELECT (SELECT count(*)::BIGINT FROM epairs) AS n_exact,
@@ -2498,7 +2546,7 @@ object PipelineQueries {
       s"""WITH ${sqlLshPairCtes()},
          |wpairs AS (
          |  SELECT doc_a, doc_b, CAST(round(jaccard * 1000000) AS BIGINT) AS w
-         |  FROM verified WHERE jaccard >= 0.5),
+         |  FROM verified WHERE inter * 1000000 >= 500000 * uni),
          |wedges AS (SELECT doc_a AS src, doc_b AS dst, w FROM wpairs
          |           UNION ALL SELECT doc_b, doc_a, w FROM wpairs),
          |wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM wedges GROUP BY src),
@@ -2515,7 +2563,7 @@ object PipelineQueries {
     // BIGINT floor division at every step (// ≡ Spark's div on positives)
     "g3_degree" ->
       s"""WITH ${sqlLshPairCtes()},
-         |dpairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+         |dpairs AS (SELECT doc_a, doc_b FROM verified WHERE inter * 1000000 >= 500000 * uni),
          |ends AS (SELECT doc_a AS v FROM dpairs
          |         UNION ALL SELECT doc_b FROM dpairs)
          |SELECT v, count(*) AS degree FROM ends GROUP BY v""".stripMargin,
@@ -2530,7 +2578,7 @@ object PipelineQueries {
            |    JOIN $prev i ON i.v = e.src
            |    GROUP BY e.dst) c ON c.dst = n.v)""".stripMargin
       s"""WITH ${sqlLshPairCtes()},
-         |prpairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+         |prpairs AS (SELECT doc_a, doc_b FROM verified WHERE inter * 1000000 >= 500000 * uni),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prpairs
          |          UNION ALL SELECT doc_b, doc_a FROM prpairs),
          |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
@@ -2603,10 +2651,13 @@ object PipelineQueries {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "d5_embedding_neardup" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH ${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")}
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4""".stripMargin,
+        |JOIN ue au ON au.vec_id = a.vec_id
+        |JOIN ue bu ON bu.vec_id = b.vec_id
+        |WHERE ${sqlUDot("au.u", "bu.u")} >= 400000000000""".stripMargin,
     // incremental replay: shared sig/band CTEs (same affine family as d3),
     // candidates = increment × (store ∪ earlier increment), verification
     // by signature-agreement count (the MinHash Jaccard estimator, ≥16/32)
@@ -2658,7 +2709,9 @@ object PipelineQueries {
         |dropped AS (
         |  SELECT DISTINCT x.vec_id
         |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
-        |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
+        |  JOIN ue xu ON xu.vec_id = x.vec_id
+        |  JOIN ue yu ON yu.vec_id = y.vec_id
+        |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 400000000000)
         |SELECT vec_id, c_id FROM listed
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     // d12's prune CTEs over the s9/s10 trained-centroid replay: the two
@@ -2683,7 +2736,9 @@ object PipelineQueries {
          |dropped AS (
          |  SELECT DISTINCT x.vec_id
          |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
-         |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
+         |  JOIN ue xu ON xu.vec_id = x.vec_id
+         |  JOIN ue yu ON yu.vec_id = y.vec_id
+         |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 400000000000)
          |SELECT vec_id, c_id FROM listed
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "d12c_semdedup_sampled" ->
@@ -2704,7 +2759,9 @@ object PipelineQueries {
          |dropped AS (
          |  SELECT DISTINCT x.vec_id
          |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
-         |  WHERE round(list_cosine_similarity(x.v::DOUBLE[], y.v::DOUBLE[]), 6) >= 0.4)
+         |  JOIN ue xu ON xu.vec_id = x.vec_id
+         |  JOIN ue yu ON yu.vec_id = y.vec_id
+         |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 400000000000)
          |SELECT vec_id, c_id FROM listed
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "d12d_semdedup_ann" -> sqlD12dSemdedupAnn,
@@ -2804,9 +2861,11 @@ object PipelineQueries {
          |  SELECT p.q_id, l.vec_id,
          |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
          |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-         |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) DESC,
+         |      ORDER BY ${sqlUDot("pu.u", "lu.u")} DESC,
          |               l.vec_id ASC) AS rn
          |  FROM listed l JOIN probed p ON l.c_id = p.c_id
+         |  JOIN ue lu ON lu.vec_id = l.vec_id
+         |  JOIN ue pu ON pu.vec_id = p.q_id
          |  WHERE p.q_id <> l.vec_id)
          |WHERE rn <= 10""".stripMargin,
     "s3_ann_ivf" -> sqlS3Ivf,
@@ -2868,21 +2927,27 @@ object PipelineQueries {
          |  SELECT p.q_id, l.vec_id,
          |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
          |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-         |      ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) DESC,
+         |      ORDER BY ${sqlUDot("pu.u", "lu.u")} DESC,
          |               l.vec_id ASC) AS rn
          |  FROM listed l JOIN probed p ON l.c_id = p.c_id
          |  JOIN embeddings e ON e.vec_id = l.vec_id
+         |  JOIN ue lu ON lu.vec_id = l.vec_id
+         |  JOIN ue pu ON pu.vec_id = p.q_id
          |  WHERE p.q_id <> l.vec_id AND e.label < 4)
          |WHERE rn <= 10""".stripMargin,
     // radius search over the same store/geometry: the threshold replaces
-    // the rank — no window in either engine
+    // the rank — no window in either engine, and MEMBERSHIP decides on
+    // the integer unit-micros dot grid (0.25 → 25e10), never on a float
+    // boundary
     "s30_ann_store_range" ->
       s"""WITH $sqlHierIvfCtes
          |SELECT p.q_id, l.vec_id,
          |  round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos
          |FROM listed l JOIN probed p ON l.c_id = p.c_id
+         |JOIN ue lu ON lu.vec_id = l.vec_id
+         |JOIN ue pu ON pu.vec_id = p.q_id
          |WHERE p.q_id <> l.vec_id
-         |  AND round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) >= 0.25""".stripMargin,
+         |  AND ${sqlUDot("pu.u", "lu.u")} >= 250000000000""".stripMargin,
     // the sProbe fidelity curve: per sProbe ∈ {1,2,4}, agreement of the
     // two-level argmax with the flat one, in integer ppm. `sup` computes
     // the per-row super ranks once (to the max sProbe); each sProbe
@@ -3004,7 +3069,8 @@ object PipelineQueries {
     // first-element reduce), pool rank, exact cosine rescore — all in
     // lockstep with PqEncode/PqLut/Similarity.pqTopK
     "s7_ann_pq" ->
-      """WITH cbv AS (
+      s"""WITH ${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+        |cbv AS (
         |  SELECT vec_id // 16 AS j, embedding AS cv FROM embeddings
         |  WHERE vec_id % 16 = 0 AND vec_id // 16 < 16),
         |sub AS (
@@ -3040,11 +3106,13 @@ object PipelineQueries {
         |  SELECT p.q_id, p.vec_id,
         |    round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) AS cos,
         |    ROW_NUMBER() OVER (PARTITION BY p.q_id
-        |      ORDER BY round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) DESC,
+        |      ORDER BY ${sqlUDot("qu.u", "bu.u")} DESC,
         |               p.vec_id ASC) AS rn
         |  FROM pool p
         |  JOIN embeddings qv ON qv.vec_id = p.q_id
-        |  JOIN embeddings bv ON bv.vec_id = p.vec_id)
+        |  JOIN embeddings bv ON bv.vec_id = p.vec_id
+        |  JOIN ue qu ON qu.vec_id = p.q_id
+        |  JOIN ue bu ON bu.vec_id = p.vec_id)
         |WHERE rn <= 10""".stripMargin,
     "s16_hybrid_rrf" ->
       s"""WITH tf AS (
@@ -3062,15 +3130,17 @@ object PipelineQueries {
          |  SELECT doc_id,
          |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
          |  FROM lexs),
+         |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
          |vecs AS (
-         |  SELECT b.vec_id AS doc_id,
-         |    round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+         |  SELECT b.vec_id AS doc_id, ${sqlUDot("qu.u", "bu.u")} AS ud
          |  FROM embeddings q JOIN embeddings b ON b.vec_id <> 0
+         |  JOIN ue qu ON qu.vec_id = q.vec_id
+         |  JOIN ue bu ON bu.vec_id = b.vec_id
          |  WHERE q.vec_id = 0),
          |vec AS (
          |  SELECT doc_id, rank FROM (
          |    SELECT doc_id,
-         |      row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+         |      row_number() OVER (ORDER BY ud DESC, doc_id ASC) AS rank
          |    FROM vecs)
          |  WHERE rank <= 20),
          |u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec)

@@ -308,6 +308,33 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(afterAppend.values.max <= 1 + 2, afterAppend.toString)
   }
 
+  test("auto filesPerList sizes from the data: a tight byte target splits lists, the default does not") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    def filesPerDir(path: String): Map[String, Int] =
+      new java.io.File(s"$path/lists").listFiles().toSeq
+        .filter(_.getName.startsWith("c_id="))
+        .map(d => d.getName -> d.listFiles()
+          .count(f => f.getName.endsWith(".parquet"))).toMap
+    // the sf0.001 corpus is a few hundred KB over ≤256 lists: a 256-byte
+    // target forces ceil(listBytes/target) > 1 splits per list — the
+    // build must choose >1 file on its own (filesPerList left at auto)
+    val tight = tmpStore("ivfautotight")
+    VectorIndex.writeIvfIndex(emb.repartition(16), col("vec_id"),
+      col("embedding"), tight, targetFileBytes = 256L)
+    val tightCounts = filesPerDir(tight)
+    assert(tightCounts.nonEmpty && tightCounts.values.max > 1,
+      s"auto sizing should split lists at a 256-byte target: $tightCounts")
+    // ...and the file count stays bounded by the routed split, never
+    // tasks × lists (16 upstream tasks would otherwise give up to 16)
+    assert(tightCounts.values.max <= 4096)
+    // the 128 MB default on the same corpus keeps one file per list (the
+    // existing build test pins this too — this is the same-knob contrast)
+    val loose = tmpStore("ivfautoloose")
+    VectorIndex.writeIvfIndex(emb.repartition(16), col("vec_id"),
+      col("embedding"), loose)
+    assert(filesPerDir(loose).values.max <= 1)
+  }
+
   test("filtered probe: full k among matching rows, predicate pushed into the pruned scan") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val path = tmpStore("ivffil")

@@ -408,15 +408,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian"), "no cross product")
   }
 
-  test("d12: SemDeDup pairs join on c_id equality, score with the native cosine, reuse the cached assignment") {
+  test("d12: SemDeDup pairs join on c_id equality, score with the native integer unit-dot, reuse the cached assignment") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val plan = planOf("d12_semdedup")
     // within-cluster candidates must come from a c_id equi-join — never a
     // corpus-wide cross product (the broadcast-rank centroid assignment is
     // the only sanctioned nested-loop, against the tiny centroid set)
     assert(!plan.contains("Cartesian"), s"no cross product:\n${plan.take(600)}")
-    assert(plan.contains("graft_cosine_sim"),
-      "per-pair scoring must be the native codegen expression")
+    // the drop decision runs on the exact integer unit-micros dot (both
+    // native codegen expressions), never a rounded float cosine
+    assert(plan.contains("graft_vector_dot"),
+      "per-pair scoring must be the native integer-dot expression")
+    assert(plan.contains("graft_unit_micros"),
+      "pair sides must be projected onto the unit-micros grid")
     assert(plan.contains("InMemoryTableScan"),
       "the centroid assignment must be cached, not recomputed per consumer")
     assert(plan.contains("LeftAnti"), "the keep-set is an anti-join")
