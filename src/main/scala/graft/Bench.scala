@@ -36,9 +36,19 @@ object Bench {
     // driver's per-round run; the sf1 gate passes 128.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Shuffle/spill compression codec. The r12 sf10 sweep's ONE error was
+    // a shuffle-SCRATCH disk overflow in the exact containment tier under
+    // lz4; the same query fits comfortably under zstd (~2-3× smaller
+    // shuffle files for this text-heavy data at a CPU cost that is noise
+    // next to the tier's join). Large-SF sweeps pass `zstd` here (the
+    // README's sf1/sf10 gate commands do); the driver's per-round sf0.1
+    // run keeps Spark's lz4 default so round-over-round medians stay
+    // comparable.
+    val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.io.compression.codec", ioCodec)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -131,7 +141,7 @@ object Bench {
     val excluded =
       excludedNames.map(q => s"\"${esc(q)}\"").mkString("[", ",", "]")
     def cfg(excl: String) =
-      s""""config":{"cpus":$cpus,"shufflePartitions":$shufflePartitions,"passes":$passes,$excl}"""
+      s""""config":{"cpus":$cpus,"shufflePartitions":$shufflePartitions,"passes":$passes,"ioCodec":"${esc(ioCodec)}",$excl}"""
     // full file carries the names; the stdout summary only their count (a
     // CLI-restricted run excludes most of the suite and the name list
     // would blow the driver's ~2000-char tail window)
