@@ -258,8 +258,13 @@ object Similarity {
       bits: Int = 4,
       maxDim: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the unit vector is materialized in a select BELOW the explode: a
+    // select-sibling of posexplode lands in the Project ABOVE the
+    // Generate and re-evaluates once per OUTPUT row — `tables`× the
+    // per-component work (the §7-lesson-14 generator trap)
     def bucketed(df: DataFrame, idName: String, vName: String, uName: String) =
-      df.select(col(idName), col(vName), unitMicros(col(vName)).as(uName),
+      df.select(col(idName), col(vName), unitMicros(col(vName)).as(uName))
+        .select(col(idName), col(vName), col(uName),
           posexplode(bucketIds(col(vName), tables, bits, maxDim)).as(Seq("tbl", "bucket")))
     val bb = bucketed(base.select(id.as("vec_id"), vec.as("v")), "vec_id", "v", "_vu")
     val qb = bucketed(queries.select(id.as("q_id"), vec.as("qv")), "q_id", "qv", "_qu")
@@ -312,14 +317,18 @@ object Similarity {
       bits: Int = 4,
       maxDim: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bb = base.select(id.as("vec_id"), vec.as("v"), unitMicros(vec).as("_vu"),
-      posexplode(bucketIds(vec, tables, bits, maxDim)).as(Seq("tbl", "bucket")))
+    // unit vectors below the explodes — same generator-trap avoidance as
+    // [[lshTopK]]'s bucketed()
+    val bb = base.select(id.as("vec_id"), vec.as("v"), unitMicros(vec).as("_vu"))
+      .select(col("vec_id"), col("v"), col("_vu"),
+        posexplode(bucketIds(col("v"), tables, bits, maxDim)).as(Seq("tbl", "bucket")))
     // query side: own bucket + the `bits` Hamming-1 flips, exploded —
     // queries × tables × (bits+1) rows, still broadcast-sized
     val probeSet = (c: Column) => array(c +: (0 until bits).map(j =>
       c.bitwiseXOR(lit(1L << j))): _*)
-    val qb = queries.select(id.as("q_id"), vec.as("qv"), unitMicros(vec).as("_qu"),
-        posexplode(bucketIds(vec, tables, bits, maxDim)).as(Seq("tbl", "qbucket")))
+    val qb = queries.select(id.as("q_id"), vec.as("qv"), unitMicros(vec).as("_qu"))
+      .select(col("q_id"), col("qv"), col("_qu"),
+        posexplode(bucketIds(col("qv"), tables, bits, maxDim)).as(Seq("tbl", "qbucket")))
       .select(col("q_id"), col("qv"), col("_qu"), col("tbl"),
         explode(probeSet(col("qbucket"))).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
