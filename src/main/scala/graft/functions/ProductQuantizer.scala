@@ -4,15 +4,23 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Shared contract of the product-quantization expressions: `codebook(s)(j)`
   * is code `j` of subspace `s` (all subspaces same code count, all codes
   * same sub-dimension), an input vector must have exactly
   * `numSubspaces × subDim` dimensions, and every subspace distance is the
-  * squared L2 accumulated left-to-right in double — the IEEE sequence the
-  * DuckDB oracle replays with `list_reduce` (its first-element seed equals
-  * the 0.0 seed because squared terms are never -0.0-signed).
+  * EXACT INTEGER squared L2 on the micros grid: vector and codebook
+  * components each enter through the single rounded op
+  * `floor(x·10⁶ + 0.5)` (the [[UnitMicros]] grid-entry convention) and
+  * `Σ (mv − mc)²` is pure long arithmetic — order-independent, so any
+  * engine replays the encode argmin and the ADC estimate bit-for-bit
+  * with NO float-summation boundary class (the earlier double-L2
+  * formulation replayed the IEEE sequence, which holds per op but leaves
+  * an engine free to contract/reorder the chain — the s26 lesson).
+  * Headroom: components ≤ ~2²⁶ micros keep each term < 2⁵³ and an
+  * 8-term sum far below Long.MaxValue; unit-scale embeddings sit at
+  * ~10⁶ micros, five orders inside the bound.
   *
   * A NULL vector element poisons the arithmetic, so both expressions
   * return NULL for it — same convention as [[VectorDot]].
@@ -29,6 +37,14 @@ private[functions] trait PqExpression extends UnaryExpression {
   protected val subDim: Int = codebook(0)(0).length
   protected val expectDim: Int = numSubspaces * subDim
 
+  /** The codebook on the micros grid, quantized ONCE at construction —
+    * the same single rounded op the per-row vector entry uses, so the
+    * oracle's `floor(c·1e6 + 0.5)` over the raw codebook values lands on
+    * identical longs.
+    */
+  protected lazy val cbMicros: Array[Array[Array[Long]]] =
+    codebook.map(_.map(_.map(x => Math.floor(x * 1.0e6 + 0.5).toLong)))
+
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -38,10 +54,10 @@ private[functions] trait PqExpression extends UnaryExpression {
         s"$prettyName expects array<double>, got ${other.simpleString}")
   }
 
-  /** null on a null element, else the double[] (loud on a dim mismatch —
-    * silently encoding a prefix would corrupt the index).
+  /** null on a null element, else the micros-grid long[] (loud on a dim
+    * mismatch — silently encoding a prefix would corrupt the index).
     */
-  protected def checkedVector(input: Any): Array[Double] = {
+  protected def checkedMicros(input: Any): Array[Long] = {
     val arr = input.asInstanceOf[ArrayData]
     if (arr.numElements() != expectDim)
       throw new IllegalArgumentException(
@@ -51,15 +67,49 @@ private[functions] trait PqExpression extends UnaryExpression {
       if (arr.isNullAt(i)) return null
       i += 1
     }
-    arr.toDoubleArray()
+    val v = arr.toDoubleArray()
+    val m = new Array[Long](expectDim)
+    i = 0
+    while (i < expectDim) {
+      m(i) = Math.floor(v(i) * 1.0e6 + 0.5).toLong
+      i += 1
+    }
+    m
+  }
+
+  /** Codegen prologue shared by both expressions: dim check, null scan,
+    * micros projection of the input vector into `mv`.
+    */
+  protected def microsPrologue(
+      ctx: CodegenContext, c: String, bad: String, mv: String): String = {
+    val v = ctx.freshName("pqRaw")
+    val i = ctx.freshName("pqPi")
+    s"""
+       |if ($c.numElements() != $expectDim) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: vector dim " + $c.numElements() + " != codebook dim $expectDim");
+       |}
+       |boolean $bad = false;
+       |for (int $i = 0; $i < $expectDim; $i++) {
+       |  if ($c.isNullAt($i)) { $bad = true; break; }
+       |}
+       |long[] $mv = null;
+       |if (!$bad) {
+       |  double[] $v = $c.toDoubleArray();
+       |  $mv = new long[$expectDim];
+       |  for (int $i = 0; $i < $expectDim; $i++) {
+       |    $mv[$i] = (long) Math.floor($v[$i] * 1.0E6D + 0.5D);
+       |  }
+       |}
+     """.stripMargin
   }
 }
 
 /** PQ encoder: the input vector's per-subspace nearest-code indices (by
-  * squared L2, first index on ties) as `array<int>` of length
-  * `numSubspaces`. One fused codegen'd loop per row — the declarative
-  * formulation would be `numSubspaces × numCodes` interpreted
-  * `aggregate(zip_with(...))` folds (SURVEY §8.5/§8.23).
+  * exact integer squared L2 on the micros grid, first index on ties) as
+  * `array<int>` of length `numSubspaces`. One fused codegen'd loop per
+  * row — the declarative formulation would be `numSubspaces × numCodes`
+  * interpreted `aggregate(zip_with(...))` folds (SURVEY §8.5/§8.23).
   *
   * This is the stored index of [[graft.operators.Similarity.pqTopK]]: at
   * 100 TB each vector persists as `numSubspaces` bytes (m=8, k=16 → 8
@@ -73,20 +123,20 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
   override def prettyName: String = "graft_pq_encode"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val v = checkedVector(input)
-    if (v == null) return null
+    val mv = checkedMicros(input)
+    if (mv == null) return null
     val out = new Array[Int](numSubspaces)
     var s = 0
     while (s < numSubspaces) {
       var best = 0
-      var bestD = Double.PositiveInfinity
+      var bestD = Long.MaxValue
       var j = 0
       while (j < numCodes) {
-        val c = codebook(s)(j)
-        var d = 0.0
+        val c = cbMicros(s)(j)
+        var d = 0L
         var i = 0
         while (i < subDim) {
-          val t = v(s * subDim + i) - c(i)
+          val t = mv(s * subDim + i) - c(i)
           d += t * t
           i += 1
         }
@@ -101,8 +151,8 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
-      val v = ctx.freshName("pqVec")
+      val cbRef = ctx.addReferenceObj("pqCodebookMicros", cbMicros, "long[][][]")
+      val mv = ctx.freshName("pqVec")
       val out = ctx.freshName("pqOut")
       val s = ctx.freshName("pqS")
       val j = ctx.freshName("pqJ")
@@ -114,27 +164,19 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
       val bad = ctx.freshName("pqBad")
       val cw = ctx.freshName("pqCw")
       s"""
-         |if ($c.numElements() != $expectDim) {
-         |  throw new IllegalArgumentException(
-         |    "graft_pq_encode: vector dim " + $c.numElements() + " != codebook dim $expectDim");
-         |}
-         |boolean $bad = false;
-         |for (int $i = 0; $i < $expectDim; $i++) {
-         |  if ($c.isNullAt($i)) { $bad = true; break; }
-         |}
+         |${microsPrologue(ctx, c, bad, mv)}
          |if ($bad) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double[] $v = $c.toDoubleArray();
          |  int[] $out = new int[$numSubspaces];
          |  for (int $s = 0; $s < $numSubspaces; $s++) {
          |    int $best = 0;
-         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    long $bestD = Long.MAX_VALUE;
          |    for (int $j = 0; $j < $numCodes; $j++) {
-         |      double[] $cw = $cbRef[$s][$j];
-         |      double $d = 0.0;
+         |      long[] $cw = $cbRef[$s][$j];
+         |      long $d = 0L;
          |      for (int $i = 0; $i < $subDim; $i++) {
-         |        double $t = $v[$s * $subDim + $i] - $cw[$i];
+         |        long $t = $mv[$s * $subDim + $i] - $cw[$i];
          |        $d += $t * $t;
          |      }
          |      if ($d < $bestD) { $bestD = $d; $best = $j; }
@@ -151,31 +193,32 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
 }
 
 /** PQ asymmetric-distance lookup table of a QUERY vector: flattened
-  * `array<double>` of length `numSubspaces × numCodes` where entry
-  * `s·numCodes + j` is the squared L2 between the query's subspace-`s`
-  * slice and code `j` — one fused pass, shared layout with
-  * `PqEncode`-coded base rows so the ADC estimate is
-  * `Σ_s lut[s·numCodes + code_s]`.
+  * `array<long>` of length `numSubspaces × numCodes` where entry
+  * `s·numCodes + j` is the EXACT integer micros-grid squared L2 between
+  * the query's subspace-`s` slice and code `j` — one fused pass, shared
+  * layout with `PqEncode`-coded base rows so the ADC estimate
+  * `Σ_s lut[s·numCodes + code_s]` is a pure long sum: the candidate-pool
+  * ORDER BY it decides is integer, never a float boundary.
   */
 case class PqLut(child: Expression, codebook: Array[Array[Array[Double]]])
     extends PqExpression {
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_pq_lut"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val v = checkedVector(input)
-    if (v == null) return null
-    val out = new Array[Double](numSubspaces * numCodes)
+    val mv = checkedMicros(input)
+    if (mv == null) return null
+    val out = new Array[Long](numSubspaces * numCodes)
     var s = 0
     while (s < numSubspaces) {
       var j = 0
       while (j < numCodes) {
-        val c = codebook(s)(j)
-        var d = 0.0
+        val c = cbMicros(s)(j)
+        var d = 0L
         var i = 0
         while (i < subDim) {
-          val t = v(s * subDim + i) - c(i)
+          val t = mv(s * subDim + i) - c(i)
           d += t * t
           i += 1
         }
@@ -189,8 +232,8 @@ case class PqLut(child: Expression, codebook: Array[Array[Array[Double]]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
-      val v = ctx.freshName("plVec")
+      val cbRef = ctx.addReferenceObj("pqCodebookMicros", cbMicros, "long[][][]")
+      val mv = ctx.freshName("plVec")
       val out = ctx.freshName("plOut")
       val s = ctx.freshName("plS")
       val j = ctx.freshName("plJ")
@@ -200,25 +243,17 @@ case class PqLut(child: Expression, codebook: Array[Array[Array[Double]]])
       val bad = ctx.freshName("plBad")
       val cw = ctx.freshName("plCw")
       s"""
-         |if ($c.numElements() != $expectDim) {
-         |  throw new IllegalArgumentException(
-         |    "graft_pq_lut: vector dim " + $c.numElements() + " != codebook dim $expectDim");
-         |}
-         |boolean $bad = false;
-         |for (int $i = 0; $i < $expectDim; $i++) {
-         |  if ($c.isNullAt($i)) { $bad = true; break; }
-         |}
+         |${microsPrologue(ctx, c, bad, mv)}
          |if ($bad) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double[] $v = $c.toDoubleArray();
-         |  double[] $out = new double[${numSubspaces * numCodes}];
+         |  long[] $out = new long[${numSubspaces * numCodes}];
          |  for (int $s = 0; $s < $numSubspaces; $s++) {
          |    for (int $j = 0; $j < $numCodes; $j++) {
-         |      double[] $cw = $cbRef[$s][$j];
-         |      double $d = 0.0;
+         |      long[] $cw = $cbRef[$s][$j];
+         |      long $d = 0L;
          |      for (int $i = 0; $i < $subDim; $i++) {
-         |        double $t = $v[$s * $subDim + $i] - $cw[$i];
+         |        long $t = $mv[$s * $subDim + $i] - $cw[$i];
          |        $d += $t * $t;
          |      }
          |      $out[$s * $numCodes + $j] = $d;

@@ -118,11 +118,14 @@ object Similarity {
     *
     * Greedy step: pick argmax of
     * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` (ties → min vec_id).
-    * The selection arithmetic is EXACT: both similarity terms are rounded
-    * once to integer micro-units (the 6-dp ranking convention) and the
-    * score comparison is pure BIGINT (`lambdaPpm·simµ − (1e6−λppm)·maxµ`)
-    * — no float ordering anywhere, so the DuckDB oracle replays the k
-    * greedy steps as chained CTEs bit-for-bit.
+    * The selection arithmetic is EXACT on the unit-micros grid: both
+    * similarity terms are the integer [[unitDot]] (~10¹²-scaled cosine,
+    * computed by the SAME scalar formula as the Catalyst expression —
+    * [[graft.functions.UnitMicros.project]]) and the score comparison is
+    * pure long (`lambdaPpm·udot − (1e6−λppm)·maxUdot`, |score| ≤ 10¹⁸ —
+    * no overflow, no float anywhere), so the DuckDB oracle replays the
+    * k greedy steps as chained CTEs bit-for-bit with no rounded-cosine
+    * boundary class.
     *
     * Scale shape: the pool (`poolSize` rows per query) comes from
     * [[bruteForceTopK]] and is broadcast onto the base scan to attach
@@ -144,35 +147,40 @@ object Similarity {
     val spark = base.sparkSession
     import spark.implicits._
     val pool = bruteForceTopK(base, queries, id, vec, poolSize)
-      .select(col("q_id"), col("vec_id"), col("cos"))
-    val withVec = base.select(id.as("bv_id"), vec.as("bv"))
+      .select(col("q_id"), col("vec_id"))
+    val withVec = base.select(id.as("bv_id"), vec.cast("array<double>").as("bv"))
       .join(broadcast(pool), col("bv_id") === col("vec_id"))
-      .select(col("q_id"), col("vec_id"), col("cos"), col("bv"))
+      .join(broadcast(
+        queries.select(id.as("q_id"), vec.cast("array<double>").as("qvv"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("bv"), col("qvv"))
     val lam = lambdaPpm
     val mu = 1000000L - lambdaPpm
     val kk = k
-    withVec.as[(Long, Long, Double, Array[Float])]
+    withVec.as[(Long, Long, Array[Double], Array[Double])]
       .groupByKey(_._1)
-      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Array[Double], Array[Double])]) =>
         val cand = it.toArray.sortBy(_._2) // vec_id asc → first-wins tiebreak
         val n = cand.length
-        // pool cos is already rounded to 6 dp; ×1e6 is integer-valued ± ulp
-        val cm = cand.map(c => Math.round(c._3 * 1e6))
-        // identical accumulation order + final expression as CosineSim,
-        // then the same HALF_UP 6-dp rounding the ranking convention uses
-        def cosMicro(a: Array[Float], b: Array[Float]): Long = {
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < a.length) {
-            val x = a(i).toDouble; val y = b(i).toDouble
-            dot += x * y; na += x * x; nb += y * y; i += 1
-          }
-          if (na == 0.0 || nb == 0.0) 0L
-          else java.math.BigDecimal.valueOf(dot / (Math.sqrt(na) * Math.sqrt(nb)))
-            .setScale(6, java.math.RoundingMode.HALF_UP)
-            .scaleByPowerOfTen(6).longValueExact()
+        // the shared exact scalar form of the Catalyst expression; a
+        // degenerate (NaN) vector projects to zeros and scores 0, like
+        // the zero vector
+        def unit(x: Array[Double]): Array[Long] =
+          Option(graft.functions.UnitMicros.project(x))
+            .getOrElse(new Array[Long](x.length))
+        def udotL(a: Array[Long], b: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          val m = math.min(a.length, b.length)
+          while (i < m) { s += a(i) * b(i); i += 1 }
+          s
         }
+        val uq = if (n == 0) Array.empty[Long] else unit(cand(0)._4)
+        val ub = cand.map(c => unit(c._3))
+        // relevance and redundancy on the SAME integer grid as every
+        // other rank in this module
+        val cm = ub.map(u => udotL(uq, u))
         val pair = Array.tabulate(n, n) { (i, j) =>
-          if (i == j) 0L else cosMicro(cand(i)._4, cand(j)._4)
+          if (i == j) 0L else udotL(ub(i), ub(j))
         }
         val used = new Array[Boolean](n)
         val selected = scala.collection.mutable.ArrayBuffer.empty[Int]

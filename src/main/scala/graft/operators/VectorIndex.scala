@@ -73,8 +73,14 @@ object VectorIndex {
     * contraction/reorder let another engine's replay flip near-boundary
     * argmaxes) — per-component values shift by ≤ 1 micro-unit, so list
     * membership for near-tied vectors differs from v2 stores.
+    *
+    * v4: the PQ encode moved to the same micros grid
+    * ([[graft.functions.PqEncode]]: exact integer squared-L2 instead of
+    * the double fold) — stored CODES for near-tied vectors differ from
+    * v3 stores, so PQ stores must rebuild; plain stores share the bump
+    * for one code generation rather than a per-mode version matrix.
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   /** Marker written LAST: a store is only probeable once fully written
     * (a killed build leaves no marker and the probe fails loudly).

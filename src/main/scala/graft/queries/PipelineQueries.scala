@@ -1694,15 +1694,21 @@ object PipelineQueries {
         |  SELECT vec_id // 16 AS j, embedding AS cv FROM embeddings
         |  WHERE vec_id % 16 = 0 AND vec_id // 16 < 16),
         |sub AS (
-        |  SELECT t.s AS s, j, list_slice(cv, t.s*8 + 1, t.s*8 + 8) AS c
+        |  SELECT t.s AS s, j,
+        |    list_transform(list_slice(cv, t.s*8 + 1, t.s*8 + 8),
+        |      c -> floor(c::DOUBLE * 1000000 + 0.5)::BIGINT) AS mc
         |  FROM cbv, unnest(range(0, 8)) t(s)),
+        |mb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+        |  FROM embeddings),
         |dist AS (
         |  SELECT b.vec_id, sub.s, sub.j,
         |    list_reduce(list_transform(range(1, 9),
-        |      i -> (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)
-        |           * (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)),
+        |      i -> (b.mv[(sub.s*8 + i)::INT] - sub.mc[i::INT])
+        |           * (b.mv[(sub.s*8 + i)::INT] - sub.mc[i::INT])),
         |      (x, y) -> x + y) AS d
-        |  FROM embeddings b CROSS JOIN sub),
+        |  FROM mb b CROSS JOIN sub),
         |enc AS (
         |  SELECT vec_id, s, j AS code FROM (
         |    SELECT vec_id, s, j,
@@ -2792,17 +2798,19 @@ object PipelineQueries {
            |  WHERE rn = 1),
            |$sel AS (SELECT * FROM $prev UNION ALL SELECT * FROM $pick)""".stripMargin
       s"""WITH pool AS (${sqlS1Exact.replace("\n", "\n")}),
-         |poolm AS (SELECT q_id, vec_id,
-         |            CAST(round(cos * 1000000) AS BIGINT) AS cm FROM pool),
+         |${sqlUnitCte("mue", "vec_id", "embedding", "embeddings")},
+         |poolm AS (SELECT p.q_id, p.vec_id,
+         |            ${sqlUDot("qu.u", "bu.u")} AS cm
+         |          FROM pool p
+         |          JOIN mue qu ON qu.vec_id = p.q_id
+         |          JOIN mue bu ON bu.vec_id = p.vec_id),
          |psim AS (
          |  SELECT p1.q_id, p1.vec_id AS a, p2.vec_id AS b,
-         |    CAST(round(round(list_cosine_similarity(
-         |           e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) * 1000000)
-         |         AS BIGINT) AS cab
+         |    ${sqlUDot("u1.u", "u2.u")} AS cab
          |  FROM pool p1
          |  JOIN pool p2 ON p1.q_id = p2.q_id AND p1.vec_id <> p2.vec_id
-         |  JOIN embeddings e1 ON e1.vec_id = p1.vec_id
-         |  JOIN embeddings e2 ON e2.vec_id = p2.vec_id),
+         |  JOIN mue u1 ON u1.vec_id = p1.vec_id
+         |  JOIN mue u2 ON u2.vec_id = p2.vec_id),
          |sel0 AS (SELECT q_id, vec_id, 0 AS step FROM poolm WHERE false),
          |${step("sel0", "pick1", "sel1", 1)},
          |${step("sel1", "pick2", "sel2", 2)},
@@ -3062,11 +3070,10 @@ object PipelineQueries {
     // ADC estimate folds the query-side LUT rows in subspace order, pool
     // rank then exact cosine rescore — lockstep with Similarity.ivfPqTopK
     "s14_ann_ivfpq" -> sqlS14IvfPq,
-    // PQ replay: codebook slices, per-(vector, subspace, code) squared-L2
-    // folds (left-to-right — list_reduce's first-element seed equals the
-    // 0.0 seed on non-negative squared terms), argmin encode, ADC sum in
-    // subspace order (list_reduce over ORDER BY s matches Spark's
-    // first-element reduce), pool rank, exact cosine rescore — all in
+    // PQ replay: codebook slices + vectors on the micros grid (one
+    // rounded entry op per component), per-(vector, subspace, code)
+    // squared-L2 as EXACT BIGINT folds (order-independent), argmin
+    // encode, integer ADC sum, pool rank, exact rescore — all in
     // lockstep with PqEncode/PqLut/Similarity.pqTopK
     "s7_ann_pq" ->
       s"""WITH ${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
@@ -3074,15 +3081,21 @@ object PipelineQueries {
         |  SELECT vec_id // 16 AS j, embedding AS cv FROM embeddings
         |  WHERE vec_id % 16 = 0 AND vec_id // 16 < 16),
         |sub AS (
-        |  SELECT t.s AS s, j, list_slice(cv, t.s*8 + 1, t.s*8 + 8) AS c
+        |  SELECT t.s AS s, j,
+        |    list_transform(list_slice(cv, t.s*8 + 1, t.s*8 + 8),
+        |      c -> floor(c::DOUBLE * 1000000 + 0.5)::BIGINT) AS mc
         |  FROM cbv, unnest(range(0, 8)) t(s)),
+        |mb AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+        |  FROM embeddings),
         |dist AS (
         |  SELECT b.vec_id, sub.s, sub.j,
         |    list_reduce(list_transform(range(1, 9),
-        |      i -> (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)
-        |           * (b.embedding[(sub.s*8 + i)::INT]::DOUBLE - sub.c[i::INT]::DOUBLE)),
+        |      i -> (b.mv[(sub.s*8 + i)::INT] - sub.mc[i::INT])
+        |           * (b.mv[(sub.s*8 + i)::INT] - sub.mc[i::INT])),
         |      (x, y) -> x + y) AS d
-        |  FROM embeddings b CROSS JOIN sub),
+        |  FROM mb b CROSS JOIN sub),
         |enc AS (
         |  SELECT vec_id, s, j AS code FROM (
         |    SELECT vec_id, s, j,
