@@ -45,8 +45,9 @@ object Demo {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val ann = graft.operators.Similarity
       .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), col("vec_id"), col("embedding"), k = 3)
-      .orderBy("rn").select("vec_id", "cos").collect()
-      .map(r => s"${r.getLong(0)}@${r.getDouble(1)}").mkString(", ")
+      .orderBy("rn").select("vec_id", "cos_ud").collect()
+      .map(r => f"${r.getLong(0)}@${r.getLong(1) / (1L << 40).toDouble}%.4f")
+      .mkString(", ")
     println(s"[demo] ann top-3 for vec 0: $ann")
     val lang = graft.functions.TextFunctions.langId(col("text"))
     println(s"[demo] language guesses: " +

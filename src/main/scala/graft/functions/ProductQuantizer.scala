@@ -10,20 +10,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * is code `j` of subspace `s` (all subspaces same code count, all codes
   * same sub-dimension), an input vector must have exactly
   * `numSubspaces × subDim` dimensions, and every subspace distance is the
-  * EXACT INTEGER squared L2 on the micros grid: vector and codebook
-  * components each enter through the single rounded op
-  * `floor(x·10⁶ + 0.5)` (the [[UnitMicros]] grid-entry convention) and
-  * `Σ (mv − mc)²` is pure long arithmetic — order-independent, so any
-  * engine replays the encode argmin and the ADC estimate bit-for-bit
-  * with NO float-summation boundary class (the earlier double-L2
-  * formulation replayed the IEEE sequence, which holds per op but leaves
-  * an engine free to contract/reorder the chain — the s26 lesson).
-  * Headroom: components ≤ ~2²⁶ micros keep each term < 2⁵³ and an
-  * 8-term sum far below Long.MaxValue; unit-scale embeddings sit at
-  * ~10⁶ micros, five orders inside the bound.
+  * EXACT INTEGER squared L2 on the 2²⁰ grid: vector and codebook
+  * components each enter through the single grid op
+  * `floor(x·2²⁰ + 0.5)` (the [[UnitMicros]] grid-entry convention — the
+  * power-of-two multiply is an exact exponent shift, so the only rounded
+  * float op is the final `+0.5`, one exactly-rounded IEEE op immune to
+  * FMA contraction) and `Σ (mv − mc)²` is pure long arithmetic —
+  * order-independent, so any engine replays the encode argmin and the
+  * ADC estimate bit-for-bit with NO float-summation boundary class (the
+  * earlier double-L2 formulation replayed the IEEE sequence, which holds
+  * per op but leaves an engine free to contract/reorder the chain — the
+  * s26 lesson).
   *
-  * A NULL vector element poisons the arithmetic, so both expressions
-  * return NULL for it — same convention as [[VectorDot]].
+  * Corrupt-input contract (mirrors [[UnitMicros]]): a NULL vector
+  * element, a NaN, or a ±Infinity component → NULL (a NaN would
+  * otherwise quantize to 0 via `(long) Math.floor(NaN)` and be SILENTLY
+  * encoded into the persisted store — the one thing a reproducible
+  * encoder must never do). Finite components past [[PqExpression.MaxAbsGrid]]
+  * grid units (raw |x| > 64 — absurd for unit-scale embeddings)
+  * throw loudly instead of overflowing the long distance accumulation:
+  * `|m| ≤ 2²⁶` keeps each `(mv−mc)²` term ≤ 2⁵⁴ and any `subDim ≤ 256`
+  * sum inside Long range, checked once at entry so the hot distance
+  * loops stay guard-free.
   */
 private[functions] trait PqExpression extends UnaryExpression {
   def codebook: Array[Array[Array[Double]]]
@@ -31,19 +39,22 @@ private[functions] trait PqExpression extends UnaryExpression {
   require(codebook.nonEmpty && codebook.forall(_.length == codebook(0).length)
     && codebook(0).nonEmpty && codebook.flatten.forall(_.length == codebook(0)(0).length),
     "codebook must be rectangular: numSubspaces x numCodes x subDim, all non-empty")
+  require(codebook.flatten.flatten.forall(x =>
+    !x.isNaN && !x.isInfinite && Math.abs(x) * 1048576.0 <= PqExpression.MaxAbsGrid),
+    "codebook components must be finite and within the 2^20 grid headroom")
 
   protected val numSubspaces: Int = codebook.length
   protected val numCodes: Int = codebook(0).length
   protected val subDim: Int = codebook(0)(0).length
   protected val expectDim: Int = numSubspaces * subDim
 
-  /** The codebook on the micros grid, quantized ONCE at construction —
-    * the same single rounded op the per-row vector entry uses, so the
-    * oracle's `floor(c·1e6 + 0.5)` over the raw codebook values lands on
+  /** The codebook on the 2²⁰ grid, quantized ONCE at construction — the
+    * same single grid op the per-row vector entry uses, so the oracle's
+    * `floor(c·1048576 + 0.5)` over the raw codebook values lands on
     * identical longs.
     */
   protected lazy val cbMicros: Array[Array[Array[Long]]] =
-    codebook.map(_.map(_.map(x => Math.floor(x * 1.0e6 + 0.5).toLong)))
+    codebook.map(_.map(_.map(x => Math.floor(x * 1048576.0 + 0.5).toLong)))
 
   override def nullable: Boolean = true
 
@@ -54,8 +65,10 @@ private[functions] trait PqExpression extends UnaryExpression {
         s"$prettyName expects array<double>, got ${other.simpleString}")
   }
 
-  /** null on a null element, else the micros-grid long[] (loud on a dim
-    * mismatch — silently encoding a prefix would corrupt the index).
+  /** null on a null/NaN/Infinity element, else the 2²⁰-grid long[]
+    * (loud on a dim mismatch or an out-of-headroom finite component —
+    * silently encoding a prefix or an overflowed distance would corrupt
+    * the index).
     */
   protected def checkedMicros(input: Any): Array[Long] = {
     val arr = input.asInstanceOf[ArrayData]
@@ -71,14 +84,20 @@ private[functions] trait PqExpression extends UnaryExpression {
     val m = new Array[Long](expectDim)
     i = 0
     while (i < expectDim) {
-      m(i) = Math.floor(v(i) * 1.0e6 + 0.5).toLong
+      if (java.lang.Double.isNaN(v(i)) || java.lang.Double.isInfinite(v(i)))
+        return null
+      m(i) = Math.floor(v(i) * 1048576.0 + 0.5).toLong
+      if (Math.abs(m(i)) > PqExpression.MaxAbsGrid)
+        throw new IllegalArgumentException(
+          s"$prettyName: component ${v(i)} exceeds the 2^20 grid headroom")
       i += 1
     }
     m
   }
 
-  /** Codegen prologue shared by both expressions: dim check, null scan,
-    * micros projection of the input vector into `mv`.
+  /** Codegen prologue shared by both expressions: dim check, null/NaN
+    * scan, grid projection of the input vector into `mv` with the
+    * loud headroom check.
     */
   protected def microsPrologue(
       ctx: CodegenContext, c: String, bad: String, mv: String): String = {
@@ -97,16 +116,33 @@ private[functions] trait PqExpression extends UnaryExpression {
        |if (!$bad) {
        |  double[] $v = $c.toDoubleArray();
        |  $mv = new long[$expectDim];
-       |  for (int $i = 0; $i < $expectDim; $i++) {
-       |    $mv[$i] = (long) Math.floor($v[$i] * 1.0E6D + 0.5D);
+       |  for (int $i = 0; !$bad && $i < $expectDim; $i++) {
+       |    if (Double.isNaN($v[$i]) || Double.isInfinite($v[$i])) {
+       |      $bad = true;
+       |    } else {
+       |      $mv[$i] = (long) Math.floor($v[$i] * 1048576.0D + 0.5D);
+       |      if (Math.abs($mv[$i]) > ${PqExpression.MaxAbsGrid}L) {
+       |        throw new IllegalArgumentException(
+       |          "$prettyName: component " + $v[$i] + " exceeds the 2^20 grid headroom");
+       |      }
+       |    }
        |  }
        |}
      """.stripMargin
   }
 }
 
+object PqExpression {
+  /** Loud headroom bound on a grid component: `|m| ≤ 2²⁶` keeps every
+    * `(mv − mc)²` term ≤ 2⁵⁴, so even a subDim-256 fold stays ≤ 2⁶² —
+    * no silent long overflow in the distance loops. Unit-scale
+    * embeddings sit at ~2²⁰ (raw |x| ≤ 64), six bits inside.
+    */
+  val MaxAbsGrid: Long = 1L << 26
+}
+
 /** PQ encoder: the input vector's per-subspace nearest-code indices (by
-  * exact integer squared L2 on the micros grid, first index on ties) as
+  * exact integer squared L2 on the 2²⁰ grid, first index on ties) as
   * `array<int>` of length `numSubspaces`. One fused codegen'd loop per
   * row — the declarative formulation would be `numSubspaces × numCodes`
   * interpreted `aggregate(zip_with(...))` folds (SURVEY §8.5/§8.23).

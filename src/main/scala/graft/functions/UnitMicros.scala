@@ -7,27 +7,38 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.TypeBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
-/** Exact unit-micros projection of a float/double-vector column — the
+/** Exact unit-grid projection of a float/double-vector column — the
   * integer grid on which every ASSIGNMENT-DECIDING cosine comparison in
   * [[graft.operators.Similarity]] runs (flat/hierarchical IVF argmax,
-  * super-list ranking, the s26 fidelity eval):
+  * super-list ranking, the s26 fidelity eval). The scale is the POWER
+  * OF TWO `S = 2²⁰` ([[UnitMicros.GridScale]] = 1048576 ≈ 10⁶, same
+  * granularity as the earlier micros grid):
   *
-  *  1. `m_i = floor(x_i · 10⁶ + 0.5)` — integer micros per component
-  *     (half-up via floor: `round()` half-up/half-even conventions
-  *     differ across engines, `floor` never does);
+  *  1. `m_i = floor(x_i · 2²⁰ + 0.5)` — integer grid units per
+  *     component (half-up via floor: `round()` half-up/half-even
+  *     conventions differ across engines, `floor` never does). Because
+  *     `2²⁰` is a power of two, `x_i · 2²⁰` is a pure EXPONENT SHIFT —
+  *     EXACT, never rounded — so the only rounded floating op in the
+  *     whole pipeline is the single final `+ 0.5` addition, which is
+  *     one exactly-rounded IEEE op on an exact input. FMA contraction
+  *     is therefore provably irrelevant: `fma(x, 2²⁰, 0.5)` rounds the
+  *     same exact real as the two-op sequence, so fused and unfused
+  *     evaluation agree bit-for-bit on every input (under the previous
+  *     `·10⁶` scale the multiply itself rounded, leaving contraction a
+  *     legal way for two engines to disagree);
   *  2. `nsq = Σ m_i²` — EXACT long arithmetic (order-independent);
   *  3. `s = isqrt(nsq)` — the EXACT floor integer square root
   *     ([[UnitMicros.isqrt]]: a double-`sqrt` SEED corrected by pure
   *     integer comparisons, so the result is a function of the integer
   *     `nsq` alone — an engine whose `sqrt` differs by an ulp lands on
   *     the same `s`);
-  *  4. `u_i = sign(m_i) · ((|m_i| · 10⁶) div s)` — the quantized unit
+  *  4. `u_i = sign(m_i) · ((|m_i| · 2²⁰) div s)` — the quantized unit
   *     vector by INTEGER division (sign-split so truncating and
   *     flooring division agree), so `dot(u_a, u_b)` (a [[VectorDot]]
-  *     long fold, also exact) is a ~10¹²-scaled cosine whose
+  *     long fold, also exact) is a `2⁴⁰`-scaled cosine whose
   *     COMPARISONS are pure integer: no engine-dependent floating
-  *     summation — or float at all past step 1's single rounded op —
-  *     ever decides an argmax.
+  *     summation — or float op-ordering freedom at all — ever decides
+  *     an argmax.
   *
   * Why this is bit-reproducible across engines where `round(cosine, 6)`
   * was not: a float cosine is a multi-term SUM whose accumulation order
@@ -40,14 +51,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * (`floor(m_i/√nsq·10⁶+0.5)` — three rounded ops whose
   * contraction/evaluation order an engine may legally vary, e.g. FMA)
   * and the driver's DuckDB build disagreed with Spark on a handful of
-  * argmaxes two rounds running; now the ONLY floating op anywhere is
-  * step 1's single exactly-rounded multiply-add on bit-identical input
-  * doubles, every later step is integer arithmetic, and the `sqrt`
-  * inside `isqrt` is correction-shielded — there is no boundary class
-  * left and no op-ordering freedom to exploit.
+  * argmaxes two rounds running; step 1's move from `10⁶` to `2²⁰`
+  * removes the last MULTI-op float chain anywhere in the pipeline —
+  * every later step is integer arithmetic, and the `sqrt` inside
+  * `isqrt` is correction-shielded — so there is no boundary class left
+  * and no op-ordering freedom to exploit.
   *
-  * Quantization error: `|u| ≈ 10⁶` with ≤ 1 unit truncation error per
-  * component, so the scaled cosine `dot/10¹²` sits within ~√dim·10⁻⁶
+  * Quantization error: `|u| ≈ 2²⁰` with ≤ 1 unit truncation error per
+  * component, so the scaled cosine `dot/2⁴⁰` sits within ~√dim·2⁻²⁰
   * of the true cosine — indistinguishable for ranking quality (recall
   * gates unchanged), but the ARGMAX is now a deterministic function of
   * the stored bytes.
@@ -122,14 +133,14 @@ case class UnitMicros(child: Expression)
          |  long[] $m = new long[$n];
          |  long $nsq = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $m[$i] = (long) Math.floor($xs[$i] * 1.0E6D + 0.5D);
+         |    $m[$i] = (long) Math.floor($xs[$i] * 1048576.0D + 0.5D);
          |    $nsq = Math.addExact($nsq, Math.multiplyExact($m[$i], $m[$i]));
          |  }
          |  long[] $u = new long[$n];
          |  if ($nsq != 0L) {
          |    long $isq = graft.functions.UnitMicros.isqrt($nsq);
          |    for (int $i = 0; $i < $n; $i++) {
-         |      long $q = Math.multiplyExact(Math.abs($m[$i]), 1000000L) / $isq;
+         |      long $q = Math.multiplyExact(Math.abs($m[$i]), 1048576L) / $isq;
          |      $u[$i] = $m[$i] < 0L ? -$q : $q;
          |    }
          |  }
@@ -144,6 +155,17 @@ case class UnitMicros(child: Expression)
 }
 
 object UnitMicros {
+  /** The grid scale `2²⁰`: a POWER OF TWO so the entry multiply
+    * `x · GridScale` is an exact exponent shift (zero float rounding —
+    * see the class scaladoc). ~10⁶, the granularity the micros grid had.
+    */
+  val GridScale: Long = 1L << 20
+
+  /** `GridScale²` = `2⁴⁰` — the scale of a [[graft.functions.VectorDot]]
+    * fold of two unit-grid vectors (`dot / UnitScale2 ≈ cosine`).
+    */
+  val UnitScale2: Long = 1L << 40
+
   /** The expression's exact scalar form on a plain double array — ALSO
     * the formula per-partition kernels replicate
     * ([[graft.operators.Dedup.embeddingNearDupPairs]]'s pair tiles), kept
@@ -160,7 +182,7 @@ object UnitMicros {
     while (i < n) {
       if (java.lang.Double.isNaN(xs(i)) || java.lang.Double.isInfinite(xs(i)))
         return null
-      m(i) = Math.floor(xs(i) * 1.0e6 + 0.5).toLong
+      m(i) = Math.floor(xs(i) * 1048576.0 + 0.5).toLong
       nsq = Math.addExact(nsq, Math.multiplyExact(m(i), m(i)))
       i += 1
     }
@@ -169,7 +191,7 @@ object UnitMicros {
       val isq = isqrt(nsq)
       i = 0
       while (i < n) {
-        val q = Math.multiplyExact(Math.abs(m(i)), 1000000L) / isq
+        val q = Math.multiplyExact(Math.abs(m(i)), 1048576L) / isq
         u(i) = if (m(i) < 0L) -q else q
         i += 1
       }

@@ -110,7 +110,9 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
     // the THRESHOLD is pure integer (inter·1e6 ≥ ppm·union — no float
     // compare decides membership; the s26 convention applied to sets);
-    // `jaccard` stays the 6-dp display quotient of the survivors
+    // the emitted `jaccard_ppm` is the floored integer quotient of the
+    // SAME counts — all-integer output, so the driver's value hash never
+    // rides a float division/rounding boundary
     inter
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
@@ -118,7 +120,7 @@ object Dedup {
         (col("ca.n_sh") + col("cb.n_sh") - col("inter")).as("_uni"))
       .filter(col("inter") * 1000000L >= lit(Math.round(minJaccard * 1e6)) * col("_uni"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / col("_uni"), 6).as("jaccard"))
+        expr("(inter * 1000000) div _uni").as("jaccard_ppm"))
   }
 
   /** PPJoin-style prefix-filtered Jaccard pairs (Xiao et al., "Efficient
@@ -191,7 +193,7 @@ object Dedup {
         size(col("fa.sh")) + size(col("fb.sh")) - col("inter"))
       .filter(col("inter") * 1000000L >= lit(minJaccardPpm) * col("_uni"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / col("_uni"), 6).as("jaccard"))
+        expr("(inter * 1000000) div _uni").as("jaccard_ppm"))
   }
 
   /** Exact shingle-set containment pairs — the ASYMMETRIC near-dup
@@ -793,7 +795,7 @@ object Dedup {
       // integer verify threshold (the ngramJaccardPairs convention)
       .filter(col("_int") * 1000000L >= lit(Math.round(minJaccard * 1e6)) * col("_uni"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("_int").cast("double") / col("_uni"), 6).as("jaccard"))
+        expr("(_int * 1000000) div _uni").as("jaccard_ppm"))
   }
 
   /** Duplicate-cluster assignment from near-dup pairs: connected
@@ -1094,10 +1096,12 @@ object Dedup {
     * dot products is ~50× slower because every pair re-folds both norms
     * through interpreted array lambdas.
     *
-    * Arithmetic is bit-for-bit the declarative form: left-to-right double
-    * summation, cos = dot/(√na·√nb), HALF_UP rounding to 6 digits (IEEE
-    * multiplication is commutative, so tile orientation cannot change a
-    * pair's value).
+    * Pair membership AND the emitted `cos_ud` score both live on the
+    * exact integer unit-grid dot ([[graft.functions.UnitMicros]]): the
+    * score a row was admitted on is the score it ships, so output rows
+    * always satisfy `cos_ud ≥ cosineMicros2(minCosine)` and the output
+    * carries no float column at all (tile orientation cannot change a
+    * pair's value — integer multiplication commutes).
     */
   def embeddingNearDupPairs(
       emb: DataFrame,
@@ -1125,49 +1129,45 @@ object Dedup {
         collect_list(when(col("blk") <= col("p"), col("r"))).as("_3"),
         collect_list(when(col("blk") > col("p"), col("r"))).as("_4"))
       .as[(Int, Int, Array[(Long, Array[Float])], Array[(Long, Array[Float])])]
-    // pair MEMBERSHIP decides on the exact integer unit-micros dot grid
+    // pair MEMBERSHIP decides on the exact integer unit-grid dot
     // (the s26 convention — [[graft.functions.UnitMicros.project]], the
     // same formula the Catalyst expression runs, shared so the kernel
-    // can't drift); the emitted `cos` is the 6-dp display rounding of the
-    // float cosine, computed only for survivors
+    // can't drift); the emitted `cos_ud` IS that integer score — the
+    // output never carries a float column
     val minUDot = Similarity.cosineMicros2(minCosine)
     tiles.flatMap { case (ba, bb, ra, rb) =>
       def prep(rows: Array[(Long, Array[Float])])
-          : Array[(Long, Array[Double], Double, Array[Long])] =
+          : Array[(Long, Array[Long])] =
         rows.map { case (i, v) =>
           val d = v.map(_.toDouble)
           var n = 0.0; var j = 0
           while (j < d.length) { n += d(j) * d(j); j += 1 }
           // fail loudly on zero/NaN/Inf norms: cosine is undefined (or the
-          // micros projection is NULL) and the comparison failures would
+          // grid projection is NULL) and the comparison failures would
           // otherwise silently drop the vector's pairs (corrupt embeddings
           // must surface)
           if (n == 0.0 || n.isNaN || n.isInfinite)
             throw new IllegalArgumentException(
               s"embedding id=$i has ${if (n == 0.0) "zero" else "non-finite"} " +
                 "norm — cosine undefined")
-          (i, d, math.sqrt(n), graft.functions.UnitMicros.project(d))
+          (i, graft.functions.UnitMicros.project(d))
         }
       val pa = prep(ra)
       val diagonal = ba == bb
       val pb = if (diagonal) pa else prep(rb)
       val out = Iterator.range(0, pa.length).flatMap { x =>
-        val (ia, da, sqa, ua) = pa(x)
+        val (ia, ua) = pa(x)
         Iterator.range(if (diagonal) x + 1 else 0, pb.length).flatMap { y =>
-          val (ib, db, sqb, ub) = pb(y)
+          val (ib, ub) = pb(y)
           var udot = 0L; var k = 0
           while (k < ua.length) { udot += ua(k) * ub(k); k += 1 }
           if (udot >= minUDot) {
-            var dot = 0.0; k = 0
-            while (k < da.length) { dot += da(k) * db(k); k += 1 }
-            val cos = BigDecimal(dot / (sqa * sqb))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            Some(if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
+            Some(if (ia < ib) (ia, ib, udot) else (ib, ia, udot))
           } else None
         }
       }
       out
-    }.toDF("vec_a", "vec_b", "cos")
+    }.toDF("vec_a", "vec_b", "cos_ud")
   }
 
   /** Persistable MinHash signature store `(doc_id, sig)` — what a

@@ -47,12 +47,12 @@ object Similarity {
     ColumnBridge.column(graft.functions.VectorDot(
       ColumnBridge.expression(x), ColumnBridge.expression(y)))
 
-  /** Exact unit-micros projection of a float-vector column
-    * ([[graft.functions.UnitMicros]]): integer micros, exact long
-    * `Σ m²`, exact integer `isqrt(nsq)`, then
-    * `sign(m)·((|m|·10⁶) div isqrt)` per component — integer end to
-    * end past the single rounded micros op. The dot of two unit-micros
-    * vectors is a ~10¹²-scaled cosine computed in PURE INTEGER
+  /** Exact unit-grid projection of a float-vector column
+    * ([[graft.functions.UnitMicros]]): integer 2²⁰-grid units (the
+    * power-of-two entry multiply is EXACT), exact long `Σ m²`, exact
+    * integer `isqrt(nsq)`, then `sign(m)·((|m|·2²⁰) div isqrt)` per
+    * component — integer end to end. The dot of two unit-grid
+    * vectors is a 2⁴⁰-scaled cosine computed in PURE INTEGER
     * arithmetic — the grid every assignment-deciding comparison in this
     * module ranks on, so no engine-dependent floating summation (or
     * float op-ordering freedom at all) can ever flip an argmax (the
@@ -64,32 +64,38 @@ object Similarity {
     ColumnBridge.column(graft.functions.UnitMicros(
       ColumnBridge.expression(v.cast("array<double>"))))
 
-  /** The ~10¹²-scaled integer cosine of two [[unitMicros]] columns — the
+  /** The 2⁴⁰-scaled integer cosine of two [[unitMicros]] columns — the
     * RANK/THRESHOLD score every result-deciding comparison in this module
-    * (and [[VectorIndex]]/[[Dedup.semanticKeepAssigned]]) runs on. The
-    * emitted `cos` columns stay `round(cosine, 6)` doubles for display,
-    * but no ORDER BY or WHERE that decides OUTPUT ROWS compares floats:
-    * a float cosine is an order-sensitive sum that lands within an ulp
-    * of a rounding boundary on different sides across engines (the s26
-    * lesson, measured), where this fold is exact long arithmetic on
-    * engine-reproducible integer vectors.
+    * (and [[VectorIndex]]/[[Dedup.semanticKeepAssigned]]) runs on, AND
+    * (as of r15) the score the output SHIPS: the emitted `cos_ud` BIGINT
+    * columns are this fold, so no float ever reaches an ORDER BY, a
+    * WHERE, or the driver's value hash. A float cosine is an
+    * order-sensitive sum that lands within an ulp of a rounding boundary
+    * on different sides across engines (the s26 lesson, measured) — the
+    * earlier convention kept `round(cosine, 6)` doubles as display
+    * columns, but the driver hashes EVERY output column, so "display
+    * only" was not hash-exempt; this fold is exact long arithmetic on
+    * engine-reproducible integer vectors end to end.
     */
   private[operators] def unitDot(au: Column, bu: Column): Column =
     dotNative(au, bu)
 
-  /** A cosine threshold on the unit-micros dot grid: `cos ≥ c` becomes
-    * `unitDot ≥ cosineMicros2(c)`. Half-up at the pm² grid (irrelevant
-    * in practice — callers pass 6-dp-scale constants).
+  /** A cosine threshold on the unit-grid dot: `cos ≥ c` becomes
+    * `unitDot ≥ cosineMicros2(c)` at the `2⁴⁰` dot scale
+    * ([[graft.functions.UnitMicros.UnitScale2]]). Half-up at the grid²
+    * (irrelevant in practice — callers pass 6-dp-scale constants).
     */
   private[operators] def cosineMicros2(c: Double): Long =
-    Math.round(c * 1e12)
+    Math.round(c * graft.functions.UnitMicros.UnitScale2.toDouble)
 
   /** Exact top-k by cosine for each query vector. Queries are broadcast
     * (they're small by construction); rank is deterministic: the order
-    * runs on the exact integer [[unitDot]] (each side's unit-micros
+    * runs on the exact integer [[unitDot]] (each side's unit-grid
     * vector computed ONCE before the join) with ties on ascending base
-    * id, so Spark and the oracle agree bit-for-bit; `cos` is the 6-dp
-    * display rescore of the survivors.
+    * id, so Spark and the oracle agree bit-for-bit; `cos_ud` is that
+    * same integer score emitted (`/2⁴⁰ ≈ cosine`) — every output column
+    * is an integer, so the driver's value hash can never sit on a float
+    * formatting/summation boundary.
     */
   def bruteForceTopK(
       base: DataFrame,
@@ -102,13 +108,11 @@ object Similarity {
     val q = queries.select(id.as("q_id"), vec.as("qv"), unitMicros(vec).as("_qu"))
     val scored = b.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"),
-        unitDot(col("_qu"), col("_vu")).as("_ud"))
+        unitDot(col("_qu"), col("_vu")).as("cos_ud"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("_ud").desc, col("vec_id").asc)
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-      .drop("_ud")
   }
 
   /** MMR-diversified top-k (Carbonell & Goldstein): re-rank each query's
@@ -118,8 +122,8 @@ object Similarity {
     *
     * Greedy step: pick argmax of
     * `λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` (ties → min vec_id).
-    * The selection arithmetic is EXACT on the unit-micros grid: both
-    * similarity terms are the integer [[unitDot]] (~10¹²-scaled cosine,
+    * The selection arithmetic is EXACT on the unit grid: both
+    * similarity terms are the integer [[unitDot]] (2⁴⁰-scaled cosine,
     * computed by the SAME scalar formula as the Catalyst expression —
     * [[graft.functions.UnitMicros.project]]) and the score comparison is
     * pure long (`lambdaPpm·udot − (1e6−λppm)·maxUdot`, |score| ≤ 10¹⁸ —
@@ -277,14 +281,13 @@ object Similarity {
     val bb = bucketed(base.select(id.as("vec_id"), vec.as("v")), "vec_id", "v", "_vu")
     val qb = bucketed(queries.select(id.as("q_id"), vec.as("qv")), "q_id", "qv", "_qu")
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("_ud").desc, col("vec_id").asc)
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
     bb.as("a")
       .join(qb.hint("broadcast").as("qq"),
         col("a.tbl") === col("qq.tbl") && col("a.bucket") === col("qq.bucket") &&
           col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"),
-        unitDot(col("_qu"), col("_vu")).as("_ud"))
+        unitDot(col("_qu"), col("_vu")).as("cos_ud"))
       // duplicate copies of a pair (one per colliding table) are identical
       // and adjacent under the window order; dense_rank = rank among
       // distinct pairs, lag keeps only each pair's first copy — both run in
@@ -292,7 +295,7 @@ object Similarity {
       .withColumn("rn", dense_rank().over(w).cast("long"))
       .withColumn("_dup", lag(col("vec_id"), 1).over(w) === col("vec_id"))
       .filter(col("rn") <= k && !coalesce(col("_dup"), lit(false)))
-      .drop("_dup", "_ud")
+      .drop("_dup")
   }
 
   /** Multi-probe LSH ANN: like [[lshTopK]], but each query probes its own
@@ -340,21 +343,20 @@ object Similarity {
       .select(col("q_id"), col("qv"), col("_qu"), col("tbl"),
         explode(probeSet(col("qbucket"))).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("_ud").desc, col("vec_id").asc)
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
     bb.as("a")
       .join(qb.hint("broadcast").as("qq"),
         col("a.tbl") === col("qq.tbl") && col("a.bucket") === col("qq.bucket") &&
           col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"),
-        unitDot(col("_qu"), col("_vu")).as("_ud"))
+        unitDot(col("_qu"), col("_vu")).as("cos_ud"))
       // same in-window dedup as lshTopK: copies of a pair (several probe
       // hits) are adjacent under the order; dense_rank + lag drop them
       // without an extra shuffle
       .withColumn("rn", dense_rank().over(w).cast("long"))
       .withColumn("_dup", lag(col("vec_id"), 1).over(w) === col("vec_id"))
       .filter(col("rn") <= k && !coalesce(col("_dup"), lit(false)))
-      .drop("_dup", "_ud")
+      .drop("_dup")
   }
 
   /** L2 norm of a float-array column, in double (left-to-right
@@ -404,8 +406,9 @@ object Similarity {
     * full-precision vectors are touched only for candidates, never
     * shuffled through the ranking.
     *
-    * Output `(q_id, vec_id, qdot, cos, rn)`: rank is by quantized dot
-    * (ties ascending id); `cos` is the exact rescore of the survivors.
+    * Output `(q_id, vec_id, qdot, cos_ud, rn)`: rank is by quantized dot
+    * (ties ascending id); `cos_ud` is the exact integer [[unitDot]]
+    * rescore of the survivors (`/2⁴⁰ ≈ cosine`) — all-integer output.
     */
   def quantizedTopK(
       base: DataFrame,
@@ -432,7 +435,8 @@ object Similarity {
       .join(base.select(id.as("vec_id"), vec.as("v")), "vec_id")
       .join(broadcast(queries.select(id.as("q_id"), vec.as("qv"))), "q_id")
       .select(col("q_id"), col("vec_id"), col("qdot"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"), col("rn"))
+        unitDot(unitMicros(col("qv")), unitMicros(col("v"))).as("cos_ud"),
+        col("rn"))
   }
 
   /** Deterministic signed integer weight for (component j, dimension d)
@@ -490,10 +494,12 @@ object Similarity {
     * for `pool·|queries|` survivor rows, never shuffled through the
     * ranking.
     *
-    * Output `(q_id, vec_id, pcos, cos, rn)`: the pool cut ranks on the
-    * projected-space [[unitDot]] (via [[unitMicrosScaled]]) and the final
-    * rank on the full-dimension [[unitDot]] (ties ascending id); `pcos`
-    * and `cos` are the 6-dp display cosines of those two spaces.
+    * Output `(q_id, vec_id, pcos_ud, cos_ud, rn)`: the pool cut ranks on
+    * the projected-space [[unitDot]] (via [[unitMicrosScaled]]) and the
+    * final rank on the full-dimension [[unitDot]] (ties ascending id);
+    * `pcos_ud` and `cos_ud` ARE those two integer scores (`/2⁴⁰ ≈` the
+    * cosine of each space) — all-integer output, nothing for a float
+    * hash boundary to flip.
     */
   def rpTopK(
       base: DataFrame,
@@ -511,13 +517,12 @@ object Similarity {
     val pb = projected(base, "vec_id", "pv", "_pvu")
     val pq = projected(queries, "q_id", "pq", "_pqu")
     val wEst = Window.partitionBy(col("q_id"))
-      .orderBy(col("_pud").desc, col("vec_id").asc)
+      .orderBy(col("pcos_ud").desc, col("vec_id").asc)
     val wCos = Window.partitionBy(col("q_id"))
-      .orderBy(col("_ud").desc, col("vec_id").asc)
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
     val top = pb.join(broadcast(pq), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("pq"), col("pv")), 6).as("pcos"),
-        unitDot(col("_pqu"), col("_pvu")).as("_pud"))
+        unitDot(col("_pqu"), col("_pvu")).as("pcos_ud"))
       .withColumn("ern", row_number().over(wEst))
       .filter(col("ern") <= pool)
     // pool·|queries| survivors by construction — broadcast them against
@@ -528,12 +533,10 @@ object Similarity {
       .join(broadcast(
         queries.select(id.as("q_id"), vec.as("qv"), unitMicros(vec).as("_qu"))),
         "q_id")
-      .select(col("q_id"), col("vec_id"), col("pcos"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"),
-        unitDot(col("_qu"), col("_vu")).as("_ud"))
+      .select(col("q_id"), col("vec_id"), col("pcos_ud"),
+        unitDot(col("_qu"), col("_vu")).as("cos_ud"))
       .withColumn("rn", row_number().over(wCos).cast("long"))
       .filter(col("rn") <= k)
-      .drop("_ud")
   }
 
   /** IVF ANN: coarse centroids are the base vectors whose id ≡ 0 (mod
@@ -609,7 +612,7 @@ object Similarity {
 
   /** Nearest-`keep` centroid assignment of each row in `df` (whose vector
     * column is `v` and row id is `idc`) — broadcast centroids, window rank.
-    * The rank runs on the EXACT integer unit-micros dot ([[unitMicros]] +
+    * The rank runs on the EXACT integer unit-grid dot ([[unitMicros]] +
     * one long [[graft.functions.VectorDot]] fold per pair — ties on
     * ascending centroid id), so which list a row lands in is a
     * deterministic function of the stored bytes in ANY engine: no
@@ -664,7 +667,7 @@ object Similarity {
     * cosines, minimized at superStride ≈ √k — N·k^½ total, N^1.25 when
     * k ≈ √N. This is faiss's IVF-on-the-quantizer trick re-expressed as
     * three broadcast-rank passes; everything stays deterministic
-    * (EXACT integer unit-micros dots — see [[unitMicros]] — ties on
+    * (EXACT integer unit-grid dots — see [[unitMicros]] — ties on
     * ascending id), so an external engine replays the identical
     * assignment from the stored bytes alone, with no floating-summation
     * boundary class.
@@ -701,7 +704,7 @@ object Similarity {
     * The self-preference term is the PRIMARY sort key: a super-centroid
     * ALWAYS files under itself, unconditionally. Under rounded cosines
     * this was a tie-break (cosine(c,c) = 1.0 was the un-beatable
-    * maximum, so self always won anyway); under quantized unit-micros
+    * maximum, so self always won anyway); under quantized unit-grid
     * dots a near-identical other super with a hair-larger quantized norm
     * could in principle out-dot the self-dot, so the guarantee is made
     * structural rather than numeric — same semantics, now invariant to
@@ -806,15 +809,13 @@ object Similarity {
       .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
       .withColumn("_qu", unitMicros(col("qv")))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("_ud").desc, col("vec_id").asc)
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
     listed.join(probed, Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"),
-        unitDot(col("_qu"), col("_vu")).as("_ud"))
+        unitDot(col("_qu"), col("_vu")).as("cos_ud"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-      .drop("_ud")
   }
 
   /** Flat product-quantization ANN (Jégou et al., "Product quantization
@@ -879,17 +880,15 @@ object Similarity {
         element_at(col("codes"), s + 1) + s * numCodes + 1))
       .reduce(_ + _)
     val wEst = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id").asc)
-    val wCos = Window.partitionBy(col("q_id")).orderBy(col("_ud").desc, col("vec_id").asc)
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos_ud").desc, col("vec_id").asc)
     b.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("v"), col("qv"), est.as("est"))
       .withColumn("ern", row_number().over(wEst))
       .filter(col("ern") <= pool)
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"),
-        unitDot(unitMicros(col("qv")), unitMicros(col("v"))).as("_ud"))
+        unitDot(unitMicros(col("qv")), unitMicros(col("v"))).as("cos_ud"))
       .withColumn("rn", row_number().over(wCos).cast("long"))
       .filter(col("rn") <= k)
-      .drop("_ud")
   }
 
   /** Deterministic stride-picked PQ codebook from `src`: code `j` of
@@ -1006,7 +1005,7 @@ object Similarity {
         element_at(col("codes"), s + 1) + s * numCodes + 1))
       .reduce(_ + _)
     val wEst = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id").asc)
-    val wCos = Window.partitionBy(col("q_id")).orderBy(col("_ud").desc, col("vec_id").asc)
+    val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos_ud").desc, col("vec_id").asc)
     // each base row lives in exactly ONE list, so a (query, candidate)
     // pair appears at most once — no dedup needed before the pool rank
     listed.join(probed, Seq("c_id"))
@@ -1015,11 +1014,9 @@ object Similarity {
       .withColumn("ern", row_number().over(wEst))
       .filter(col("ern") <= effPool)
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"),
-        unitDot(unitMicros(col("qv")), unitMicros(col("v"))).as("_ud"))
+        unitDot(unitMicros(col("qv")), unitMicros(col("v"))).as("cos_ud"))
       .withColumn("rn", row_number().over(wCos).cast("long"))
       .filter(col("rn") <= k)
-      .drop("_ud")
   }
 
   /** `centroids`: optional trained coarse quantizer `(c_id, cv)` — e.g.
@@ -1059,15 +1056,13 @@ object Similarity {
       cents, queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)
       .withColumn("_qu", unitMicros(col("qv")))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("_ud").desc, col("vec_id").asc)
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
     listed.join(probed, Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"),
-        unitDot(col("_qu"), col("_vu")).as("_ud"))
+        unitDot(col("_qu"), col("_vu")).as("cos_ud"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-      .drop("_ud")
   }
 
   /** Recall@k of an approximate ranking against the exact one — the eval
@@ -1133,13 +1128,34 @@ object Similarity {
       sProbes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     require(sProbes.nonEmpty && sProbes.forall(_ > 0),
       s"sProbes must be positive, got $sProbes")
-    import org.apache.spark.sql.expressions.Window
-    val spark = base.sparkSession
-    import spark.implicits._
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = centroids.select(col("c_id"), col("cv"))
     val flat = ivfAssignTo(cents, b, "v", "vec_id", 1)
       .select(col("vec_id"), col("c_id").as("flat_c"))
+    val hier = hierPick(b, cents, superStride, sProbes)
+    hier.join(flat, Seq("vec_id"))
+      .groupBy(col("s_probe"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_id") === col("flat_c"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("s_probe"), col("n_rows"), col("n_agree"),
+        expr("(n_agree * 1000000) div n_rows").as("agree_ppm"))
+  }
+
+  /** The two-level pick for EVERY requested sProbe in one pass — the
+    * shared core of [[assignmentAgreement]] and
+    * [[hierAssignFingerprint]]: per-row super ranks computed once to
+    * `max(sProbes)`, each sProbe re-cuts them with a broadcast
+    * `srn <= s_probe` theta-join, exact integer-dot argmax within.
+    * Output `(s_probe, vec_id, c_id)`.
+    */
+  private[operators] def hierPick(
+      b: DataFrame,
+      cents: DataFrame,
+      superStride: Int,
+      sProbes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = b.sparkSession
+    import spark.implicits._
     val supers = hierSupers(cents, superStride)
     val c2s = hierC2s(cents, supers)
     val r2s = hierR2s(b, supers, sProbes.max)
@@ -1149,7 +1165,7 @@ object Similarity {
     // _vu BEFORE the sProbe fan-out: the join duplicates the computed
     // unit vector instead of recomputing the per-component projection
     // once per (row × qualifying s_probe) pair
-    val hier = r2s
+    r2s
       .withColumn("_vu", unitMicros(col("v")))
       .join(broadcast(spx), col("srn") <= col("s_probe"))
       .join(broadcast(c2s.withColumn("_cu", unitMicros(col("cv")))), Seq("s_id"))
@@ -1157,12 +1173,103 @@ object Similarity {
         dotNative(col("_vu"), col("_cu")).as("c_dot"))
       .withColumn("crn", row_number().over(wA)).filter(col("crn") === 1)
       .select(col("s_probe"), col("vec_id"), col("c_id"))
-    hier.join(flat, Seq("vec_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // s26 stage fingerprints — the driver-observable bisection harness
+  // ------------------------------------------------------------------
+  //
+  // assignmentAgreement (the s26 eval) has disagreed with the DRIVER's
+  // DuckDB for three rounds while Spark, a local DuckDB 1.0.0, and an
+  // independent exact-integer replay all agree bit-for-bit at every SF —
+  // the divergence lives in an environment we cannot inspect. These five
+  // operators each emit ONE config-sized integer checksum of ONE stage of
+  // the s26 pipeline over the full corpus, so the driver's own per-key
+  // green/red in CORRECTNESS names the first diverging stage. Every
+  // checksum is an order-independent SUM of bounded integer products
+  // (longs throughout — no hash function an engine could implement
+  // differently, no float anywhere), so the keys add no new fragility.
+  //
+  // Weight design: a row's array fold is position-weighted
+  // (Σ (i+1-based index)·x_i) and rows are weighted by (id % 97 + 1) —
+  // compensating cross-row/cross-component flips would need to cancel
+  // exactly under two coprime weightings simultaneously. Magnitudes:
+  // |x_i| ≤ 2²⁰ (grid), index ≤ dim ≤ 2⁷, row weight ≤ 97 < 2⁷, rows ≤
+  // 2·10⁵ at sf0.1 → totals < 2⁵⁵, five orders inside Long.
+
+  /** Stage-1 checksum: the grid entry (`mv = floor(x·2²⁰+0.5)`) and the
+    * unit projection (`u` — [[unitMicros]]) of every corpus vector.
+    * One row: `(n_rows, mv_fp, u_fp)`.
+    */
+  def gridFingerprint(base: DataFrame, id: Column, vec: Column): DataFrame = {
+    val mv = transform(vec.cast("array<double>"),
+      x => floor(x * lit(1048576.0) + lit(0.5)).cast("long"))
+    def foldIdx(arr: Column): Column =
+      aggregate(zip_with(arr, sequence(lit(1L), size(arr).cast("long")),
+        (x, i) => x * i), lit(0L), (acc, t) => acc + t)
+    base.select(id.as("vec_id"), mv.as("mv"), unitMicros(vec).as("u"))
+      .select(col("vec_id"),
+        (pmod(col("vec_id"), lit(97L)) + 1L).as("w"),
+        foldIdx(col("mv")).as("mvf"), foldIdx(col("u")).as("uf"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("w") * col("mvf")).as("mv_fp"),
+        sum(col("w") * col("uf")).as("u_fp"))
+  }
+
+  /** Stage-2 checksum: the flat exact argmax (what `flat_c` is in the
+    * s26 eval). One row: `(n_rows, fp, c_sum)` with
+    * `fp = Σ vec_id·flat_c`.
+    */
+  def flatAssignFingerprint(
+      base: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame): DataFrame = {
+    val b = base.select(id.as("vec_id"), vec.as("v"))
+    ivfAssignTo(centroids.select(col("c_id"), col("cv")), b, "v", "vec_id", 1)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("vec_id") * col("c_id")).as("fp"),
+        sum(col("c_id")).as("c_sum"))
+  }
+
+  /** Stage-3 checksum: each row's NEAREST super-list (`srn = 1` of the
+    * super probe). One row: `(n_rows, fp)` with `fp = Σ vec_id·s_id`.
+    */
+  def superProbeFingerprint(
+      base: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, superStride: Int = 16): DataFrame = {
+    val b = base.select(id.as("vec_id"), vec.as("v"))
+    val supers = hierSupers(centroids.select(col("c_id"), col("cv")), superStride)
+    hierR2s(b, supers, 1)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("vec_id") * col("s_id")).as("fp"))
+  }
+
+  /** Stage-4 checksum: the centroid→super filing (config × config).
+    * One row: `(n_cents, fp)` with `fp = Σ c_id·s_id`.
+    */
+  def c2sFingerprint(
+      centroids: DataFrame, superStride: Int = 16): DataFrame = {
+    val cents = centroids.select(col("c_id"), col("cv"))
+    hierC2s(cents, hierSupers(cents, superStride))
+      .agg(count(lit(1)).as("n_cents"),
+        sum(col("c_id") * col("s_id")).as("fp"))
+  }
+
+  /** Stage-5 checksum: the two-level pick itself, per sProbe — the last
+    * stage before the s26 aggregate. One row per sProbe:
+    * `(s_probe, n_rows, fp)` with `fp = Σ vec_id·c_id`.
+    */
+  def hierAssignFingerprint(
+      base: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame,
+      superStride: Int = 16,
+      sProbes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(sProbes.nonEmpty && sProbes.forall(_ > 0),
+      s"sProbes must be positive, got $sProbes")
+    val b = base.select(id.as("vec_id"), vec.as("v"))
+    hierPick(b, centroids.select(col("c_id"), col("cv")), superStride, sProbes)
       .groupBy(col("s_probe"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("c_id") === col("flat_c"), 1L).otherwise(0L)).as("n_agree"))
-      .select(col("s_probe"), col("n_rows"), col("n_agree"),
-        expr("(n_agree * 1000000) div n_rows").as("agree_ppm"))
+        sum(col("vec_id") * col("c_id")).as("fp"))
   }
 
   /** Deterministic distributed Lloyd k-means over a float-vector column —
@@ -1216,12 +1323,14 @@ object Similarity {
     * corpus passes; leave `None` when a FIXED iteration count must be
     * replayed (the oracle contract of s9/s10).
     */
-  /** Integer-micros projection of a float-vector column:
-    * `floor(x·10⁶ + 0.5)` per component (half-up via floor).
+  /** Integer-grid projection of a float-vector column:
+    * `floor(x·2²⁰ + 0.5)` per component (half-up via floor; the
+    * power-of-two scale makes the multiply an exact exponent shift —
+    * see [[graft.functions.UnitMicros]]).
     */
   private def microsOf(vec: Column): Column =
     transform(vec.cast("array<double>"),
-      x => floor(x * 1e6 + lit(0.5)).cast("long"))
+      x => floor(x * lit(1048576.0) + lit(0.5)).cast("long"))
 
   /** The shared driver-iterated Lloyd loop over GROUPED point sets —
     * `pts` is `(grp, pid, mv)` and every group trains its own centroid
@@ -1359,7 +1468,7 @@ object Similarity {
       .groupBy(col("c_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("val")))).as("pv"))
       .select(col("c_id"),
-        transform(col("pv"), p => p.getField("val").cast("double") / 1e6).as("cv"))
+        transform(col("pv"), p => p.getField("val").cast("double") / lit(1048576.0)).as("cv"))
 
   /** Trained PQ codebook: per-subspace Lloyd k-means — the
     * `numSubspaces × numCodes × subDim` matrix [[pqTopK]] consumes via
@@ -1368,7 +1477,7 @@ object Similarity {
     * SAME [[lloydLoop]] passes (each vector explodes to `numSubspaces`
     * grouped slice-points), so the whole codebook costs one corpus scan
     * per iteration — not `numSubspaces` of them. Components land on the
-    * micros grid (1e-6), which is where the ADC estimates live anyway.
+    * 2²⁰ grid (~1e-6), which is where the ADC estimates live anyway.
     */
   def pqTrainCodebook(
       base: DataFrame,
@@ -1405,6 +1514,6 @@ object Similarity {
         s"${seeds.length} of ${numSubspaces * numCodes} (subspace, code) seeds")
     val cents = lloydLoop(pts, seeds, iters, convergeTol).toMap
     Array.tabulate(numSubspaces)(s =>
-      Array.tabulate(numCodes)(j => cents((s, j.toLong)).map(_ / 1e6)))
+      Array.tabulate(numCodes)(j => cents((s, j.toLong)).map(_ / 1048576.0)))
   }
 }

@@ -79,8 +79,15 @@ object VectorIndex {
     * the double fold) — stored CODES for near-tied vectors differ from
     * v3 stores, so PQ stores must rebuild; plain stores share the bump
     * for one code generation rather than a per-mode version matrix.
+    *
+    * v5: the grid scale moved from `10⁶` to the power of two `2²⁰`
+    * ([[graft.functions.UnitMicros.GridScale]]) so the grid-entry
+    * multiply is an exact exponent shift — ZERO rounded float
+    * multiplies anywhere, closing the last FMA-contraction freedom.
+    * Every stored unit vector, list assignment, and PQ code quantizes
+    * on the new grid, so all stores rebuild.
     */
-  val FormatVersion = 4
+  val FormatVersion = 5
 
   /** Marker written LAST: a store is only probeable once fully written
     * (a killed build leaves no marker and the probe fails loudly).
@@ -113,7 +120,8 @@ object VectorIndex {
     */
   private val ReservedNames = Set("vec_id", "v", "c_id", "codes",
     BuildRouteCol, CompactRouteCol,
-    "q_id", "qv", "cos", "rn", "lut", "est", "ern", "_vu", "_qu", "_ud")
+    "q_id", "qv", "cos", "cos_ud", "rn", "lut", "est", "ern",
+    "_vu", "_qu", "_ud")
 
   private def hadoopConf() =
     SparkSession.getActiveSession
@@ -197,10 +205,15 @@ object VectorIndex {
     * ([[ensureIvfIndex]] and callers managing their own build): a
     * complete store of an older generation must be REBUILT, where a
     * probe/append of one must FAIL (they do — loudly, on the meta's
-    * recorded generation). A marker-complete store whose `meta/` cannot
-    * be read (truncated/damaged by hand — the marker protocol can't have
-    * produced it) is NOT servable rather than an error: the gate's
-    * callers want "rebuild", not a crash pointing away from the cause.
+    * recorded generation). A marker-complete store whose `meta/` is
+    * MISSING or doesn't parse as a table (damaged by hand — the marker
+    * protocol can't have produced it) is NOT servable rather than an
+    * error: the gate's callers want "rebuild", not a crash pointing
+    * away from the cause. Only that expected-corruption class is
+    * absorbed — an unexpected failure reading an intact-looking meta
+    * (a transient filesystem/IO error, say) PROPAGATES, because
+    * silently answering "not servable" to it would trigger a full
+    * index rebuild over a hiccup.
     *
     * `payload`: when given, the store must ALSO have been built with
     * exactly these inline payload column names — a servable-looking
@@ -211,11 +224,17 @@ object VectorIndex {
     */
   def isServable(spark: SparkSession, path: String,
       payload: Seq[String] = Nil): Boolean =
-    isComplete(path) && scala.util.Try(readMeta(spark, path,
-        requireCurrent = false))
-      .toOption
-      .exists(m => m.version == FormatVersion &&
+    isComplete(path) && {
+      val meta =
+        try Some(readMeta(spark, path, requireCurrent = false))
+        catch {
+          // the expected corruption class only: meta/ missing or not
+          // readable AS A TABLE → rebuild; other failures propagate
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      meta.exists(m => m.version == FormatVersion &&
         (payload.isEmpty || m.payload == payload))
+    }
 
   /** Write the IVF index of `base` at `path`: inverted lists partitioned
     * by `c_id` (+ PQ codes when `pq`), the centroid model, and the config.
@@ -596,21 +615,21 @@ object VectorIndex {
     val meta = readMeta(spark, path)
     val (probed, ids) = probedLists(spark, path, meta, queries, id, vec, nProbe)
     val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
-    // rank on the exact integer unit-micros dot (the s26 convention —
+    // rank on the exact integer unit-grid dot (the s26 convention —
     // each side's unit vector computed once, store-side per candidate
-    // row, query-side on the config-sized broadcast); `cos` is display
+    // row, query-side on the config-sized broadcast); the emitted
+    // `cos_ud` IS that integer score (`/2⁴⁰ ≈ cosine`) — no float
+    // column enters the output hash
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("_ud").desc, col("vec_id").asc)
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
     lists.withColumn("_vu", Similarity.unitMicros(col("v")))
       .join(broadcast(probed.withColumn("_qu", Similarity.unitMicros(col("qv")))),
         Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"),
-        Similarity.unitDot(col("_qu"), col("_vu")).as("_ud"))
+        Similarity.unitDot(col("_qu"), col("_vu")).as("cos_ud"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-      .drop("_ud")
   }
 
   /** Radius (range) search against a persisted store: every candidate in
@@ -647,18 +666,20 @@ object VectorIndex {
     val meta = readMeta(spark, path)
     val (probed, ids) = probedLists(spark, path, meta, queries, id, vec, nProbe)
     val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
-    // row MEMBERSHIP decides on the exact integer unit-micros dot grid
-    // (`udot ≥ minCosine·10¹²` — the one comparison a float boundary must
+    // row MEMBERSHIP decides on the exact integer unit-grid dot
+    // (`udot ≥ minCosine·2⁴⁰` — the one comparison a float boundary must
     // never own: a candidate AT the bar would flip rows_match across
-    // engines, not just a hash); `cos` stays the 6-dp display column
+    // engines, not just a hash); the emitted `cos_ud` is the SAME score
+    // membership decided on, so output rows always satisfy
+    // `cos_ud ≥ cosineMicros2(minCosine)` — unlike the old 6-dp float
+    // display column, which could print below the bar
     lists.withColumn("_vu", Similarity.unitMicros(col("v")))
       .join(broadcast(probed.withColumn("_qu", Similarity.unitMicros(col("qv")))),
         Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
-      .filter(Similarity.unitDot(col("_qu"), col("_vu")) >=
-        Similarity.cosineMicros2(minCosine))
-      .select(col("q_id"), col("vec_id"),
-        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("cos_ud", Similarity.unitDot(col("_qu"), col("_vu")))
+      .filter(col("cos_ud") >= Similarity.cosineMicros2(minCosine))
+      .select(col("q_id"), col("vec_id"), col("cos_ud"))
   }
 
   /** File manifest of the store's inverted lists, one row per data file:
@@ -850,7 +871,7 @@ object VectorIndex {
     val wEst = Window.partitionBy(col("q_id"))
       .orderBy(col("est").asc, col("vec_id").asc)
     val wCos = Window.partitionBy(col("q_id"))
-      .orderBy(col("_ud").desc, col("vec_id").asc)
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
     // candidate scan: codes only — the store's vectors are not read here
     val poolRows = lists.select(col("c_id"), col("vec_id"), col("codes"))
       .join(broadcast(probedLut), Seq("c_id"))
@@ -869,10 +890,8 @@ object VectorIndex {
       .join(broadcast(poolRows), Seq("vec_id"))
       .join(broadcast(qv), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"),
-        Similarity.unitDot(col("_qu"), Similarity.unitMicros(col("v"))).as("_ud"))
+        Similarity.unitDot(col("_qu"), Similarity.unitMicros(col("v"))).as("cos_ud"))
       .withColumn("rn", row_number().over(wCos).cast("long"))
       .filter(col("rn") <= k)
-      .drop("_ud")
   }
 }

@@ -78,7 +78,7 @@ object PipelineQueries {
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
-       |  round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+       |  (inter * 1000000) // (ca.n_sh + cb.n_sh - inter) AS jaccard_ppm
        |FROM pairs
        |JOIN cnt ca ON ca.doc_id = doc_a
        |JOIN cnt cb ON cb.doc_id = doc_b
@@ -603,14 +603,15 @@ object PipelineQueries {
       n = 3, minJaccardPpm = 500000L)
 
   // similarity-weighted authority: neighbors contribute in proportion to
-  // Jaccard (micro-units), not uniformly — scale 1e6 keeps every
-  // score·weight product in BIGINT per the operator's overflow contract
+  // Jaccard (the pair tier's integer ppm column, directly) — scale 1e6
+  // keeps every score·weight product in BIGINT per the operator's
+  // overflow contract
   private val g2: Q = (s, dir) =>
     graft.operators.Graph.pageRank(
       Dedup.minhashLshPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
         n = 3, numHashes = 32, bands = 4, minJaccard = 0.5),
       col("doc_a"), col("doc_b"), iterations = 5, scale = 1000000L,
-      weight = Some(expr("CAST(round(jaccard * 1000000) AS BIGINT)")))
+      weight = Some(col("jaccard_ppm")))
 
   // cross-family composition: the fuzzy pair graph feeds the same
   // hash-min CC machinery the LSH tier uses — entity GROUPS, not just
@@ -723,11 +724,10 @@ object PipelineQueries {
       .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(least(col("sa.source"), col("sb.source")).as("source_a"),
         greatest(col("sa.source"), col("sb.source")).as("source_b"),
-        col("jaccard"))
+        col("jaccard_ppm"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"),
-        expr("sum(cast(round(jaccard * 1000000) as bigint)) div count(1)")
-          .as("mean_jaccard_ppm"))
+        expr("sum(jaccard_ppm) div count(1)").as("mean_jaccard_ppm"))
   }
 
   // ------------------------------------------------------------------
@@ -929,6 +929,33 @@ object PipelineQueries {
         centroidStride = 50, maxCentroids = 256),
       superStride = 16, sProbes = Seq(1, 2, 4))
   }
+
+  // s26 STAGE FINGERPRINTS (s26a–s26e): one config-sized integer checksum
+  // per pipeline stage of the s26 eval, each with its own oracle — the
+  // driver-observable bisection harness for the one chronic red row.
+  // s26 itself is UNCHANGED so its signal stays round-comparable; these
+  // five rows name the FIRST stage where the driver's engine diverges
+  // (grid entry → flat argmax → super probe → c2s filing → hier pick).
+  // All checksums are order-independent sums of bounded integer products
+  // — no float, no hash, no new fragility class.
+  private def s26Cents(s: SparkSession, dir: String) =
+    Similarity.coarseCentroids(t(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), centroidStride = 50, maxCentroids = 256)
+  private val s26a: Q = (s, dir) =>
+    Similarity.gridFingerprint(t(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"))
+  private val s26b: Q = (s, dir) =>
+    Similarity.flatAssignFingerprint(t(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), s26Cents(s, dir))
+  private val s26c: Q = (s, dir) =>
+    Similarity.superProbeFingerprint(t(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), s26Cents(s, dir), superStride = 16)
+  private val s26d: Q = (s, dir) =>
+    Similarity.c2sFingerprint(s26Cents(s, dir), superStride = 16)
+  private val s26e: Q = (s, dir) =>
+    Similarity.hierAssignFingerprint(t(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), s26Cents(s, dir),
+      superStride = 16, sProbes = Seq(1, 2, 4))
 
   // PQ store probe: ADC candidates read ONLY (vec_id, codes) from ONLY
   // the probed partitions; result ≡ s20 — shared oracle
@@ -1317,6 +1344,11 @@ object PipelineQueries {
     "s24_ann_ivf_store" -> s24,
     "s25_ann_ivf_store_append" -> s25,
     "s26_assign_fidelity" -> s26,
+    "s26a_fp_grid" -> s26a,
+    "s26b_fp_flat" -> s26b,
+    "s26c_fp_super" -> s26c,
+    "s26d_fp_c2s" -> s26d,
+    "s26e_fp_hier" -> s26e,
     "s28_ivf_store_compact" -> s28,
     "s27_ann_ivfpq_store" -> s27,
     "s29_ann_store_filtered" -> s29,
@@ -1438,7 +1470,7 @@ object PipelineQueries {
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
        |verified AS (
-       |  SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 6) AS jaccard,
+       |  SELECT doc_a, doc_b, (inter * 1000000) // uni AS jaccard_ppm,
        |    inter, uni
        |  FROM (
        |    SELECT doc_a, doc_b,
@@ -1465,15 +1497,70 @@ object PipelineQueries {
        |  UNION
        |  SELECT e.b AS v, w.l FROM walk w JOIN edges e ON e.a = w.v)""".stripMargin
 
+  /** The s26 pipeline's full CTE set — shared verbatim by the
+    * s26_assign_fidelity replay and the s26a–s26e stage-fingerprint
+    * keys (DuckDB elides the CTEs a query never references, so each
+    * fingerprint pays only its own stages): unit grid (`ue`), capped
+    * stride centroids (`cents`), flat exact argmax (`flatl`), super set
+    * (`rankedc`/`supers`), centroid→super filing (`c2s`), per-row super
+    * ranks (`sup`), two-level pick per sProbe (`hier`).
+    */
+  private lazy val sqlS26Ctes =
+    s"""${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+        |cents AS (
+        |  SELECT vec_id AS c_id, u AS cu
+        |  FROM embeddings JOIN ue USING (vec_id)
+        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
+        |flatl AS (
+        |  SELECT vec_id, c_id AS flat_c FROM (
+        |    SELECT b.vec_id, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |        ORDER BY ${sqlUDot("bu.u", "c.cu")} DESC,
+        |                 c.c_id ASC) AS crn
+        |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+        |    CROSS JOIN cents c)
+        |  WHERE crn <= 1),
+        |rankedc AS (
+        |  SELECT c_id, cu, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
+        |supers AS (
+        |  SELECT c_id AS s_id, cu AS su FROM rankedc WHERE crk % 16 = 0),
+        |c2s AS (
+        |  SELECT s_id, c_id, cu FROM (
+        |    SELECT c.c_id, c.cu, s.s_id,
+        |      ROW_NUMBER() OVER (PARTITION BY c.c_id
+        |        ORDER BY (s.s_id = c.c_id) DESC,
+        |                 ${sqlUDot("c.cu", "s.su")} DESC, s.s_id ASC) AS srn
+        |    FROM cents c CROSS JOIN supers s)
+        |  WHERE srn = 1),
+        |sup AS (
+        |  SELECT vec_id, u, s_id, srn FROM (
+        |    SELECT b.vec_id, bu.u, s.s_id,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |        ORDER BY ${sqlUDot("bu.u", "s.su")} DESC,
+        |                 s.s_id ASC) AS srn
+        |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+        |    CROSS JOIN supers s)
+        |  WHERE srn <= 4),
+        |hier AS (
+        |  SELECT s_probe, vec_id, c_id FROM (
+        |    SELECT sp.s_probe, r.vec_id, c.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY sp.s_probe, r.vec_id
+        |        ORDER BY ${sqlUDot("r.u", "c.cu")} DESC,
+        |                 c.c_id ASC) AS crn
+        |    FROM sup r
+        |    JOIN (VALUES (1), (2), (4)) sp(s_probe) ON r.srn <= sp.s_probe
+        |    JOIN c2s c ON c.s_id = r.s_id)
+        |  WHERE crn = 1)""".stripMargin
+
   /** The exact-ranking replay, parameterized on an extra base-side
     * predicate so s1 (unfiltered) and s11 (label slice) share one
     * template — a ranking fix lands in both by construction.
     */
   private def sqlExactTopK(basePred: String = ""): String =
     s"""WITH ${sqlUnitCte("xue", "vec_id", "embedding", "embeddings")}
-       |SELECT q_id, vec_id, cos, rn FROM (
+       |SELECT q_id, vec_id, cos_ud, rn FROM (
        |  SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
-       |    round(list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos,
+       |    ${sqlUDot("qu.u", "bu.u")} AS cos_ud,
        |    ROW_NUMBER() OVER (
        |      PARTITION BY q.vec_id
        |      ORDER BY ${sqlUDot("qu.u", "bu.u")} DESC,
@@ -1524,7 +1611,7 @@ object PipelineQueries {
   private val sqlKmeansCtes =
     s"""ev AS (
        |  SELECT vec_id,
-       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1048576 + 0.5)::BIGINT) AS mv
        |  FROM embeddings),
        |c0 AS (
        |  SELECT vec_id // 50 AS c_id, mv AS cv FROM ev
@@ -1541,7 +1628,7 @@ object PipelineQueries {
   private val sqlKmeansCtesRank =
     s"""ev AS (
        |  SELECT vec_id,
-       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1048576 + 0.5)::BIGINT) AS mv
        |  FROM embeddings),
        |c0 AS (
        |  SELECT c_id, cv FROM (
@@ -1562,7 +1649,7 @@ object PipelineQueries {
   private val sqlKmeansCtesSampled =
     s"""ev AS (
        |  SELECT vec_id,
-       |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+       |    list_transform(embedding, x -> floor(x::DOUBLE * 1048576 + 0.5)::BIGINT) AS mv
        |  FROM embeddings),
        |evs AS (SELECT vec_id, mv FROM ev WHERE vec_id % 5 = 0),
        |c0 AS (
@@ -1574,23 +1661,27 @@ object PipelineQueries {
        |${sqlKmeansIter(2, "evs")}""".stripMargin
 
   /** DuckDB replay of [[graft.functions.UnitMicros]] as a CTE
-    * `name(id, u)`: integer micros `floor(x·1e6 + 0.5)`, EXACT BIGINT
-    * `Σ m²`, the EXACT floor integer square root `isq = isqrt(nsq)`
-    * (double-`sqrt` SEED, then pure-integer CASE corrections in the
-    * overflow-free division form `x² ≤ n ⟺ x ≤ n div x` — one step down
-    * guarded to `≥ 1`, one step up; the result is a function of the
-    * BIGINT `nsq` alone, immune to any engine's `sqrt` ulp), then
-    * `u_i = sign(m)·((|m|·1e6) div isq)` per component — sign-split so
+    * `name(id, u)`: integer grid units `floor(x·2²⁰ + 0.5)`, EXACT
+    * BIGINT `Σ m²`, the EXACT floor integer square root
+    * `isq = isqrt(nsq)` (double-`sqrt` SEED, then pure-integer CASE
+    * corrections in the overflow-free division form
+    * `x² ≤ n ⟺ x ≤ n div x` — one step down guarded to `≥ 1`, one step
+    * up; the result is a function of the BIGINT `nsq` alone, immune to
+    * any engine's `sqrt` ulp), then
+    * `u_i = sign(m)·((|m|·2²⁰) div isq)` per component — sign-split so
     * the replay never leans on an engine's negative-integer-division
     * convention (`//` truncates in current DuckDB; floor elsewhere).
-    * The ONLY floating op anywhere is the single exactly-rounded
-    * `x·1e6 + 0.5` on bit-identical input doubles; every later step is
-    * integer, so the produced vectors — and therefore every integer-dot
-    * argmax ranked on them — are bit-identical across engines (the fix
-    * for the round-6 cosine boundary class, and for its successor, the
-    * `floor(m/√nsq·1e6+0.5)` three-op float chain whose legal
-    * contraction/reorder made s26's hash driver-DuckDB-fragile two
-    * rounds running).
+    * The grid scale is a POWER OF TWO (r15): `x·2²⁰` is an exact
+    * exponent shift, so the only rounded float op anywhere is the
+    * single `+ 0.5` addition — one exactly-rounded IEEE op that even
+    * FMA contraction cannot change (the multiply contributes no
+    * rounding), closing the last arithmetic-divergence candidate the
+    * earlier `x·10⁶ + 0.5` entry (two rounded ops) left open. Every
+    * later step is integer, so the produced vectors — and therefore
+    * every integer-dot argmax ranked on them — are bit-identical across
+    * engines (the fix lineage: round-6 cosine boundary class → the
+    * `floor(m/√nsq·10⁶+0.5)` three-op float chain → the 10⁶ entry
+    * multiply, each removed in turn).
     */
   private def sqlUnitCte(
       name: String, id: String, vec: String, src: String): String =
@@ -1598,8 +1689,8 @@ object PipelineQueries {
        |  SELECT $id,
        |    CASE WHEN isq = 0 THEN list_transform(mv, y -> 0::BIGINT)
        |         ELSE list_transform(mv,
-       |                y -> CASE WHEN y < 0 THEN -(((-y) * 1000000) // isq)
-       |                          ELSE ((y * 1000000) // isq) END)
+       |                y -> CASE WHEN y < 0 THEN -(((-y) * 1048576) // isq)
+       |                          ELSE ((y * 1048576) // isq) END)
        |    END AS u
        |  FROM (
        |    SELECT $id, mv,
@@ -1620,7 +1711,7 @@ object PipelineQueries {
        |            END AS nsq
        |          FROM (
        |            SELECT $id,
-       |              list_transform($vec, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+       |              list_transform($vec, x -> floor(x::DOUBLE * 1048576 + 0.5)::BIGINT) AS mv
        |            FROM $src))))))""".stripMargin
 
   /** Exact BIGINT dot of two unit-micros list expressions — the
@@ -1665,15 +1756,16 @@ object PipelineQueries {
        |    WHERE q.vec_id < 5)
        |  WHERE crn <= 2)""".stripMargin
 
-  /** The exact-cosine rescore tail over `listed ⋈ probed` — the final
+  /** The integer-scored rescore tail over `listed ⋈ probed` — the final
     * SELECT shared by the s3 (flat) and s19 (hierarchical) replays; which
     * assignment produced the two CTEs is invisible to it, exactly as in
-    * the Spark operators.
+    * the Spark operators. Emits the SAME integer unit-grid dot the rank
+    * runs on (`cos_ud`) — no float column in the hashed output.
     */
   private val sqlIvfRescoreTail =
-    s"""SELECT q_id, vec_id, cos, rn FROM (
+    s"""SELECT q_id, vec_id, cos_ud, rn FROM (
       |  SELECT p.q_id, l.vec_id,
-      |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
+      |    ${sqlUDot("pu.u", "lu.u")} AS cos_ud,
       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
       |      ORDER BY ${sqlUDot("pu.u", "lu.u")} DESC,
       |               l.vec_id ASC) AS rn
@@ -1696,11 +1788,11 @@ object PipelineQueries {
         |sub AS (
         |  SELECT t.s AS s, j,
         |    list_transform(list_slice(cv, t.s*8 + 1, t.s*8 + 8),
-        |      c -> floor(c::DOUBLE * 1000000 + 0.5)::BIGINT) AS mc
+        |      c -> floor(c::DOUBLE * 1048576 + 0.5)::BIGINT) AS mc
         |  FROM cbv, unnest(range(0, 8)) t(s)),
         |mb AS (
         |  SELECT vec_id,
-        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1048576 + 0.5)::BIGINT) AS mv
         |  FROM embeddings),
         |dist AS (
         |  SELECT b.vec_id, sub.s, sub.j,
@@ -1729,15 +1821,13 @@ object PipelineQueries {
         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id ASC) AS ern
         |    FROM cand)
         |  WHERE ern <= 50)
-        |SELECT q_id, vec_id, cos, rn FROM (
+        |SELECT q_id, vec_id, cos_ud, rn FROM (
         |  SELECT p.q_id, p.vec_id,
-        |    round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) AS cos,
+        |    ${sqlUDot("qu.u", "bu.u")} AS cos_ud,
         |    ROW_NUMBER() OVER (PARTITION BY p.q_id
         |      ORDER BY ${sqlUDot("qu.u", "bu.u")} DESC,
         |               p.vec_id ASC) AS rn
         |  FROM pool p
-        |  JOIN embeddings qv ON qv.vec_id = p.q_id
-        |  JOIN embeddings bv ON bv.vec_id = p.vec_id
         |  JOIN ue qu ON qu.vec_id = p.q_id
         |  JOIN ue bu ON bu.vec_id = p.vec_id)
         |WHERE rn <= 10""".stripMargin
@@ -1870,7 +1960,7 @@ object PipelineQueries {
   private val sqlD12dSemdedupAnn =
     s"""WITH $sqlKmeansCtesSampled,
        |cents0 AS (
-       |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+       |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1048576.0) AS cv FROM c2),
        |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
        |${sqlUnitCte("cu", "c_id", "cv", "cents0")},
        |cents AS (
@@ -1911,7 +2001,7 @@ object PipelineQueries {
        |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
        |  JOIN ue xu ON xu.vec_id = x.vec_id
        |  JOIN ue yu ON yu.vec_id = y.vec_id
-       |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 400000000000)
+       |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 439804651110)
        |SELECT vec_id, c_id FROM listed
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
@@ -1937,16 +2027,13 @@ object PipelineQueries {
        |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
        |scored AS (
        |  SELECT c.q_id, c.vec_id,
-       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos,
-       |    ${sqlUDot("qu.u", "bu.u")} AS ud
+       |    ${sqlUDot("qu.u", "bu.u")} AS cos_ud
        |  FROM cand c
-       |  JOIN embeddings qe ON qe.vec_id = c.q_id
-       |  JOIN embeddings be ON be.vec_id = c.vec_id
        |  JOIN ue qu ON qu.vec_id = c.q_id
        |  JOIN ue bu ON bu.vec_id = c.vec_id)
-       |SELECT q_id, vec_id, cos, rn FROM (
-       |  SELECT q_id, vec_id, cos,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ud DESC, vec_id ASC) AS rn
+       |SELECT q_id, vec_id, cos_ud, rn FROM (
+       |  SELECT q_id, vec_id, cos_ud,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_ud DESC, vec_id ASC) AS rn
        |  FROM scored)
        |WHERE rn <= 10""".stripMargin
 
@@ -1971,16 +2058,13 @@ object PipelineQueries {
        |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
        |scored AS (
        |  SELECT c.q_id, c.vec_id,
-       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos,
-       |    ${sqlUDot("qu.u", "bu.u")} AS ud
+       |    ${sqlUDot("qu.u", "bu.u")} AS cos_ud
        |  FROM cand c
-       |  JOIN embeddings qe ON qe.vec_id = c.q_id
-       |  JOIN embeddings be ON be.vec_id = c.vec_id
        |  JOIN ue qu ON qu.vec_id = c.q_id
        |  JOIN ue bu ON bu.vec_id = c.vec_id)
-       |SELECT q_id, vec_id, cos, rn FROM (
-       |  SELECT q_id, vec_id, cos,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ud DESC, vec_id ASC) AS rn
+       |SELECT q_id, vec_id, cos_ud, rn FROM (
+       |  SELECT q_id, vec_id, cos_ud,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_ud DESC, vec_id ASC) AS rn
        |  FROM scored)
        |WHERE rn <= 10""".stripMargin
 
@@ -2005,9 +2089,9 @@ object PipelineQueries {
        |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
        |${sqlUnitCte("pu", "vec_id", "list_transform(pv, x -> x / 4194304)", "pb")},
        |pool AS (
-       |  SELECT q_id, vec_id, pcos FROM (
+       |  SELECT q_id, vec_id, pcos_ud FROM (
        |    SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
-       |      round(list_cosine_similarity(q.pv, b.pv), 6) AS pcos,
+       |      ${sqlUDot("qpu.u", "bpu.u")} AS pcos_ud,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${sqlUDot("qpu.u", "bpu.u")} DESC,
        |                 b.vec_id ASC) AS ern
@@ -2016,17 +2100,14 @@ object PipelineQueries {
        |    JOIN pu bpu ON bpu.vec_id = b.vec_id)
        |  WHERE ern <= 150),
        |scored AS (
-       |  SELECT p.q_id, p.vec_id, p.pcos,
-       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos,
-       |    ${sqlUDot("qu.u", "bu.u")} AS ud
+       |  SELECT p.q_id, p.vec_id, p.pcos_ud,
+       |    ${sqlUDot("qu.u", "bu.u")} AS cos_ud
        |  FROM pool p
-       |  JOIN embeddings qe ON qe.vec_id = p.q_id
-       |  JOIN embeddings be ON be.vec_id = p.vec_id
        |  JOIN ue qu ON qu.vec_id = p.q_id
        |  JOIN ue bu ON bu.vec_id = p.vec_id)
-       |SELECT q_id, vec_id, pcos, cos, rn FROM (
-       |  SELECT q_id, vec_id, pcos, cos,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ud DESC, vec_id ASC) AS rn
+       |SELECT q_id, vec_id, pcos_ud, cos_ud, rn FROM (
+       |  SELECT q_id, vec_id, pcos_ud, cos_ud,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_ud DESC, vec_id ASC) AS rn
        |  FROM scored)
        |WHERE rn <= 10""".stripMargin
 
@@ -2441,31 +2522,31 @@ object PipelineQueries {
          |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
-         |  round(inter::DOUBLE / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+         |  (inter * 1000000) // (ca.n_sh + cb.n_sh - inter) AS jaccard_ppm
          |FROM pairs
          |JOIN cnt ca ON ca.doc_id = doc_a
          |JOIN cnt cb ON cb.doc_id = doc_b
          |WHERE inter * 1000000 >= 500000 * (ca.n_sh + cb.n_sh - inter)""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH ${sqlLshPairCtes()}
-         |SELECT doc_a, doc_b, jaccard FROM verified WHERE inter * 1000000 >= 500000 * uni""".stripMargin,
+         |SELECT doc_a, doc_b, jaccard_ppm FROM verified WHERE inter * 1000000 >= 500000 * uni""".stripMargin,
     // same replay with the lshParams-selected 8×4 geometry (the Spark side
     // derives it from threshold=0.5; the oracle pins the selected shape)
     "d27_lsh_tuned" ->
       s"""WITH ${sqlLshPairCtes(bands = 8, rowsPerBand = 4)}
-         |SELECT doc_a, doc_b, jaccard FROM verified WHERE inter * 1000000 >= 500000 * uni""".stripMargin,
+         |SELECT doc_a, doc_b, jaccard_ppm FROM verified WHERE inter * 1000000 >= 500000 * uni""".stripMargin,
     "d20_source_overlap" ->
       s"""WITH ${sqlLshPairCtes()},
-         |pairs AS (SELECT doc_a, doc_b, jaccard FROM verified WHERE inter * 1000000 >= 500000 * uni),
+         |pairs AS (SELECT doc_a, doc_b, jaccard_ppm FROM verified WHERE inter * 1000000 >= 500000 * uni),
          |lab AS (
          |  SELECT least(sa.source, sb.source) AS source_a,
          |    greatest(sa.source, sb.source) AS source_b,
-         |    p.jaccard
+         |    p.jaccard_ppm
          |  FROM pairs p
          |  JOIN documents sa ON p.doc_a = sa.doc_id
          |  JOIN documents sb ON p.doc_b = sb.doc_id)
          |SELECT source_a, source_b, count(*) AS n_pairs,
-         |  CAST(CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+         |  CAST(CAST(sum(jaccard_ppm) AS BIGINT)
          |       // count(*) AS BIGINT) AS mean_jaccard_ppm
          |FROM lab GROUP BY 1, 2""".stripMargin,
     "d7_dup_clusters" ->
@@ -2551,7 +2632,7 @@ object PipelineQueries {
            |    GROUP BY e.dst) c ON c.dst = n.v)""".stripMargin
       s"""WITH ${sqlLshPairCtes()},
          |wpairs AS (
-         |  SELECT doc_a, doc_b, CAST(round(jaccard * 1000000) AS BIGINT) AS w
+         |  SELECT doc_a, doc_b, jaccard_ppm AS w
          |  FROM verified WHERE inter * 1000000 >= 500000 * uni),
          |wedges AS (SELECT doc_a AS src, doc_b AS dst, w FROM wpairs
          |           UNION ALL SELECT doc_b, doc_a, w FROM wpairs),
@@ -2659,11 +2740,11 @@ object PipelineQueries {
     "d5_embedding_neardup" ->
       s"""WITH ${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")}
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |  ${sqlUDot("au.u", "bu.u")} AS cos_ud
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |JOIN ue au ON au.vec_id = a.vec_id
         |JOIN ue bu ON bu.vec_id = b.vec_id
-        |WHERE ${sqlUDot("au.u", "bu.u")} >= 400000000000""".stripMargin,
+        |WHERE ${sqlUDot("au.u", "bu.u")} >= 439804651110""".stripMargin,
     // incremental replay: shared sig/band CTEs (same affine family as d3),
     // candidates = increment × (store ∪ earlier increment), verification
     // by signature-agreement count (the MinHash Jaccard estimator, ≥16/32)
@@ -2717,7 +2798,7 @@ object PipelineQueries {
         |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
         |  JOIN ue xu ON xu.vec_id = x.vec_id
         |  JOIN ue yu ON yu.vec_id = y.vec_id
-        |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 400000000000)
+        |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 439804651110)
         |SELECT vec_id, c_id FROM listed
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     // d12's prune CTEs over the s9/s10 trained-centroid replay: the two
@@ -2727,7 +2808,7 @@ object PipelineQueries {
     "d12b_semdedup_trained" ->
       s"""WITH $sqlKmeansCtesRank,
          |cents AS (
-         |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+         |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1048576.0) AS cv FROM c2),
          |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
          |${sqlUnitCte("cu", "c_id", "cv", "cents")},
          |listed AS (
@@ -2744,13 +2825,13 @@ object PipelineQueries {
          |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
          |  JOIN ue xu ON xu.vec_id = x.vec_id
          |  JOIN ue yu ON yu.vec_id = y.vec_id
-         |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 400000000000)
+         |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 439804651110)
          |SELECT vec_id, c_id FROM listed
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "d12c_semdedup_sampled" ->
       s"""WITH $sqlKmeansCtesSampled,
          |cents AS (
-         |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+         |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1048576.0) AS cv FROM c2),
          |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
          |${sqlUnitCte("cu", "c_id", "cv", "cents")},
          |listed AS (
@@ -2767,7 +2848,7 @@ object PipelineQueries {
          |  FROM listed x JOIN listed y ON x.c_id = y.c_id AND y.vec_id < x.vec_id
          |  JOIN ue xu ON xu.vec_id = x.vec_id
          |  JOIN ue yu ON yu.vec_id = y.vec_id
-         |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 400000000000)
+         |  WHERE ${sqlUDot("xu.u", "yu.u")} >= 439804651110)
          |SELECT vec_id, c_id FROM listed
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "d12d_semdedup_ann" -> sqlD12dSemdedupAnn,
@@ -2843,7 +2924,7 @@ object PipelineQueries {
     "s10_ann_ivf_trained" ->
       s"""WITH $sqlKmeansCtes,
          |cents AS (
-         |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1000000.0) AS cv FROM c2),
+         |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1048576.0) AS cv FROM c2),
          |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
          |${sqlUnitCte("cu", "c_id", "cv", "cents")},
          |listed AS (
@@ -2865,9 +2946,9 @@ object PipelineQueries {
          |    CROSS JOIN cents c JOIN cu ON cu.c_id = c.c_id
          |    WHERE q.vec_id < 5)
          |  WHERE crn <= 2)
-         |SELECT q_id, vec_id, cos, rn FROM (
+         |SELECT q_id, vec_id, cos_ud, rn FROM (
          |  SELECT p.q_id, l.vec_id,
-         |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
+         |    ${sqlUDot("pu.u", "lu.u")} AS cos_ud,
          |    ROW_NUMBER() OVER (PARTITION BY p.q_id
          |      ORDER BY ${sqlUDot("pu.u", "lu.u")} DESC,
          |               l.vec_id ASC) AS rn
@@ -2931,9 +3012,9 @@ object PipelineQueries {
     // predicate via the base table the payload column was copied from
     "s29_ann_store_filtered" ->
       s"""WITH $sqlHierIvfCtes
-         |SELECT q_id, vec_id, cos, rn FROM (
+         |SELECT q_id, vec_id, cos_ud, rn FROM (
          |  SELECT p.q_id, l.vec_id,
-         |    round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos,
+         |    ${sqlUDot("pu.u", "lu.u")} AS cos_ud,
          |    ROW_NUMBER() OVER (PARTITION BY p.q_id
          |      ORDER BY ${sqlUDot("pu.u", "lu.u")} DESC,
          |               l.vec_id ASC) AS rn
@@ -2945,73 +3026,70 @@ object PipelineQueries {
          |WHERE rn <= 10""".stripMargin,
     // radius search over the same store/geometry: the threshold replaces
     // the rank — no window in either engine, and MEMBERSHIP decides on
-    // the integer unit-micros dot grid (0.25 → 25e10), never on a float
+    // the integer unit-grid dot (0.25 → 2³⁸ = 274877906944), never on a float
     // boundary
     "s30_ann_store_range" ->
       s"""WITH $sqlHierIvfCtes
          |SELECT p.q_id, l.vec_id,
-         |  round(list_cosine_similarity(p.qv::DOUBLE[], l.v::DOUBLE[]), 6) AS cos
+         |  ${sqlUDot("pu.u", "lu.u")} AS cos_ud
          |FROM listed l JOIN probed p ON l.c_id = p.c_id
          |JOIN ue lu ON lu.vec_id = l.vec_id
          |JOIN ue pu ON pu.vec_id = p.q_id
          |WHERE p.q_id <> l.vec_id
-         |  AND ${sqlUDot("pu.u", "lu.u")} >= 250000000000""".stripMargin,
+         |  AND ${sqlUDot("pu.u", "lu.u")} >= 274877906944""".stripMargin,
     // the sProbe fidelity curve: per sProbe ∈ {1,2,4}, agreement of the
     // two-level argmax with the flat one, in integer ppm. `sup` computes
     // the per-row super ranks once (to the max sProbe); each sProbe
     // re-cuts them — in lockstep with assignmentAgreement's single-pass
     // plan shape
     "s26_assign_fidelity" ->
-      s"""WITH ${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
-        |cents AS (
-        |  SELECT vec_id AS c_id, u AS cu
-        |  FROM embeddings JOIN ue USING (vec_id)
-        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256),
-        |flatl AS (
-        |  SELECT vec_id, c_id AS flat_c FROM (
-        |    SELECT b.vec_id, c.c_id,
-        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-        |        ORDER BY ${sqlUDot("bu.u", "c.cu")} DESC,
-        |                 c.c_id ASC) AS crn
-        |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
-        |    CROSS JOIN cents c)
-        |  WHERE crn <= 1),
-        |rankedc AS (
-        |  SELECT c_id, cu, ROW_NUMBER() OVER (ORDER BY c_id) - 1 AS crk FROM cents),
-        |supers AS (
-        |  SELECT c_id AS s_id, cu AS su FROM rankedc WHERE crk % 16 = 0),
-        |c2s AS (
-        |  SELECT s_id, c_id, cu FROM (
-        |    SELECT c.c_id, c.cu, s.s_id,
-        |      ROW_NUMBER() OVER (PARTITION BY c.c_id
-        |        ORDER BY (s.s_id = c.c_id) DESC,
-        |                 ${sqlUDot("c.cu", "s.su")} DESC, s.s_id ASC) AS srn
-        |    FROM cents c CROSS JOIN supers s)
-        |  WHERE srn = 1),
-        |sup AS (
-        |  SELECT vec_id, u, s_id, srn FROM (
-        |    SELECT b.vec_id, bu.u, s.s_id,
-        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
-        |        ORDER BY ${sqlUDot("bu.u", "s.su")} DESC,
-        |                 s.s_id ASC) AS srn
-        |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
-        |    CROSS JOIN supers s)
-        |  WHERE srn <= 4),
-        |hier AS (
-        |  SELECT s_probe, vec_id, c_id FROM (
-        |    SELECT sp.s_probe, r.vec_id, c.c_id,
-        |      ROW_NUMBER() OVER (PARTITION BY sp.s_probe, r.vec_id
-        |        ORDER BY ${sqlUDot("r.u", "c.cu")} DESC,
-        |                 c.c_id ASC) AS crn
-        |    FROM sup r
-        |    JOIN (VALUES (1), (2), (4)) sp(s_probe) ON r.srn <= sp.s_probe
-        |    JOIN c2s c ON c.s_id = r.s_id)
-        |  WHERE crn = 1)
+      s"""WITH $sqlS26Ctes
         |SELECT h.s_probe::INT AS s_probe, count(*)::BIGINT AS n_rows,
         |  sum(CASE WHEN h.c_id = f.flat_c THEN 1 ELSE 0 END)::BIGINT AS n_agree,
         |  (sum(CASE WHEN h.c_id = f.flat_c THEN 1 ELSE 0 END) * 1000000) // count(*) AS agree_ppm
         |FROM hier h JOIN flatl f USING (vec_id)
         |GROUP BY h.s_probe""".stripMargin,
+    // s26 stage fingerprints: each key replays ONE stage of the s26
+    // pipeline over the shared CTE set and folds it to a config-sized
+    // integer checksum — the driver's per-key green/red names the first
+    // diverging stage (DuckDB drops the CTEs a key never references)
+    "s26a_fp_grid" ->
+      s"""WITH ${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+        |mvt AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1048576 + 0.5)::BIGINT) AS mv
+        |  FROM embeddings)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  sum((vec_id % 97 + 1) * mvf)::BIGINT AS mv_fp,
+        |  sum((vec_id % 97 + 1) * uf)::BIGINT AS u_fp
+        |FROM (
+        |  SELECT m.vec_id,
+        |    list_reduce(list_transform(range(1, len(m.mv) + 1),
+        |      i -> m.mv[i::INT] * i), (a, b) -> a + b) AS mvf,
+        |    list_reduce(list_transform(range(1, len(u.u) + 1),
+        |      i -> u.u[i::INT] * i), (a, b) -> a + b) AS uf
+        |  FROM mvt m JOIN ue u ON u.vec_id = m.vec_id)""".stripMargin,
+    "s26b_fp_flat" ->
+      s"""WITH $sqlS26Ctes
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  sum(vec_id * flat_c)::BIGINT AS fp,
+        |  sum(flat_c)::BIGINT AS c_sum
+        |FROM flatl""".stripMargin,
+    "s26c_fp_super" ->
+      s"""WITH $sqlS26Ctes
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  sum(vec_id * s_id)::BIGINT AS fp
+        |FROM sup WHERE srn = 1""".stripMargin,
+    "s26d_fp_c2s" ->
+      s"""WITH $sqlS26Ctes
+        |SELECT count(*)::BIGINT AS n_cents,
+        |  sum(c_id * s_id)::BIGINT AS fp
+        |FROM c2s""".stripMargin,
+    "s26e_fp_hier" ->
+      s"""WITH $sqlS26Ctes
+        |SELECT s_probe::INT AS s_probe, count(*)::BIGINT AS n_rows,
+        |  sum(vec_id * c_id)::BIGINT AS fp
+        |FROM hier GROUP BY s_probe""".stripMargin,
     // PQ store probe ≡ the in-flight s20 tier — shared oracle, same
     // parity-by-construction claim as s24
     "s27_ann_ivfpq_store" -> sqlS20HierIvfPq,
@@ -3035,7 +3113,8 @@ object PipelineQueries {
          |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
          |GROUP BY e.q_id""".stripMargin,
     "s4_ann_quantized" ->
-      """WITH nb AS (
+      s"""WITH ${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+        |nb AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
         |                     (a, b) -> a + b)) AS nrm
@@ -3059,11 +3138,11 @@ object PipelineQueries {
         |                       ORDER BY qdot DESC, vec_id ASC) AS rn
         |  FROM cand)
         |SELECT t.q_id, t.vec_id, t.qdot,
-        |  round(list_cosine_similarity(qe.embedding::DOUBLE[], be.embedding::DOUBLE[]), 6) AS cos,
+        |  ${sqlUDot("qu.u", "bu.u")} AS cos_ud,
         |  t.rn
         |FROM top t
-        |JOIN embeddings qe ON qe.vec_id = t.q_id
-        |JOIN embeddings be ON be.vec_id = t.vec_id
+        |JOIN ue qu ON qu.vec_id = t.q_id
+        |JOIN ue bu ON bu.vec_id = t.vec_id
         |WHERE t.rn <= 10""".stripMargin,
     // IVFADC replay: s3's coarse CTEs (cents/listed/probed) composed with
     // s7's PQ CTEs (cbv/sub/dist/enc); candidates are the list join, the
@@ -3083,11 +3162,11 @@ object PipelineQueries {
         |sub AS (
         |  SELECT t.s AS s, j,
         |    list_transform(list_slice(cv, t.s*8 + 1, t.s*8 + 8),
-        |      c -> floor(c::DOUBLE * 1000000 + 0.5)::BIGINT) AS mc
+        |      c -> floor(c::DOUBLE * 1048576 + 0.5)::BIGINT) AS mc
         |  FROM cbv, unnest(range(0, 8)) t(s)),
         |mb AS (
         |  SELECT vec_id,
-        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS mv
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1048576 + 0.5)::BIGINT) AS mv
         |  FROM embeddings),
         |dist AS (
         |  SELECT b.vec_id, sub.s, sub.j,
@@ -3115,15 +3194,13 @@ object PipelineQueries {
         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id ASC) AS ern
         |    FROM cand)
         |  WHERE ern <= 50)
-        |SELECT q_id, vec_id, cos, rn FROM (
+        |SELECT q_id, vec_id, cos_ud, rn FROM (
         |  SELECT p.q_id, p.vec_id,
-        |    round(list_cosine_similarity(qv.embedding::DOUBLE[], bv.embedding::DOUBLE[]), 6) AS cos,
+        |    ${sqlUDot("qu.u", "bu.u")} AS cos_ud,
         |    ROW_NUMBER() OVER (PARTITION BY p.q_id
         |      ORDER BY ${sqlUDot("qu.u", "bu.u")} DESC,
         |               p.vec_id ASC) AS rn
         |  FROM pool p
-        |  JOIN embeddings qv ON qv.vec_id = p.q_id
-        |  JOIN embeddings bv ON bv.vec_id = p.vec_id
         |  JOIN ue qu ON qu.vec_id = p.q_id
         |  JOIN ue bu ON bu.vec_id = p.vec_id)
         |WHERE rn <= 10""".stripMargin,

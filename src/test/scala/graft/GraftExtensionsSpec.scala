@@ -32,13 +32,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |                        CAST(array(9.0, 0.0) AS array<float>)) AS c
         |""".stripMargin).collect()(0)
     assert(f.getDouble(0) == 1.0)
-    // the assignment grid: unit-micros projection + integer dot — a unit
-    // vector self-dots to ~1e12 on the grid, SQL-side like operator-side
+    // the assignment grid: unit-grid projection + integer dot — a unit
+    // vector self-dots to ~2^40 on the grid, SQL-side like operator-side
     val u = s.sql(
       """SELECT graft_vector_dot(graft_unit_micros(array(0.6D, 0.8D)),
         |                        graft_unit_micros(array(0.6D, 0.8D))) AS selfdot
         |""".stripMargin).collect()(0)
-    assert(math.abs(u.getLong(0) - 1000000000000L) <= 4000000L, u.getLong(0).toString)
+    assert(math.abs(u.getLong(0) - (1L << 40)) <= 4194304L, u.getLong(0).toString)
   }
 
   test("runtime registration: GraftFunctions.register on the live session") {

@@ -32,13 +32,13 @@ class UnitMicrosSpec extends AnyFunSuite {
     * truncating division.
     */
   private def unitRef(xs: Array[Float]): Array[Long] = {
-    val m = xs.map(x => Math.floor(x.toDouble * 1.0e6 + 0.5).toLong)
+    val m = xs.map(x => Math.floor(x.toDouble * 1048576.0 + 0.5).toLong)
     val nsq = m.map(v => v * v).sum
     if (nsq == 0L) new Array[Long](m.length)
     else {
       var s = 0L
       while ((s + 1L) * (s + 1L) <= nsq) s += 1L
-      m.map(v => if (v < 0L) -((-v * 1000000L) / s) else (v * 1000000L) / s)
+      m.map(v => if (v < 0L) -((-v * 1048576L) / s) else (v * 1048576L) / s)
     }
   }
 
@@ -61,13 +61,14 @@ class UnitMicrosSpec extends AnyFunSuite {
     }
   }
 
-  test("unit dot / 1e12 tracks the true cosine within the quantization bound") {
+  test("unit dot / 2^40 tracks the true cosine within the quantization bound") {
     val vs = randVecs(40, 32)
     val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
     val pairs = df.as("a").crossJoin(df.as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(
-        (dotNative(unit(col("a.v")), unit(col("b.v"))).cast("double") / 1e12)
+        (dotNative(unit(col("a.v")), unit(col("b.v"))).cast("double") /
+          UnitMicros.UnitScale2.toDouble)
           .as("ucos"),
         ColumnBridge.column(CosineSim(
           ColumnBridge.expression(col("a.v").cast("array<double>")),
@@ -80,7 +81,7 @@ class UnitMicrosSpec extends AnyFunSuite {
     }
   }
 
-  test("edge semantics: zero vector → zeros; null element → NULL; self-dot ≈ 1e12") {
+  test("edge semantics: zero vector → zeros; null element → NULL; self-dot ≈ 2^40") {
     val out = Seq(
       (1L, Array[java.lang.Float](0.0f, 0.0f, 0.0f)),
       (2L, Array[java.lang.Float](1.0f, null, 0.0f)),
@@ -92,8 +93,8 @@ class UnitMicrosSpec extends AnyFunSuite {
     assert(out(1).isNullAt(1))
     val u3 = out(2).getSeq[Long](1)
     val selfDot = u3.map(x => x * x).sum
-    assert(math.abs(selfDot - 1000000000000L) <= 4000000L,
-      s"self-dot $selfDot should be ~1e12 (unit norm on the micros grid)")
+    assert(math.abs(selfDot - UnitMicros.UnitScale2) <= 4194304L,
+      s"self-dot $selfDot should be ~2^40 (unit norm on the 2^20 grid)")
   }
 
   test("isqrt is the exact floor square root (boundary values, both sides of every square)") {

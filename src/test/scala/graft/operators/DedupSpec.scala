@@ -29,8 +29,8 @@ class DedupSpec extends AnyFunSuite {
       (7L, "the quick brown fox has left while rain falls on the hill tonight"),
       (8L, "rain falls on the hill")).toDF("doc_id", "text"))
     def norm(df: org.apache.spark.sql.DataFrame) =
-      df.select("doc_a", "doc_b", "jaccard")
-        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      df.select("doc_a", "doc_b", "jaccard_ppm")
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     val exact = norm(Dedup.ngramJaccardPairs(plus, col("doc_id"), col("text"), 3, 0.5))
     val prefix = norm(Dedup.prefixJaccardPairs(plus, col("doc_id"), col("text"), 3, 500000L))
     assert(prefix == exact, s"prefix-filtered pairs diverge:\n$prefix\nvs\n$exact")

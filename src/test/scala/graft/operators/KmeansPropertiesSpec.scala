@@ -19,7 +19,7 @@ class KmeansPropertiesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def micros(x: Float): Long = math.floor(x.toDouble * 1e6 + 0.5).toLong
+  private def micros(x: Float): Long = math.floor(x.toDouble * 1048576.0 + 0.5).toLong
 
   private val vecsGen: Gen[List[Array[Float]]] = for {
     dim <- Gen.choose(2, 6)

@@ -40,7 +40,7 @@ class SimilaritySpec extends AnyFunSuite {
     // few coarse buckets: 2-dim toy vectors need collisions to be testable
     val rows = Similarity.lshTopK(vecs, q, col("vec_id"), col("embedding"), k = 4,
       tables = 4, bits = 2)
-      .orderBy("rn").select("vec_id", "cos").as[(Long, Double)].collect().toSeq
+      .orderBy("rn").select("vec_id", "cos_ud").as[(Long, Long)].collect().toSeq
     assert(rows.nonEmpty)
     assert(!rows.map(_._1).contains(0L))
     assert(rows.map(_._2) == rows.map(_._2).sorted.reverse)
@@ -276,7 +276,7 @@ class SimilaritySpec extends AnyFunSuite {
     val got = Similarity.rpTopK(mixed, q, col("vec_id"), col("embedding"),
       k = 2, targetDim = 4, dim = 8, pool = 2)
       .orderBy("rn")
-      .select(col("vec_id"), col("cos").isNull.as("nullCos"))
+      .select(col("vec_id"), col("cos_ud").isNull.as("nullCos"))
       .as[(Long, Boolean)].collect().toSeq
     // the real candidate outranks it, and its cos is null (the dot's
     // mismatch contract), never a fabricated similarity
@@ -323,7 +323,7 @@ class SimilaritySpec extends AnyFunSuite {
     val pqSets = sets(pq)
     // structural invariants: k rows per query, no self, cosine-descending
     val rows = pq.orderBy("q_id", "rn")
-      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .select("q_id", "vec_id", "cos_ud").as[(Long, Long, Long)].collect()
     assert(rows.groupBy(_._1).forall(_._2.length == 10))
     assert(rows.forall { case (qid, vid, _) => qid != vid })
     rows.groupBy(_._1).values.foreach { g =>
@@ -366,7 +366,7 @@ class SimilaritySpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding").as("v"))
     val got = Similarity.pqTopK(probed, q, col("vec_id"), col("v"),
       k = 5, pool = 20, codebookFrom = Some(emb.select(col("vec_id"), col("embedding").as("v"))))
-      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .select("q_id", "vec_id", "cos_ud").as[(Long, Long, Long)].collect()
     assert(got.length == 5)
     assert(got.forall { case (qid, vid, _) => qid != vid })
     // every result must come from the probed lists
@@ -389,8 +389,8 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 3)
     val got = Similarity.quantizedTopK(emb, q, col("vec_id"), col("embedding"), k = 5)
-      .select("q_id", "vec_id", "qdot", "cos", "rn")
-      .as[(Long, Long, Long, Double, Long)].collect()
+      .select("q_id", "vec_id", "qdot", "cos_ud", "rn")
+      .as[(Long, Long, Long, Long, Long)].collect()
     // hand-roll the identical quantization + integer dot on the driver
     val all = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
     def quant(v: Array[Float]): Array[Long] = {
@@ -415,7 +415,7 @@ class SimilaritySpec extends AnyFunSuite {
     // the rescored cosine matches the exact scorer for the same pairs
     val exact = Similarity.bruteForceTopK(emb, q, col("vec_id"), col("embedding"),
       k = emb.count().toInt)
-      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .select("q_id", "vec_id", "cos_ud").as[(Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     got.foreach { case (qid, vid, _, cos, _) =>
       assert(cos == exact((qid, vid)), s"rescore diverged for ($qid,$vid)")
@@ -562,7 +562,7 @@ class SimilaritySpec extends AnyFunSuite {
     val cents = trained.groupBy(_._1).view.mapValues(
       _.sortBy(_._2).map(_._3).toArray).toMap
     // expected: floored mean of each planted cluster's micros
-    def micros(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    def micros(x: Double): Long = math.floor(x * 1048576.0 + 0.5).toLong
     val raw = pts.as[(Long, Array[Float])].collect().toMap
     (0 until 3).foreach { c =>
       val members = (0 until 4).map(i => raw(c * 4L + i).map(f => micros(f.toDouble)))
@@ -606,8 +606,8 @@ class SimilaritySpec extends AnyFunSuite {
       k = 2, iters = 1, seedStride = 2)
       .as[(Long, Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
-    assert(cents(1L) == Seq(1000000L, 0L), "empty cluster keeps its seed centroid")
-    assert(cents(0L) != Seq(1000000L, 0L), "captured cluster moved to the member mean")
+    assert(cents(1L) == Seq(1048576L, 0L), "empty cluster keeps its seed centroid")
+    assert(cents(0L) != Seq(1048576L, 0L), "captured cluster moved to the member mean")
   }
 
   test("PQ with a trained per-subspace codebook: right shape, well-formed ranking") {

@@ -119,11 +119,12 @@ class VectorIndexSpec extends AnyFunSuite {
       col("embedding"), cents, superStride = 16, sProbe = 2, keep = 2)
       .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
     val expected = listed.join(probed, Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        round(Similarity.cosine(col("qv"), col("v")), 6).as("cos"))
+        Similarity.unitDot(Similarity.unitMicros(col("qv")),
+          Similarity.unitMicros(col("v"))).as("cos_ud"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
     assert(ranking(stored) == ranking(expected) && ranking(stored).nonEmpty)
@@ -384,14 +385,14 @@ class VectorIndexSpec extends AnyFunSuite {
     val t = 0.25
     val range = VectorIndex.probeIvfRange(spark, path, queries,
       col("vec_id"), col("embedding"), minCosine = t, nProbe = 2)
-      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)]
+      .select("q_id", "vec_id", "cos_ud").as[(Long, Long, Long)]
       .collect().sortBy(r => (r._1, r._2)).toSeq
     // same candidates as an uncapped top-k probe of the same store,
-    // cut by threshold instead of rank
+    // cut by threshold instead of rank (the integer bar BOTH paths use)
     val viaTopK = VectorIndex.probeIvfIndex(spark, path, queries,
       col("vec_id"), col("embedding"), k = 1000000, nProbe = 2)
-      .filter(col("cos") >= t)
-      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)]
+      .filter(col("cos_ud") >= Similarity.cosineMicros2(t))
+      .select("q_id", "vec_id", "cos_ud").as[(Long, Long, Long)]
       .collect().sortBy(r => (r._1, r._2)).toSeq
     assert(range == viaTopK && range.nonEmpty)
     // the threshold replaces top-k's final per-query rank: the range plan
