@@ -670,4 +670,71 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQ.keySet == Set(0L, 1L, 2L))
     perQ.values.foreach(g => assert(g.map(_._3).sorted.toSeq == (1L to g.size).toSeq))
   }
+  test("s26 stage fingerprints match a driver-side exact replay of every stage") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.coarseCentroids(emb, col("vec_id"), col("embedding"),
+      centroidStride = 50, maxCentroids = 256)
+
+    // ---- driver-side exact reference of the whole s26 pipeline ----
+    val rows = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    def unit(v: Array[Float]): Array[Long] =
+      graft.functions.UnitMicros.project(v.map(_.toDouble))
+    def mvOf(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val u = rows.map { case (id, v) => id -> unit(v) }.toMap
+    val cIds = rows.map(_._1).filter(_ % 50 == 0).sorted.take(256)
+    // flat argmax: max dot, tie on ascending c_id (strict > keeps first)
+    def argmax(ids: Seq[Long], uv: Array[Long]): Long =
+      ids.map(c => (dot(uv, u(c)), c)).maxBy { case (d, c) => (d, -c) }._2
+    val sIds = cIds.zipWithIndex.filter(_._2 % 16 == 0).map(_._1)
+    // c2s: self files under itself, else best super by (dot desc, s_id asc)
+    val c2s = cIds.map { c =>
+      c -> (if (sIds.contains(c)) c else argmax(sIds, u(c)))
+    }.toMap
+    // per-row super ranks to 4 (dot desc, s_id asc)
+    def superRank(uv: Array[Long]): Seq[Long] =
+      sIds.map(sid => (dot(uv, u(sid)), sid))
+        .sortBy { case (d, sid) => (-d, sid) }.map(_._2)
+    def fold(a: Array[Long]): Long =
+      a.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    val w = (id: Long) => id % 97 + 1
+    val expMvFp = rows.map { case (id, v) => w(id) * fold(mvOf(v)) }.sum
+    val expUFp = rows.map { case (id, _) => w(id) * fold(u(id)) }.sum
+    val flat = rows.map { case (id, _) => id -> argmax(cIds, u(id)) }
+    val expFlatFp = flat.map { case (id, c) => id * c }.sum
+    val expCSum = flat.map(_._2).sum
+    val expSupFp = rows.map { case (id, _) => id * superRank(u(id)).head }.sum
+    val expC2sFp = c2s.map { case (c, sid) => c * sid }.sum
+    val expHier = Seq(1, 2, 4).map { sp =>
+      sp -> rows.map { case (id, _) =>
+        val lists = superRank(u(id)).take(sp).flatMap(sid =>
+          cIds.filter(c => c2s(c) == sid))
+        id * argmax(lists, u(id))
+      }.sum
+    }.toMap
+
+    // ---- the five operators must reproduce every checksum ----
+    val a = Similarity.gridFingerprint(emb, col("vec_id"), col("embedding"))
+      .as[(Long, Long, Long)].head()
+    assert(a == ((rows.length.toLong, expMvFp, expUFp)), s"grid fp: $a")
+    val b = Similarity.flatAssignFingerprint(emb, col("vec_id"),
+      col("embedding"), cents).as[(Long, Long, Long)].head()
+    assert(b == ((rows.length.toLong, expFlatFp, expCSum)), s"flat fp: $b")
+    val c = Similarity.superProbeFingerprint(emb, col("vec_id"),
+      col("embedding"), cents).as[(Long, Long)].head()
+    assert(c == ((rows.length.toLong, expSupFp)), s"super fp: $c")
+    val d = Similarity.c2sFingerprint(cents).as[(Long, Long)].head()
+    assert(d == ((cIds.length.toLong, expC2sFp)), s"c2s fp: $d")
+    val e = Similarity.hierAssignFingerprint(emb, col("vec_id"),
+      col("embedding"), cents).as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    Seq(1, 2, 4).foreach { sp =>
+      assert(e(sp) == ((rows.length.toLong, expHier(sp))), s"hier fp sp=$sp: ${e(sp)}")
+    }
+  }
 }
