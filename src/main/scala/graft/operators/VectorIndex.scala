@@ -643,11 +643,13 @@ object VectorIndex {
     * top-k's one `k·|queries|`-bounded rank exchange disappears and the
     * store side flows scan→filter→join→project with no shuffle (the only
     * remaining exchanges are the config-sized query-assignment's own).
-    * Membership decides on the exact integer unit-micros dot grid
-    * (`minCosine` scaled to the ~10¹² grid — see
+    * Membership decides on the exact integer unit-grid dot
+    * (`minCosine` scaled to the 2⁴⁰ dot scale — see
     * [[Similarity.cosineMicros2]]), never on a float boundary; output is
-    * `(q_id, vec_id, cos)` with the cosine rounded to 6 digits for
-    * display exactly as the top-k tiers emit it. Result size is
+    * `(q_id, vec_id, cos_ud)` where `cos_ud` IS the integer score
+    * membership decided on (so every emitted row satisfies the bar —
+    * and no float reaches the output), exactly as the top-k tiers emit
+    * theirs. Result size is
     * data-dependent by definition — callers bound it with `minCosine`
     * (and `nProbe`), not `k`. APPROXIMATE like every IVF probe: a
     * neighbor above the bar whose list is unprobed is missed — recall
