@@ -694,4 +694,16 @@ class PlanSpec extends AnyFunSuite {
       "segment dedup must not add exchanges beyond distinct + df-count + reassembly")
     assert(plan.contains("partial_count"), "df counting combines map-side")
   }
+  test("s26a: grid fingerprint is a single scan + partial agg — no join, no key shuffle") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val plan = planOf("s26a_fp_grid")
+    // one corpus pass folded map-side to one row: any join or key
+    // exchange here would mean the checksum harness costs more than the
+    // stage it fingerprints
+    assert(!plan.contains("Join"), s"no join in the grid checksum:\n${plan.take(600)}")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      "grid fingerprint must not key-shuffle the corpus")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "checksum folds combine map-side before the single-row exchange")
+  }
 }
