@@ -1190,12 +1190,38 @@ object Similarity {
   // (longs throughout — no hash function an engine could implement
   // differently, no float anywhere), so the keys add no new fragility.
   //
-  // Weight design: a row's array fold is position-weighted
-  // (Σ (i+1-based index)·x_i) and rows are weighted by (id % 97 + 1) —
-  // compensating cross-row/cross-component flips would need to cancel
-  // exactly under two coprime weightings simultaneously. Magnitudes:
-  // |x_i| ≤ 2²⁰ (grid), index ≤ dim ≤ 2⁷, row weight ≤ 97 < 2⁷, rows ≤
-  // 2·10⁵ at sf0.1 → totals < 2⁵⁵, five orders inside Long.
+  // Weight + overflow design. Ids enter every checksum through
+  // `wId(x) = (x mod 999983) + 1 ≤ 10⁶` (prime modulus, so distinct
+  // ids rarely alias), never raw — a scaled corpus with 10⁹-range ids
+  // (the ScaleUp key offsets — this fired loudly under ANSI at the
+  // sf10 gate) must not overflow a diagnostic. Sums are TWO-LEVEL:
+  // a first aggregate over `id mod 4096` groups bounds each partial
+  // (term ≤ 10¹² · rows-per-group), each partial is reduced
+  // `mod 1000000007`, and the final fold sums ≤ 4096 reduced partials
+  // (< 4·10¹²) — exact long arithmetic end to end through ~10¹⁰ rows,
+  // far past any eval corpus. A row's array fold is position-weighted
+  // (Σ (1-based index)·x_i, grid-bounded ≤ ~2·10⁹) and row-weighted by
+  // (id mod 97 + 1): compensating flips would need to cancel exactly
+  // under two coprime weightings simultaneously. Both aggregation
+  // levels are order-independent integer sums — nothing for an
+  // engine's evaluation order to vary.
+
+  /** `(x mod 999983) + 1` — the bounded id weight every checksum uses. */
+  private def wId(x: Column): Column = pmod(x, lit(999983L)) + 1L
+
+  /** The shared two-level mod-reduced fold: per `gid mod 4096` group,
+    * partial Σ of each bounded `term`, partials reduced mod 1000000007,
+    * reduced partials summed. Output `(n_rows, <name>…)` one row.
+    */
+  private def modChecksum(
+      df: DataFrame, gid: Column, terms: (String, Column)*): DataFrame = {
+    val partials = df.groupBy(pmod(gid, lit(4096L)).as("_g"))
+      .agg(count(lit(1)).as("_n"),
+        terms.map { case (n, t) => sum(t).as(s"_p_$n") }: _*)
+    partials.agg(sum(col("_n")).as("n_rows"),
+      terms.map { case (n, _) =>
+        sum(pmod(col(s"_p_$n"), lit(1000000007L))).as(n) }: _*)
+  }
 
   /** Stage-1 checksum: the grid entry (`mv = floor(x·2²⁰+0.5)`) and the
     * unit projection (`u` — [[unitMicros]]) of every corpus vector.
@@ -1207,56 +1233,59 @@ object Similarity {
     def foldIdx(arr: Column): Column =
       aggregate(zip_with(arr, sequence(lit(1L), size(arr).cast("long")),
         (x, i) => x * i), lit(0L), (acc, t) => acc + t)
-    base.select(id.as("vec_id"), mv.as("mv"), unitMicros(vec).as("u"))
+    val rows = base.select(id.as("vec_id"), mv.as("mv"), unitMicros(vec).as("u"))
       .select(col("vec_id"),
         (pmod(col("vec_id"), lit(97L)) + 1L).as("w"),
         foldIdx(col("mv")).as("mvf"), foldIdx(col("u")).as("uf"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("w") * col("mvf")).as("mv_fp"),
-        sum(col("w") * col("uf")).as("u_fp"))
+    modChecksum(rows, col("vec_id"),
+      "mv_fp" -> (col("w") * col("mvf")),
+      "u_fp" -> (col("w") * col("uf")))
   }
 
   /** Stage-2 checksum: the flat exact argmax (what `flat_c` is in the
     * s26 eval). One row: `(n_rows, fp, c_sum)` with
-    * `fp = Σ vec_id·flat_c`.
+    * `fp = Σ wId(vec_id)·wId(flat_c)` (two-level mod fold).
     */
   def flatAssignFingerprint(
       base: DataFrame, id: Column, vec: Column,
       centroids: DataFrame): DataFrame = {
     val b = base.select(id.as("vec_id"), vec.as("v"))
-    ivfAssignTo(centroids.select(col("c_id"), col("cv")), b, "v", "vec_id", 1)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("vec_id") * col("c_id")).as("fp"),
-        sum(col("c_id")).as("c_sum"))
+    modChecksum(
+      ivfAssignTo(centroids.select(col("c_id"), col("cv")), b, "v", "vec_id", 1),
+      col("vec_id"),
+      "fp" -> (wId(col("vec_id")) * wId(col("c_id"))),
+      "c_sum" -> wId(col("c_id")))
   }
 
   /** Stage-3 checksum: each row's NEAREST super-list (`srn = 1` of the
-    * super probe). One row: `(n_rows, fp)` with `fp = Σ vec_id·s_id`.
+    * super probe). One row: `(n_rows, fp)` with
+    * `fp = Σ wId(vec_id)·wId(s_id)` (two-level mod fold).
     */
   def superProbeFingerprint(
       base: DataFrame, id: Column, vec: Column,
       centroids: DataFrame, superStride: Int = 16): DataFrame = {
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val supers = hierSupers(centroids.select(col("c_id"), col("cv")), superStride)
-    hierR2s(b, supers, 1)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("vec_id") * col("s_id")).as("fp"))
+    modChecksum(hierR2s(b, supers, 1), col("vec_id"),
+      "fp" -> (wId(col("vec_id")) * wId(col("s_id"))))
   }
 
   /** Stage-4 checksum: the centroid→super filing (config × config).
-    * One row: `(n_cents, fp)` with `fp = Σ c_id·s_id`.
+    * One row: `(n_cents, fp)` with `fp = Σ wId(c_id)·wId(s_id)`
+    * (two-level mod fold; the count column is named `n_cents`).
     */
   def c2sFingerprint(
       centroids: DataFrame, superStride: Int = 16): DataFrame = {
     val cents = centroids.select(col("c_id"), col("cv"))
-    hierC2s(cents, hierSupers(cents, superStride))
-      .agg(count(lit(1)).as("n_cents"),
-        sum(col("c_id") * col("s_id")).as("fp"))
+    modChecksum(hierC2s(cents, hierSupers(cents, superStride)), col("c_id"),
+      "fp" -> (wId(col("c_id")) * wId(col("s_id"))))
+      .withColumnRenamed("n_rows", "n_cents")
   }
 
   /** Stage-5 checksum: the two-level pick itself, per sProbe — the last
     * stage before the s26 aggregate. One row per sProbe:
-    * `(s_probe, n_rows, fp)` with `fp = Σ vec_id·c_id`.
+    * `(s_probe, n_rows, fp)` with `fp = Σ wId(vec_id)·wId(c_id)`
+    * (two-level mod fold within each sProbe).
     */
   def hierAssignFingerprint(
       base: DataFrame, id: Column, vec: Column,
@@ -1267,9 +1296,12 @@ object Similarity {
       s"sProbes must be positive, got $sProbes")
     val b = base.select(id.as("vec_id"), vec.as("v"))
     hierPick(b, centroids.select(col("c_id"), col("cv")), superStride, sProbes)
+      .groupBy(col("s_probe"), pmod(col("vec_id"), lit(4096L)).as("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(wId(col("vec_id")) * wId(col("c_id"))).as("_p"))
       .groupBy(col("s_probe"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("vec_id") * col("c_id")).as("fp"))
+      .agg(sum(col("_n")).as("n_rows"),
+        sum(pmod(col("_p"), lit(1000000007L))).as("fp"))
   }
 
   /** Deterministic distributed Lloyd k-means over a float-vector column —

@@ -3052,44 +3052,71 @@ object PipelineQueries {
     // s26 stage fingerprints: each key replays ONE stage of the s26
     // pipeline over the shared CTE set and folds it to a config-sized
     // integer checksum — the driver's per-key green/red names the first
-    // diverging stage (DuckDB drops the CTEs a key never references)
+    // diverging stage (DuckDB drops the CTEs a key never references).
+    // Arithmetic mirrors Similarity's two-level mod fold exactly: ids
+    // enter as (x % 999983 + 1), per-(id % 4096)-group partial sums are
+    // reduced % 1000000007 with the sign-safe double-mod form (Spark's
+    // pmod is always non-negative; DuckDB's % follows the dividend), and
+    // the ≤4096 reduced partials sum — no Long overflow at any id range.
     "s26a_fp_grid" ->
       s"""WITH ${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
         |mvt AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> floor(x::DOUBLE * 1048576 + 0.5)::BIGINT) AS mv
-        |  FROM embeddings)
-        |SELECT count(*)::BIGINT AS n_rows,
-        |  sum((vec_id % 97 + 1) * mvf)::BIGINT AS mv_fp,
-        |  sum((vec_id % 97 + 1) * uf)::BIGINT AS u_fp
-        |FROM (
+        |  FROM embeddings),
+        |folded AS (
         |  SELECT m.vec_id,
-        |    list_reduce(list_transform(range(1, len(m.mv) + 1),
-        |      i -> m.mv[i::INT] * i), (a, b) -> a + b) AS mvf,
-        |    list_reduce(list_transform(range(1, len(u.u) + 1),
-        |      i -> u.u[i::INT] * i), (a, b) -> a + b) AS uf
-        |  FROM mvt m JOIN ue u ON u.vec_id = m.vec_id)""".stripMargin,
+        |    (m.vec_id % 97 + 1) * list_reduce(list_transform(range(1, len(m.mv) + 1),
+        |      i -> m.mv[i::INT] * i), (a, b) -> a + b) AS mvt_term,
+        |    (m.vec_id % 97 + 1) * list_reduce(list_transform(range(1, len(u.u) + 1),
+        |      i -> u.u[i::INT] * i), (a, b) -> a + b) AS u_term
+        |  FROM mvt m JOIN ue u ON u.vec_id = m.vec_id),
+        |parts AS (
+        |  SELECT vec_id % 4096 AS g, count(*) AS n,
+        |    sum(mvt_term) AS p_mv, sum(u_term) AS p_u
+        |  FROM folded GROUP BY g)
+        |SELECT sum(n)::BIGINT AS n_rows,
+        |  sum(((p_mv % 1000000007) + 1000000007) % 1000000007)::BIGINT AS mv_fp,
+        |  sum(((p_u % 1000000007) + 1000000007) % 1000000007)::BIGINT AS u_fp
+        |FROM parts""".stripMargin,
     "s26b_fp_flat" ->
-      s"""WITH $sqlS26Ctes
-        |SELECT count(*)::BIGINT AS n_rows,
-        |  sum(vec_id * flat_c)::BIGINT AS fp,
-        |  sum(flat_c)::BIGINT AS c_sum
-        |FROM flatl""".stripMargin,
+      s"""WITH $sqlS26Ctes,
+        |parts AS (
+        |  SELECT vec_id % 4096 AS g, count(*) AS n,
+        |    sum((vec_id % 999983 + 1) * (flat_c % 999983 + 1)) AS p_fp,
+        |    sum(flat_c % 999983 + 1) AS p_cs
+        |  FROM flatl GROUP BY g)
+        |SELECT sum(n)::BIGINT AS n_rows,
+        |  sum(((p_fp % 1000000007) + 1000000007) % 1000000007)::BIGINT AS fp,
+        |  sum(((p_cs % 1000000007) + 1000000007) % 1000000007)::BIGINT AS c_sum
+        |FROM parts""".stripMargin,
     "s26c_fp_super" ->
-      s"""WITH $sqlS26Ctes
-        |SELECT count(*)::BIGINT AS n_rows,
-        |  sum(vec_id * s_id)::BIGINT AS fp
-        |FROM sup WHERE srn = 1""".stripMargin,
+      s"""WITH $sqlS26Ctes,
+        |parts AS (
+        |  SELECT vec_id % 4096 AS g, count(*) AS n,
+        |    sum((vec_id % 999983 + 1) * (s_id % 999983 + 1)) AS p_fp
+        |  FROM sup WHERE srn = 1 GROUP BY g)
+        |SELECT sum(n)::BIGINT AS n_rows,
+        |  sum(((p_fp % 1000000007) + 1000000007) % 1000000007)::BIGINT AS fp
+        |FROM parts""".stripMargin,
     "s26d_fp_c2s" ->
-      s"""WITH $sqlS26Ctes
-        |SELECT count(*)::BIGINT AS n_cents,
-        |  sum(c_id * s_id)::BIGINT AS fp
-        |FROM c2s""".stripMargin,
+      s"""WITH $sqlS26Ctes,
+        |parts AS (
+        |  SELECT c_id % 4096 AS g, count(*) AS n,
+        |    sum((c_id % 999983 + 1) * (s_id % 999983 + 1)) AS p_fp
+        |  FROM c2s GROUP BY g)
+        |SELECT sum(n)::BIGINT AS n_cents,
+        |  sum(((p_fp % 1000000007) + 1000000007) % 1000000007)::BIGINT AS fp
+        |FROM parts""".stripMargin,
     "s26e_fp_hier" ->
-      s"""WITH $sqlS26Ctes
-        |SELECT s_probe::INT AS s_probe, count(*)::BIGINT AS n_rows,
-        |  sum(vec_id * c_id)::BIGINT AS fp
-        |FROM hier GROUP BY s_probe""".stripMargin,
+      s"""WITH $sqlS26Ctes,
+        |parts AS (
+        |  SELECT s_probe, vec_id % 4096 AS g, count(*) AS n,
+        |    sum((vec_id % 999983 + 1) * (c_id % 999983 + 1)) AS p_fp
+        |  FROM hier GROUP BY s_probe, g)
+        |SELECT s_probe::INT AS s_probe, sum(n)::BIGINT AS n_rows,
+        |  sum(((p_fp % 1000000007) + 1000000007) % 1000000007)::BIGINT AS fp
+        |FROM parts GROUP BY s_probe""".stripMargin,
     // PQ store probe ≡ the in-flight s20 tier — shared oracle, same
     // parity-by-construction claim as s24
     "s27_ann_ivfpq_store" -> sqlS20HierIvfPq,

@@ -703,19 +703,26 @@ class SimilaritySpec extends AnyFunSuite {
     def fold(a: Array[Long]): Long =
       a.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
     val w = (id: Long) => id % 97 + 1
-    val expMvFp = rows.map { case (id, v) => w(id) * fold(mvOf(v)) }.sum
-    val expUFp = rows.map { case (id, _) => w(id) * fold(u(id)) }.sum
+    val wid = (x: Long) => x % 999983 + 1
+    // the operators' two-level fold: per (gid % 4096) group partial sums,
+    // each reduced mod 1000000007 (non-negative), reduced partials summed
+    def modsum(terms: Seq[(Long, Long)]): Long =
+      terms.groupBy(_._1 % 4096).values
+        .map(g => Math.floorMod(g.map(_._2).sum, 1000000007L)).sum
+    val expMvFp = modsum(rows.map { case (id, v) => id -> w(id) * fold(mvOf(v)) })
+    val expUFp = modsum(rows.map { case (id, _) => id -> w(id) * fold(u(id)) })
     val flat = rows.map { case (id, _) => id -> argmax(cIds, u(id)) }
-    val expFlatFp = flat.map { case (id, c) => id * c }.sum
-    val expCSum = flat.map(_._2).sum
-    val expSupFp = rows.map { case (id, _) => id * superRank(u(id)).head }.sum
-    val expC2sFp = c2s.map { case (c, sid) => c * sid }.sum
+    val expFlatFp = modsum(flat.map { case (id, c) => id -> wid(id) * wid(c) })
+    val expCSum = modsum(flat.map { case (id, c) => id -> wid(c) })
+    val expSupFp = modsum(rows.map { case (id, _) =>
+      id -> wid(id) * wid(superRank(u(id)).head) })
+    val expC2sFp = modsum(c2s.toSeq.map { case (c, sid) => c -> wid(c) * wid(sid) })
     val expHier = Seq(1, 2, 4).map { sp =>
-      sp -> rows.map { case (id, _) =>
+      sp -> modsum(rows.map { case (id, _) =>
         val lists = superRank(u(id)).take(sp).flatMap(sid =>
           cIds.filter(c => c2s(c) == sid))
-        id * argmax(lists, u(id))
-      }.sum
+        id -> wid(id) * wid(argmax(lists, u(id)))
+      })
     }.toMap
 
     // ---- the five operators must reproduce every checksum ----
