@@ -694,16 +694,18 @@ class PlanSpec extends AnyFunSuite {
       "segment dedup must not add exchanges beyond distinct + df-count + reassembly")
     assert(plan.contains("partial_count"), "df counting combines map-side")
   }
-  test("s26a: grid fingerprint is a single scan + partial agg — no join, no key shuffle") {
+  test("s26a: grid fingerprint is one corpus pass — no join, one bounded group exchange") {
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val plan = planOf("s26a_fp_grid")
-    // one corpus pass folded map-side to one row: any join or key
-    // exchange here would mean the checksum harness costs more than the
-    // stage it fingerprints
+    // one corpus pass folded map-side: the only key exchange is the
+    // two-level checksum's (id mod 4096) group collapse, which partial
+    // aggregation bounds to ≤4096 rows per task regardless of corpus
+    // size — a join or a second corpus-keyed exchange would mean the
+    // harness costs more than the stage it fingerprints
     assert(!plan.contains("Join"), s"no join in the grid checksum:\n${plan.take(600)}")
-    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
-      "grid fingerprint must not key-shuffle the corpus")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "grid fingerprint's only key exchange is the 4096-group collapse")
     assert(plan.contains("partial_sum") || plan.contains("partial_count"),
-      "checksum folds combine map-side before the single-row exchange")
+      "checksum folds combine map-side before the group exchange")
   }
 }
