@@ -298,8 +298,10 @@ object AnalyticsQueries {
   // is exact decimal; the average divides two exactly-equal operands in
   // both engines, rounded to 6 digits for the hash compare.
   private val w3: Q = (s, dir) => {
+    // same tie hazard as w2 — quantity completes the order
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_quantity").asc)
       .rowsBetween(-3, Window.currentRow)
     t(s, dir, "lineitem")
       .withColumn("msum",
@@ -385,8 +387,13 @@ object AnalyticsQueries {
 
   // window: running per-supplier quantity (ordered prefix sum, exact decimal)
   private val w2: Q = (s, dir) => {
+    // (l_orderkey, l_linenumber) is NOT unique in the generated data
+    // (measured: 8 same-key tie-groups with DIFFERING quantity at sf0.01,
+    // 84 at sf0.1), so l_quantity joins the ORDER BY: ties are then
+    // value-identical and the emitted running multiset is order-invariant
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_quantity").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .withColumn("running_qty",
@@ -426,7 +433,7 @@ object AnalyticsQueries {
     graft.operators.SkewJoin.salted(
       li.select("l_orderkey", "l_linenumber", "l_returnflag"),
       col("l_returnflag"),
-      col("l_orderkey") * 10 + col("l_linenumber"), // unique row id → even scatter
+      col("l_orderkey") * 10 + col("l_linenumber"), // scatter key (need not be unique)
       dim, col("flag"), saltFactor = 8)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "n_flag")
   }
@@ -1104,7 +1111,7 @@ object AnalyticsQueries {
         |        / (COUNT(*) OVER w), 6) AS mavg
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |             ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
     "a1_percentiles" ->
       """SELECT o_orderpriority,
@@ -1202,7 +1209,7 @@ object AnalyticsQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_qty
         |FROM lineitem""".stripMargin,
