@@ -3046,7 +3046,7 @@ object PipelineQueries {
       s"""WITH $sqlS26Ctes
         |SELECT h.s_probe::INT AS s_probe, count(*)::BIGINT AS n_rows,
         |  sum(CASE WHEN h.c_id = f.flat_c THEN 1 ELSE 0 END)::BIGINT AS n_agree,
-        |  (sum(CASE WHEN h.c_id = f.flat_c THEN 1 ELSE 0 END) * 1000000) // count(*) AS agree_ppm
+        |  ((sum(CASE WHEN h.c_id = f.flat_c THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT AS agree_ppm
         |FROM hier h JOIN flatl f USING (vec_id)
         |GROUP BY h.s_probe""".stripMargin,
     // s26 stage fingerprints: each key replays ONE stage of the s26

@@ -50,8 +50,20 @@ for name in sorted(oracle):
         fails += 1
         continue
     sh, dh = canon(spark_df), canon(duck_df)
+    # dtype KIND divergence (float on one side, integer on the other) is
+    # invisible to the %.9g canon below — %.9g(484500.0) == str(484500) —
+    # but the driver's own canon is dtype-sensitive (the three-round
+    # s26 red: DuckDB HUGEINT -> pandas float64 vs Spark BIGINT). Fail
+    # loudly on kind mismatches; report any other dtype drift as a note.
+    kind = lambda df: {c: df[c].dtype.kind for c in df.columns}
+    sk, dk = kind(spark_df), kind(duck_df)
+    kind_diff = {c: (sk[c], dk[c]) for c in sk
+                 if c in dk and (sk[c] == 'f') != (dk[c] == 'f')}
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         print(f"SCHEMA {name}: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        fails += 1
+    elif kind_diff:
+        print(f"DTYPE {name}: float/integer kind mismatch {kind_diff}")
         fails += 1
     elif len(spark_df) != len(duck_df):
         print(f"ROWS  {name}: spark={len(spark_df)} duck={len(duck_df)}")
