@@ -139,9 +139,14 @@ object Dedup {
     * window over the shingle key, which would serialize a stop-shingle's
     * whole posting list into one window partition), one doc-keyed window
     * (rarest-first rank; partitions are document-sized), the prefix
-    * self-join, and the candidate-bounded verify join. Deterministic:
-    * ordering is (df asc, shingle asc); prefix length in exact integer
-    * arithmetic from `minJaccardPpm`.
+    * self-join, and the candidate-bounded verify join. The self-join also
+    * carries the paper's other two LOSSLESS per-row prunes — the length
+    * filter (t·|A| ≤ |B| ≤ |A|/t) and the positional filter (a shared
+    * token's ranks bound the whole intersection) — inside the join
+    * condition, so non-viable candidate rows die before the distinct and
+    * the verify ever see them. Deterministic: ordering is (df asc,
+    * shingle asc); prefix length in exact integer arithmetic from
+    * `minJaccardPpm`.
     */
   def prefixJaccardPairs(
       docs: DataFrame,
@@ -174,10 +179,29 @@ object Dedup {
     val prefix = ranked.filter(
       col("rk") <= col("n_sh") -
         expr(s"(n_sh * $minJaccardPpm + 999999) div 1000000") + 1)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("s"), col("n_sh"), col("rk"))
+    // two more LOSSLESS per-row filters from the same paper, evaluated
+    // INSIDE the join so pruned rows never reach the distinct or the
+    // verify join. Any TRUE pair (J ≥ t) passes both at every shared
+    // token, so the surviving pair set is unchanged:
+    //  - length filter: J ≤ min/max of the set sizes, so t·|A| ≤ |B|
+    //    and t·|B| ≤ |A| (integer cross-multiplication);
+    //  - positional filter: both sides are ranked in the SAME global
+    //    (df, shingle) order, so a shared token at ranks (i, j) bounds
+    //    the whole intersection by min(i−1,j−1) + 1 + min(|A|−i,|B|−j)
+    //    — shared tokens sort consistently, so they sit on the same
+    //    side of s in both documents. J ≥ t needs
+    //    I·(1e6+ppm) ≥ ppm·(|A|+|B|); prune when even the bound fails.
+    val ubound =
+      least(col("a.rk") - 1, col("b.rk") - 1) + 1 +
+        least(col("a.n_sh") - col("a.rk"), col("b.n_sh") - col("b.rk"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") * minJaccardPpm <= col("b.n_sh") * 1000000L &&
+          col("b.n_sh") * minJaccardPpm <= col("a.n_sh") * 1000000L &&
+          ubound * (1000000L + minJaccardPpm) >=
+            (col("a.n_sh") + col("b.n_sh")) * minJaccardPpm)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verify over the candidates' FULL shingle sets
@@ -210,14 +234,19 @@ object Dedup {
     * `⌈t·|S_A|⌉ − 1` commonest shingles of A, so A must share one of its
     * `|S_A| − ⌈t·|S_A|⌉ + 1` RAREST shingles (global df order) with B —
     * LOSSLESS, so only A-prefixes probe the index. The index side is
-    * necessarily B's FULL posting list (containment puts no bound on the
-    * containing document), which is exactly why the probe side being a
-    * prefix slice matters: the join volume per shingle is
+    * necessarily B's FULL posting list (containment puts no prefix bound
+    * on the containing document), which is exactly why the probe side
+    * being a prefix slice matters: the join volume per shingle is
     * `df_prefix × df_full`, and stop-shingles almost never survive into a
-    * rarest-first prefix. Doc frequency comes from a two-stage hash
-    * aggregation joined back (AQE-splittable), never a window over the
-    * shingle key. Exact verification over the candidates' full sets keeps
-    * the threshold exact.
+    * rarest-first prefix. The probe join also carries the containment
+    * forms of the other two LOSSLESS per-row prunes — the length filter
+    * (t·|S_A| ≤ |S_B|: the intersection cannot exceed the containing
+    * set) and the positional filter (the shared shingle's ranks in the
+    * common global order bound the whole intersection) — inside the join
+    * condition. Doc frequency comes from a two-stage hash aggregation
+    * joined back (AQE-splittable), never a window over the shingle key.
+    * Exact verification over the candidates' full sets keeps the
+    * threshold exact.
     */
   /** @param maxDocFreq drops INDEX-side (B) postings of shingles occurring
     *   in more than this many documents. The rarest-first A-prefix already
@@ -269,19 +298,35 @@ object Dedup {
     val prefix = ranked.filter(
       col("rk") <= col("n_sh") -
         expr(s"(n_sh * $minContainmentPpm + 999999) div 1000000") + 1)
-      .select(col("doc_id"), col("s"))
-    // index side: the FULL posting explode straight off the cache — or,
-    // under the cap, the postings minus the (tiny) stop-shingle offender
-    // set; the prefix ranking above always uses the UNCAPPED df so the
-    // A-side prefix is identical in both tiers and the oracle replay
-    // needs only one df table
-    val idx =
-      if (maxDocFreq == Int.MaxValue) sh
-      else sh.join(
-        dfs.filter(col("df") > maxDocFreq).select("s"), Seq("s"), "left_anti")
+      .select(col("doc_id"), col("s"), col("n_sh"), col("rk"))
+    // index side: B's FULL RANKED posting list (containment puts no
+    // prefix bound on the containing document; the rank feeds the
+    // positional filter below) — or, under the cap, those postings minus
+    // the (tiny) stop-shingle offender set; the prefix ranking above
+    // always uses the UNCAPPED df so the A-side prefix is identical in
+    // both tiers and the oracle replay needs only one df table (the
+    // B-side rank, too, is always the rank within the FULL set)
+    val idx = (if (maxDocFreq == Int.MaxValue) ranked
+      else ranked.join(
+        dfs.filter(col("df") > maxDocFreq).select("s"), Seq("s"), "left_anti"))
+      .select(col("doc_id"), col("s"), col("n_sh"), col("rk"))
+    // two more LOSSLESS per-row filters inside the join (any true pair —
+    // cont(A→B) ≥ t — passes both at every shared shingle, so the
+    // surviving pair set is unchanged):
+    //  - length filter: |S_A ∩ S_B| ≤ |S_B|, so ⌈t·|S_A|⌉ needs
+    //    t·|S_A| ≤ |S_B| (integer cross-multiplication);
+    //  - positional filter: both sides rank in the SAME global
+    //    (df, shingle) order, so a shared shingle at ranks (i, j) bounds
+    //    the intersection by min(i−1,j−1) + 1 + min(|S_A|−i,|S_B|−j);
+    //    prune when even that bound misses t·|S_A|.
+    val ubound =
+      least(col("a.rk") - 1, col("b.rk") - 1) + 1 +
+        least(col("a.n_sh") - col("a.rk"), col("b.n_sh") - col("b.rk"))
     val cand = prefix.as("a")
       .join(idx.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("a.n_sh") * minContainmentPpm <= col("b.n_sh") * 1000000L &&
+          ubound * 1000000L >= col("a.n_sh") * minContainmentPpm)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
