@@ -20,17 +20,57 @@ import org.apache.spark.sql.functions._
   * `levenshtein` residual — Spark's codegen'd built-in, identical
   * semantics in DuckDB — kills false positives after a distinct.
   *
-  * Scale: the posting table carries `(id, polyHash(sig))` LONGS — len+1
-  * longs per row, Σ len across the corpus — instead of the len+1
-  * signature *strings* of length ~len (Σ len² bytes) a naive explode
-  * would shuffle; on document-length strings that width difference is the
-  * whole game. Hash collisions (distinct deletions, equal polyHash) can
-  * only ADD candidates, and the levenshtein residual removes them, so the
-  * output is still exact. Candidate counts track true near-miss density,
-  * not N²; hot signatures (a shared prefix family) bound each bucket by
-  * the alphabet size per deleted position.
+  * Scale: the posting table carries `(id, polyHash(sig), pos)` — len+1
+  * (long, int) rows per string, Σ len across the corpus — instead of the
+  * len+1 signature *strings* of length ~len (Σ len² bytes) a naive
+  * explode would shuffle; on document-length strings that width
+  * difference is the whole game. The position tag drives a LOSSLESS
+  * compatibility prune inside the candidate join (see [[posSigs]]) that
+  * removes the deletions-at-different-positions false-candidate family
+  * before it ever shuffles. Hash collisions (distinct deletions, equal
+  * polyHash) can only ADD candidates, and the levenshtein residual
+  * removes them, so the output is still exact. Candidate counts track
+  * true near-miss density, not N²; hot signatures (a shared prefix
+  * family) bound each bucket by the alphabet size per deleted position.
   */
 object FuzzyJoin {
+
+  /** Position-tagged signature postings: `(…, fid, sig, pos)` — `pos` is
+    * 0 for the original string and the 1-based deletion position
+    * otherwise. The tag feeds the POSITIONAL-COMPATIBILITY prune in the
+    * candidate join: a true ≤1-edit pair always shares a compatible row
+    * (equal strings share the originals; an insertion/deletion pairs the
+    * shorter ORIGINAL with the longer's deletion; a substitution at
+    * position i makes `del_a@i = del_b@i` — SAME position), so requiring
+    * `pos_a = 0 ∨ pos_b = 0 ∨ pos_a = pos_b` is lossless, while the
+    * classic false-candidate family — deletions at DIFFERENT positions
+    * coinciding ("ab"/"ba", "…0012"/"…0021": distance 2) — never reaches
+    * the distinct or the levenshtein verify. Every `(value, pos)` entry
+    * is kept (no value-level dedup): in a repeated-character run the
+    * deletions coincide as VALUES but a substitution pair is only
+    * guaranteed to share the deletion at the SUBSTITUTED position, so
+    * dropping same-valued positions could orphan a true pair.
+    */
+  private def posSigs(strs: DataFrame, carry: String*): DataFrame = {
+    // hash BEFORE the explode so only (fid, long, int) posting rows
+    // shuffle; empty string: no deletions (sequence(1,0) would run
+    // DESCENDING)
+    val orig = struct(polyHash(col("fs")).as("sig"), lit(0).as("pos"))
+    val entries =
+      when(length(col("fs")) === 0, array(orig))
+        .otherwise(concat(array(orig),
+          transform(sequence(lit(1), length(col("fs"))), i =>
+            struct(polyHash(concat(
+              col("fs").substr(lit(1), i - 1),
+              col("fs").substr(i + 1, length(col("fs"))))).as("sig"),
+              i.cast("int").as("pos")))))
+    strs.select(carry.map(col) ++ Seq(col("fid"), explode(entries).as("e")): _*)
+      .select(carry.map(col) ++ Seq(col("fid"),
+        col("e.sig").as("sig"), col("e.pos").as("pos")): _*)
+  }
+
+  private def posCompatible: Column =
+    col("a.pos") === 0 || col("b.pos") === 0 || col("a.pos") === col("b.pos")
 
   /** All (id_a < id_b) pairs whose strings are within edit distance 1.
     * Output: (id_a, id_b, s_a, s_b).
@@ -38,26 +78,20 @@ object FuzzyJoin {
     * At corpus scale prefer [[selfJoinBlocked]]: the unblocked join's
     * cost is signature-bucket density, which grows with every name that
     * shares a deletion family (measured 155× wall for 100× rows on fixed
-    * cores — linear output, but saturating). A blocking key caps each
-    * bucket at its block's population, and salting composes upstream of
-    * either variant for residual hot keys.
+    * cores — linear output, but saturating; the positional prune in
+    * [[posSigs]] kills the cross-position share of each bucket before
+    * any row leaves the join). A blocking key caps each bucket at its
+    * block's population, and salting composes upstream of either variant
+    * for residual hot keys.
     */
   def selfJoin(df: DataFrame, id: Column, str: Column): DataFrame = {
     val strs = df.select(id.as("fid"), str.as("fs"))
       .filter(col("fs").isNotNull)
-    // hash BEFORE the explode so only (fid, long) posting rows shuffle;
-    // empty string: no deletions (sequence(1,0) would run DESCENDING)
-    val sigs = strs.select(col("fid"), explode(
-      when(length(col("fs")) === 0, array(polyHash(col("fs"))))
-        .otherwise(array_distinct(concat(
-          array(polyHash(col("fs"))),
-          transform(sequence(lit(1), length(col("fs"))), i =>
-            polyHash(concat(
-              col("fs").substr(lit(1), i - 1),
-              col("fs").substr(i + 1, length(col("fs")))))))))).as("sig"))
+    val sigs = posSigs(strs)
     val cands = sigs.as("a")
       .join(sigs.as("b"),
-        col("a.sig") === col("b.sig") && col("a.fid") < col("b.fid"))
+        col("a.sig") === col("b.sig") && col("a.fid") < col("b.fid") &&
+          posCompatible)
       .select(col("a.fid").as("id_a"), col("b.fid").as("id_b"))
       .distinct()
     // candidate-bounded string fetch + exact residual: two id-keyed hash
@@ -85,18 +119,11 @@ object FuzzyJoin {
       df: DataFrame, id: Column, str: Column, block: Column): DataFrame = {
     val strs = df.select(block.as("blk"), id.as("fid"), str.as("fs"))
       .filter(col("fs").isNotNull && col("blk").isNotNull)
-    val sigs = strs.select(col("blk"), col("fid"), explode(
-      when(length(col("fs")) === 0, array(polyHash(col("fs"))))
-        .otherwise(array_distinct(concat(
-          array(polyHash(col("fs"))),
-          transform(sequence(lit(1), length(col("fs"))), i =>
-            polyHash(concat(
-              col("fs").substr(lit(1), i - 1),
-              col("fs").substr(i + 1, length(col("fs")))))))))).as("sig"))
+    val sigs = posSigs(strs, "blk")
     val cands = sigs.as("a")
       .join(sigs.as("b"),
         col("a.blk") === col("b.blk") && col("a.sig") === col("b.sig") &&
-          col("a.fid") < col("b.fid"))
+          col("a.fid") < col("b.fid") && posCompatible)
       .select(col("a.blk").as("block"),
         col("a.fid").as("id_a"), col("b.fid").as("id_b"))
       .distinct()

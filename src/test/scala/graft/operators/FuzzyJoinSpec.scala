@@ -37,6 +37,26 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("selfJoin ≡ brute-force levenshtein ≤ 1, incl. repeated-char runs") {
+    // "aab"/"abb" is the positional-prune trap: the substitution is at
+    // position 2, but the shared deletion VALUE "ab" first occurs at
+    // position 1 in "aab" and 2 in "abb" — a signature scheme that
+    // deduped equal-valued deletions to one position would orphan this
+    // true pair. Mixed in: runs, transpositions, sequential-id families.
+    val strs = Seq(
+      "aab", "abb", "aaab", "aaab", "abab", "baba", "aa", "aaa",
+      "id0012", "id0021", "id0011", "id0013", "xyzzy", "xyzy", "") ++
+      Seq.tabulate(30)(i => f"cust#${i * 7 % 100}%03d")
+    val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = FuzzyJoin.selfJoin(rows, col("id"), col("s"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = rows.as("x").join(rows.as("y"),
+        col("x.id") < col("y.id") &&
+          levenshtein(col("x.s"), col("y.s")) <= 1)
+      .select(col("x.id"), col("y.id")).as[(Long, Long)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("selfJoinBlocked: matches only inside a block; equals the unblocked join filtered by block") {
     // ann/ana within one edit in both blocks; cross-block ann/ann must NOT pair
     val rows = Seq(
