@@ -172,6 +172,10 @@ object Dedup {
     // shingle: the hot-key postings shuffle is a JOIN partition (AQE can
     // split it) instead of a window partition (it cannot)
     val dfs = sh.select("s").groupBy("s").agg(count(lit(1)).as("df"))
+    // NOT cached: AQE's runtime stage reuse already dedupes the two
+    // sides' identical df-agg/join/window exchanges, and a measured
+    // persist attempt was flat on d19 and ~40% SLOWER on d21 at sf10
+    // (materialization cost without saved work)
     val ranked = sh.join(dfs, Seq("s"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
@@ -291,6 +295,9 @@ object Dedup {
     val sh = base.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfs = sh.select("s").groupBy("s").agg(count(lit(1)).as("df"))
+    // NOT cached (see prefixJaccardPairs: AQE stage reuse already
+    // dedupes the two sides, and persisting measured slower); `df`
+    // rides along so the cap below is a column filter, not a join
     val ranked = sh.join(dfs, Seq("s"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
@@ -302,13 +309,14 @@ object Dedup {
     // index side: B's FULL RANKED posting list (containment puts no
     // prefix bound on the containing document; the rank feeds the
     // positional filter below) — or, under the cap, those postings minus
-    // the (tiny) stop-shingle offender set; the prefix ranking above
-    // always uses the UNCAPPED df so the A-side prefix is identical in
-    // both tiers and the oracle replay needs only one df table (the
-    // B-side rank, too, is always the rank within the FULL set)
+    // the stop-shingle offenders (df is already a column of the ranked
+    // postings, so the cap is a filter, not a join); the prefix ranking
+    // above always uses the UNCAPPED df so the A-side prefix is
+    // identical in both tiers and the oracle replay needs only one df
+    // table (the B-side rank, too, is always the rank within the FULL
+    // set)
     val idx = (if (maxDocFreq == Int.MaxValue) ranked
-      else ranked.join(
-        dfs.filter(col("df") > maxDocFreq).select("s"), Seq("s"), "left_anti"))
+      else ranked.filter(col("df") <= maxDocFreq))
       .select(col("doc_id"), col("s"), col("n_sh"), col("rk"))
     // two more LOSSLESS per-row filters inside the join (any true pair —
     // cont(A→B) ≥ t — passes both at every shared shingle, so the
