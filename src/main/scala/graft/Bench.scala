@@ -26,6 +26,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    persist reused intermediates).
   */
 object Bench {
+  /** The 48 queries shared (same key, same code-path intent) between the
+    * round-3 standing baseline (BASELINE §2, `BENCH_r03.json`) and the
+    * current suite, with their r3 driver medians in seconds. Pinned here
+    * so `SPARK_GRAFT_LEDGER=1` artifacts carry the baseline AND the ratio
+    * — no cross-file key intersection needed to audit the headline
+    * vs-baseline number. The set only ever SHRINKS (a ledger query whose
+    * semantics change must be removed, never re-timed); new queries are
+    * not r3-comparable by definition.
+    */
+  val R3Ledger: Map[String, Double] = Map(
+    "a1_percentiles" -> 0.814, "agg_distinct" -> 0.454,
+    "d1_exact_dedup" -> 0.498, "d2b_ngram_capped" -> 6.960,
+    "d3_minhash_lsh" -> 1.400, "d4_simhash" -> 1.500,
+    "d6_source_signatures" -> 1.016, "d7_dup_clusters" -> 5.057,
+    "d8_dedup_keep" -> 4.977, "e1_window_agg" -> 0.714,
+    "e2_sessionize" -> 0.914, "e3_json_props" -> 0.458,
+    "e4_heavy_hitter_distinct" -> 0.934, "e5_asof_join" -> 0.774,
+    "f1_filter_algebra" -> 0.264, "f2_contains" -> 1.537,
+    "j1_composite_selfjoin" -> 1.091, "j1_inner_hash" -> 0.268,
+    "j2_left_outer" -> 0.348, "j3_right_outer" -> 0.353,
+    "j4_full_outer" -> 0.436, "j5_grace_shuffle" -> 0.679,
+    "j6_theta_lt" -> 0.224, "j6_theta_neq" -> 0.201,
+    "j8_chain_multiway" -> 0.571, "j_anti" -> 0.240, "j_semi" -> 0.250,
+    "mm1_media_meta" -> 0.206, "mm2_frame_sample" -> 0.287,
+    "p1_projection" -> 0.254, "q1_agg" -> 1.215, "q3_revenue" -> 1.065,
+    "q4_exists_sql" -> 0.394, "q5_nation_revenue" -> 0.954,
+    "rollup_counts" -> 0.462, "s1_ann_bruteforce" -> 0.443,
+    "s2_ann_lsh" -> 1.516, "s3_ann_ivf" -> 0.890,
+    "set_except" -> 0.384, "set_intersect" -> 0.325,
+    "set_union" -> 0.236, "t1_token_stats" -> 0.264,
+    "t2_quality" -> 0.232, "t3_langid" -> 0.353,
+    "t4_fingerprint" -> 0.323, "topk_orders" -> 0.175,
+    "w1_rank" -> 0.401, "w2_running_sum" -> 0.865)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,8 +115,39 @@ object Bench {
     // embedding baseline → d12 SemDeDup, the declared scale path).
     // Explicitly naming one on the command line still times it.
     val oracleOnly = Set("d2_ngram_jaccard", "d5_embedding_neardup")
-    val names = (if (only.isEmpty) SparkEntry.queries.keySet -- oracleOnly
-                 else only).toVector.sorted
+    // SPARK_GRAFT_LEDGER=1: the pinned r3-comparable ledger — ONLY the 48
+    // queries that exist unchanged since the round-3 standing baseline, at
+    // a higher default pass count (5), with the r3 medians and the ratio
+    // computed INSIDE the artifact. Motivation (VERDICT r15 task 7): the
+    // vs-baseline headline is a sum over a shrinking subset whose ratio
+    // drifted 0.72×→0.79× on pure host noise; a dedicated low-variance
+    // mode makes the ledger reproducible from one JSON with no
+    // cross-artifact key intersection by hand.
+    val ledger = sys.env.get("SPARK_GRAFT_LEDGER").exists(_ == "1")
+    // SPARK_GRAFT_COHORT=i/N: run only the i-th of N round-robin slices of
+    // the (sorted) query list. Motivation (VERDICT r15 task 4): single-JVM
+    // marathon sweeps at sf10 produced 10–25× phantom regressions from
+    // cross-query JVM contention (heap/codegen-cache/GC buildup) three
+    // rounds running; a cohort-per-fresh-JVM sweep (tools/
+    // run_bench_cohorts.sh drives it, tools/merge_bench_cohorts.py merges
+    // the artifacts) bounds each JVM to a handful of queries so sweep
+    // numbers reproduce solo. Round-robin over the sorted list, not
+    // contiguous blocks, so alphabetical operator families (d*, s*) spread
+    // across JVMs instead of concentrating the heaviest tier in one.
+    val cohort = sys.env.get("SPARK_GRAFT_COHORT").map { s =>
+      val Array(i, n) = s.split("/").map(_.trim.toInt)
+      require(n > 0 && i >= 0 && i < n, s"bad cohort $s (want i/N, 0<=i<N)")
+      (i, n)
+    }
+    val base0 = if (only.nonEmpty) only
+                else if (ledger) R3Ledger.keySet
+                else SparkEntry.queries.keySet -- oracleOnly
+    val base = base0.toVector.sorted
+    val names = cohort match {
+      case Some((i, n)) => base.zipWithIndex.collect {
+        case (q, ix) if ix % n == i => q }
+      case None => base
+    }
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
@@ -97,7 +162,8 @@ object Bench {
     // full-suite scaling gate, where one pass is the evidence and three
     // would triple a multi-hour sweep); the driver's per-round sf0.1 run
     // keeps the default median-of-3.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES",
+      if (ledger) "5" else "3").toInt
     (1 to passes).foreach { _ =>
       rnd.shuffle(names).foreach { name =>
         releaseCaches()
@@ -140,15 +206,29 @@ object Bench {
     val excludedNames = (SparkEntry.queries.keySet -- names).toVector.sorted
     val excluded =
       excludedNames.map(q => s"\"${esc(q)}\"").mkString("[", ",", "]")
+    val cohortCfg = cohort.map { case (i, n) => s""","cohort":"$i/$n"""" }
+      .getOrElse("")
     def cfg(excl: String) =
-      s""""config":{"cpus":$cpus,"shufflePartitions":$shufflePartitions,"passes":$passes,"ioCodec":"${esc(ioCodec)}",$excl}"""
+      s""""config":{"cpus":$cpus,"shufflePartitions":$shufflePartitions,"passes":$passes,"ioCodec":"${esc(ioCodec)}","ledger":$ledger$cohortCfg,$excl}"""
+    // ledger block: r3 medians + both totals + the ratio, computed over
+    // exactly the keys that succeeded this run (an errored key drops out
+    // of BOTH sums so the ratio stays sum-over-matched-pairs)
+    val ledgerJson = if (!ledger) "" else {
+      val ok = results.filter { case (k, v) => v >= 0 && R3Ledger.contains(k) }
+      val r3Sum = ok.map { case (k, _) => R3Ledger(k) }.sum
+      val nowSum = ok.map(_._2).sum
+      val ratio = if (r3Sum > 0) nowSum / r3Sum else -1.0
+      val r3Map = ok.map { case (k, _) => s"\"${esc(k)}\":${R3Ledger(k)}" }
+        .mkString("{", ",", "}")
+      s""""ledger":{"n_compared":${ok.size},"r3_total":$r3Sum,"now_total":$nowSum,"ratio":$ratio,"r3":$r3Map},"""
+    }
     // full file carries the names; the stdout summary only their count (a
     // CLI-restricted run excludes most of the suite and the name list
     // would blow the driver's ~2000-char tail window)
     val cfgJson = cfg(s""""excluded":$excluded""")
     val cfgCompact = cfg(s""""n_excluded":${excludedNames.size}""")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec",$cfgJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$cfgJson,$ledgerJson"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver keeps only a ~2000-char stdout tail; a 160-query map
     // (~5 KB) overflows it and the official artifact records parsed:null.
     // So: full per-query map → a committed file; LAST stdout line → a
@@ -165,7 +245,11 @@ object Bench {
     // errors compact: first 10 names only (count + full messages are in
     // the file) — even an all-fail run must fit the 2000-char tail window
     val errNames = errors.keys.take(10).map(k => s"\"${esc(k)}\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"error_queries":$errNames,$cfgCompact,"slowest":$slowest,"full":"${esc(fullPath)}","sf":"$sfDir"}""")
+    // ledger runs surface the ratio on stdout too (strip the trailing
+    // comma + r3 map: the compact line must stay inside the tail window)
+    val ledgerCompact = if (ledgerJson.isEmpty) ""
+      else ledgerJson.substring(0, ledgerJson.indexOf(""","r3":""")) + "},"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"error_queries":$errNames,$cfgCompact,$ledgerCompact"slowest":$slowest,"full":"${esc(fullPath)}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

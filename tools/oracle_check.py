@@ -50,20 +50,38 @@ for name in sorted(oracle):
         fails += 1
         continue
     sh, dh = canon(spark_df), canon(duck_df)
-    # dtype KIND divergence (float on one side, integer on the other) is
-    # invisible to the %.9g canon below — %.9g(484500.0) == str(484500) —
-    # but the driver's own canon is dtype-sensitive (the three-round
-    # s26 red: DuckDB HUGEINT -> pandas float64 vs Spark BIGINT). Fail
-    # loudly on kind mismatches; report any other dtype drift as a note.
-    kind = lambda df: {c: df[c].dtype.kind for c in df.columns}
-    sk, dk = kind(spark_df), kind(duck_df)
-    kind_diff = {c: (sk[c], dk[c]) for c in sk
-                 if c in dk and (sk[c] == 'f') != (dk[c] == 'f')}
+    # Dtype divergence is invisible to the %.9g canon below —
+    # %.9g(484500.0) == str(484500) — but the driver's own canon is
+    # dtype-sensitive (the three-round s26 red: DuckDB HUGEINT -> pandas
+    # float64 vs Spark BIGINT). Gate on the EXACT dtype, not just the
+    # float/integer kind: int32-vs-int64 or decimal-scale drift could hide
+    # behind a kind check the same way the float kind hid behind %.9g.
+    # EQUIV holds the documented unavoidable representation differences
+    # between pandas-read-Spark-parquet and DuckDB's .df() materialization
+    # (pairs are directionless; both orders are accepted):
+    #  - ('object', X) for non-numeric kinds: pyarrow→pandas yields dtype
+    #    'object' for strings/arrays where DuckDB may type the same values
+    #    (and vice versa); value equality is still enforced by the hash.
+    EQUIV = {
+        frozenset({"object", "string"}),
+        # pandas reads Spark's TIMESTAMP(us) parquet as datetime64[ns]
+        # (pyarrow default promotion) while DuckDB's .df() keeps us.
+        # Spark timestamps ARE microsecond-precision, so the ns side
+        # cannot carry extra information and the values hash identically
+        # (measured: the only exact-dtype divergence across all 197 keys
+        # at sf0.01 — e1/e2/e7/e12/e13's window/session timestamps).
+        frozenset({"datetime64[ns]", "datetime64[us]"}),
+    }
+    dt = lambda df: {c: str(df[c].dtype) for c in df.columns}
+    sk, dk = dt(spark_df), dt(duck_df)
+    dt_diff = {c: (sk[c], dk[c]) for c in sk
+               if c in dk and sk[c] != dk[c]
+               and frozenset({sk[c], dk[c]}) not in EQUIV}
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         print(f"SCHEMA {name}: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
         fails += 1
-    elif kind_diff:
-        print(f"DTYPE {name}: float/integer kind mismatch {kind_diff}")
+    elif dt_diff:
+        print(f"DTYPE {name}: exact dtype mismatch {dt_diff}")
         fails += 1
     elif len(spark_df) != len(duck_df):
         print(f"ROWS  {name}: spark={len(spark_df)} duck={len(duck_df)}")
