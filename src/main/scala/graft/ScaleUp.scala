@@ -23,20 +23,79 @@ import org.apache.spark.sql.functions._
   *  - events keep their timestamps (per-user session density constant,
   *    user cardinality ×N — how a real event stream scales).
   *
-  * Usage: runMain graft.ScaleUp [inDir] [outDir] [factor] [tables]
+  * Usage: runMain graft.ScaleUp [inDir] [outDir] [factor] [tables] [mode]
   * `tables` (comma-separated, default all) writes only the named tables —
   * a per-tier scale gate (e.g. the vector-store decades) doesn't pay for
   * a factor-1000 lineitem it never reads.
+  *
+  * `mode=adv` (round-16, VERDICT r15 task 1) swaps the DOCUMENTS plan for
+  * an ADVERSARIAL corpus — the shape §14c's caveat says the PPJoin
+  * length/positional filters exist for, which the standard scale-up
+  * deliberately lacks (near-uniform doc lengths; per-replica suffixing
+  * kills cross-replica candidates):
+  *  - heavy-tailed lengths: each doc's body is resized to
+  *    `clamp(round(n · lognormal(σ=1)), 64, 2048)` tokens (Irwin-Hall
+  *    4-uniform normal from the doc id hash — deterministic, no RNG
+  *    state). Extension blocks get a per-block token suffix so a long
+  *    doc's shingle SET grows with its length instead of collapsing
+  *    back onto the base set;
+  *  - boilerplate families: 40% of docs append one of 20 fixed 24-token
+  *    blocks VERBATIM — no replica suffix, no doc suffix — so each
+  *    boilerplate shingle lands in ~2% of the corpus (the stop-shingle
+  *    posting lists the containment tier's index side explodes).
+  *    Block size vs the 64-token body floor keeps boilerplate-only
+  *    overlap BELOW both thresholds (J ≈ 22/(22+124) ≈ 0.15 < 0.5;
+  *    containment ≈ (22+bg)/84 < 0.7 at background body overlap), so
+  *    candidates explode but true pairs stay workload-shaped — a filter
+  *    stress test, not an output-size blowup.
+  *  Other tables keep their standard scaling (customer's r-suffix etc.),
+  *  so fuzzy-join numbers stay comparable with the r15 sf10 A/B.
   */
 object ScaleUp {
   private val Off = 10000000L
+
+  /** Adversarial per-replica documents transform (mode=adv). Expects
+    * `doc_id` already replica-offset; deterministic in (doc_id, k).
+    */
+  private[graft] def advDocs(d: DataFrame, k: Int): DataFrame = {
+    // body words carry the standard per-replica suffix (cross-replica
+    // bodies stay non-near-dup; only the boilerplate is corpus-global)
+    val toks = split(regexp_replace(col("text"), "(\\S+)", s"$$1r$k"), " ")
+    val n = size(toks)
+    def u(salt: Int) =
+      (pmod(xxhash64(col("doc_id"), lit(salt)), lit(1000000L))
+        .cast("double") + 0.5) / 1000000.0
+    // Irwin-Hall(4): sum of 4 uniforms, mean 2, var 1/3 → approx N(0,1)
+    val z = (u(1) + u(2) + u(3) + u(4) - 2.0) * math.sqrt(3.0)
+    val target = least(greatest(round(n * exp(z)).cast("int"), lit(64)),
+      lit(2048))
+    val nblocks = ceil(target.cast("double") / n).cast("int")
+    // block 0 is the original body; block b>0 suffixes every token with
+    // the block index so repeated blocks contribute NEW shingles (a
+    // plain repeat would collapse into the base set and the "long" doc
+    // would not actually have a large set)
+    val rep = flatten(transform(sequence(lit(0), nblocks - 1), b =>
+      when(b === 0, toks)
+        .otherwise(transform(toks, t => concat(t, lit("b"), b)))))
+    val body = slice(rep, lit(1), target)
+    val famId = pmod(xxhash64(col("doc_id"), lit(7)), lit(20))
+    val block = transform(sequence(lit(0), lit(23)), i =>
+      concat(lit("bp"), famId, lit("w"), i))
+    val full = when(pmod(xxhash64(col("doc_id"), lit(13)), lit(100)) < 40,
+      concat(body, block)).otherwise(body)
+    d.withColumn("text", array_join(full, " "))
+      .withColumn("n_chars", length(col("text")))
+  }
 
   def main(args: Array[String]): Unit = {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "tmp/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
     val only: Set[String] =
-      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+      if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    val mode = if (args.length > 4) args(4) else "std"
+    require(mode == "std" || mode == "adv", s"unknown mode: $mode")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -77,7 +136,8 @@ object ScaleUp {
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
       "events" -> (() => replicate(read("events"), Seq("event_id", "user_id"))),
       "documents" -> (() => replicate(read("documents"), Seq("doc_id"), (d, k) =>
-        d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1r$k"))
+        if (mode == "adv") advDocs(d, k)
+        else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1r$k"))
           .withColumn("n_chars", length(col("text"))))),
       "embeddings" -> (() => replicate(read("embeddings"), Seq("vec_id"), (d, k) =>
         d.withColumn("embedding", transform(col("embedding"),
