@@ -8,18 +8,24 @@
 # inherits another tier's heap/codegen/GC debris; merge the per-cohort
 # artifacts with tools/merge_bench_cohorts.py.
 #
+# A failed cohort (e.g. a fatal JVM error taking the SparkContext down)
+# must NOT kill the sweep: its queries are reported as errors in its own
+# artifact and the loop moves on — so no `set -e` around the sbt call.
+#
 # Usage: SPARK_GRAFT_SF_DIR=... [SPARK_GRAFT_PASSES=1] [SPARK_GRAFT_IO_CODEC=zstd]
-#        [SPARK_GRAFT_SHUFFLE_PARTITIONS=320] tools/run_bench_cohorts.sh <N> <outdir>
-set -euo pipefail
+#        [SPARK_GRAFT_SHUFFLE_PARTITIONS=320] tools/run_bench_cohorts.sh <N> <outdir> [start]
+set -u
 N="${1:?number of cohorts}"
 OUT="${2:?output dir for per-cohort jsons}"
+START="${3:-0}"
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
-for ((i = 0; i < N; i++)); do
+for ((i = START; i < N; i++)); do
   echo "=== cohort $i/$N ==="
   SPARK_GRAFT_COHORT="$i/$N" \
     SPARK_GRAFT_BENCH_OUT="$OUT/cohort_${i}_of_${N}.json" \
-    sbt -batch "runMain graft.Bench" 2>&1 | tail -1
+    sbt -batch "runMain graft.Bench" 2>&1 | tail -1 || \
+    echo "cohort $i FAILED (rc=$?) — continuing"
 done
 python3 tools/merge_bench_cohorts.py "$OUT" "$OUT/merged.json"
 echo "merged -> $OUT/merged.json"
