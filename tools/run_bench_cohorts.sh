@@ -15,6 +15,10 @@
 # Usage: SPARK_GRAFT_SF_DIR=... [SPARK_GRAFT_PASSES=1] [SPARK_GRAFT_IO_CODEC=zstd]
 #        [SPARK_GRAFT_SHUFFLE_PARTITIONS=320] tools/run_bench_cohorts.sh <N> <outdir> [start]
 set -u
+# d18_fuzzy_clusters at sf10 dies with a fatal executor error under the
+# 8g default in a FRESH JVM (BASELINE §15c) — marathon JVMs only survived
+# on previously-expanded heaps. Callers may still override.
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}"
 N="${1:?number of cohorts}"
 OUT="${2:?output dir for per-cohort jsons}"
 START="${3:-0}"
