@@ -60,6 +60,42 @@ object Bench {
     "t4_fingerprint" -> 0.323, "topk_orders" -> 0.175,
     "w1_rank" -> 0.401, "w2_running_sum" -> 0.865)
 
+  /** PREVIOUS round's ledger medians (`BENCH_r16_ledger.json`), the
+    * round-over-round drift reference. Unlike [[R3Ledger]] (frozen
+    * forever), this map ADVANCES each round to the latest committed
+    * ledger artifact: the §15f doctrine ("uniform movement = host drift,
+    * a lone mover = code") only reads cleanly against the ADJACENT
+    * round — per-query ratios vs r3 mix three rounds of legitimate code
+    * evolution into the spread and would flag standing differences as
+    * movers every run.
+    */
+  val PrevLedger: Map[String, Double] = Map(
+    "a1_percentiles" -> 0.616, "agg_distinct" -> 0.444,
+    "d1_exact_dedup" -> 0.527, "d2b_ngram_capped" -> 2.932,
+    "d3_minhash_lsh" -> 1.281, "d4_simhash" -> 1.413,
+    "d6_source_signatures" -> 1.089, "d7_dup_clusters" -> 1.839,
+    "d8_dedup_keep" -> 1.539, "e1_window_agg" -> 0.749,
+    "e2_sessionize" -> 0.888, "e3_json_props" -> 0.455,
+    "e4_heavy_hitter_distinct" -> 0.906, "e5_asof_join" -> 0.909,
+    "f1_filter_algebra" -> 0.250, "f2_contains" -> 1.242,
+    "j1_composite_selfjoin" -> 0.991, "j1_inner_hash" -> 0.263,
+    "j2_left_outer" -> 0.380, "j3_right_outer" -> 0.378,
+    "j4_full_outer" -> 0.483, "j5_grace_shuffle" -> 0.599,
+    "j6_theta_lt" -> 0.218, "j6_theta_neq" -> 0.225,
+    "j8_chain_multiway" -> 0.574, "j_anti" -> 0.253, "j_semi" -> 0.259,
+    "mm1_media_meta" -> 0.207, "mm2_frame_sample" -> 0.224,
+    "p1_projection" -> 0.258, "q1_agg" -> 1.185, "q3_revenue" -> 1.010,
+    "q4_exists_sql" -> 0.401, "q5_nation_revenue" -> 0.941,
+    "rollup_counts" -> 0.444, "s1_ann_bruteforce" -> 0.596,
+    "s2_ann_lsh" -> 1.027, "s3_ann_ivf" -> 1.294,
+    "set_except" -> 0.376, "set_intersect" -> 0.292,
+    "set_union" -> 0.252, "t1_token_stats" -> 0.256,
+    "t2_quality" -> 0.232, "t3_langid" -> 0.343,
+    "t4_fingerprint" -> 0.321, "topk_orders" -> 0.175,
+    "w1_rank" -> 0.438, "w2_running_sum" -> 0.883)
+  /** Which committed artifact [[PrevLedger]] was transcribed from. */
+  val PrevLedgerRound = "r16"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -149,6 +185,27 @@ object Bench {
       case None => base
     }
 
+    // STUB-FIRST artifact (ADVICE r16): a fatal JVM error (OOM taking the
+    // SparkContext down) used to produce NO artifact, so a dead cohort
+    // silently vanished from the merged sweep. Write the planned query
+    // list as all-errors BEFORE the first timed pass; the end-of-run
+    // write overwrites it, so an artifact that still says "stub" IS the
+    // death certificate and the merge sees every planned query as errored.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_full_latest.json")
+    def writeArtifact(json: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(fullPath, "UTF-8")
+        try w.println(json) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"bench file write failed: $e") }
+    {
+      val stubErrs = names.map(n =>
+        s""""$n":"JVM died before this query completed (start-of-run stub)"""")
+        .mkString("{", ",", "}")
+      writeArtifact(s"""{"metric":"total","value":-1,"unit":"sec","stub":true,"queries":{},"errors":$stubErrs,"sf":"$sfDir"}""")
+    }
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       names.foreach { name =>
@@ -212,15 +269,46 @@ object Bench {
       s""""config":{"cpus":$cpus,"shufflePartitions":$shufflePartitions,"passes":$passes,"ioCodec":"${esc(ioCodec)}","ledger":$ledger$cohortCfg,$excl}"""
     // ledger block: r3 medians + both totals + the ratio, computed over
     // exactly the keys that succeeded this run (an errored key drops out
-    // of BOTH sums so the ratio stays sum-over-matched-pairs)
-    val ledgerJson = if (!ledger) "" else {
+    // of BOTH sums so the ratio stays sum-over-matched-pairs). The
+    // compact (stdout) and full (file) forms interpolate the SAME
+    // computed values — never string surgery on the serialized form
+    // (ADVICE r16: the old substring-search-for-`,"r3":` emitted
+    // malformed JSON on any field rename/reorder).
+    val (ledgerJson, ledgerCompact) = if (!ledger) ("", "") else {
       val ok = results.filter { case (k, v) => v >= 0 && R3Ledger.contains(k) }
       val r3Sum = ok.map { case (k, _) => R3Ledger(k) }.sum
       val nowSum = ok.map(_._2).sum
       val ratio = if (r3Sum > 0) nowSum / r3Sum else -1.0
       val r3Map = ok.map { case (k, _) => s"\"${esc(k)}\":${R3Ledger(k)}" }
         .mkString("{", ",", "}")
-      s""""ledger":{"n_compared":${ok.size},"r3_total":$r3Sum,"now_total":$nowSum,"ratio":$ratio,"r3":$r3Map},"""
+      // §15f drift doctrine, emitted instead of recomputed in prose:
+      // per-query ratios vs the ADJACENT round's ledger (PrevLedger).
+      // Uniform multiplicative host drift moves every ratio by the same
+      // factor, so a MOVER is defined RELATIVE to the run's own median
+      // ratio (r_i / median > 1.5 — clear of §15f's observed ±20% host
+      // band, inside the 2× phantom-regression territory the doctrine
+      // exists to adjudicate). signature: "uniform" = no movers (host
+      // drift or clean), "lone" = 1–3 movers (suspect those queries'
+      // code/paths), "mixed" = >3 (heterogeneous — read the movers map).
+      val prevOk = results.filter { case (k, v) =>
+        v >= 0 && PrevLedger.contains(k) }
+      val drift = if (prevOk.isEmpty) "" else {
+        val ratios = prevOk.map { case (k, v) => k -> v / PrevLedger(k) }
+        val sortedR = ratios.map(_._2).sorted
+        val med = sortedR((sortedR.size - 1) / 2)
+        val p90 = sortedR(((sortedR.size - 1) * 9) / 10)
+        val (maxQ, maxR) = ratios.maxBy(_._2)
+        val movers = ratios.filter(_._2 > 1.5 * med).sortBy(-_._2)
+        val sig = if (movers.isEmpty) "uniform"
+          else if (movers.size <= 3) "lone" else "mixed"
+        val moverMap = movers.take(5).map { case (k, r) =>
+          s"\"${esc(k)}\":${math.round(r * 1000) / 1000.0}" }
+          .mkString("{", ",", "}")
+        s""","drift":{"vs":"$PrevLedgerRound","n":${prevOk.size},"median_ratio":${math.round(med * 1000) / 1000.0},"p90_ratio":${math.round(p90 * 1000) / 1000.0},"max_ratio":${math.round(maxR * 1000) / 1000.0},"max_query":"${esc(maxQ)}","n_movers":${movers.size},"movers":$moverMap,"signature":"$sig"}"""
+      }
+      def block(extra: String) =
+        s""""ledger":{"n_compared":${ok.size},"r3_total":$r3Sum,"now_total":$nowSum,"ratio":$ratio$drift$extra},"""
+      (block(s""","r3":$r3Map"""), block(""))
     }
     // full file carries the names; the stdout summary only their count (a
     // CLI-restricted run excludes most of the suite and the name list
@@ -231,24 +319,19 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec",$cfgJson,$ledgerJson"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver keeps only a ~2000-char stdout tail; a 160-query map
     // (~5 KB) overflows it and the official artifact records parsed:null.
-    // So: full per-query map → a committed file; LAST stdout line → a
-    // compact summary guaranteed to fit the tail window.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_full_latest.json")
-    try {
-      val w = new java.io.PrintWriter(fullPath, "UTF-8")
-      try w.println(fullJson) finally w.close()
-    } catch { case e: Throwable => System.err.println(s"bench file write failed: $e") }
+    // So: full per-query map → a committed file (overwriting the
+    // start-of-run stub); LAST stdout line → a compact summary
+    // guaranteed to fit the tail window.
+    writeArtifact(fullJson)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"${esc(k)}\":${math.round(v * 100) / 100.0}" }
       .mkString("{", ",", "}")
     // errors compact: first 10 names only (count + full messages are in
     // the file) — even an all-fail run must fit the 2000-char tail window
     val errNames = errors.keys.take(10).map(k => s"\"${esc(k)}\"").mkString("[", ",", "]")
-    // ledger runs surface the ratio on stdout too (strip the trailing
-    // comma + r3 map: the compact line must stay inside the tail window)
-    val ledgerCompact = if (ledgerJson.isEmpty) ""
-      else ledgerJson.substring(0, ledgerJson.indexOf(""","r3":""")) + "},"
+    // ledger runs surface the ratio + drift signature on stdout too
+    // (ledgerCompact = the same block minus the 48-key r3 map: the
+    // compact line must stay inside the driver's ~2000-char tail window)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"error_queries":$errNames,$cfgCompact,$ledgerCompact"slowest":$slowest,"full":"${esc(fullPath)}","sf":"$sfDir"}""")
     spark.stop()
   }

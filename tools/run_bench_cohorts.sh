@@ -9,12 +9,15 @@
 # artifacts with tools/merge_bench_cohorts.py.
 #
 # A failed cohort (e.g. a fatal JVM error taking the SparkContext down)
-# must NOT kill the sweep: its queries are reported as errors in its own
-# artifact and the loop moves on — so no `set -e` around the sbt call.
+# must NOT kill the sweep: Bench writes a start-of-run STUB artifact
+# marking every planned query as an error and overwrites it on success,
+# so a dead cohort leaves its death certificate behind and the loop moves
+# on — no `set -e` around the sbt call, but pipefail so the `tail -1`
+# pipe can't mask sbt's real exit status (ADVICE r16).
 #
 # Usage: SPARK_GRAFT_SF_DIR=... [SPARK_GRAFT_PASSES=1] [SPARK_GRAFT_IO_CODEC=zstd]
 #        [SPARK_GRAFT_SHUFFLE_PARTITIONS=320] tools/run_bench_cohorts.sh <N> <outdir> [start]
-set -u
+set -uo pipefail
 # d18_fuzzy_clusters at sf10 dies with a fatal executor error under the
 # 8g default in a FRESH JVM (BASELINE §15c) — marathon JVMs only survived
 # on previously-expanded heaps. Callers may still override.
@@ -26,10 +29,13 @@ mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 for ((i = START; i < N; i++)); do
   echo "=== cohort $i/$N ==="
+  rc=0
   SPARK_GRAFT_COHORT="$i/$N" \
     SPARK_GRAFT_BENCH_OUT="$OUT/cohort_${i}_of_${N}.json" \
-    sbt -batch "runMain graft.Bench" 2>&1 | tail -1 || \
-    echo "cohort $i FAILED (rc=$?) — continuing"
+    sbt -batch "runMain graft.Bench" 2>&1 | tail -1 || rc=$?
+  if [[ $rc -ne 0 ]]; then
+    echo "cohort $i FAILED (rc=$rc) — its artifact is the start-of-run stub (all queries errored); continuing"
+  fi
 done
 python3 tools/merge_bench_cohorts.py "$OUT" "$OUT/merged.json"
 echo "merged -> $OUT/merged.json"
