@@ -277,13 +277,25 @@ object Dedup {
     * variant costs nothing; [[containmentKeep]]'s dominance rule needs
     * them.
     */
+  /** @param dominanceOnly restrict candidates to pairs where B DOMINATES A
+    *   (|S_B| > |S_A|, or equal sizes and `doc_b < doc_a`) INSIDE the
+    *   candidate join, before the exact verify. [[containmentKeep]]'s drop
+    *   rule only ever reads dominating pairs, so for it this is LOSSLESS
+    *   pruning (the discarded pairs could never drop a document) that the
+    *   plain pair tiers must not apply (they report every ≥t ordered
+    *   pair). At t=0.7 the length filter alone admits 0.7·|S_A| ≤ |S_B| <
+    *   |S_A| — similar-sized near-dups, the bulk of a boilerplate-heavy
+    *   candidate set — and all of those skip both the distinct() and the
+    *   full-set intersect under the flag.
+    */
   private def containmentPairsSized(
       docs: DataFrame,
       id: Column,
       text: Column,
       n: Int,
       minContainmentPpm: Long,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxDocFreq: Int = Int.MaxValue,
+      dominanceOnly: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minContainmentPpm > 0 && minContainmentPpm <= 1000000L,
       s"minContainmentPpm out of (0, 1e6]: $minContainmentPpm")
@@ -330,11 +342,16 @@ object Dedup {
     val ubound =
       least(col("a.rk") - 1, col("b.rk") - 1) + 1 +
         least(col("a.n_sh") - col("a.rk"), col("b.n_sh") - col("b.rk"))
+    val domFilter =
+      if (!dominanceOnly) lit(true)
+      else col("b.n_sh") > col("a.n_sh") ||
+        (col("b.n_sh") === col("a.n_sh") && col("b.doc_id") < col("a.doc_id"))
     val cand = prefix.as("a")
       .join(idx.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id") &&
           col("a.n_sh") * minContainmentPpm <= col("b.n_sh") * 1000000L &&
-          ubound * 1000000L >= col("a.n_sh") * minContainmentPpm)
+          ubound * 1000000L >= col("a.n_sh") * minContainmentPpm &&
+          domFilter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
@@ -448,7 +465,10 @@ object Dedup {
     * input document with its verdict, the shape a curation pipeline
     * filters on.
     *
-    * Cost = [[containmentPairs]] + one semi-join of the (small) dropped-id
+    * Cost = [[containmentPairs]] restricted to DOMINATING candidates
+    * (`dominanceOnly` — the keep rule never reads a non-dominating pair,
+    * so they are pruned inside the candidate join, before the distinct
+    * and the full-set verify) + one semi-join of the (small) dropped-id
     * set back onto the corpus — the pair tier dominates.
     */
   def containmentKeep(
@@ -457,7 +477,8 @@ object Dedup {
       text: Column,
       n: Int = 3,
       minContainmentPpm: Long = 700000L): DataFrame = {
-    val pairs = containmentPairsSized(docs, id, text, n, minContainmentPpm)
+    val pairs = containmentPairsSized(docs, id, text, n, minContainmentPpm,
+      dominanceOnly = true)
     val dropped = pairs
       .filter(col("nb") > col("na") ||
         (col("nb") === col("na") && col("doc_b") < col("doc_a")))

@@ -97,6 +97,41 @@ class DedupSpec extends AnyFunSuite {
     Dedup.unpersistIntermediates(blocking = true)
   }
 
+  test("containmentKeep dominance pushdown ≡ keep derived from the full pair tier") {
+    // corpus with mutual containments at near-equal sizes (the pairs the
+    // pushdown prunes), exact dups (equal sizes → id tiebreak), a chain
+    // (10 ⊂ 11 ⊂ 12), and unrelated docs — recompute the verdicts from
+    // the UNPRUNED public pair tier + independently-computed set sizes
+    // and require equality (the pruning is lossless for the keep rule)
+    val corpus = Seq(
+      (10L, "a b c d e"),
+      (11L, "a b c d e f g"),
+      (12L, "a b c d e f g h i j"),
+      (13L, "a b c d e f g"),             // exact dup of 11
+      (14L, "a b c d e f q"),             // near-equal-size partner of 11
+      (15L, "x y z w v u t")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, col("doc_id"), col("text"),
+      3, 700000L)
+    val sizes = corpus.select(col("doc_id"), size(
+      graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokens(col("text")), 3)).as("n_sh"))
+    val dropped = pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "nb"), "doc_b")
+      .filter(col("nb") > col("na") ||
+        (col("nb") === col("na") && col("doc_b") < col("doc_a")))
+      .select("doc_a").as[Long].collect().toSet
+    val expect = corpus.select("doc_id").as[Long].collect()
+      .map(id => id -> !dropped.contains(id)).toSet
+    val got = Dedup.containmentKeep(corpus, col("doc_id"), col("text"),
+      3, 700000L).as[(Long, Boolean)].collect().toSet
+    assert(got == expect, s"pushdown diverges:\n$got\nvs\n$expect")
+    assert(!expect.forall(_._2), "fixture must actually drop something")
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("containmentPairs prefix filter is lossless vs the unfiltered formulation") {
     val plus = docs.union(Seq(
       (6L, base + " and then some extra words follow the original text here"),
