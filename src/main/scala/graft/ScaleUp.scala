@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev utility: materialize an N×-scaled copy of a driver testdata dir so
@@ -50,9 +50,81 @@ import org.apache.spark.sql.functions._
   *    stress test, not an output-size blowup.
   *  Other tables keep their standard scaling (customer's r-suffix etc.),
   *  so fuzzy-join numbers stay comparable with the r15 sf10 A/B.
+  *
+  * `mode=advemb` (round-17, VERDICT r16 task 2) swaps the EMBEDDINGS plan
+  * for an ADVERSARIAL vector corpus — the lesson-53 doctrine applied to
+  * the ANN recall contracts, whose every standing number is measured on
+  * the stride-synthetic near-uniform testdata. Real embedding spaces are
+  * CLUSTERED and ANISOTROPIC, exactly where IVF recall degrades
+  * (imbalanced lists, probe misses at cluster boundaries):
+  *  - Gaussian mixture, 32 components, Zipf-skewed masses (p_c ∝ 1/(c+1):
+  *    the largest cluster holds ~24% of vectors, the smallest ~0.7% —
+  *    imbalanced IVF lists by construction);
+  *  - anisotropic spreads: per-cluster σ cycles 0.05–0.50, so tight
+  *    clusters sit inside the overlap zone of diffuse ones (flat-argmax
+  *    boundary cases, the two-level assignment's hard case);
+  *  - varying norms: per-cluster lognormal norm scale × per-vector
+  *    lognormal jitter (cosine tiers must be norm-invariant; dot-product
+  *    shortcuts would rank differently — a contract stressor);
+  *  - fully deterministic in vec_id (splitmix64 driver-side centers,
+  *    xxhash64 Irwin-Hall per-dimension noise — the advDocs pattern), so
+  *    re-generation is reproducible and clusters are corpus-global
+  *    (masses GROW with the factor — list imbalance scales with N).
+  *  Documents and the other tables keep their standard scaling.
   */
 object ScaleUp {
   private val Off = 10000000L
+
+  /** Adversarial embeddings transform (mode=advemb). Expects `vec_id`
+    * already replica-offset; deterministic in vec_id alone (replicas
+    * share the mixture — cluster mass scales with corpus size).
+    */
+  private[graft] def advEmbeddings(d: DataFrame, spark: SparkSession,
+      dim: Int = 64, nClusters: Int = 32): DataFrame = {
+    // driver-side deterministic center/σ/norm table (32 rows, broadcast)
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def unif(s: Long): Double = (mix(s) >>> 11).toDouble / (1L << 53).toDouble
+    def normal(s: Long): Double =
+      ((0 to 3).map(j => unif(s * 4 + j)).sum - 2.0) * math.sqrt(3.0)
+    import spark.implicits._
+    val centers = (0 until nClusters).map { c =>
+      val ctr = (0 until dim).map(i => normal((c * dim + i).toLong))
+      val sigma = 0.05 + 0.45 * (c % 8) / 7.0          // anisotropy
+      val nscale = math.exp((c % 5 - 2) * 0.3)         // per-cluster norms
+      (c, ctr, sigma, nscale)
+    }.toDF("c", "ctr", "sigma", "nscale")
+    // Zipf-skewed assignment via inverse CDF over a cumulative-mass array
+    // literal: cluster = #{cum ≤ u} − 1 (cum(0) = 0, so always ≥ 1)
+    val mass = (0 until nClusters).map(c => 1.0 / (c + 1))
+    val h = mass.sum
+    val cum = mass.scanLeft(0.0)(_ + _).dropRight(1).map(_ / h)
+    def u(salt: Int) =
+      (pmod(xxhash64(col("vec_id"), lit(salt)), lit(1000000L))
+        .cast("double") + 0.5) / 1000000.0
+    val cumArr = array(cum.map(lit): _*)
+    val assigned = d.withColumn("c",
+      size(filter(cumArr, x => x <= u(101))) - 1)
+    // per-dimension Irwin-Hall(4) noise, per-vector lognormal norm jitter
+    def z(iCol: Column, salt: Int) =
+      ((pmod(xxhash64(col("vec_id"), iCol, lit(salt)), lit(1000000L))
+        .cast("double") + 0.5) / 1000000.0)
+    def zn(iCol: Column) =
+      (z(iCol, 1) + z(iCol, 2) + z(iCol, 3) + z(iCol, 4) - 2.0) *
+        math.sqrt(3.0)
+    val jitter = exp((u(202) + u(203) + u(204) + u(205) - 2.0) *
+      lit(math.sqrt(3.0) * 0.3))
+    assigned.join(broadcast(centers), Seq("c"))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          ((element_at(col("ctr"), i + 1) + col("sigma") * zn(i)) *
+            col("nscale") * jitter).cast("float")))
+      .drop("c", "ctr", "sigma", "nscale")
+  }
 
   /** Adversarial per-replica documents transform (mode=adv). Expects
     * `doc_id` already replica-offset; deterministic in (doc_id, k).
@@ -95,7 +167,8 @@ object ScaleUp {
       if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
     val mode = if (args.length > 4) args(4) else "std"
-    require(mode == "std" || mode == "adv", s"unknown mode: $mode")
+    require(mode == "std" || mode == "adv" || mode == "advemb",
+      s"unknown mode: $mode")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -139,9 +212,15 @@ object ScaleUp {
         if (mode == "adv") advDocs(d, k)
         else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1r$k"))
           .withColumn("n_chars", length(col("text"))))),
-      "embeddings" -> (() => replicate(read("embeddings"), Seq("vec_id"), (d, k) =>
-        d.withColumn("embedding", transform(col("embedding"),
-          (x, i) => when(i % 10 === k % 10, -x).otherwise(x))))))
+      // advemb applies ONCE over the unioned replicas (deterministic in
+      // the offset vec_id), not per replica — one 32-row broadcast join
+      // in the plan instead of `factor` of them
+      "embeddings" -> (() =>
+        if (mode == "advemb")
+          advEmbeddings(replicate(read("embeddings"), Seq("vec_id")), spark)
+        else replicate(read("embeddings"), Seq("vec_id"), (d, k) =>
+          d.withColumn("embedding", transform(col("embedding"),
+            (x, i) => when(i % 10 === k % 10, -x).otherwise(x))))))
 
     val unknown = only -- plans.map(_._1).toSet
     require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(", ")}")

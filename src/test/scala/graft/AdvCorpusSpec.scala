@@ -13,7 +13,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class AdvCorpusSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val dir = "/root/testdata/sf0.001"
+  // sbt test pins the fast factor-1 shape at sf0.001; the round-close
+  // adversarial gate (tools/run_adv_gate.sh) re-runs this suite at
+  // sf0.01-equivalent via the override — the CORRECTNESS-style
+  // losslessness check that would catch a filter regression per-round
+  private val dir =
+    sys.env.getOrElse("GRAFT_ADV_SPEC_DIR", "/root/testdata/sf0.001")
 
   private lazy val adv = {
     assume(new java.io.File(s"$dir/documents.parquet").exists())

@@ -132,6 +132,38 @@ class DedupSpec extends AnyFunSuite {
     Dedup.unpersistIntermediates(blocking = true)
   }
 
+  test("containmentApproxPairs: recall is monotone in k on the graded fixture") {
+    // 100 host/sub pairs with per-i disjoint vocab; sub_i = host_i's
+    // a-token prefix + b novel tokens, so true containment(sub→host) =
+    // (a-2)/(a+b-2) — five graded families straddling the 0.7 threshold
+    // (0.667 below; 0.737/0.807/0.867/0.968 above; the larger-a families
+    // also pass host→sub). The estimator is deterministic (bottom-k
+    // polyhash), so the recall curve over k is a FIXED property of this
+    // fixture — pinned monotone, the d21d quality contract's shape.
+    val fixture = (0 until 100).flatMap { i =>
+      val words = (0 until 66).map(j => s"w${i}x$j")
+      val (a, b) = Seq((40, 19), (44, 15), (48, 11), (54, 8), (62, 2))(i % 5)
+      Seq((2000L + i, words.mkString(" ")),
+        (1000L + i,
+          (words.take(a) ++ (0 until b).map(j => s"n${i}y$j")).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.containmentPairs(fixture, col("doc_id"), col("text"),
+      3, 700000L, maxDocFreq = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 80, s"fixture too sparse: ${exact.size} pairs")
+    val recalls = Seq(2, 4, 8, 16, 32).map { k =>
+      val ap = Dedup.containmentApproxPairs(fixture, col("doc_id"),
+        col("text"), 3, k, 700000L, maxDocFreq = 50)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      k -> (ap & exact).size.toDouble / exact.size
+    }
+    assert(recalls.map(_._2) == recalls.map(_._2).sorted,
+      s"recall not monotone in k: $recalls")
+    assert(recalls.last._2 >= 0.95,
+      s"k=32 must approach the exact tier: $recalls")
+    Dedup.unpersistIntermediates(blocking = true)
+  }
+
   test("containmentPairs prefix filter is lossless vs the unfiltered formulation") {
     val plus = docs.union(Seq(
       (6L, base + " and then some extra words follow the original text here"),
