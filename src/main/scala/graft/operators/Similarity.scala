@@ -948,6 +948,21 @@ object Similarity {
     * (`pool=50` binding at `nProbe=32`), and the benched configs
     * (k=10 · nProbe=2 = 20 ≤ 50) are unchanged. Spec-pinned: a
     * deliberately tiny `pool` still yields full-k result sets.
+    *
+    * RESIDUAL CONTRACT (r17, measured on the adversarial
+    * clustered/anisotropic corpus — BASELINE §16c): raw-vector ADC
+    * (faiss's `by_residual=false` shape, this operator's default) holds
+    * 0.94–0.96 recall on near-uniform data but COLLAPSES on a clustered
+    * corpus (0.04 at the benched config) — within a probed list every
+    * candidate shares the cluster offset, so a 16-cell codebook trained
+    * or sampled on RAW vectors spends its resolution re-separating
+    * clusters the coarse quantizer already separated (measured: trained
+    * raw codebook 0.02, pool 500 only 0.22, unitizing 0.06).
+    * `residual = true` is Jégou's actual IVFADC: codes and LUT are
+    * computed on `v − centroid(list)`, so the cells resolve
+    * within-list variation. Measured on the same corpus/config:
+    * see BASELINE §16c. Default stays false — the pinned oracle rows
+    * replay the raw-space formulation.
     */
   def ivfPqTopK(
       base: DataFrame,
@@ -964,7 +979,9 @@ object Similarity {
       maxCentroids: Int = 256,
       hierarchical: Boolean = false,
       superStride: Int = 16,
-      sProbe: Int = 2): DataFrame = {
+      sProbe: Int = 2,
+      codebook: Option[Array[Array[Array[Double]]]] = None,
+      residual: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.ColumnBridge
     // the pool-vs-nProbe contract (see scaladoc): the ADC-rescore cut
@@ -973,11 +990,6 @@ object Similarity {
     // recall dip). k·nProbe is the floor that keeps one full result set
     // per probed list competitive in the pool.
     val effPool = math.max(pool, k * nProbe)
-    val cb = pqCodebook(base, id, vec, numSubspaces, numCodes, codeStride)
-    def enc(v: Column) = ColumnBridge.column(
-      graft.functions.PqEncode(ColumnBridge.expression(v.cast("array<double>")), cb))
-    def lut(v: Column) = ColumnBridge.column(
-      graft.functions.PqLut(ColumnBridge.expression(v.cast("array<double>")), cb))
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = ivfCentroids(b, centroidStride, maxCentroids)
     // the stored index rows: list id + PQ codes (+ the full vector, read
@@ -988,8 +1000,6 @@ object Similarity {
     val listedBase =
       if (hierarchical) ivfAssignHierarchical(base, id, vec, cents, superStride, sProbe)
       else ivfAssignTo(cents, b, "v", "vec_id", 1)
-    val listed = listedBase
-      .select(col("c_id"), col("vec_id"), col("v"), enc(col("v")).as("codes"))
     val probedBase =
       if (hierarchical)
         ivfAssignHierarchical(queries, id, vec, cents, superStride, sProbe,
@@ -997,8 +1007,44 @@ object Similarity {
           .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
       else ivfAssignTo(
         cents, queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)
-    val probed = probedBase
-      .select(col("c_id"), col("q_id"), col("qv"), lut(col("qv")).as("lut"))
+    // residual mode centers every encoded/looked-up vector on ITS list's
+    // centroid (zip_with subtraction against the broadcast 256-row
+    // centroid table), so the codebook's cells resolve WITHIN-list
+    // variation instead of re-separating the lists (which the coarse
+    // quantizer already did) — both the stored codes and the per-(query,
+    // probed-list) LUT are residual-space, so the ADC estimate is
+    // ||(q−c) − quant(v−c)||² ≈ ||q − v||² with the cluster offset gone
+    val centsV = cents.select(col("c_id"), col("cv"))
+    def resOf(vc: Column) =
+      zip_with(vc.cast("array<double>"), col("cv"), (a, bb) => a - bb)
+    val listedR =
+      if (!residual) listedBase
+      else listedBase.join(broadcast(centsV), Seq("c_id"))
+        .withColumn("_rv", resOf(col("v")))
+    val cb = codebook.getOrElse {
+      if (residual)
+        pqCodebook(listedR, col("vec_id"), col("_rv"),
+          numSubspaces, numCodes, codeStride)
+      else pqCodebook(base, id, vec, numSubspaces, numCodes, codeStride)
+    }
+    require(cb.length == numSubspaces && cb.forall(_.length == numCodes),
+      s"ivfPqTopK: codebook shape ${cb.length}×${cb.headOption.fold(0)(_.length)} " +
+        s"does not match numSubspaces=$numSubspaces numCodes=$numCodes")
+    def enc(v: Column) = ColumnBridge.column(
+      graft.functions.PqEncode(ColumnBridge.expression(v.cast("array<double>")), cb))
+    def lut(v: Column) = ColumnBridge.column(
+      graft.functions.PqLut(ColumnBridge.expression(v.cast("array<double>")), cb))
+    val listed =
+      if (!residual) listedBase
+        .select(col("c_id"), col("vec_id"), col("v"), enc(col("v")).as("codes"))
+      else listedR
+        .select(col("c_id"), col("vec_id"), col("v"), enc(col("_rv")).as("codes"))
+    val probed =
+      if (!residual) probedBase
+        .select(col("c_id"), col("q_id"), col("qv"), lut(col("qv")).as("lut"))
+      else probedBase.join(broadcast(centsV), Seq("c_id"))
+        .select(col("c_id"), col("q_id"), col("qv"),
+          lut(resOf(col("qv"))).as("lut"))
     // ADC estimate in subspace order, identical to [[pqTopK]]
     val est = (0 until numSubspaces)
       .map(s => element_at(col("lut"),

@@ -152,6 +152,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.nonEmpty && perQuery.forall(_ == 10L))
   }
 
+  test("ivfPqTopK residual mode: well-formed rankings, and the pool=all endpoint equals exact IVF") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    // residual codes + per-(query, list) residual LUTs still produce one
+    // dense top-k ranking per query with no self-matches
+    val rows = Similarity.ivfPqTopK(emb, q, col("vec_id"), col("embedding"),
+        k = 10, nProbe = 2, residual = true)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Long)].collect()
+    assert(rows.groupBy(_._1).keySet == Set(0L, 1L, 2L))
+    assert(rows.forall { case (qid, vid, _) => qid != vid })
+    rows.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.size).toSeq))
+    // pool ≥ every probed candidate → the ADC cut never binds, so the
+    // residual tier's result set must equal ivfTopK's exact-rescore
+    // ranking at the same nProbe (the §16c ladder's logical endpoint)
+    val all = Similarity.ivfPqTopK(emb, q, col("vec_id"), col("embedding"),
+        k = 10, nProbe = 2, pool = 1000000, residual = true)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, col("vec_id"), col("embedding"),
+        k = 10, nProbe = 2)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Long)].collect().toSet
+    assert(all == ivf, "pool=all residual PQ must coincide with exact IVF")
+  }
+
   test("IVF fails loudly when the stride matches no id (empty centroid set)") {
     val odd = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
