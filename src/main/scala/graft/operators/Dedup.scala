@@ -900,7 +900,12 @@ object Dedup {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .transform(LocalCheckpoints("dedup"))
+        // serialized: the edge set is the loop's big static block (2×
+        // pairs rows, re-read every iteration) — deserialized row objects
+        // for a 26M-pair graph were d18's measured sf10 heap floor
+        // (BASELINE §16e); the labels below stay deserialized (vertex-
+        // sized, rewritten each pass)
+        .transform(LocalCheckpoints("dedup", serialized = true))
     // seed each vertex with its 1-hop minimum (self included): the same
     // one-aggregation cost as a bare `distinct()` init, but it folds the
     // first propagation round into the seed — duplicate clusters are

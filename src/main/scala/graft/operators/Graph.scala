@@ -77,7 +77,10 @@ object Graph {
     val outEdges =
       edges.join(edges.groupBy("src").agg(sum(col("w")).as("sw")), "src")
         .repartition(col("src"))
-        .transform(LocalCheckpoints("graph"))
+        // serialized: the same big-static-edge-set rationale as
+        // Dedup.clusterPairs (BASELINE §16e) — the per-iteration score
+        // snapshots below stay deserialized (vertex-sized)
+        .transform(LocalCheckpoints("graph", serialized = true))
     val nodes = outEdges.select(col("src").as("v")).distinct().transform(LocalCheckpoints("graph"))
 
     // Enforce the overflow contract instead of documenting it: total mass

@@ -32,9 +32,22 @@ private[graft] object LocalCheckpoints {
 
   /** Eagerly localCheckpoint `df` and register the backing RDD under
     * `family` (the operator object that will release it).
+    *
+    * `serialized = true` parks the blocks MEMORY_AND_DISK_SER instead of
+    * the deserialized default — for the LARGE STATIC sets an iterative
+    * loop re-reads every pass (a 26M-pair fuzzy graph at sf10 is 52.5M
+    * directed rows; deserialized row objects held the bulk of d18's
+    * measured 16 GB heap floor, BASELINE §16e). Serialized blocks cost a
+    * per-pass decode, which the loop's shuffle dwarfs; per-iteration
+    * label snapshots stay deserialized (they are vertex-sized, not
+    * edge-sized).
     */
-  def apply(family: String)(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
+  def apply(family: String, serialized: Boolean = false)
+      (df: DataFrame): DataFrame = {
+    val cp =
+      if (serialized) df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else df.localCheckpoint()
     cp.queryExecution.analyzed.foreach {
       case l: LogicalRDD => rdds.add((family, l.rdd))
       case _ => ()
