@@ -782,6 +782,17 @@ object PipelineQueries {
       col("vec_id"), col("embedding"), k = 10, centroidStride = 50, nProbe = 2,
       maxCentroids = 256, superStride = 16, sProbe = 2)
 
+  // s14 with RESIDUAL encoding — Jégou's actual IVFADC (codes and
+  // per-(query, probed-list) LUTs over v − centroid(list)): the variant
+  // the §16c adversarial-embeddings ladder exists for, pinned here on
+  // the standard corpus so the residual path is oracle-backed, not just
+  // spec-tested (the ladder's measurements live in BASELINE §16c)
+  private val s31: Q = (s, dir) =>
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, centroidStride = 50,
+      nProbe = 2, numSubspaces = 8, numCodes = 16, codeStride = 16,
+      pool = 50, residual = true)
+
   // s14 with the same two-level assignment on both sides — the PQ
   // encode/ADC/pool-rescore tail is untouched
   private val s20: Q = (s, dir) =>
@@ -1359,6 +1370,7 @@ object PipelineQueries {
     "s9_kmeans_codebook" -> s9,
     "s10_ann_ivf_trained" -> s10,
     "s14_ann_ivfpq" -> s14,
+    "s31_ann_ivfpq_residual" -> s31,
     "s15_ann_multiprobe" -> s15,
     "s7_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
@@ -1892,6 +1904,84 @@ object PipelineQueries {
 
   /** s14's IVF×PQ replay — also the candidate side of s18. */
   private val sqlS14IvfPq = s"WITH $sqlIvfFlatCtes,\n$sqlPqTail"
+
+  /** s31's residual-PQ tail over [[sqlIvfFlatCtes]]: every stored row and
+    * every (query, probed list) pair is re-centered on the list's
+    * centroid BEFORE the micros grid, codebook rows are the residuals of
+    * the same stride ids — otherwise byte-for-byte the s14 ADC replay.
+    * The LUT is per-(query, LIST): `qdist` keys on (q_id, c_id) and the
+    * candidate join matches on the probed list, mirroring the operator's
+    * per-list lut(resOf(qv)).
+    */
+  private val sqlPqResidualTail =
+    s"""res AS (
+      |  SELECT l.vec_id, l.c_id,
+      |    list_transform(range(1, 65),
+      |      i -> l.v[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE) AS rv
+      |  FROM listed l JOIN cents c USING (c_id)),
+      |qres AS (
+      |  SELECT p.q_id, p.c_id,
+      |    list_transform(range(1, 65),
+      |      i -> p.qv[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE) AS rv
+      |  FROM probed p JOIN cents c USING (c_id)),
+      |rcb AS (
+      |  SELECT vec_id // 16 AS j, rv AS cv FROM res
+      |  WHERE vec_id % 16 = 0 AND vec_id // 16 < 16),
+      |sub AS (
+      |  SELECT t.s AS s, j,
+      |    list_transform(list_slice(cv, t.s*8 + 1, t.s*8 + 8),
+      |      c -> floor(c::DOUBLE * 1048576 + 0.5)::BIGINT) AS mc
+      |  FROM rcb, unnest(range(0, 8)) t(s)),
+      |mres AS (
+      |  SELECT vec_id, list_transform(rv, x -> floor(x * 1048576 + 0.5)::BIGINT) AS mv
+      |  FROM res),
+      |mqres AS (
+      |  SELECT q_id, c_id, list_transform(rv, x -> floor(x * 1048576 + 0.5)::BIGINT) AS mv
+      |  FROM qres),
+      |encd AS (
+      |  SELECT vec_id, s, j AS code FROM (
+      |    SELECT m.vec_id, sub.s, sub.j,
+      |      ROW_NUMBER() OVER (PARTITION BY m.vec_id, sub.s
+      |        ORDER BY list_reduce(list_transform(range(1, 9),
+      |          i -> (m.mv[(sub.s*8 + i)::INT] - sub.mc[i::INT])
+      |             * (m.mv[(sub.s*8 + i)::INT] - sub.mc[i::INT])),
+      |          (x, y) -> x + y) ASC, sub.j ASC) AS rn
+      |    FROM mres m CROSS JOIN sub)
+      |  WHERE rn = 1),
+      |qdist AS (
+      |  SELECT q.q_id, q.c_id, sub.s, sub.j,
+      |    list_reduce(list_transform(range(1, 9),
+      |      i -> (q.mv[(sub.s*8 + i)::INT] - sub.mc[i::INT])
+      |         * (q.mv[(sub.s*8 + i)::INT] - sub.mc[i::INT])),
+      |      (x, y) -> x + y) AS d
+      |  FROM mqres q CROSS JOIN sub),
+      |cand AS (
+      |  SELECT p.q_id, l.vec_id,
+      |    list_reduce(list(qd.d ORDER BY qd.s), (x, y) -> x + y) AS est
+      |  FROM probed p
+      |  JOIN listed l ON l.c_id = p.c_id AND l.vec_id <> p.q_id
+      |  JOIN encd e ON e.vec_id = l.vec_id
+      |  JOIN qdist qd ON qd.q_id = p.q_id AND qd.c_id = p.c_id
+      |    AND qd.s = e.s AND qd.j = e.code
+      |  GROUP BY p.q_id, l.vec_id),
+      |pool AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id ASC) AS ern
+      |    FROM cand)
+      |  WHERE ern <= 50)
+      |SELECT q_id, vec_id, cos_ud, rn FROM (
+      |  SELECT p.q_id, p.vec_id,
+      |    ${sqlUDot("qu.u", "bu.u")} AS cos_ud,
+      |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+      |      ORDER BY ${sqlUDot("qu.u", "bu.u")} DESC,
+      |               p.vec_id ASC) AS rn
+      |  FROM pool p
+      |  JOIN ue qu ON qu.vec_id = p.q_id
+      |  JOIN ue bu ON bu.vec_id = p.vec_id)
+      |WHERE rn <= 10""".stripMargin
+
+  private val sqlS31IvfPqResidual = s"WITH $sqlIvfFlatCtes,\n$sqlPqResidualTail"
 
   /** s19's hierarchical-IVF replay — also the candidate side of s21. */
   /** Shared containment CTEs: tokenized shingles, per-doc set sizes,
@@ -3176,6 +3266,7 @@ object PipelineQueries {
     // ADC estimate folds the query-side LUT rows in subspace order, pool
     // rank then exact cosine rescore — lockstep with Similarity.ivfPqTopK
     "s14_ann_ivfpq" -> sqlS14IvfPq,
+    "s31_ann_ivfpq_residual" -> sqlS31IvfPqResidual,
     // PQ replay: codebook slices + vectors on the micros grid (one
     // rounded entry op per component), per-(vector, subspace, code)
     // squared-L2 as EXACT BIGINT folds (order-independent), argmin
