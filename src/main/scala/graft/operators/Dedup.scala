@@ -406,6 +406,17 @@ object Dedup {
     * Output: `(doc_a, doc_b, sample_hits, sample_size,
     * containment_est_ppm)` for pairs with estimate ≥
     * `minContainmentPpm`; `doc_a` is the (estimated-)contained side.
+    *
+    * CHOOSING k (measured, BASELINE §16d): wall is FLAT in k at corpus
+    * scale (the postings side dominates, not the probe sample), so k is
+    * nearly free quality — k=64 read 0.97 recall / 0.91 precision where
+    * k=16 read 0.89/0.86 at the same wall on the sf10 adversarial
+    * corpus. Recall is NOT pointwise monotone in k: the detection rule
+    * `hits ≥ ⌈t·k⌉` has an effective threshold ⌈t·k⌉/k that oscillates
+    * above t, so prefer k where ⌈t·k⌉/k sits CLOSE TO t (k=64 at t=0.7,
+    * effective 0.703) over merely bigger k (k=16's effective 0.75
+    * under-detects true containment in [0.70, 0.75) — the measured
+    * k=8→16 recall dip, spec-pinned in DedupSpec).
     */
   def containmentApproxPairs(
       docs: DataFrame,
