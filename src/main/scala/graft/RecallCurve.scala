@@ -69,6 +69,12 @@ object RecallCurve {
       println(f"ivf hier nProbe=$np%-3d recall_ppm=$rec wall=$w%.1f s")
       s""""$np":{"recall_ppm":$rec,"wall_s":$w}"""
     }
+    val adaptive = Seq(30000L, 100000L, 150000L, 300000L).map { m =>
+      val (rec, w) = timed(meanRecall(Similarity.ivfTopKAdaptive(emb, queries,
+        id, v, k = 10, centroidStride = 50, massPpm = m)))
+      println(f"ivf adaptive massPpm=$m%-7d recall_ppm=$rec wall=$w%.1f s")
+      s""""$m":{"recall_ppm":$rec,"wall_s":$w}"""
+    }
     val (pqFlat, wPqF) = timed(meanRecall(Similarity.ivfPqTopK(emb, queries,
       id, v, k = 10, centroidStride = 50, nProbe = 2, numSubspaces = 8,
       numCodes = 16, codeStride = 16, pool = 50)))
@@ -90,7 +96,7 @@ object RecallCurve {
     println(s"s26 agreement: ${agree.mkString(", ")}")
 
     val json =
-      s"""{"sf":"$sfDir","k":10,"n_queries":5,"ivf_flat_by_nprobe":{${flat.mkString(",")}},"ivf_hier_sprobe2_by_nprobe":{${hier.mkString(",")}},"ivfpq_flat_nprobe2":{"recall_ppm":$pqFlat,"wall_s":$wPqF},"ivfpq_hier_nprobe2":{"recall_ppm":$pqHier,"wall_s":$wPqH},"s26_agree_ppm_by_sprobe":{${agree.mkString(",")}}}"""
+      s"""{"sf":"$sfDir","k":10,"n_queries":5,"ivf_flat_by_nprobe":{${flat.mkString(",")}},"ivf_hier_sprobe2_by_nprobe":{${hier.mkString(",")}},"ivf_adaptive_by_massppm":{${adaptive.mkString(",")}},"ivfpq_flat_nprobe2":{"recall_ppm":$pqFlat,"wall_s":$wPqF},"ivfpq_hier_nprobe2":{"recall_ppm":$pqHier,"wall_s":$wPqH},"s26_agree_ppm_by_sprobe":{${agree.mkString(",")}}}"""
     val w = new java.io.PrintWriter(outPath, "UTF-8")
     try w.println(json) finally w.close()
     println(s"wrote $outPath")

@@ -1081,6 +1081,70 @@ object Similarity {
     * eval that produced these numbers; re-run it after any index-shape
     * change.
     */
+  /** IVF top-k with MASS-ADAPTIVE probing — the fixed-nProbe knob's
+    * answer to IMBALANCED lists (r17, BASELINE §16c/§16h): on a
+    * Zipf-clustered corpus a fixed nProbe=2 reads 0.62 recall because a
+    * heavy cluster's mass spans dozens of lists while a light cluster
+    * fits in one — the right probe count is a property of the QUERY's
+    * neighborhood, not a global constant. Each query probes its lists in
+    * descending centroid-cosine order and stops at the first list whose
+    * PRECEDING probed mass already covers `massPpm` of the corpus
+    * (always ≥ 1 list): heavy-cluster queries fan out, light-cluster
+    * queries stop immediately, and the EXPECTED probed volume is
+    * ~massPpm·N regardless of skew — the budget is explicit instead of
+    * emergent. All-integer decision (`cum_before · 1e6 < massPpm · N`),
+    * oracle-replayable; one corpus count (config-sized, the d12b
+    * precedent) fixes N.
+    */
+  def ivfTopKAdaptive(
+      base: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 10,
+      centroidStride: Int = 50,
+      massPpm: Long = 150000L,
+      centroids: Option[DataFrame] = None,
+      maxCentroids: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(massPpm > 0 && massPpm <= 1000000L,
+      s"massPpm out of (0, 1e6]: $massPpm")
+    val b = base.select(id.as("vec_id"), vec.as("v"))
+    val cents = centroids
+      .map(_.select(col("c_id"), col("cv")))
+      .getOrElse(ivfCentroids(b, centroidStride, maxCentroids))
+    val listed = ivfAssignTo(cents, b, "v", "vec_id", 1)
+      .withColumn("_vu", unitMicros(col("v")))
+    val sizes = listed.groupBy("c_id").agg(count(lit(1)).as("n_list"))
+    val n = b.count()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_dot").desc, col("c_id").asc)
+    // per (query, centroid): rank + mass probed BEFORE this list; keep
+    // while that running mass is still under the budget (rank 1 always
+    // survives — its preceding mass is 0). Left join: a centroid whose
+    // list is empty (identical-vector centroids deduped by the assign
+    // tiebreak) contributes zero mass, not a dropped rank.
+    val probed = queries.select(id.as("q_id"), vec.as("qv"))
+      .withColumn("_qu", unitMicros(col("qv")))
+      .crossJoin(broadcast(cents.withColumn("_cu", unitMicros(col("cv")))))
+      .select(col("q_id"), col("_qu"), col("c_id"),
+        dotNative(col("_qu"), col("_cu")).as("c_dot"))
+      .join(broadcast(sizes), Seq("c_id"), "left")
+      .withColumn("_m", coalesce(col("n_list"), lit(0L)))
+      .withColumn("cum_before", coalesce(sum(col("_m")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") * 1000000L < lit(massPpm) * n)
+      .select(col("c_id"), col("q_id"), col("_qu"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
+    listed.join(probed, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        unitDot(col("_qu"), col("_vu")).as("cos_ud"))
+      .withColumn("rn", row_number().over(wCos).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   def ivfTopK(
       base: DataFrame,
       queries: DataFrame,

@@ -782,6 +782,16 @@ object PipelineQueries {
       col("vec_id"), col("embedding"), k = 10, centroidStride = 50, nProbe = 2,
       maxCentroids = 256, superStride = 16, sProbe = 2)
 
+  // mass-adaptive probing: probe lists in centroid-cosine order until
+  // the PRECEDING probed mass covers 15% of the corpus — the per-query
+  // answer to imbalanced lists (§16c: fixed nProbe=2 reads 0.62 on the
+  // Zipf-clustered corpus because the heavy cluster spans dozens of
+  // lists; the budget here is explicit mass, not a global constant)
+  private val s32: Q = (s, dir) =>
+    Similarity.ivfTopKAdaptive(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, centroidStride = 50,
+      massPpm = 150000L)
+
   // s14 with RESIDUAL encoding — Jégou's actual IVFADC (codes and
   // per-(query, probed-list) LUTs over v − centroid(list)): the variant
   // the §16c adversarial-embeddings ladder exists for, pinned here on
@@ -1371,6 +1381,7 @@ object PipelineQueries {
     "s10_ann_ivf_trained" -> s10,
     "s14_ann_ivfpq" -> s14,
     "s31_ann_ivfpq_residual" -> s31,
+    "s32_ann_ivf_adaptive" -> s32,
     "s15_ann_multiprobe" -> s15,
     "s7_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
@@ -1982,6 +1993,40 @@ object PipelineQueries {
       |WHERE rn <= 10""".stripMargin
 
   private val sqlS31IvfPqResidual = s"WITH $sqlIvfFlatCtes,\n$sqlPqResidualTail"
+
+  /** s32's mass-adaptive probe replay: list sizes from `listed`, per
+    * (query, centroid) rank with the running mass of all BETTER-ranked
+    * lists (window cumsum, 1-PRECEDING frame), keep while that running
+    * mass is under 15% of the corpus — rank 1 always survives. The
+    * rescore tail is s3's. (`sqlIvfFlatCtes`' fixed-nProbe `probed` CTE
+    * rides along unused.)
+    */
+  private val sqlS32IvfAdaptive =
+    s"""WITH $sqlIvfFlatCtes,
+       |sizes AS (SELECT c_id, count(*) AS n_list FROM listed GROUP BY c_id),
+       |pr AS (
+       |  SELECT q.vec_id AS q_id, c.c_id, ${sqlUDot("qu.u", "c.cu")} AS cd
+       |  FROM embeddings q JOIN ue qu ON qu.vec_id = q.vec_id
+       |  CROSS JOIN cents c
+       |  WHERE q.vec_id < 5),
+       |probeda AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT p.q_id, p.c_id,
+       |      COALESCE(SUM(COALESCE(s.n_list, 0)) OVER (PARTITION BY p.q_id
+       |        ORDER BY p.cd DESC, p.c_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    FROM pr p LEFT JOIN sizes s ON s.c_id = p.c_id)
+       |  WHERE cum_before * 1000000 < 150000 * (SELECT count(*) FROM embeddings))
+       |SELECT q_id, vec_id, cos_ud, rn FROM (
+       |  SELECT p.q_id, l.vec_id,
+       |    ${sqlUDot("qu.u", "lu.u")} AS cos_ud,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY ${sqlUDot("qu.u", "lu.u")} DESC, l.vec_id ASC) AS rn
+       |  FROM listed l JOIN probeda p ON l.c_id = p.c_id
+       |  JOIN ue lu ON lu.vec_id = l.vec_id
+       |  JOIN ue qu ON qu.vec_id = p.q_id
+       |  WHERE l.vec_id <> p.q_id)
+       |WHERE rn <= 10""".stripMargin
 
   /** s19's hierarchical-IVF replay — also the candidate side of s21. */
   /** Shared containment CTEs: tokenized shingles, per-doc set sizes,
@@ -3267,6 +3312,7 @@ object PipelineQueries {
     // rank then exact cosine rescore — lockstep with Similarity.ivfPqTopK
     "s14_ann_ivfpq" -> sqlS14IvfPq,
     "s31_ann_ivfpq_residual" -> sqlS31IvfPqResidual,
+    "s32_ann_ivf_adaptive" -> sqlS32IvfAdaptive,
     // PQ replay: codebook slices + vectors on the micros grid (one
     // rounded entry op per component), per-(vector, subspace, code)
     // squared-L2 as EXACT BIGINT folds (order-independent), argmin

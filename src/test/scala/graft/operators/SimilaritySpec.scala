@@ -178,6 +178,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(all == ivf, "pool=all residual PQ must coincide with exact IVF")
   }
 
+  test("ivfTopKAdaptive: full mass budget ≡ brute force; minimal budget still probes rank-1") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rn").as[(Long, Long, Long)].collect().toSet
+    // massPpm = 1e6: the running-mass gate can never stop before every
+    // list is probed, so the candidate set is the whole corpus and the
+    // ranking must equal the exact brute force
+    val all = rows(Similarity.ivfTopKAdaptive(emb, q, col("vec_id"),
+      col("embedding"), k = 10, massPpm = 1000000L))
+    val brute = rows(Similarity.bruteForceTopK(emb, q, col("vec_id"),
+      col("embedding"), k = 10))
+    assert(all == brute, "full-budget adaptive must equal brute force")
+    // massPpm = 1: cum_before of rank 1 is 0 < target, so exactly the
+    // best list is probed — results exist for every query (the always-≥1
+    // guarantee), each a dense rank prefix
+    val one = Similarity.ivfTopKAdaptive(emb, q, col("vec_id"),
+      col("embedding"), k = 10, massPpm = 1L)
+      .select("q_id", "rn").as[(Long, Long)].collect()
+    assert(one.map(_._1).toSet == Set(0L, 1L, 2L))
+    one.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.size).toSeq))
+  }
+
   test("IVF fails loudly when the stride matches no id (empty centroid set)") {
     val odd = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
