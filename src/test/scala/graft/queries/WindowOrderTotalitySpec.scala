@@ -73,7 +73,11 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
     // order ranks (…, doc_id), Search keywordTopK (score desc, doc_id)
     ("documents", Seq("doc_id"), "Dedup/Corpus/Search doc-id tiebreaks"),
     // every Similarity/VectorIndex rank: (cos_ud desc, vec_id asc) and
-    // friends; centroid ids c_id/s_id derive from vec_id stride picks
+    // friends; centroid ids c_id/s_id derive from vec_id stride picks.
+    // r17 ivfTopKAdaptive adds two sites, both UNIQUE: the probe-mass
+    // cumsum (per-query partition ordered by (c_dot desc, c_id asc) —
+    // each centroid appears once per query, so c_id is a singleton
+    // tiebreak) and its rescore rank ((cos_ud desc, vec_id asc))
     ("embeddings", Seq("vec_id"), "Similarity/VectorIndex rank tiebreaks"),
     ("customer", Seq("c_custkey"), "fuzzy-join id tiebreaks"),
     ("part", Seq("p_partkey"), "join/agg determinism"),
@@ -146,7 +150,7 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
       "operators/Dedup.scala" -> 8,
       "operators/Layout.scala" -> 3,
       "operators/Search.scala" -> 3,
-      "operators/Similarity.scala" -> 20,
+      "operators/Similarity.scala" -> 22,
       "operators/SkewAgg.scala" -> 1,
       "operators/VectorIndex.scala" -> 3,
       "queries/AnalyticsQueries.scala" -> 9,
