@@ -70,31 +70,31 @@ object Bench {
     * movers every run.
     */
   val PrevLedger: Map[String, Double] = Map(
-    "a1_percentiles" -> 0.616, "agg_distinct" -> 0.444,
-    "d1_exact_dedup" -> 0.527, "d2b_ngram_capped" -> 2.932,
-    "d3_minhash_lsh" -> 1.281, "d4_simhash" -> 1.413,
-    "d6_source_signatures" -> 1.089, "d7_dup_clusters" -> 1.839,
-    "d8_dedup_keep" -> 1.539, "e1_window_agg" -> 0.749,
-    "e2_sessionize" -> 0.888, "e3_json_props" -> 0.455,
-    "e4_heavy_hitter_distinct" -> 0.906, "e5_asof_join" -> 0.909,
-    "f1_filter_algebra" -> 0.250, "f2_contains" -> 1.242,
-    "j1_composite_selfjoin" -> 0.991, "j1_inner_hash" -> 0.263,
-    "j2_left_outer" -> 0.380, "j3_right_outer" -> 0.378,
-    "j4_full_outer" -> 0.483, "j5_grace_shuffle" -> 0.599,
-    "j6_theta_lt" -> 0.218, "j6_theta_neq" -> 0.225,
-    "j8_chain_multiway" -> 0.574, "j_anti" -> 0.253, "j_semi" -> 0.259,
-    "mm1_media_meta" -> 0.207, "mm2_frame_sample" -> 0.224,
-    "p1_projection" -> 0.258, "q1_agg" -> 1.185, "q3_revenue" -> 1.010,
-    "q4_exists_sql" -> 0.401, "q5_nation_revenue" -> 0.941,
-    "rollup_counts" -> 0.444, "s1_ann_bruteforce" -> 0.596,
-    "s2_ann_lsh" -> 1.027, "s3_ann_ivf" -> 1.294,
-    "set_except" -> 0.376, "set_intersect" -> 0.292,
-    "set_union" -> 0.252, "t1_token_stats" -> 0.256,
-    "t2_quality" -> 0.232, "t3_langid" -> 0.343,
-    "t4_fingerprint" -> 0.321, "topk_orders" -> 0.175,
-    "w1_rank" -> 0.438, "w2_running_sum" -> 0.883)
+    "a1_percentiles" -> 0.816, "agg_distinct" -> 0.558,
+    "d1_exact_dedup" -> 0.634, "d2b_ngram_capped" -> 3.137,
+    "d3_minhash_lsh" -> 1.625, "d4_simhash" -> 1.548,
+    "d6_source_signatures" -> 1.309, "d7_dup_clusters" -> 2.274,
+    "d8_dedup_keep" -> 2.048, "e1_window_agg" -> 0.866,
+    "e2_sessionize" -> 1.102, "e3_json_props" -> 0.527,
+    "e4_heavy_hitter_distinct" -> 1.087, "e5_asof_join" -> 1.030,
+    "f1_filter_algebra" -> 0.289, "f2_contains" -> 1.413,
+    "j1_composite_selfjoin" -> 1.142, "j1_inner_hash" -> 0.338,
+    "j2_left_outer" -> 0.414, "j3_right_outer" -> 0.409,
+    "j4_full_outer" -> 0.505, "j5_grace_shuffle" -> 0.690,
+    "j6_theta_lt" -> 0.264, "j6_theta_neq" -> 0.249,
+    "j8_chain_multiway" -> 0.680, "j_anti" -> 0.287, "j_semi" -> 0.315,
+    "mm1_media_meta" -> 0.278, "mm2_frame_sample" -> 0.300,
+    "p1_projection" -> 0.309, "q1_agg" -> 1.184, "q3_revenue" -> 1.185,
+    "q4_exists_sql" -> 0.473, "q5_nation_revenue" -> 1.076,
+    "rollup_counts" -> 0.487, "s1_ann_bruteforce" -> 0.745,
+    "s2_ann_lsh" -> 1.219, "s3_ann_ivf" -> 1.686,
+    "set_except" -> 0.456, "set_intersect" -> 0.326,
+    "set_union" -> 0.312, "t1_token_stats" -> 0.312,
+    "t2_quality" -> 0.284, "t3_langid" -> 0.456,
+    "t4_fingerprint" -> 0.385, "topk_orders" -> 0.188,
+    "w1_rank" -> 0.497, "w2_running_sum" -> 0.855)
   /** Which committed artifact [[PrevLedger]] was transcribed from. */
-  val PrevLedgerRound = "r16"
+  val PrevLedgerRound = "r17"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -290,6 +290,10 @@ object Bench {
       // exists to adjudicate). signature: "uniform" = no movers (host
       // drift or clean), "lone" = 1–3 movers (suspect those queries'
       // code/paths), "mixed" = >3 (heterogeneous — read the movers map).
+      // Movers flag BOTH directions (ratio > 1.5·median OR < median/1.5):
+      // a lone anomalous SPEEDUP — a query silently doing less work
+      // after a code change — is exactly as actionable as a slowdown,
+      // and a slowdown-only rule would read it as "uniform".
       val prevOk = results.filter { case (k, v) =>
         v >= 0 && PrevLedger.contains(k) }
       val drift = if (prevOk.isEmpty) "" else {
@@ -298,7 +302,9 @@ object Bench {
         val med = sortedR((sortedR.size - 1) / 2)
         val p90 = sortedR(((sortedR.size - 1) * 9) / 10)
         val (maxQ, maxR) = ratios.maxBy(_._2)
-        val movers = ratios.filter(_._2 > 1.5 * med).sortBy(-_._2)
+        val movers = ratios
+          .filter(r => r._2 > 1.5 * med || r._2 < med / 1.5)
+          .sortBy { case (_, r) => -math.max(r / med, med / r) }
         val sig = if (movers.isEmpty) "uniform"
           else if (movers.size <= 3) "lone" else "mixed"
         val moverMap = movers.take(5).map { case (k, r) =>

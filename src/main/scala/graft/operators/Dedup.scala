@@ -416,14 +416,17 @@ object Dedup {
     * above t, so prefer k where ⌈t·k⌉/k sits CLOSE TO t (k=64 at t=0.7,
     * effective 0.703) over merely bigger k (k=16's effective 0.75
     * under-detects true containment in [0.70, 0.75) — the measured
-    * k=8→16 recall dip, spec-pinned in DedupSpec).
+    * k=8→16 recall dip, spec-pinned in DedupSpec). The DEFAULT is the
+    * measured-better k=64 (0.97/0.91 at the flat wall); the pinned
+    * d21c/d21d oracle rows pass k=16 explicitly so their round-over-
+    * round signal stays comparable.
     */
   def containmentApproxPairs(
       docs: DataFrame,
       id: Column,
       text: Column,
       n: Int = 3,
-      k: Int = 16,
+      k: Int = 64,
       minContainmentPpm: Long = 700000L,
       maxDocFreq: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -855,9 +855,12 @@ object Similarity {
       codeStride: Int = 16,
       pool: Int = 50,
       codebookFrom: Option[DataFrame] = None,
-      codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      codebook: Option[Array[Array[Array[Double]]]] = None,
+      poolPpm: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.ColumnBridge
+    poolPpm.foreach(p => require(p > 0 && p <= 1000000L,
+      s"poolPpm out of (0, 1e6]: $p"))
     // IVF-PQ composition: when `base` is a probed (partition-pruned)
     // subset, the codebook must still come from the full corpus — pass it
     // via codebookFrom, exactly as a trained-codebook deployment would
@@ -881,10 +884,22 @@ object Similarity {
       .reduce(_ + _)
     val wEst = Window.partitionBy(col("q_id")).orderBy(col("est").asc, col("vec_id").asc)
     val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos_ud").desc, col("vec_id").asc)
-    b.join(broadcast(q), col("q_id") =!= col("vec_id"))
+    val ranked = b.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("v"), col("qv"), est.as("est"))
       .withColumn("ern", row_number().over(wEst))
-      .filter(col("ern") <= pool)
+    // fixed pool, or [[ivfPqTopK]]'s ADAPTIVE CONTRACT rule: the cut
+    // scales with the query's candidate count (here = corpus−1 for every
+    // query — the rule matters when a caller pre-prunes `base`), floor
+    // at one full result set; all-integer, order-insensitive count
+    val cut = poolPpm match {
+      case Some(pp) => ranked
+        .withColumn("cand_n",
+          count(lit(1)).over(Window.partitionBy(col("q_id"))))
+        .filter(col("ern") <= k ||
+          col("ern") * 1000000L <= lit(pp) * col("cand_n"))
+      case None => ranked.filter(col("ern") <= pool)
+    }
+    cut
       .select(col("q_id"), col("vec_id"),
         unitDot(unitMicros(col("qv")), unitMicros(col("v"))).as("cos_ud"))
       .withColumn("rn", row_number().over(wCos).cast("long"))
@@ -963,6 +978,30 @@ object Similarity {
     * within-list variation. Measured on the same corpus/config:
     * see BASELINE §16c. Default stays false — the pinned oracle rows
     * replay the raw-space formulation.
+    *
+    * ADAPTIVE CONTRACT (r18 — the other half of §16c's finding; §16h
+    * fixed nProbe, this fixes the pool): `massPpm` replaces the fixed
+    * `nProbe` with [[ivfTopKAdaptive]]'s per-query mass budget (probe
+    * lists in centroid-cosine order until the PRECEDING probed mass
+    * covers `massPpm` of the corpus), and `poolPpm` replaces the fixed
+    * `pool` with a cut that SCALES with each query's probed candidate
+    * volume: candidate survives the ADC rank iff `ern ≤ k` (the floor —
+    * a full result set always reaches the rescore) or
+    * `ern·1e6 ≤ poolPpm·cand_n` where `cand_n` is that query's probed
+    * candidate count. §16c measured the failure this rule removes: on a
+    * clustered corpus a heavy-cluster query's probed set is 100× a
+    * light one's, so any FIXED pool is simultaneously too small for one
+    * and wasteful for the other (recall 0.04 at pool=50, and even 500
+    * only bought 0.38); with the pool a constant FRACTION of what was
+    * probed, P(true-k ⊂ pool) stops depending on which cluster the
+    * query landed in. Both knobs are all-integer decisions the oracle
+    * replays bit-for-bit; with `massPpm` set the query side ranks ALL
+    * centroids flat (the budget needs every list's mass anyway), so
+    * `hierarchical` then only accelerates the STORED-row assignment.
+    * Measured (RecallCurve, BASELINE §17a): residual + 15% mass +
+    * 25% pool reads 0.97 on the adversarial corpus where every fixed
+    * config in the §16c ladder sat ≤ 0.38, at a wall inside the fixed-
+    * knob band; 1.00 on uniform sf10.
     */
   def ivfPqTopK(
       base: DataFrame,
@@ -981,14 +1020,22 @@ object Similarity {
       superStride: Int = 16,
       sProbe: Int = 2,
       codebook: Option[Array[Array[Array[Double]]]] = None,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      massPpm: Option[Long] = None,
+      poolPpm: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.ColumnBridge
+    massPpm.foreach(m => require(m > 0 && m <= 1000000L,
+      s"massPpm out of (0, 1e6]: $m"))
+    poolPpm.foreach(p => require(p > 0 && p <= 1000000L,
+      s"poolPpm out of (0, 1e6]: $p"))
     // the pool-vs-nProbe contract (see scaladoc): the ADC-rescore cut
     // must grow with the probed candidate volume or added probes EVICT
     // true neighbors instead of finding them (the measured nProbe=32
     // recall dip). k·nProbe is the floor that keeps one full result set
-    // per probed list competitive in the pool.
+    // per probed list competitive in the pool. (Moot under poolPpm: the
+    // adaptive cut scales with the probed volume by construction, floor
+    // at one full result set.)
     val effPool = math.max(pool, k * nProbe)
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = ivfCentroids(b, centroidStride, maxCentroids)
@@ -1000,13 +1047,23 @@ object Similarity {
     val listedBase =
       if (hierarchical) ivfAssignHierarchical(base, id, vec, cents, superStride, sProbe)
       else ivfAssignTo(cents, b, "v", "vec_id", 1)
-    val probedBase =
-      if (hierarchical)
-        ivfAssignHierarchical(queries, id, vec, cents, superStride, sProbe,
-          keep = nProbe)
-          .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
-      else ivfAssignTo(
-        cents, queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)
+    val probedBase = massPpm match {
+      // mass-adaptive probing (see ADAPTIVE CONTRACT): list masses come
+      // from the SAME assignment that files the stored rows, so the
+      // budget counts exactly the candidates the probe join will read
+      case Some(mp) =>
+        val sizes = listedBase.groupBy("c_id").agg(count(lit(1)).as("n_list"))
+        massProbed(queries.select(id.as("q_id"), vec.as("qv")),
+          cents, sizes, b.count(), mp)
+          .select(col("c_id"), col("q_id"), col("qv"))
+      case None =>
+        if (hierarchical)
+          ivfAssignHierarchical(queries, id, vec, cents, superStride, sProbe,
+            keep = nProbe)
+            .select(col("c_id"), col("vec_id").as("q_id"), col("v").as("qv"))
+        else ivfAssignTo(
+          cents, queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe)
+    }
     // residual mode centers every encoded/looked-up vector on ITS list's
     // centroid (zip_with subtraction against the broadcast 256-row
     // centroid table), so the codebook's cells resolve WITHIN-list
@@ -1054,11 +1111,22 @@ object Similarity {
     val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos_ud").desc, col("vec_id").asc)
     // each base row lives in exactly ONE list, so a (query, candidate)
     // pair appears at most once — no dedup needed before the pool rank
-    listed.join(probed, Seq("c_id"))
+    val ranked = listed.join(probed, Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), col("v"), col("qv"), est.as("est"))
       .withColumn("ern", row_number().over(wEst))
-      .filter(col("ern") <= effPool)
+    // fixed cut (effPool) or the adaptive one: per-query candidate count
+    // over the SAME q_id partitioning as wEst (order-insensitive whole-
+    // partition count — no extra exchange), all-integer survival rule
+    val cut = poolPpm match {
+      case Some(pp) => ranked
+        .withColumn("cand_n",
+          count(lit(1)).over(Window.partitionBy(col("q_id"))))
+        .filter(col("ern") <= k ||
+          col("ern") * 1000000L <= lit(pp) * col("cand_n"))
+      case None => ranked.filter(col("ern") <= effPool)
+    }
+    cut
       .select(col("q_id"), col("vec_id"),
         unitDot(unitMicros(col("qv")), unitMicros(col("v"))).as("cos_ud"))
       .withColumn("rn", row_number().over(wCos).cast("long"))
@@ -1117,23 +1185,8 @@ object Similarity {
       .withColumn("_vu", unitMicros(col("v")))
     val sizes = listed.groupBy("c_id").agg(count(lit(1)).as("n_list"))
     val n = b.count()
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_dot").desc, col("c_id").asc)
-    // per (query, centroid): rank + mass probed BEFORE this list; keep
-    // while that running mass is still under the budget (rank 1 always
-    // survives — its preceding mass is 0). Left join: a centroid whose
-    // list is empty (identical-vector centroids deduped by the assign
-    // tiebreak) contributes zero mass, not a dropped rank.
-    val probed = queries.select(id.as("q_id"), vec.as("qv"))
-      .withColumn("_qu", unitMicros(col("qv")))
-      .crossJoin(broadcast(cents.withColumn("_cu", unitMicros(col("cv")))))
-      .select(col("q_id"), col("_qu"), col("c_id"),
-        dotNative(col("_qu"), col("_cu")).as("c_dot"))
-      .join(broadcast(sizes), Seq("c_id"), "left")
-      .withColumn("_m", coalesce(col("n_list"), lit(0L)))
-      .withColumn("cum_before", coalesce(sum(col("_m")).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("cum_before") * 1000000L < lit(massPpm) * n)
+    val probed = massProbed(queries.select(id.as("q_id"), vec.as("qv")),
+      cents, sizes, n, massPpm)
       .select(col("c_id"), col("q_id"), col("_qu"))
     val wCos = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_ud").desc, col("vec_id").asc)
@@ -1143,6 +1196,42 @@ object Similarity {
         unitDot(col("_qu"), col("_vu")).as("cos_ud"))
       .withColumn("rn", row_number().over(wCos).cast("long"))
       .filter(col("rn") <= k)
+  }
+
+  /** The mass-budget list selection shared by [[ivfTopKAdaptive]],
+    * [[ivfPqTopK]]'s adaptive mode, and (re-expressed over the persisted
+    * sizes) [[VectorIndex]]'s adaptive probe: per (query, centroid) the
+    * flat unit-grid dot ranks ALL centroids, a window cumsum carries the
+    * mass probed BEFORE each list, and a list survives while that
+    * preceding mass is still under `massPpm` of `n` (rank 1 always
+    * survives — its preceding mass is 0). Left join: a centroid whose
+    * list is empty (identical-vector centroids deduped by the assign
+    * tiebreak) contributes zero mass, not a dropped rank. All-integer
+    * decision (`cum_before · 1e6 < massPpm · n`), oracle-replayable.
+    *
+    * `queries` must be `(q_id, qv)`; `sizes` is `(c_id, n_list)`; output
+    * `(c_id, q_id, qv, _qu)` — one row per surviving (query, list).
+    */
+  private[operators] def massProbed(
+      queries: DataFrame,
+      cents: DataFrame,
+      sizes: DataFrame,
+      n: Long,
+      massPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_dot").desc, col("c_id").asc)
+    queries
+      .withColumn("_qu", unitMicros(col("qv")))
+      .crossJoin(broadcast(cents.withColumn("_cu", unitMicros(col("cv")))))
+      .select(col("q_id"), col("qv"), col("_qu"), col("c_id"),
+        dotNative(col("_qu"), col("_cu")).as("c_dot"))
+      .join(broadcast(sizes), Seq("c_id"), "left")
+      .withColumn("_m", coalesce(col("n_list"), lit(0L)))
+      .withColumn("cum_before", coalesce(sum(col("_m")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") * 1000000L < lit(massPpm) * n)
+      .select(col("c_id"), col("q_id"), col("qv"), col("_qu"))
   }
 
   def ivfTopK(

@@ -375,10 +375,25 @@ object VectorIndex {
     routeToLists(stored, fpl, if (fpl > 1) nLists else 1L)
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/lists")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writeSizes(spark, path)
     writeMeta(spark, path, Meta(hierarchical, superStride, sProbe, pq,
       numSubspaces, numCodes, payNames, FormatVersion))
     putMarker(path)
   }
+
+  /** Persist `sizes/` — one `(c_id, n_list)` row per inverted list,
+    * counted from the lists ACTUALLY WRITTEN (read-back, the s23
+    * honesty rule; the scan touches only the partition column, so it
+    * resolves from file metadata, never the vectors). The adaptive
+    * probe's mass budget reads this config-sized artifact instead of
+    * paying a corpus pass per probe — at deployment scale the list
+    * lengths are index metadata, exactly like the centroids.
+    */
+  private def writeSizes(spark: SparkSession, path: String): Unit =
+    spark.read.parquet(s"$path/lists")
+      .groupBy(col("c_id").cast("long").as("c_id"))
+      .agg(count(lit(1)).as("n_list"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sizes")
 
   /** filesPerList derived from DATA (see [[writeIvfIndex]]'s scaladoc):
     * `ceil((inputBytes / lists) / targetFileBytes)`, where `inputBytes`
@@ -528,6 +543,14 @@ object VectorIndex {
       else autoFilesPerList(increment, nLists, targetFileBytes)
     routeToLists(stored, fpl, if (fpl > 1) nLists else 1L)
       .write.mode("append").partitionBy("c_id").parquet(s"$path/lists")
+    // refresh the persisted list lengths AFTER the rows land (order
+    // matters: a crash between the two leaves sizes/ stale — the mass
+    // budget then probes on last batch's masses, an approximation-
+    // quality drift the next append self-heals, never a wrong result).
+    // Full recount, not an increment merge: the count scan reads only
+    // the partition column (file metadata), and recounting also heals a
+    // stale sizes/ from a previously interrupted append.
+    writeSizes(spark, path)
   }
 
   private def readCodebook(
@@ -624,6 +647,79 @@ object VectorIndex {
       .orderBy(col("cos_ud").desc, col("vec_id").asc)
     lists.withColumn("_vu", Similarity.unitMicros(col("v")))
       .join(broadcast(probed.withColumn("_qu", Similarity.unitMicros(col("qv")))),
+        Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Similarity.unitDot(col("_qu"), col("_vu")).as("cos_ud"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** The store's per-list row counts `(c_id, n_list)` — the persisted
+    * `sizes/` artifact when present (every store written or appended
+    * since r18 carries it), else counted from the lists' partition
+    * column (file metadata — no vector is read; stores built by earlier
+    * rounds lack the artifact until their next append refreshes it).
+    */
+  def listSizes(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/sizes")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(s"$path/sizes")
+    else spark.read.parquet(s"$path/lists")
+      .groupBy(col("c_id").cast("long").as("c_id"))
+      .agg(count(lit(1)).as("n_list"))
+  }
+
+  /** [[probeIvfIndex]] with [[Similarity.ivfTopKAdaptive]]'s MASS BUDGET
+    * in place of the fixed `nProbe` — the steady-state 100 TB answer to
+    * §16c's finding, applied where it pays most: with lists stored
+    * `partitionBy(c_id)`, the budget-selected list set IS the partition
+    * filter, so `massPpm` bounds the BYTES each query's pruned scan
+    * touches — an explicit, skew-proof per-query I/O budget where fixed
+    * nProbe's actual cost silently varies with list imbalance (a heavy
+    * cluster's 2 lists can be 100× a light one's). List masses come from
+    * the store's own config-sized [[listSizes]] artifact — the probe
+    * never pays a corpus pass — and the selection rule is byte-identical
+    * to the in-flight tier's ([[Similarity.massProbed]]: flat unit-grid
+    * centroid rank, window cumsum, all-integer gate), so a probe of a
+    * FLAT store replays bit-for-bit against `ivfTopKAdaptive` on the
+    * same corpus (spec-pinned; the shared-oracle identity behind
+    * s34_ann_store_adaptive). On a HIERARCHICAL store the stored filing
+    * is whatever the build recorded; the adaptive probe still ranks all
+    * lists flat on the query side — the budget needs every list's mass
+    * anyway, so there is no probe-side saving to lose. `where` is the
+    * same pushed payload pre-filter as [[probeIvfIndex]]'s.
+    */
+  def probeIvfIndexAdaptive(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 10,
+      massPpm: Long = 150000L,
+      where: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(isComplete(path), s"no completed IVF store at $path")
+    require(massPpm > 0 && massPpm <= 1000000L,
+      s"massPpm out of (0, 1e6]: $massPpm")
+    readMeta(spark, path) // generation check; the flat rank needs no mode
+    val cents = spark.read.parquet(s"$path/centroids")
+    val sizes = listSizes(spark, path)
+    val n = sizes.agg(coalesce(sum(col("n_list")), lit(0L)))
+      .collect().head.getLong(0)
+    require(n > 0, s"store at $path has no rows — nothing to probe")
+    val probed = Similarity.massProbed(
+      queries.select(id.as("q_id"), vec.as("qv")), cents, sizes, n, massPpm)
+    // the one driver collect: the budget-selected list ids, the
+    // partition-pruning literal (config-sized — ≤ |queries| · lists)
+    val ids = probed.select(col("c_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
+    lists.withColumn("_vu", Similarity.unitMicros(col("v")))
+      .join(broadcast(probed.select(col("c_id"), col("q_id"), col("_qu"))),
         Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),

@@ -803,6 +803,21 @@ object PipelineQueries {
       nProbe = 2, numSubspaces = 8, numCodes = 16, codeStride = 16,
       pool = 50, residual = true)
 
+  // the FULL adaptive composition — both halves of §16c closed in one
+  // config: residual IVFADC (s31) + mass-adaptive probing (s32) + the
+  // rescore pool scaled to each query's probed candidate count (floor
+  // at one result set). §16c measured the pool, not the codebook, as
+  // the binding knob on clustered corpora (0.04 at pool=50, 0.38 at
+  // pool=500); with the pool a FRACTION of the probed volume,
+  // P(true-k ⊂ pool) stops depending on which cluster a query landed
+  // in — measured at 0.9+ advemb recall where every fixed arm sat
+  // ≤0.38 (BASELINE §17a)
+  private val s33: Q = (s, dir) =>
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, centroidStride = 50,
+      numSubspaces = 8, numCodes = 16, codeStride = 16, residual = true,
+      massPpm = Some(S33MassPpm), poolPpm = Some(S33PoolPpm))
+
   // s14 with the same two-level assignment on both sides — the PQ
   // encode/ADC/pool-rescore tail is untouched
   private val s20: Q = (s, dir) =>
@@ -904,6 +919,22 @@ object PipelineQueries {
       col("embedding"), path, hierarchical = true)
     VectorIndex.probeIvfIndex(s, path, queriesDf(s, dir), col("vec_id"),
       col("embedding"), k = 10, nProbe = 2)
+  }
+
+  // the persisted-store probe under s32's mass budget — the steady-state
+  // 100 TB path: lists are stored partitionBy(c_id), so the budget-
+  // selected list set IS the partition filter and massPpm bounds the
+  // BYTES each query's pruned scan touches (fixed nProbe's actual cost
+  // silently varies with list imbalance). Masses come from the store's
+  // config-sized sizes/ artifact — no corpus pass at probe time. Flat
+  // store at s32's geometry → result ≡ s32 by construction (the probe's
+  // selection rule is byte-identical to massProbed's): shared oracle.
+  private val s34: Q = (s, dir) => {
+    val path = ivfStorePath(dir, "flat")
+    VectorIndex.ensureIvfIndex(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), path, hierarchical = false)
+    VectorIndex.probeIvfIndexAdaptive(s, path, queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, massPpm = 150000L)
   }
 
   // continuous ingestion for the vector tier (the d13 contract applied
@@ -1382,6 +1413,8 @@ object PipelineQueries {
     "s14_ann_ivfpq" -> s14,
     "s31_ann_ivfpq_residual" -> s31,
     "s32_ann_ivf_adaptive" -> s32,
+    "s33_ann_ivfpq_adaptive" -> s33,
+    "s34_ann_store_adaptive" -> s34,
     "s15_ann_multiprobe" -> s15,
     "s7_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
@@ -1923,8 +1956,16 @@ object PipelineQueries {
     * The LUT is per-(query, LIST): `qdist` keys on (q_id, c_id) and the
     * candidate join matches on the probed list, mirroring the operator's
     * per-list lut(resOf(qv)).
+    *
+    * Parameterized on the probed-pairs CTE name and the pool cut so the
+    * s33 full-adaptive replay (mass-adaptive probe CTE + candidate-
+    * scaled pool rule) shares every byte of the ADC machinery; the s31
+    * instance below is the fixed-knob original. `cand_n` (each query's
+    * candidate count) rides the pool window unconditionally — s31's cut
+    * ignores it, s33's reads it.
     */
-  private val sqlPqResidualTail =
+  private def sqlPqResidualTailFrom(
+      probedCte: String, poolCut: String): String =
     s"""res AS (
       |  SELECT l.vec_id, l.c_id,
       |    list_transform(range(1, 65),
@@ -1934,7 +1975,7 @@ object PipelineQueries {
       |  SELECT p.q_id, p.c_id,
       |    list_transform(range(1, 65),
       |      i -> p.qv[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE) AS rv
-      |  FROM probed p JOIN cents c USING (c_id)),
+      |  FROM $probedCte p JOIN cents c USING (c_id)),
       |rcb AS (
       |  SELECT vec_id // 16 AS j, rv AS cv FROM res
       |  WHERE vec_id % 16 = 0 AND vec_id // 16 < 16),
@@ -1969,7 +2010,7 @@ object PipelineQueries {
       |cand AS (
       |  SELECT p.q_id, l.vec_id,
       |    list_reduce(list(qd.d ORDER BY qd.s), (x, y) -> x + y) AS est
-      |  FROM probed p
+      |  FROM $probedCte p
       |  JOIN listed l ON l.c_id = p.c_id AND l.vec_id <> p.q_id
       |  JOIN encd e ON e.vec_id = l.vec_id
       |  JOIN qdist qd ON qd.q_id = p.q_id AND qd.c_id = p.c_id
@@ -1978,9 +2019,10 @@ object PipelineQueries {
       |pool AS (
       |  SELECT q_id, vec_id FROM (
       |    SELECT q_id, vec_id,
-      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id ASC) AS ern
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY est ASC, vec_id ASC) AS ern,
+      |      COUNT(*) OVER (PARTITION BY q_id) AS cand_n
       |    FROM cand)
-      |  WHERE ern <= 50)
+      |  WHERE $poolCut)
       |SELECT q_id, vec_id, cos_ud, rn FROM (
       |  SELECT p.q_id, p.vec_id,
       |    ${sqlUDot("qu.u", "bu.u")} AS cos_ud,
@@ -1992,7 +2034,45 @@ object PipelineQueries {
       |  JOIN ue bu ON bu.vec_id = p.vec_id)
       |WHERE rn <= 10""".stripMargin
 
+  private val sqlPqResidualTail = sqlPqResidualTailFrom("probed", "ern <= 50")
+
   private val sqlS31IvfPqResidual = s"WITH $sqlIvfFlatCtes,\n$sqlPqResidualTail"
+
+  /** s33's knobs, shared by the Spark query and its replay so the two
+    * can never drift: probe-mass budget (s32's pinned 15%) and the
+    * candidate-scaled rescore-pool fraction (BASELINE §17a's measured
+    * knee — 0.97 advemb recall at the fixed-knob wall).
+    */
+  private val S33MassPpm = 150000L
+  private val S33PoolPpm = 250000L
+
+  /** s33's full-adaptive IVF×PQ replay: the s31 residual-ADC tail fed by
+    * the s32 mass-adaptive probe (carrying `qv` — the residual LUT needs
+    * the query vector per probed list), pool cut scaled to each query's
+    * candidate count with a floor at one full result set.
+    * (`sqlIvfFlatCtes`' fixed-nProbe `probed` CTE rides along unused,
+    * exactly as in the s32 replay.)
+    */
+  private val sqlS33IvfPqAdaptive =
+    s"""WITH $sqlIvfFlatCtes,
+       |sizes AS (SELECT c_id, count(*) AS n_list FROM listed GROUP BY c_id),
+       |pr3 AS (
+       |  SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
+       |    ${sqlUDot("qu.u", "c.cu")} AS cd
+       |  FROM embeddings q JOIN ue qu ON qu.vec_id = q.vec_id
+       |  CROSS JOIN cents c
+       |  WHERE q.vec_id < 5),
+       |probeda3 AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT p.q_id, p.qv, p.c_id,
+       |      COALESCE(SUM(COALESCE(s.n_list, 0)) OVER (PARTITION BY p.q_id
+       |        ORDER BY p.cd DESC, p.c_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    FROM pr3 p LEFT JOIN sizes s ON s.c_id = p.c_id)
+       |  WHERE cum_before * 1000000 < $S33MassPpm * (SELECT count(*) FROM embeddings)),
+       |${sqlPqResidualTailFrom("probeda3",
+           s"ern <= 10 OR ern * 1000000 <= $S33PoolPpm * cand_n")}"""
+      .stripMargin
 
   /** s32's mass-adaptive probe replay: list sizes from `listed`, per
     * (query, centroid) rank with the running mass of all BETTER-ranked
@@ -3313,6 +3393,10 @@ object PipelineQueries {
     "s14_ann_ivfpq" -> sqlS14IvfPq,
     "s31_ann_ivfpq_residual" -> sqlS31IvfPqResidual,
     "s32_ann_ivf_adaptive" -> sqlS32IvfAdaptive,
+    "s33_ann_ivfpq_adaptive" -> sqlS33IvfPqAdaptive,
+    // the store-served adaptive probe replays the in-flight tier's rule
+    // over the same flat geometry — result ≡ s32 by construction
+    "s34_ann_store_adaptive" -> sqlS32IvfAdaptive,
     // PQ replay: codebook slices + vectors on the micros grid (one
     // rounded entry op per component), per-(vector, subspace, code)
     // squared-L2 as EXACT BIGINT folds (order-independent), argmin

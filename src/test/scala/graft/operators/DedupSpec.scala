@@ -173,6 +173,22 @@ class DedupSpec extends AnyFunSuite {
     val ladder = hits.toMap
     assert(ladder(8) > ladder(2) && ladder(32) > ladder(8),
       s"coarse recall ladder broken: $hits")
+    // DEFAULT k is the measured-better 64 (§16d: 0.97/0.91 at the flat
+    // wall, effective threshold ⌈0.7·64⌉/64 = 0.703 — closest to t):
+    // an unspecified k must behave exactly as k=64, and differ from the
+    // old k=16 default on this graded fixture (the 0.737 family sits
+    // between t and k=16's effective 0.75)
+    val dflt = Dedup.containmentApproxPairs(fixture, col("doc_id"),
+      col("text"), n = 3, minContainmentPpm = 700000L, maxDocFreq = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val k64 = Dedup.containmentApproxPairs(fixture, col("doc_id"),
+      col("text"), 3, 64, 700000L, maxDocFreq = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val k16 = Dedup.containmentApproxPairs(fixture, col("doc_id"),
+      col("text"), 3, 16, 700000L, maxDocFreq = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(dflt == k64, "default must be k=64")
+    assert(dflt != k16, "fixture no longer distinguishes k=64 from k=16")
     Dedup.unpersistIntermediates(blocking = true)
   }
 

@@ -204,6 +204,42 @@ class SimilaritySpec extends AnyFunSuite {
       assert(g.map(_._2).sorted.toSeq == (1L to g.size).toSeq))
   }
 
+  test("adaptive pool: poolPpm=1e6 ≡ exact rescore of the probed set; tiny poolPpm floors at one full result set") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rn").as[(Long, Long, Long)].collect().toSet
+    // poolPpm = 1e6: ern ≤ cand_n always holds, so EVERY probed candidate
+    // is rescored exactly — the full-adaptive PQ tier must coincide with
+    // ivfTopKAdaptive at the same mass budget (§16c's pool=∞ identity,
+    // re-pinned as the poolPpm endpoint)
+    val pqAll = rows(Similarity.ivfPqTopK(emb, q, col("vec_id"),
+      col("embedding"), k = 10, residual = true,
+      massPpm = Some(150000L), poolPpm = Some(1000000L)))
+    val ivfAd = rows(Similarity.ivfTopKAdaptive(emb, q, col("vec_id"),
+      col("embedding"), k = 10, massPpm = 150000L))
+    assert(pqAll == ivfAd && pqAll.nonEmpty,
+      "full-fraction adaptive pool must equal the exact rescore of the probed set")
+    // poolPpm = 1: only the k-floor survives the cut — each query still
+    // gets a dense rank prefix (never an empty or ragged result set)
+    val tiny = Similarity.ivfPqTopK(emb, q, col("vec_id"), col("embedding"),
+        k = 10, residual = true, massPpm = Some(150000L), poolPpm = Some(1L))
+      .select("q_id", "rn").as[(Long, Long)].collect()
+    assert(tiny.map(_._1).toSet == Set(0L, 1L, 2L))
+    tiny.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.size).toSeq))
+    // pqTopK's rule: candidates are the whole corpus, so the full
+    // fraction rescores everything — must equal exact brute force
+    val pqBrute = rows(Similarity.pqTopK(emb, q, col("vec_id"),
+      col("embedding"), k = 10, poolPpm = Some(1000000L)))
+    val brute = rows(Similarity.bruteForceTopK(emb, q, col("vec_id"),
+      col("embedding"), k = 10))
+    assert(pqBrute == brute,
+      "full-fraction pqTopK pool must equal brute force")
+  }
+
   test("IVF fails loudly when the stride matches no id (empty centroid set)") {
     val odd = Seq((1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")

@@ -78,7 +78,11 @@ class VectorIndexSpec extends AnyFunSuite {
     val probe = VectorIndex.probeIvfIndex(spark, path,
       emb.filter(col("vec_id") === 0), col("vec_id"), col("embedding"),
       k = 10, nProbe = 2)
-    probe.write.mode("overwrite").format("noop").save()
+    // collect(), not a noop write: the write would execute a FRESH
+    // QueryExecution and leave probe's own scan metrics at 0, making the
+    // partition-count pin below pass vacuously (r18 fix — the adaptive
+    // test's exact-equality pin caught it)
+    probe.collect()
     // the literal IN filter must reach the scan as a PARTITION filter —
     // a data filter (or a cast around the partition column) would read
     // every list and fall back to row-level filtering
@@ -96,6 +100,103 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(partsRead <= 2,
       s"probe read $partsRead of $totalLists list partitions — not pruned")
     }
+  }
+
+  test("adaptive probe of a flat store ≡ the in-flight ivfTopKAdaptive (the s34/s32 shared-oracle identity)") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfadapt")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false)
+    val stored = VectorIndex.probeIvfIndexAdaptive(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, massPpm = 150000L)
+    val inflight = Similarity.ivfTopKAdaptive(emb, queries, col("vec_id"),
+      col("embedding"), k = 10, centroidStride = 50, massPpm = 150000L)
+    assert(ranking(stored) == ranking(inflight) && ranking(stored).nonEmpty)
+  }
+
+  test("adaptive probe reads EXACTLY the budget-selected lists; sizes/ is the persisted mass artifact") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfadaptprune")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false)
+    // sizes/ written at build = a recount of the persisted lists
+    val persisted = VectorIndex.listSizes(spark, path)
+      .select(col("c_id"), col("n_list"))
+      .as[(Long, Long)].collect().toMap
+    val recount = spark.read.parquet(s"$path/lists")
+      .groupBy(col("c_id").cast("long")).agg(count(lit(1)))
+      .as[(Long, Long)].collect().toMap
+    assert(persisted == recount && persisted.nonEmpty)
+    assert(new java.io.File(s"$path/sizes").isDirectory,
+      "build must persist the sizes/ artifact")
+    val totalLists = new java.io.File(s"$path/lists").listFiles()
+      .count(_.getName.startsWith("c_id="))
+    // the expected probed set, from the SAME rule over the store's own
+    // model artifacts (massProbed is the shared selection)
+    val oneQ = emb.filter(col("vec_id") === 0)
+    val expected = Similarity.massProbed(
+        oneQ.select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+        spark.read.parquet(s"$path/centroids"),
+        VectorIndex.listSizes(spark, path),
+        persisted.values.sum, 150000L)
+      .select("c_id").distinct().count()
+    withoutAqe {
+      val probe = VectorIndex.probeIvfIndexAdaptive(spark, path, oneQ,
+        col("vec_id"), col("embedding"), k = 10, massPpm = 150000L)
+      // collect() executes THIS DataFrame's own executedPlan, so the
+      // scan metrics below are populated (a noop write would build a
+      // fresh QueryExecution and leave these at 0 — an equality pin
+      // would then pass only vacuously)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("c_id"),
+        s"expected a partition filter on c_id in:\n$plan")
+      val scans = probe.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains("lists")) => s
+      }
+      assert(scans.nonEmpty, "no file scan over the lists store found")
+      val partsRead = scans.map(_.metrics("numPartitions").value).max
+      assert(expected < totalLists,
+        s"fixture degenerate: budget selects all $totalLists lists")
+      assert(partsRead == expected,
+        s"probe read $partsRead list partitions, budget selected $expected")
+    }
+  }
+
+  test("listSizes falls back to a lists recount when sizes/ is absent (pre-r18 stores)") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfnosizes")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false)
+    val before = ranking(VectorIndex.probeIvfIndexAdaptive(spark, path,
+      queries, col("vec_id"), col("embedding"), k = 10, massPpm = 150000L))
+    // simulate a store written by an earlier code generation
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$path/sizes"))
+    assert(!new java.io.File(s"$path/sizes").exists())
+    val after = ranking(VectorIndex.probeIvfIndexAdaptive(spark, path,
+      queries, col("vec_id"), col("embedding"), k = 10, massPpm = 150000L))
+    assert(after == before && after.nonEmpty,
+      "fallback recount must select the same lists as the persisted sizes")
+  }
+
+  test("append refreshes sizes/ so the mass budget sees appended rows") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfsizesapp")
+    VectorIndex.writeIvfIndex(emb.filter(col("vec_id") % 7 =!= 0),
+      col("vec_id"), col("embedding"), path, hierarchical = false)
+    val beforeN = VectorIndex.listSizes(spark, path)
+      .agg(sum(col("n_list"))).as[Long].collect().head
+    VectorIndex.appendToIvfIndex(emb.filter(col("vec_id") % 7 === 0),
+      col("vec_id"), col("embedding"), path)
+    val afterN = VectorIndex.listSizes(spark, path)
+      .agg(sum(col("n_list"))).as[Long].collect().head
+    assert(afterN == emb.count() && afterN > beforeN,
+      s"sizes/ must cover build + increment: $beforeN -> $afterN")
   }
 
   test("append assigns the increment with the STORED model and probes see the union") {

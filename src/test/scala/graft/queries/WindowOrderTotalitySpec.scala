@@ -77,7 +77,12 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
     // r17 ivfTopKAdaptive adds two sites, both UNIQUE: the probe-mass
     // cumsum (per-query partition ordered by (c_dot desc, c_id asc) —
     // each centroid appears once per query, so c_id is a singleton
-    // tiebreak) and its rescore rank ((cos_ud desc, vec_id asc))
+    // tiebreak; now shared via Similarity.massProbed, also the
+    // VectorIndex adaptive probe's selection) and its rescore rank
+    // ((cos_ud desc, vec_id asc)). r18 adds three: the pqTopK/ivfPqTopK
+    // adaptive-pool cand_n counts (whole-q_id-partition count —
+    // ORDER-INSENSITIVE) and probeIvfIndexAdaptive's rescore rank
+    // ((cos_ud desc, vec_id asc) — UNIQUE via vec_id)
     ("embeddings", Seq("vec_id"), "Similarity/VectorIndex rank tiebreaks"),
     ("customer", Seq("c_custkey"), "fuzzy-join id tiebreaks"),
     ("part", Seq("p_partkey"), "join/agg determinism"),
@@ -150,9 +155,9 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
       "operators/Dedup.scala" -> 8,
       "operators/Layout.scala" -> 3,
       "operators/Search.scala" -> 3,
-      "operators/Similarity.scala" -> 22,
+      "operators/Similarity.scala" -> 24,
       "operators/SkewAgg.scala" -> 1,
-      "operators/VectorIndex.scala" -> 3,
+      "operators/VectorIndex.scala" -> 4,
       "queries/AnalyticsQueries.scala" -> 9,
       "queries/PipelineQueries.scala" -> 9)
     val root = new java.io.File("src/main/scala/graft")

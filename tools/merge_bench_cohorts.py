@@ -19,7 +19,9 @@ while silently undercounting):
 The merged config drops the `cohort` field and recomputes `excluded` as
 the intersection of the cohorts' exclusion lists (each cohort excludes
 the other cohorts' queries; only the common exclusions — oracle-only
-tiers — are excluded from the MERGED sweep).
+tiers — are excluded from the MERGED sweep), minus any stub cohorts'
+error keys (a stub carries no config, so its slice survives the
+intersection — those queries belong in `errors`, not `excluded`).
 """
 import sys, os, json, glob, re
 
@@ -53,11 +55,16 @@ if missing and not allow_partial:
              f"partial run) — rerun them or pass --allow-partial")
 
 queries, errors, config, sf = {}, {}, None, None
-excluded_sets, n_stubs = [], 0
+excluded_sets, n_stubs, stub_error_keys = [], 0, set()
 for _, _, f in sorted(parsed):
     d = json.load(open(f))
     if d.get("stub"):
         n_stubs += 1
+        # a stub carries no config, so its slice's queries never enter the
+        # exclusion intersection below — without this they'd appear BOTH
+        # in the merged `excluded` (every surviving cohort excluded them)
+        # and in `errors` (the stub merges as all-errors)
+        stub_error_keys |= set(d.get("errors", {}))
     dup = set(d["queries"]) & set(queries)
     if dup:
         sys.exit(f"overlapping keys across cohorts (mismatched N?): {sorted(dup)[:5]}")
@@ -73,7 +80,8 @@ if config is not None:
     config.pop("cohort", None)
     config["n_cohorts"] = n_expected
     if excluded_sets:
-        config["excluded"] = sorted(set.intersection(*excluded_sets))
+        config["excluded"] = sorted(
+            set.intersection(*excluded_sets) - stub_error_keys)
 out = {"metric": "total", "value": total, "unit": "sec", "config": config,
        "queries": queries, "errors": errors, "sf": sf,
        "desc": f"merged from {len(parsed)} fresh-JVM cohorts (N={n_expected})"}

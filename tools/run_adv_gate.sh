@@ -11,7 +11,14 @@
 #   2. AdvCorpusSpec at sf0.01-equivalent (GRAFT_ADV_SPEC_DIR override) —
 #      heavy tail, verbatim families, prefix-tier losslessness vs exact;
 #   3. 3-row bench (d19_prefix_jaccard, d21c_containment_approx,
-#      d3_minhash_lsh) on the adv corpus -> BENCH_r<N>_adv_gate.json.
+#      d3_minhash_lsh) on the adv corpus -> BENCH_r<N>_adv_gate.json;
+#   4. (r18+) ANN recall contracts on tmp/sf01advemb (sf0.1-equivalent
+#      clustered embeddings, generated if absent): s3 fixed-nProbe
+#      (expected LOW — the documented §16c failure, kept as contrast),
+#      s32 mass-adaptive (must stay ~1e6), s33 adaptive-pool residual PQ
+#      (must stay >= 0.9e6) — merged into the gate artifact under
+#      "ann_recall" so a recall regression on the realistic shape
+#      surfaces per-round in minutes, not in a one-round sweep.
 #
 # Usage: tools/run_adv_gate.sh <round>     e.g. tools/run_adv_gate.sh 17
 set -euo pipefail
@@ -30,4 +37,20 @@ echo "=== 3-row adversarial bench ==="
 SPARK_GRAFT_SF_DIR="$ADV" \
   SPARK_GRAFT_BENCH_OUT="BENCH_r${ROUND}_adv_gate.json" \
   sbt -batch "runMain graft.Bench d19_prefix_jaccard d21c_containment_approx d3_minhash_lsh" 2>&1 | tail -1
+ADVEMB=tmp/sf01advemb
+if [[ ! -d "$ADVEMB/embeddings.parquet" ]]; then
+  echo "=== generating $ADVEMB (sf0.01 embeddings x10, mode=advemb) ==="
+  sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.01 $ADVEMB 10 embeddings advemb" 2>&1 | tail -3
+fi
+echo "=== ANN recall contracts on the adversarial embeddings shape ==="
+sbt -batch "runMain graft.AdvRecallGate $ADVEMB tmp/adv_recall_gate.json" 2>&1 | tail -2
+python3 - "BENCH_r${ROUND}_adv_gate.json" tmp/adv_recall_gate.json <<'EOF'
+import json, sys
+gate, rec = sys.argv[1], sys.argv[2]
+d = json.load(open(gate)); d["ann_recall"] = json.load(open(rec))
+json.dump(d, open(gate, "w"), indent=1)
+r = d["ann_recall"]
+print("merged ann_recall:", {k: v["recall_ppm"] for k, v in r.items()
+                             if isinstance(v, dict)})
+EOF
 echo "gate artifact: BENCH_r${ROUND}_adv_gate.json — commit it with the round"
