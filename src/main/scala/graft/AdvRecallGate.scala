@@ -58,7 +58,7 @@ object AdvRecallGate {
     val (s33, w33) = timed(meanRecall(Similarity.ivfPqTopK(emb, queries,
       id, v, k = 10, centroidStride = 50, numSubspaces = 8, numCodes = 16,
       codeStride = 16, residual = true, massPpm = Some(150000L),
-      poolPpm = Some(250000L))))
+      poolPpm = Some(500000L))))
     println(f"s3 fixed nProbe=2: $s3 ppm ($w3%.1f s)  " +
       f"s32 adaptive 15%%: $s32 ppm ($w32%.1f s)  " +
       f"s33 adaptive pool: $s33 ppm ($w33%.1f s)")

@@ -998,10 +998,15 @@ object Similarity {
     * replays bit-for-bit; with `massPpm` set the query side ranks ALL
     * centroids flat (the budget needs every list's mass anyway), so
     * `hierarchical` then only accelerates the STORED-row assignment.
-    * Measured (RecallCurve, BASELINE §17a): residual + 15% mass +
-    * 25% pool reads 0.97 on the adversarial corpus where every fixed
-    * config in the §16c ladder sat ≤ 0.38, at a wall inside the fixed-
-    * knob band; 1.00 on uniform sf10.
+    * Measured (PoolCurve, BASELINE §17a, 200k-vector corpora): residual
+    * + 15% mass + 50% pool reads 0.92 on the adversarial corpus where
+    * every fixed config in the §16c ladder sat ≤ 0.38 (and 1.00 on
+    * uniform sf10), at a wall flat across the whole fraction sweep
+    * (23–30 s — the fixed-knob band). On the adversarial shape recall
+    * is ~linear in the fraction (§16c's resolution finding: within-
+    * cluster ADC margins are sub-resolution, so the estimate barely
+    * orders a cluster's members) — the fraction IS the recall dial,
+    * priced in rescore reads, not wall.
     */
   def ivfPqTopK(
       base: DataFrame,

@@ -810,8 +810,8 @@ object PipelineQueries {
   // the binding knob on clustered corpora (0.04 at pool=50, 0.38 at
   // pool=500); with the pool a FRACTION of the probed volume,
   // P(true-k ⊂ pool) stops depending on which cluster a query landed
-  // in — measured at 0.9+ advemb recall where every fixed arm sat
-  // ≤0.38 (BASELINE §17a)
+  // in — measured at 0.92 advemb / 1.00 uniform recall where every
+  // fixed arm sat ≤0.38, wall flat (BASELINE §17a)
   private val s33: Q = (s, dir) =>
     Similarity.ivfPqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
       col("vec_id"), col("embedding"), k = 10, centroidStride = 50,
@@ -2040,11 +2040,14 @@ object PipelineQueries {
 
   /** s33's knobs, shared by the Spark query and its replay so the two
     * can never drift: probe-mass budget (s32's pinned 15%) and the
-    * candidate-scaled rescore-pool fraction (BASELINE §17a's measured
-    * knee — 0.97 advemb recall at the fixed-knob wall).
+    * candidate-scaled rescore-pool fraction — BASELINE §17a's measured
+    * ≥0.9 point (advemb recall 0.92, uniform 1.00, at the fixed-knob
+    * wall; the curve is ~linear in the fraction on the adversarial
+    * shape because within-cluster ADC margins sit below 64-bit
+    * resolution, §16c).
     */
   private val S33MassPpm = 150000L
-  private val S33PoolPpm = 250000L
+  private val S33PoolPpm = 500000L
 
   /** s33's full-adaptive IVF×PQ replay: the s31 residual-ADC tail fed by
     * the s32 mass-adaptive probe (carrying `qv` — the residual LUT needs
