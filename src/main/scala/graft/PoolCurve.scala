@@ -92,8 +92,20 @@ object PoolCurve {
         k = 10, massPpm = 150000L)))
     println(f"store adaptive probe: recall_ppm=$storeRec build=$wBuild%.1f s probe=$wProbe%.1f s")
 
+    // the residual-PQ store under BOTH adaptive knobs (s35's config) —
+    // the codes-only candidate scan is the steady-state 100 TB seller
+    val pqStore = s"${sys.env.getOrElse("SPARK_GRAFT_STORE_DIR",
+      "/root/repo/tmp/stores")}/poolcurve_pqr_v${VectorIndex.FormatVersion}"
+    val (_, wBuildPq) = timed(VectorIndex.writeIvfIndex(emb, id, v, pqStore,
+      hierarchical = false, pq = true, pqResidual = true))
+    val (pqRec, wProbePq) = timed(meanRecall(
+      VectorIndex.probeIvfPqIndex(spark, pqStore, queries, id, v, k = 10,
+        massPpm = Some(150000L), poolPpm = Some(500000L))))
+    println(f"pq-residual store adaptive probe: recall_ppm=$pqRec " +
+      f"build=$wBuildPq%.1f s probe=$wProbePq%.1f s")
+
     val json =
-      s"""{"sf":"$sfDir","k":10,"n_queries":5,"mass_ppm":150000,"fixed_s31_residual_np2_pool50":{"recall_ppm":$fixed,"wall_s":$wFixed},"adaptive_residual_by_poolppm":{${curve.mkString(",")}},"adaptive_raw_poolppm250000":{"recall_ppm":$nores,"wall_s":$wNores},"store_adaptive_probe":{"recall_ppm":$storeRec,"build_s":$wBuild,"probe_s":$wProbe}}"""
+      s"""{"sf":"$sfDir","k":10,"n_queries":5,"mass_ppm":150000,"fixed_s31_residual_np2_pool50":{"recall_ppm":$fixed,"wall_s":$wFixed},"adaptive_residual_by_poolppm":{${curve.mkString(",")}},"adaptive_raw_poolppm250000":{"recall_ppm":$nores,"wall_s":$wNores},"store_adaptive_probe":{"recall_ppm":$storeRec,"build_s":$wBuild,"probe_s":$wProbe},"pqres_store_adaptive_probe":{"recall_ppm":$pqRec,"build_s":$wBuildPq,"probe_s":$wProbePq}}"""
     val w = new java.io.PrintWriter(outPath, "UTF-8")
     try w.println(json) finally w.close()
     println(s"wrote $outPath")

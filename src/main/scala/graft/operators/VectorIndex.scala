@@ -167,14 +167,14 @@ object VectorIndex {
   private case class Meta(
       hierarchical: Boolean, superStride: Int, sProbe: Int,
       pq: Boolean, numSubspaces: Int, numCodes: Int,
-      payload: Seq[String], version: Int)
+      payload: Seq[String], version: Int, pqResidual: Boolean = false)
 
   private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
     import spark.implicits._
     Seq((m.hierarchical, m.superStride, m.sProbe, m.pq, m.numSubspaces,
-      m.numCodes, m.payload.mkString(","), m.version))
+      m.numCodes, m.payload.mkString(","), m.version, m.pqResidual))
       .toDF("hierarchical", "super_stride", "s_probe", "pq", "num_subspaces",
-        "num_codes", "payload", "format_version")
+        "num_codes", "payload", "format_version", "pq_residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -191,7 +191,9 @@ object VectorIndex {
       else Nil,
       // a meta without the field predates version-stamping — its lists
       // were filed under an earlier assignment-semantics generation
-      if (fields("format_version")) r.getAs[Int]("format_version") else 1)
+      if (fields("format_version")) r.getAs[Int]("format_version") else 1,
+      // pre-r18 PQ stores hold RAW-space codes (the field didn't exist)
+      if (fields("pq_residual")) r.getAs[Boolean]("pq_residual") else false)
     if (requireCurrent) require(meta.version == FormatVersion,
       s"store at $path was built under assignment-semantics generation " +
         s"${meta.version}, this code is generation $FormatVersion — its " +
@@ -223,7 +225,8 @@ object VectorIndex {
     * here, at ensure time).
     */
   def isServable(spark: SparkSession, path: String,
-      payload: Seq[String] = Nil): Boolean =
+      payload: Seq[String] = Nil,
+      pqResidual: Option[Boolean] = None): Boolean =
     isComplete(path) && {
       val meta =
         try Some(readMeta(spark, path, requireCurrent = false))
@@ -232,8 +235,13 @@ object VectorIndex {
           // readable AS A TABLE → rebuild; other failures propagate
           case _: org.apache.spark.sql.AnalysisException => None
         }
+      // pqResidual, when the caller states a requirement, must MATCH: a
+      // raw-codes store served to a residual-expecting ensure (or vice
+      // versa) would probe self-consistently — meta drives the LUT — but
+      // in the wrong encoding space from the caller's standpoint
       meta.exists(m => m.version == FormatVersion &&
-        (payload.isEmpty || m.payload == payload))
+        (payload.isEmpty || m.payload == payload) &&
+        pqResidual.forall(_ == m.pqResidual))
     }
 
   /** Write the IVF index of `base` at `path`: inverted lists partitioned
@@ -315,9 +323,12 @@ object VectorIndex {
       centroids: Option[DataFrame] = None,
       payload: Seq[Column] = Nil,
       filesPerList: Int = 0,
-      targetFileBytes: Long = 128L << 20): Unit = {
+      targetFileBytes: Long = 128L << 20,
+      pqResidual: Boolean = false): Unit = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = base.sparkSession
+    require(!pqResidual || pq,
+      "pqResidual is a PQ-codes encoding mode — set pq = true with it")
     // payload validation FIRST: a name collision must fail before any
     // artifact (marker, codebook) of an existing store is touched.
     // Reserved names cover the store's own columns, the routing split,
@@ -356,10 +367,24 @@ object VectorIndex {
     val rows =
       if (!pq) listed
       else {
-        val cb = Similarity.pqCodebook(base, id, vec, numSubspaces, numCodes,
-          codeStride)
-        val enc = ColumnBridge.column(graft.functions.PqEncode(
-          ColumnBridge.expression(col("v").cast("array<double>")), cb))
+        // pqResidual (r18 — Jégou's IVFADC as the STORED layout, §16c):
+        // codes and codebook live in residual space (v − centroid(list)),
+        // so the cells resolve within-list variation instead of
+        // re-separating lists the coarse quantizer already separated.
+        // Derivation mirrors Similarity.ivfPqTopK(residual = true)
+        // exactly — the shared-oracle identity behind s35.
+        val centsV = cents.select(col("c_id"), col("cv"))
+        def resOf(vc: Column) =
+          zip_with(vc.cast("array<double>"), col("cv"), (a, bb) => a - bb)
+        lazy val listedR = listed.join(broadcast(centsV), Seq("c_id"))
+          .withColumn("_rv", resOf(col("v")))
+        val cb =
+          if (pqResidual) Similarity.pqCodebook(listedR, col("vec_id"),
+            col("_rv"), numSubspaces, numCodes, codeStride)
+          else Similarity.pqCodebook(base, id, vec, numSubspaces, numCodes,
+            codeStride)
+        def enc(c: Column) = ColumnBridge.column(graft.functions.PqEncode(
+          ColumnBridge.expression(c.cast("array<double>")), cb))
         // persist the codebook as exploded scalars (s, j, pos, val) — the
         // config-sized model artifact, array-format-free like kmeansTrain's
         import spark.implicits._
@@ -369,7 +394,9 @@ object VectorIndex {
           }
         }.toSeq.toDF("s", "j", "pos", "val")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-        listed.withColumn("codes", enc)
+        if (pqResidual)
+          listedR.withColumn("codes", enc(col("_rv"))).drop("_rv", "cv")
+        else listed.withColumn("codes", enc(col("v")))
       }
     val stored = if (payload.isEmpty) rows else rows.join(pay, Seq("vec_id"))
     routeToLists(stored, fpl, if (fpl > 1) nLists else 1L)
@@ -377,7 +404,7 @@ object VectorIndex {
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeSizes(spark, path)
     writeMeta(spark, path, Meta(hierarchical, superStride, sProbe, pq,
-      numSubspaces, numCodes, payNames, FormatVersion))
+      numSubspaces, numCodes, payNames, FormatVersion, pqResidual))
     putMarker(path)
   }
 
@@ -465,7 +492,8 @@ object VectorIndex {
       codeStride: Int = 16,
       payload: Seq[Column] = Nil,
       filesPerList: Int = 0,
-      targetFileBytes: Long = 128L << 20): Unit = {
+      targetFileBytes: Long = 128L << 20,
+      pqResidual: Boolean = false): Unit = {
     // resolve the requested payload NAMES the same way the build records
     // them, so a servable store built without (or with different) payload
     // columns is rebuilt here instead of failing the caller's filtered
@@ -473,11 +501,15 @@ object VectorIndex {
     val payNames =
       if (payload.isEmpty) Nil
       else base.select((id.as("vec_id") +: payload): _*).columns.toSeq.drop(1)
-    if (!isServable(base.sparkSession, path, payNames))
+    // the encoding-space requirement only binds for PQ ensures — a plain
+    // ensure must keep serving existing PQ stores (their codes are
+    // simply unread), so pass a requirement, not the default
+    if (!isServable(base.sparkSession, path, payNames,
+        if (pq) Some(pqResidual) else None))
       writeIvfIndex(base, id, vec, path, centroidStride, maxCentroids,
         hierarchical, superStride, sProbe, pq, numSubspaces, numCodes,
         codeStride, payload = payload, filesPerList = filesPerList,
-        targetFileBytes = targetFileBytes)
+        targetFileBytes = targetFileBytes, pqResidual = pqResidual)
     // callers with a TRAINED model check isServable themselves before
     // training (the model derivation may run eager jobs — an ensure that
     // trains just to discard the result would defeat its own point)
@@ -515,9 +547,18 @@ object VectorIndex {
       if (!meta.pq) listed
       else {
         val cb = readCodebook(spark, path, meta)
-        val enc = ColumnBridge.column(graft.functions.PqEncode(
-          ColumnBridge.expression(col("v").cast("array<double>")), cb))
-        listed.withColumn("codes", enc)
+        def enc(c: Column) = ColumnBridge.column(graft.functions.PqEncode(
+          ColumnBridge.expression(c.cast("array<double>")), cb))
+        // residual stores encode the increment in residual space against
+        // the STORED centroids and the STORED (residual-space) codebook —
+        // appended rows must quantize exactly as build-time rows would
+        if (meta.pqResidual)
+          listed.join(broadcast(cents.select(col("c_id"), col("cv"))),
+              Seq("c_id"))
+            .withColumn("codes", enc(zip_with(col("v").cast("array<double>"),
+              col("cv"), (a, bb) => a - bb)))
+            .drop("cv")
+        else listed.withColumn("codes", enc(col("v")))
       }
     // payload columns are selected BY THE NAMES the build recorded, so an
     // increment missing one fails loudly here instead of appending rows
@@ -580,6 +621,32 @@ object VectorIndex {
       else
         Similarity.ivfAssignTo(cents,
           queries.select(id.as("q_id"), vec.as("qv")), "qv", "q_id", nProbe))
+    val ids = probed.select(col("c_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    (probed, ids)
+  }
+
+  /** The MASS-BUDGET probe selection over a store's persisted model
+    * artifacts — [[Similarity.massProbed]]'s rule fed by `centroids/` and
+    * [[listSizes]], shared by every adaptive probe
+    * ([[probeIvfIndexAdaptive]], [[probeIvfPqIndex]]'s and
+    * [[probeIvfRange]]'s `massPpm`). Output mirrors [[probedLists]]:
+    * the probed `(c_id, q_id, qv)` assignment plus the budget-selected
+    * distinct list ids (the one driver collect — the partition-pruning
+    * literal, config-sized).
+    */
+  private def massProbedLists(
+      spark: SparkSession, path: String, queries: DataFrame,
+      id: Column, vec: Column, massPpm: Long): (DataFrame, Array[Long]) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("c_id"), col("cv"))
+    val sizes = listSizes(spark, path)
+    val n = sizes.agg(coalesce(sum(col("n_list")), lit(0L)))
+      .collect().head.getLong(0)
+    require(n > 0, s"store at $path has no rows — nothing to probe")
+    val probed = Similarity.massProbed(
+      queries.select(id.as("q_id"), vec.as("qv")), cents, sizes, n, massPpm)
+      .select(col("c_id"), col("q_id"), col("qv"))
     val ids = probed.select(col("c_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     (probed, ids)
@@ -704,22 +771,13 @@ object VectorIndex {
     require(massPpm > 0 && massPpm <= 1000000L,
       s"massPpm out of (0, 1e6]: $massPpm")
     readMeta(spark, path) // generation check; the flat rank needs no mode
-    val cents = spark.read.parquet(s"$path/centroids")
-    val sizes = listSizes(spark, path)
-    val n = sizes.agg(coalesce(sum(col("n_list")), lit(0L)))
-      .collect().head.getLong(0)
-    require(n > 0, s"store at $path has no rows — nothing to probe")
-    val probed = Similarity.massProbed(
-      queries.select(id.as("q_id"), vec.as("qv")), cents, sizes, n, massPpm)
-    // the one driver collect: the budget-selected list ids, the
-    // partition-pruning literal (config-sized — ≤ |queries| · lists)
-    val ids = probed.select(col("c_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val (probed, ids) = massProbedLists(spark, path, queries, id, vec, massPpm)
     val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_ud").desc, col("vec_id").asc)
     lists.withColumn("_vu", Similarity.unitMicros(col("v")))
-      .join(broadcast(probed.select(col("c_id"), col("q_id"), col("_qu"))),
+      .join(broadcast(probed.select(col("c_id"), col("q_id"),
+          Similarity.unitMicros(col("qv")).as("_qu"))),
         Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
@@ -759,10 +817,20 @@ object VectorIndex {
       vec: Column,
       minCosine: Double,
       nProbe: Int = 2,
-      where: Option[Column] = None): DataFrame = {
+      where: Option[Column] = None,
+      massPpm: Option[Long] = None): DataFrame = {
     require(isComplete(path), s"no completed IVF store at $path")
+    massPpm.foreach(m => require(m > 0 && m <= 1000000L,
+      s"massPpm out of (0, 1e6]: $m"))
     val meta = readMeta(spark, path)
-    val (probed, ids) = probedLists(spark, path, meta, queries, id, vec, nProbe)
+    // massPpm swaps the fixed-nProbe selection for the mass budget over
+    // the persisted sizes — for range search the budget matters even
+    // more than for top-k: the result set is data-dependent, so the
+    // probe's I/O bound is the ONLY cost knob the caller holds
+    val (probed, ids) = massPpm match {
+      case Some(mp) => massProbedLists(spark, path, queries, id, vec, mp)
+      case None => probedLists(spark, path, meta, queries, id, vec, nProbe)
+    }
     val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
     // row MEMBERSHIP decides on the exact integer unit-grid dot
     // (`udot ≥ minCosine·2⁴⁰` — the one comparison a float boundary must
@@ -931,6 +999,17 @@ object VectorIndex {
     * same geometry (spec-pinned). The pool floor `max(pool, k·nProbe)`
     * matches `ivfPqTopK`'s enforced contract.
     *
+    * r18: serves RESIDUAL stores transparently (`writeIvfIndex(pq =
+    * true, pqResidual = true)` — codes over `v − centroid(list)`, the
+    * IVFADC layout §16c showed clustered corpora need): meta routes the
+    * LUT to per-(query, probed-list) residual space, in lockstep with
+    * `ivfPqTopK(residual = true)`. And both adaptive knobs compose:
+    * `massPpm` replaces the fixed nProbe with the mass budget over the
+    * persisted sizes (the budget then bounds the BYTES the codes scan
+    * touches), `poolPpm` replaces the fixed pool with the candidate-
+    * scaled cut — a residual store probed with both is the store-served
+    * s33 (shared oracle, s35).
+    *
     * `where` pre-filters candidates on the store's inline payload
     * columns, exactly as in [[probeIvfIndex]] — applied BEFORE the ADC
     * pool cut, so the pool holds `effPool` MATCHING candidates (filtering
@@ -947,19 +1026,42 @@ object VectorIndex {
       k: Int = 10,
       nProbe: Int = 2,
       pool: Int = 50,
-      where: Option[Column] = None): DataFrame = {
+      where: Option[Column] = None,
+      massPpm: Option[Long] = None,
+      poolPpm: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.ColumnBridge
     require(isComplete(path), s"no completed IVF store at $path")
+    massPpm.foreach(m => require(m > 0 && m <= 1000000L,
+      s"massPpm out of (0, 1e6]: $m"))
+    poolPpm.foreach(p => require(p > 0 && p <= 1000000L,
+      s"poolPpm out of (0, 1e6]: $p"))
     val meta = readMeta(spark, path)
     require(meta.pq, s"store at $path was written without PQ codes — " +
       "probe with probeIvfIndex or rebuild with pq = true")
     val effPool = math.max(pool, k * nProbe)
     val cb = readCodebook(spark, path, meta)
-    val lut = ColumnBridge.column(graft.functions.PqLut(
-      ColumnBridge.expression(col("qv").cast("array<double>")), cb))
-    val (probed, ids) = probedLists(spark, path, meta, queries, id, vec, nProbe)
-    val probedLut = probed.select(col("c_id"), col("q_id"), lut.as("lut"))
+    def lut(c: Column) = ColumnBridge.column(graft.functions.PqLut(
+      ColumnBridge.expression(c.cast("array<double>")), cb))
+    lazy val centsDf = spark.read.parquet(s"$path/centroids")
+      .select(col("c_id"), col("cv"))
+    // probe selection: fixed nProbe in the store's own geometry, or the
+    // mass budget over the persisted sizes (see [[probeIvfIndexAdaptive]]
+    // — same rule, so massPpm bounds the bytes the codes scan touches)
+    val (probed, ids) = massPpm match {
+      case Some(mp) => massProbedLists(spark, path, queries, id, vec, mp)
+      case None => probedLists(spark, path, meta, queries, id, vec, nProbe)
+    }
+    // residual stores (meta.pqResidual) hold codes over v − centroid:
+    // the LUT must be per-(query, probed LIST) over qv − centroid, in
+    // lockstep with Similarity.ivfPqTopK(residual = true)
+    val probedLut =
+      if (!meta.pqResidual)
+        probed.select(col("c_id"), col("q_id"), lut(col("qv")).as("lut"))
+      else probed.join(broadcast(centsDf), Seq("c_id"))
+        .select(col("c_id"), col("q_id"),
+          lut(zip_with(col("qv").cast("array<double>"), col("cv"),
+            (a, bb) => a - bb)).as("lut"))
     val all = prunedLists(spark, path, ids)
     val lists = where.foldLeft(all)(_.filter(_))
     val est = (0 until meta.numSubspaces)
@@ -971,13 +1073,21 @@ object VectorIndex {
     val wCos = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_ud").desc, col("vec_id").asc)
     // candidate scan: codes only — the store's vectors are not read here
-    val poolRows = lists.select(col("c_id"), col("vec_id"), col("codes"))
+    val ranked = lists.select(col("c_id"), col("vec_id"), col("codes"))
       .join(broadcast(probedLut), Seq("c_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"), est.as("est"))
       .withColumn("ern", row_number().over(wEst))
-      .filter(col("ern") <= effPool)
-      .select(col("q_id"), col("vec_id"))
+    // fixed cut, or ivfPqTopK's ADAPTIVE CONTRACT rule (pool scales with
+    // the query's probed candidate count, floor at one full result set)
+    val poolRows = (poolPpm match {
+      case Some(pp) => ranked
+        .withColumn("cand_n",
+          count(lit(1)).over(Window.partitionBy(col("q_id"))))
+        .filter(col("ern") <= k ||
+          col("ern") * 1000000L <= lit(pp) * col("cand_n"))
+      case None => ranked.filter(col("ern") <= effPool)
+    }).select(col("q_id"), col("vec_id"))
     // rescore fetch: pool·|queries| rows broadcast back onto the SAME
     // pruned partitions — full vectors are read only for survivors
     // (pool rows already satisfy `where`; re-filtering here would only

@@ -937,6 +937,33 @@ object PipelineQueries {
       col("vec_id"), col("embedding"), k = 10, massPpm = 150000L)
   }
 
+  // the store-served s33: a RESIDUAL-codes PQ store (Jégou's IVFADC as
+  // the persisted layout — codes over v − centroid(list), the encoding
+  // §16c showed clustered corpora need) probed with BOTH adaptive knobs;
+  // the codes scan reads only (vec_id, codes) from only the budget-
+  // selected partitions, and the result ≡ s33 by construction — shared
+  // oracle, spec-pinned bit-identity
+  private val s35: Q = (s, dir) => {
+    val path = ivfStorePath(dir, "pqr")
+    VectorIndex.ensureIvfIndex(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), path, hierarchical = false, pq = true,
+      pqResidual = true)
+    VectorIndex.probeIvfPqIndex(s, path, queriesDf(s, dir), col("vec_id"),
+      col("embedding"), k = 10, massPpm = Some(150000L),
+      poolPpm = Some(500000L))
+  }
+
+  // radius search under the mass budget — for range probes the budget is
+  // the ONLY cost knob the caller holds (the result set is data-
+  // dependent, so nothing else bounds the scan); shares s34's flat store
+  private val s36: Q = (s, dir) => {
+    val path = ivfStorePath(dir, "flat")
+    VectorIndex.ensureIvfIndex(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), path, hierarchical = false)
+    VectorIndex.probeIvfRange(s, path, queriesDf(s, dir), col("vec_id"),
+      col("embedding"), minCosine = 0.25, massPpm = Some(150000L))
+  }
+
   // continuous ingestion for the vector tier (the d13 contract applied
   // to embeddings): build on the standing corpus (vec_id % 7 != 0),
   // append the % 7 == 0 increment against the STORED model — the
@@ -1415,6 +1442,8 @@ object PipelineQueries {
     "s32_ann_ivf_adaptive" -> s32,
     "s33_ann_ivfpq_adaptive" -> s33,
     "s34_ann_store_adaptive" -> s34,
+    "s35_ann_pqstore_residual" -> s35,
+    "s36_ann_store_range_adaptive" -> s36,
     "s15_ann_multiprobe" -> s15,
     "s7_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
@@ -2049,16 +2078,17 @@ object PipelineQueries {
   private val S33MassPpm = 150000L
   private val S33PoolPpm = 500000L
 
-  /** s33's full-adaptive IVF×PQ replay: the s31 residual-ADC tail fed by
-    * the s32 mass-adaptive probe (carrying `qv` — the residual LUT needs
-    * the query vector per probed list), pool cut scaled to each query's
-    * candidate count with a floor at one full result set.
-    * (`sqlIvfFlatCtes`' fixed-nProbe `probed` CTE rides along unused,
-    * exactly as in the s32 replay.)
+  /** The mass-adaptive probe selection as shared CTEs over
+    * [[sqlIvfFlatCtes]]' `listed`/`cents` — s32's window-cumsum rule
+    * carrying `qv` (the residual LUT needs the query vector per probed
+    * list): list sizes from `listed`, per-(query, centroid) rank with
+    * the running mass of all better-ranked lists, keep while that mass
+    * is under the budget. Shared verbatim by the s33 (PQ tail) and s36
+    * (range tail) replays; `sqlIvfFlatCtes`' fixed-nProbe `probed` CTE
+    * rides along unused, exactly as in the s32 replay.
     */
-  private val sqlS33IvfPqAdaptive =
-    s"""WITH $sqlIvfFlatCtes,
-       |sizes AS (SELECT c_id, count(*) AS n_list FROM listed GROUP BY c_id),
+  private val sqlAdaptiveProbeCtes =
+    s"""sizes AS (SELECT c_id, count(*) AS n_list FROM listed GROUP BY c_id),
        |pr3 AS (
        |  SELECT q.vec_id AS q_id, q.embedding AS qv, c.c_id,
        |    ${sqlUDot("qu.u", "c.cu")} AS cd
@@ -2072,10 +2102,37 @@ object PipelineQueries {
        |        ORDER BY p.cd DESC, p.c_id ASC
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |    FROM pr3 p LEFT JOIN sizes s ON s.c_id = p.c_id)
-       |  WHERE cum_before * 1000000 < $S33MassPpm * (SELECT count(*) FROM embeddings)),
+       |  WHERE cum_before * 1000000 < $S33MassPpm * (SELECT count(*) FROM embeddings))"""
+      .stripMargin
+
+  /** s33's full-adaptive IVF×PQ replay: the s31 residual-ADC tail fed by
+    * [[sqlAdaptiveProbeCtes]], pool cut scaled to each query's candidate
+    * count with a floor at one full result set. Also s35's: the
+    * residual-PQ STORE probed with both adaptive knobs is this same
+    * computation served from persisted artifacts (spec-pinned
+    * bit-identity), so the two keys share every byte of the replay.
+    */
+  private val sqlS33IvfPqAdaptive =
+    s"""WITH $sqlIvfFlatCtes,
+       |$sqlAdaptiveProbeCtes,
        |${sqlPqResidualTailFrom("probeda3",
            s"ern <= 10 OR ern * 1000000 <= $S33PoolPpm * cand_n")}"""
       .stripMargin
+
+  /** s36's adaptive RANGE replay: the budget-selected lists feed the s30
+    * threshold tail (no rank window — membership on the integer
+    * unit-grid dot, 0.25 → 2³⁸).
+    */
+  private val sqlS36RangeAdaptive =
+    s"""WITH $sqlIvfFlatCtes,
+       |$sqlAdaptiveProbeCtes
+       |SELECT p.q_id, l.vec_id,
+       |  ${sqlUDot("pu.u", "lu.u")} AS cos_ud
+       |FROM listed l JOIN probeda3 p ON l.c_id = p.c_id
+       |JOIN ue lu ON lu.vec_id = l.vec_id
+       |JOIN ue pu ON pu.vec_id = p.q_id
+       |WHERE p.q_id <> l.vec_id
+       |  AND ${sqlUDot("pu.u", "lu.u")} >= 274877906944""".stripMargin
 
   /** s32's mass-adaptive probe replay: list sizes from `listed`, per
     * (query, centroid) rank with the running mass of all BETTER-ranked
@@ -3400,6 +3457,10 @@ object PipelineQueries {
     // the store-served adaptive probe replays the in-flight tier's rule
     // over the same flat geometry — result ≡ s32 by construction
     "s34_ann_store_adaptive" -> sqlS32IvfAdaptive,
+    // the residual-PQ store probed with both adaptive knobs ≡ s33 by
+    // construction (same codebook derivation, LUT space, pool rule)
+    "s35_ann_pqstore_residual" -> sqlS33IvfPqAdaptive,
+    "s36_ann_store_range_adaptive" -> sqlS36RangeAdaptive,
     // PQ replay: codebook slices + vectors on the micros grid (one
     // rounded entry op per component), per-(vector, subspace, code)
     // squared-L2 as EXACT BIGINT folds (order-independent), argmin

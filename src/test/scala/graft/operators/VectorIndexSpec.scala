@@ -199,6 +199,86 @@ class VectorIndexSpec extends AnyFunSuite {
       s"sizes/ must cover build + increment: $beforeN -> $afterN")
   }
 
+  test("residual PQ store probed with both adaptive knobs ≡ in-flight ivfPqTopK (the s35/s33 shared-oracle identity)") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfpqres")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false, pq = true, pqResidual = true)
+    val stored = VectorIndex.probeIvfPqIndex(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10,
+      massPpm = Some(150000L), poolPpm = Some(500000L))
+    val inflight = Similarity.ivfPqTopK(emb, queries, col("vec_id"),
+      col("embedding"), k = 10, centroidStride = 50, residual = true,
+      massPpm = Some(150000L), poolPpm = Some(500000L))
+    assert(ranking(stored) == ranking(inflight) && ranking(stored).nonEmpty)
+  }
+
+  test("ensure distinguishes residual from raw PQ stores: a raw store is rebuilt, not silently served") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfpqmode")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false, pq = true)
+    assert(VectorIndex.isServable(spark, path, pqResidual = Some(false)))
+    assert(!VectorIndex.isServable(spark, path, pqResidual = Some(true)),
+      "a raw-codes store must not satisfy a residual-encoding requirement")
+    // plain (encoding-agnostic) callers keep being served
+    assert(VectorIndex.isServable(spark, path))
+    VectorIndex.ensureIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false, pq = true, pqResidual = true)
+    assert(VectorIndex.isServable(spark, path, pqResidual = Some(true)),
+      "ensure must have rebuilt the store in residual space")
+  }
+
+  test("residual PQ append: increment encoded in residual space with the stored codebook; sizes refresh") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfpqresapp")
+    // build slice keeps every stride-picked codebook id (0,16,…,240),
+    // same carve as the raw-PQ maintenance spec
+    VectorIndex.writeIvfIndex(
+      emb.filter(col("vec_id") < 250 || col("vec_id") >= 300),
+      col("vec_id"), col("embedding"), path,
+      hierarchical = false, pq = true, pqResidual = true)
+    VectorIndex.appendToIvfIndex(
+      emb.filter(col("vec_id") >= 250 && col("vec_id") < 300),
+      col("vec_id"), col("embedding"), path)
+    val n = VectorIndex.listSizes(spark, path)
+      .agg(sum(col("n_list"))).as[Long].collect().head
+    assert(n == emb.count(), s"sizes must cover build + increment, got $n")
+    // the probe decodes appended codes with the SAME stored residual
+    // codebook — every query still gets a dense rank prefix
+    val got = VectorIndex.probeIvfPqIndex(spark, path, queries,
+        col("vec_id"), col("embedding"), k = 10,
+        massPpm = Some(150000L), poolPpm = Some(500000L))
+      .select("q_id", "rn").as[(Long, Long)].collect()
+    assert(got.map(_._1).toSet == queries.select("vec_id")
+      .as[Long].collect().toSet)
+    got.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.size).toSeq))
+  }
+
+  test("adaptive range probe: full mass budget ≡ the all-lists fixed probe; tiny budget is a subset") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfrangeadapt")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false)
+    def rows(df: DataFrame) = df.select("q_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val nLists = new java.io.File(s"$path/lists").listFiles()
+      .count(_.getName.startsWith("c_id="))
+    val full = rows(VectorIndex.probeIvfRange(spark, path, queries,
+      col("vec_id"), col("embedding"), minCosine = 0.25,
+      massPpm = Some(1000000L)))
+    val allFixed = rows(VectorIndex.probeIvfRange(spark, path, queries,
+      col("vec_id"), col("embedding"), minCosine = 0.25, nProbe = nLists))
+    assert(full == allFixed && full.nonEmpty,
+      "full-budget adaptive range must equal the every-list fixed probe")
+    val tiny = rows(VectorIndex.probeIvfRange(spark, path, queries,
+      col("vec_id"), col("embedding"), minCosine = 0.25,
+      massPpm = Some(1L)))
+    assert(tiny.subsetOf(full),
+      "a smaller budget may only shrink the result set")
+  }
+
   test("append assigns the increment with the STORED model and probes see the union") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val path = tmpStore("ivfappend")

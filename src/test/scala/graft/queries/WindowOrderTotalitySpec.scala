@@ -82,7 +82,9 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
     // ((cos_ud desc, vec_id asc)). r18 adds three: the pqTopK/ivfPqTopK
     // adaptive-pool cand_n counts (whole-q_id-partition count —
     // ORDER-INSENSITIVE) and probeIvfIndexAdaptive's rescore rank
-    // ((cos_ud desc, vec_id asc) — UNIQUE via vec_id)
+    // ((cos_ud desc, vec_id asc) — UNIQUE via vec_id), plus
+    // probeIvfPqIndex's adaptive-pool cand_n count (whole-q_id-partition
+    // count — ORDER-INSENSITIVE, same class as the in-flight pair)
     ("embeddings", Seq("vec_id"), "Similarity/VectorIndex rank tiebreaks"),
     ("customer", Seq("c_custkey"), "fuzzy-join id tiebreaks"),
     ("part", Seq("p_partkey"), "join/agg determinism"),
@@ -157,7 +159,7 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
       "operators/Search.scala" -> 3,
       "operators/Similarity.scala" -> 24,
       "operators/SkewAgg.scala" -> 1,
-      "operators/VectorIndex.scala" -> 4,
+      "operators/VectorIndex.scala" -> 5,
       "queries/AnalyticsQueries.scala" -> 9,
       "queries/PipelineQueries.scala" -> 9)
     val root = new java.io.File("src/main/scala/graft")
