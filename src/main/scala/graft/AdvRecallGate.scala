@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   *    the corpus generator regressed, not the index);
   *  - `s32_adaptive_mass15`: the mass-budget tier — must stay ≈ 1e6;
   *  - `s33_adaptive_pool`: residual IVF×PQ with the budgeted probe AND
-  *    the candidate-scaled pool (the §17a config) — must stay ≥ 0.9e6.
+  *    the candidate-scaled pool (the §17a config) — must stay ≥ 0.9e6;
+  *  - `s19_fixed_sprobe2` (r18): hierarchical IVF at the pinned fixed
+  *    knobs — the same §16c failure one level up, kept as contrast;
+  *  - `s37_hier_adaptive` (r18): the two-level mass budget — must stay
+  *    in family with s32 (the super gate guarantees the leaf budget is
+  *    satisfiable, so its recall floor is the flat tier's).
   *
   * Usage: runMain graft.AdvRecallGate [sfDir] [outPath]
   */
@@ -59,13 +64,23 @@ object AdvRecallGate {
       id, v, k = 10, centroidStride = 50, numSubspaces = 8, numCodes = 16,
       codeStride = 16, residual = true, massPpm = Some(150000L),
       poolPpm = Some(500000L))))
+    val (s19, w19) = timed(meanRecall(Similarity.ivfTopKHierarchical(emb,
+      queries, id, v, k = 10, centroidStride = 50, nProbe = 2,
+      superStride = 16, sProbe = 2)))
+    val (s37, w37) = timed(meanRecall(Similarity.ivfTopKHierarchicalAdaptive(
+      emb, queries, id, v, k = 10, centroidStride = 50, superStride = 16,
+      sProbe = 2, massPpm = 150000L)))
     println(f"s3 fixed nProbe=2: $s3 ppm ($w3%.1f s)  " +
       f"s32 adaptive 15%%: $s32 ppm ($w32%.1f s)  " +
-      f"s33 adaptive pool: $s33 ppm ($w33%.1f s)")
+      f"s33 adaptive pool: $s33 ppm ($w33%.1f s)  " +
+      f"s19 fixed hier: $s19 ppm ($w19%.1f s)  " +
+      f"s37 hier adaptive: $s37 ppm ($w37%.1f s)")
     val json = s"""{"sf":"$sfDir","k":10,"n_queries":5,""" +
       s""""s3_fixed_nprobe2":{"recall_ppm":$s3,"wall_s":$w3},""" +
       s""""s32_adaptive_mass15":{"recall_ppm":$s32,"wall_s":$w32},""" +
-      s""""s33_adaptive_pool":{"recall_ppm":$s33,"wall_s":$w33}}"""
+      s""""s33_adaptive_pool":{"recall_ppm":$s33,"wall_s":$w33},""" +
+      s""""s19_fixed_sprobe2":{"recall_ppm":$s19,"wall_s":$w19},""" +
+      s""""s37_hier_adaptive":{"recall_ppm":$s37,"wall_s":$w37}}"""
     val w = new java.io.PrintWriter(outPath, "UTF-8")
     try w.println(json) finally w.close()
     println(s"wrote $outPath")

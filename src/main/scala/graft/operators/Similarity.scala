@@ -1239,6 +1239,98 @@ object Similarity {
       .select(col("c_id"), col("q_id"), col("qv"), col("_qu"))
   }
 
+  /** [[ivfTopKHierarchical]] with MASS-ADAPTIVE probing at BOTH levels —
+    * the last fixed-knob probe surface after r17/r18 closed the flat
+    * (`ivfTopKAdaptive`), PQ-pool (`poolPpm`), and store tiers. The hier
+    * tier's fixed `sProbe`/`nProbe` carry the same §16c failure one
+    * level up: on a Zipf-clustered corpus a heavy cluster's mass spans
+    * several SUPER-lists, so a fixed sProbe=2 silently caps the leaf
+    * lists a query can even see, and no leaf-level budget can recover
+    * candidates its super filter already dropped.
+    *
+    * The fix is [[massProbed]]'s all-integer gate applied twice with ONE
+    * budget:
+    *  1. supers probed in super-dot order while the PRECEDING super mass
+    *     (leaf list sizes rolled up through the [[hierC2s]] filing) is
+    *     under `massPpm` of the corpus — so the probed supers always
+    *     hold ≥ the budget's mass (or the whole corpus);
+    *  2. the probed supers' leaf centroids, dot-ranked ACROSS their
+    *     union per query, kept while the preceding LEAF mass is under
+    *     the same budget — guaranteed satisfiable by (1), so the leaf
+    *     stage never starves the way a fixed super cap can.
+    * Rank 1 survives at both levels (preceding mass 0), so every query
+    * gets ≥ 1 list — the same no-row-loss guarantee as the fixed tier.
+    *
+    * Cost shape: queries × (k/superStride) super dots + queries ×
+    * (probed-super centroids) leaf dots — the hier assignment saving is
+    * kept; only the CUT moved from rank to mass. The stored side is
+    * [[ivfAssignHierarchical]] at the build geometry (`sProbe`),
+    * unchanged — this is a query-time knob, index-compatible with s19's
+    * lists. All-integer decisions, oracle-replayable (s37).
+    */
+  def ivfTopKHierarchicalAdaptive(
+      base: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 10,
+      centroidStride: Int = 50,
+      maxCentroids: Int = 256,
+      superStride: Int = 16,
+      sProbe: Int = 2,
+      massPpm: Long = 150000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(massPpm > 0 && massPpm <= 1000000L,
+      s"massPpm out of (0, 1e6]: $massPpm")
+    val b = base.select(id.as("vec_id"), vec.as("v"))
+    val cents = ivfCentroids(b, centroidStride, maxCentroids)
+    val supers = hierSupers(cents, superStride)
+    val c2s = hierC2s(cents, supers)
+    val listed = ivfAssignHierarchical(base, id, vec, cents, superStride, sProbe)
+      .withColumn("_vu", unitMicros(col("v")))
+    val sizes = listed.groupBy("c_id").agg(count(lit(1)).as("n_list"))
+    val n = b.count()
+    // super masses: every centroid files under exactly one super, so the
+    // rollup partitions the leaf masses (Σ n_super = N); left join keeps
+    // a super whose every leaf list is empty at mass 0, not dropped
+    val superSizes = c2s.select(col("s_id"), col("c_id"))
+      .join(sizes, Seq("c_id"), "left")
+      .groupBy("s_id")
+      .agg(sum(coalesce(col("n_list"), lit(0L))).as("n_list"))
+    // LEVEL 1: the flat gate verbatim, over the supers (rename to the
+    // (c_id, cv)/(c_id, n_list) shapes massProbed contracts on)
+    val qsup = massProbed(
+      queries.select(id.as("q_id"), vec.as("qv")),
+      supers.select(col("s_id").as("c_id"), col("sv").as("cv")),
+      superSizes.select(col("s_id").as("c_id"), col("n_list")),
+      n, massPpm)
+      .select(col("c_id").as("s_id"), col("q_id"), col("_qu"))
+    // LEVEL 2: the probed supers' centroids compete in ONE dot-ranked
+    // window per query (not per super — a heavy super's 3rd-best leaf
+    // must outrank a light super's 1st when the dots say so)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_dot").desc, col("c_id").asc)
+    val probed = qsup
+      .join(broadcast(c2s.select(col("s_id"), col("c_id"), col("cv"))
+        .withColumn("_cu", unitMicros(col("cv")))), Seq("s_id"))
+      .select(col("q_id"), col("_qu"), col("c_id"),
+        dotNative(col("_qu"), col("_cu")).as("c_dot"))
+      .join(broadcast(sizes), Seq("c_id"), "left")
+      .withColumn("_m", coalesce(col("n_list"), lit(0L)))
+      .withColumn("cum_before", coalesce(sum(col("_m")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") * 1000000L < lit(massPpm) * n)
+      .select(col("c_id"), col("q_id"), col("_qu"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
+    listed.join(probed, Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        unitDot(col("_qu"), col("_vu")).as("cos_ud"))
+      .withColumn("rn", row_number().over(wCos).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   def ivfTopK(
       base: DataFrame,
       queries: DataFrame,

@@ -818,6 +818,21 @@ object PipelineQueries {
       numSubspaces = 8, numCodes = 16, codeStride = 16, residual = true,
       massPpm = Some(S33MassPpm), poolPpm = Some(S33PoolPpm))
 
+  // s19 with MASS-ADAPTIVE probing at both levels — one budget, two
+  // applications of s32's gate: supers probed while the preceding
+  // rolled-up super mass is under 15% of the corpus (so the probed
+  // supers always hold ≥ the budget's mass), then their leaf centroids
+  // dot-ranked ACROSS the probed union with the same cut. The fixed
+  // sProbe/nProbe pair is §16c's failure one level up — a heavy
+  // cluster's mass spans several SUPER lists, so a fixed sProbe caps
+  // what the leaf stage can even see. Query-time knob only: the stored
+  // lists are s19's (index-compatible).
+  private val s37: Q = (s, dir) =>
+    Similarity.ivfTopKHierarchicalAdaptive(t(s, dir, "embeddings"),
+      queriesDf(s, dir), col("vec_id"), col("embedding"), k = 10,
+      centroidStride = 50, superStride = 16, sProbe = 2,
+      massPpm = S33MassPpm)
+
   // s14 with the same two-level assignment on both sides — the PQ
   // encode/ADC/pool-rescore tail is untouched
   private val s20: Q = (s, dir) =>
@@ -1444,6 +1459,7 @@ object PipelineQueries {
     "s34_ann_store_adaptive" -> s34,
     "s35_ann_pqstore_residual" -> s35,
     "s36_ann_store_range_adaptive" -> s36,
+    "s37_ann_ivf_hier_adaptive" -> s37,
     "s15_ann_multiprobe" -> s15,
     "s7_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
@@ -2281,6 +2297,53 @@ object PipelineQueries {
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
   private val sqlS19HierIvf = s"WITH $sqlHierIvfCtes\n$sqlIvfRescoreTail"
+
+  /** s37's two-level mass-adaptive replay over [[sqlHierIvfCtes]]: leaf
+    * sizes from `listed`, rolled up through `c2s` to super masses
+    * (every centroid files under exactly one super, so the rollup
+    * partitions the corpus); the super gate then the leaf gate are the
+    * SAME window-cumsum rule as s32's, the leaf window ranking the
+    * probed supers' centroids in ONE per-query order. Exact rescore
+    * tail on the surviving lists. (`sqlHierIvfCtes`' fixed-probe
+    * `probed` CTE rides along unused, as in s32.)
+    */
+  private val sqlS37HierIvfAdaptive =
+    s"""WITH $sqlHierIvfCtes,
+       |sizes AS (SELECT c_id, count(*) AS n_list FROM listed GROUP BY c_id),
+       |ssizes AS (
+       |  SELECT c.s_id, SUM(COALESCE(s.n_list, 0)) AS n_super
+       |  FROM c2s c LEFT JOIN sizes s ON s.c_id = c.c_id GROUP BY c.s_id),
+       |hq AS (
+       |  SELECT q.vec_id AS q_id, qu.u AS qu, s.s_id,
+       |    ${sqlUDot("qu.u", "s.su")} AS sd
+       |  FROM embeddings q JOIN ue qu ON qu.vec_id = q.vec_id
+       |  CROSS JOIN supers s WHERE q.vec_id < 5),
+       |hqs AS (
+       |  SELECT q_id, qu, s_id FROM (
+       |    SELECT h.q_id, h.qu, h.s_id,
+       |      COALESCE(SUM(COALESCE(ss.n_super, 0)) OVER (PARTITION BY h.q_id
+       |        ORDER BY h.sd DESC, h.s_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    FROM hq h LEFT JOIN ssizes ss ON ss.s_id = h.s_id)
+       |  WHERE cum_before * 1000000 < $S33MassPpm * (SELECT count(*) FROM embeddings)),
+       |hprobed AS (
+       |  SELECT q_id, qu, c_id FROM (
+       |    SELECT h.q_id, h.qu, c.c_id,
+       |      COALESCE(SUM(COALESCE(s.n_list, 0)) OVER (PARTITION BY h.q_id
+       |        ORDER BY ${sqlUDot("h.qu", "c.cu")} DESC, c.c_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    FROM hqs h JOIN c2s c ON c.s_id = h.s_id
+       |    LEFT JOIN sizes s ON s.c_id = c.c_id)
+       |  WHERE cum_before * 1000000 < $S33MassPpm * (SELECT count(*) FROM embeddings))
+       |SELECT q_id, vec_id, cos_ud, rn FROM (
+       |  SELECT p.q_id, l.vec_id,
+       |    ${sqlUDot("p.qu", "lu.u")} AS cos_ud,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY ${sqlUDot("p.qu", "lu.u")} DESC, l.vec_id ASC) AS rn
+       |  FROM listed l JOIN hprobed p ON l.c_id = p.c_id
+       |  JOIN ue lu ON lu.vec_id = l.vec_id
+       |  WHERE l.vec_id <> p.q_id)
+       |WHERE rn <= 10""".stripMargin
 
   /** s20's hierarchical-IVF×PQ replay — also the candidate side of s22.
     * Identical PQ tail as s14 by construction (shared constant). */
@@ -3461,6 +3524,7 @@ object PipelineQueries {
     // construction (same codebook derivation, LUT space, pool rule)
     "s35_ann_pqstore_residual" -> sqlS33IvfPqAdaptive,
     "s36_ann_store_range_adaptive" -> sqlS36RangeAdaptive,
+    "s37_ann_ivf_hier_adaptive" -> sqlS37HierIvfAdaptive,
     // PQ replay: codebook slices + vectors on the micros grid (one
     // rounded entry op per component), per-(vector, subspace, code)
     // squared-L2 as EXACT BIGINT folds (order-independent), argmin

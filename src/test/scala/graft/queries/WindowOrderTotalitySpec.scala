@@ -84,7 +84,13 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
     // ORDER-INSENSITIVE) and probeIvfIndexAdaptive's rescore rank
     // ((cos_ud desc, vec_id asc) — UNIQUE via vec_id), plus
     // probeIvfPqIndex's adaptive-pool cand_n count (whole-q_id-partition
-    // count — ORDER-INSENSITIVE, same class as the in-flight pair)
+    // count — ORDER-INSENSITIVE, same class as the in-flight pair).
+    // r18 s37 (ivfTopKHierarchicalAdaptive) adds two, both UNIQUE: the
+    // leaf-level probe-mass cumsum (per-query partition ordered by
+    // (c_dot desc, c_id asc) — each probed super's centroids appear once
+    // per query, so c_id is a singleton tiebreak; the super-level gate
+    // reuses massProbed's already-classified window) and its rescore
+    // rank ((cos_ud desc, vec_id asc)).
     ("embeddings", Seq("vec_id"), "Similarity/VectorIndex rank tiebreaks"),
     ("customer", Seq("c_custkey"), "fuzzy-join id tiebreaks"),
     ("part", Seq("p_partkey"), "join/agg determinism"),
@@ -157,7 +163,7 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
       "operators/Dedup.scala" -> 8,
       "operators/Layout.scala" -> 3,
       "operators/Search.scala" -> 3,
-      "operators/Similarity.scala" -> 24,
+      "operators/Similarity.scala" -> 26,
       "operators/SkewAgg.scala" -> 1,
       "operators/VectorIndex.scala" -> 5,
       "queries/AnalyticsQueries.scala" -> 9,
