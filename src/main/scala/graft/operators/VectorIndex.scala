@@ -295,15 +295,21 @@ object VectorIndex {
     * `≤ lists × filesPerList` right-sized files; writer parallelism =
     * `lists × filesPerList` tasks.
     *
-    * The DEFAULT (`filesPerList = 0`) AUTO-SIZES from the data: per-list
-    * bytes ≈ input size (Catalyst's file-index estimate) / list count,
-    * routed to `ceil(listBytes / targetFileBytes)` splits — so a file ≈
-    * one HDFS block / row-group at ANY corpus size. A fixed 1 was the
-    * 100 TB failure mode in the other direction from drizzle: ~400 GB
-    * single files per list and writer parallelism collapsed to ≤ `lists`
-    * tasks. Sources without a real size estimate (estimate ≥ the
-    * session's `defaultSizeInBytes` sentinel) fall back to 1, and the
-    * result is clamped to [1, 4096] (4096 ≈ a 512 GB list at the 128 MB
+    * The DEFAULT (`filesPerList = 0`) AUTO-SIZES from the data, PER
+    * LIST (r18): each list routes to `ceil(itsBytes / targetFileBytes)`
+    * splits, with per-list bytes estimated from a deterministic
+    * 1/[[RouteSampleStride]] hash slice of the assignment scaled by the
+    * input size (Catalyst's file-index estimate) — so a file ≈ one HDFS
+    * block / row-group at ANY corpus size AND any skew. The r17 rule
+    * divided the input by the GLOBAL list count, which on a Zipf-mass
+    * corpus (§15a: heaviest cluster 24% of rows) sized the heavy list's
+    * files at `0.24 × lists ×` the target and made its one writer task
+    * the build's straggler. A fixed 1 was the 100 TB failure mode in
+    * the other direction from drizzle: ~400 GB single files per list
+    * and writer parallelism collapsed to ≤ `lists` tasks. Sources
+    * without a real size estimate (estimate ≥ the session's
+    * `defaultSizeInBytes` sentinel) fall back to 1, and per-list counts
+    * are clamped to [1, 4096] (4096 ≈ a 512 GB list at the 128 MB
     * default target — past that, raise `targetFileBytes` deliberately).
     */
   def writeIvfIndex(
@@ -357,9 +363,6 @@ object VectorIndex {
     // one config-sized count job, and only when a split could happen
     // (explicit filesPerList = 1 never forces it)
     lazy val nLists = cents.count()
-    val fpl =
-      if (filesPerList > 0) filesPerList
-      else autoFilesPerList(base, nLists, targetFileBytes)
     val listed =
       if (hierarchical)
         Similarity.ivfAssignHierarchical(base, id, vec, cents, superStride, sProbe)
@@ -399,7 +402,15 @@ object VectorIndex {
         else listed.withColumn("codes", enc(col("v")))
       }
     val stored = if (payload.isEmpty) rows else rows.join(pay, Seq("vec_id"))
-    routeToLists(stored, fpl, if (fpl > 1) nLists else 1L)
+    val routed =
+      if (filesPerList > 0)
+        routeToLists(stored, filesPerList,
+          if (filesPerList > 1) nLists else 1L)
+      else autoListFileCounts(base, listed, targetFileBytes) match {
+        case Some(m) => routeToListsWeighted(stored, m, nLists)
+        case None => routeToLists(stored, 1, 1L)
+      }
+    routed
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/lists")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeSizes(spark, path)
@@ -422,25 +433,53 @@ object VectorIndex {
       .agg(count(lit(1)).as("n_list"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/sizes")
 
-  /** filesPerList derived from DATA (see [[writeIvfIndex]]'s scaladoc):
-    * `ceil((inputBytes / lists) / targetFileBytes)`, where `inputBytes`
-    * is Catalyst's plan-stats estimate — for file sources this is the
-    * FileIndex's real byte count (metadata, no data pass). An estimate at
-    * or above the session's `defaultSizeInBytes` sentinel means the
-    * source has no real size (in-memory test frames) → fall back to 1
-    * file per list rather than trusting an 8 EB placeholder. Clamped to
-    * [1, 4096].
+  /** 1-in-N deterministic hash slice for the auto route's per-list mass
+    * estimate — the cost knob: the estimating pass assigns only
+    * `corpus / RouteSampleStride` rows (the filter on `xxhash64(vec_id)`
+    * pushes through the assignment's windows — they partition on
+    * `vec_id` — down to the scan).
     */
-  private def autoFilesPerList(
-      base: DataFrame, nLists: Long, targetFileBytes: Long): Int = {
+  private val RouteSampleStride = 64L
+
+  /** PER-LIST file counts for the auto route (r18): the r17 global-mean
+    * rule (`ceil((inputBytes / lists) / targetFileBytes)`, one count for
+    * every list) sized files for the UNIFORM corpus — on a Zipf-mass
+    * corpus (§15a: heaviest cluster 24% of rows) the heavy list's share
+    * divided by the global count gave files at `0.24 × lists ×` the
+    * target, and the single task writing each of them was the build's
+    * straggler. Here each list gets `ceil(listBytes / targetFileBytes)`
+    * files with `listBytes` estimated as `inputBytes × (sampled list
+    * rows / sampled total)` from a deterministic
+    * 1/[[RouteSampleStride]] hash slice of the SAME assignment that
+    * files the rows — never a second full assignment pass. Lists absent
+    * from the sample route to 1 file (the floor); estimates are a
+    * LAYOUT knob only — row content and probe results are invariant to
+    * which file a row lands in.
+    *
+    * `None` when the plan-stats estimate is the session's
+    * `defaultSizeInBytes` sentinel (in-memory test frames with no real
+    * size) — callers fall back to the 1-file route rather than trusting
+    * an 8 EB placeholder. Per-list counts clamped to [1, 4096].
+    */
+  private def autoListFileCounts(
+      base: DataFrame, listed: DataFrame,
+      targetFileBytes: Long): Option[Map[Long, Int]] = {
     val stats = base.queryExecution.optimizedPlan.stats.sizeInBytes
     val unknown = BigInt(
       base.sparkSession.sessionState.conf.defaultSizeInBytes)
-    if (stats >= unknown || stats <= 0) 1
+    if (stats >= unknown || stats <= 0) None
     else {
-      val perList = stats / BigInt(math.max(nLists, 1L))
-      val files = (perList + targetFileBytes - 1) / targetFileBytes
-      files.max(1).min(4096).toInt
+      val sampled = listed
+        .filter(pmod(xxhash64(col("vec_id")), lit(RouteSampleStride)) === 0)
+        .groupBy(col("c_id").cast("long").as("c_id"))
+        .agg(count(lit(1)).as("_n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val total = math.max(sampled.map(_._2).sum, 1L)
+      Some(sampled.map { case (cid, nSampled) =>
+        val bytes = stats * nSampled / total
+        val files = (bytes + targetFileBytes - 1) / targetFileBytes
+        cid -> files.max(1).min(4096).toInt
+      }.toMap)
     }
   }
 
@@ -468,6 +507,34 @@ object VectorIndex {
       val parts = math.min(math.max(nLists, 1L) * filesPerList, 65536L).toInt
       rows.withColumn(BuildRouteCol,
           pmod(xxhash64(col("vec_id")), lit(filesPerList.toLong)))
+        .repartition(parts, col("c_id"), col(BuildRouteCol))
+        .drop(BuildRouteCol)
+    }
+
+  /** [[routeToLists]] with a PER-LIST split width (the auto route's
+    * mass-proportional counts from [[autoListFileCounts]]): each row's
+    * sub-split is `xxhash64(vec_id) % files(c_id)`, so a Zipf-heavy
+    * list fans across `ceil(itsBytes / target)` writer tasks while
+    * light lists stay at one file — the build's wall stops being bound
+    * by the single task that used to serialize the heaviest list, and
+    * no file is sized by a GLOBAL mean the skew makes fictional. Lists
+    * missing from the (sampled) map default to 1. The partition count
+    * is pinned (Σ files + one slack slot per list for the defaults) for
+    * the same AQE-coalescing reason as [[routeToLists]]; all-1 maps
+    * collapse to the plain `c_id` exchange.
+    */
+  private def routeToListsWeighted(
+      rows: DataFrame, listFiles: Map[Long, Int], nLists: Long): DataFrame =
+    if (listFiles.values.forall(_ <= 1)) rows.repartition(col("c_id"))
+    else {
+      val parts = math.min(
+        listFiles.values.map(_.toLong).sum + math.max(nLists, 1L),
+        65536L).toInt
+      val filesOf = typedLit(listFiles)
+      rows.withColumn(BuildRouteCol,
+          pmod(xxhash64(col("vec_id")),
+            coalesce(element_at(filesOf, col("c_id").cast("long")), lit(1))
+              .cast("long")))
         .repartition(parts, col("c_id"), col(BuildRouteCol))
         .drop(BuildRouteCol)
     }
@@ -572,17 +639,25 @@ object VectorIndex {
       s"filesPerList must be positive (or 0 = auto), got $filesPerList")
     require(targetFileBytes > 0,
       s"targetFileBytes must be positive, got $targetFileBytes")
-    // same routing as the build: an append adds ≤ filesPerList files per
+    // same routing as the build: an append adds a bounded file count per
     // TOUCHED list per batch (not one per upstream task per list), which
     // is what keeps compaction an occasional maintenance job instead of
-    // a per-batch necessity. Auto-sizing uses the INCREMENT's bytes over
-    // the STORE's list count: a small batch routes to 1 file per touched
-    // list, a bulk backfill gets block-sized files like a build would.
+    // a per-batch necessity. Auto-sizing uses the INCREMENT's bytes and
+    // the increment's own (sampled) per-list masses: a small batch
+    // routes to 1 file per touched list, a bulk backfill gets
+    // block-sized files like a build would — including on a skewed
+    // increment, where the heavy list fans out instead of writing one
+    // oversized straggler file.
     lazy val nLists = cents.count()
-    val fpl =
-      if (filesPerList > 0) filesPerList
-      else autoFilesPerList(increment, nLists, targetFileBytes)
-    routeToLists(stored, fpl, if (fpl > 1) nLists else 1L)
+    val routed =
+      if (filesPerList > 0)
+        routeToLists(stored, filesPerList,
+          if (filesPerList > 1) nLists else 1L)
+      else autoListFileCounts(increment, listed, targetFileBytes) match {
+        case Some(m) => routeToListsWeighted(stored, m, nLists)
+        case None => routeToLists(stored, 1, 1L)
+      }
+    routed
       .write.mode("append").partitionBy("c_id").parquet(s"$path/lists")
     // refresh the persisted list lengths AFTER the rows land (order
     // matters: a crash between the two leaves sizes/ stale — the mass
@@ -877,12 +952,19 @@ object VectorIndex {
     * drizzle-sized files and probe IO pays per-file open cost instead of
     * row-group scans. Planning is [[Layout.compactionPlan]] over
     * [[listManifest]] (group = list, next-fit by byte offset into
-    * `targetBytes` bins); only lists where merging wins (some bin holds
-    * more than one file) are rewritten, through a partition-pruned read
-    * and a DYNAMIC partition overwrite — untouched lists are never read
-    * or rewritten. Rows are routed to `bins(c_id)` output files via a
-    * deterministic `xxhash64(vec_id) % bins` split, so a compacted list
-    * lands in row-group-friendly blocks of ≈`targetBytes`.
+    * `targetBytes` bins); only lists where a rewrite wins are touched,
+    * through a partition-pruned read and a DYNAMIC partition overwrite —
+    * untouched lists are never read or rewritten. A rewrite wins in
+    * EITHER direction (r18): some bin holds more than one file (drizzle
+    * — the merge case), or some single file exceeds `2 × targetBytes`
+    * (oversized — the SPLIT case, which drizzle-only compaction could
+    * never fix: a Zipf-heavy list written before the mass-proportional
+    * build route, or one whose mass outgrew its estimate across appends,
+    * is one file in one bin and so never "needy" under the merge rule).
+    * Rows are routed to `max(bins, ceil(listBytes / targetBytes))`
+    * output files via a deterministic `xxhash64(vec_id) % files` split,
+    * so a compacted list lands in row-group-friendly blocks of
+    * ≈`targetBytes` whichever direction it came from.
     *
     * Probe results are bit-identical before and after (the store's ROWS
     * are untouched — spec-pinned, and `s28`'s standing oracle replays the
@@ -903,11 +985,21 @@ object VectorIndex {
     val plan = Layout.compactionPlan(manifest, col("c_id"), col("file_id"),
       col("bytes"), targetBytes)
       .withColumnRenamed("group", "c_id")
-    // lists where some bin holds >1 file — the only ones worth rewriting
+    // lists worth rewriting, in either direction: drizzle (some bin
+    // holds >1 file — merge) or an oversized single file (> 2× target —
+    // split; within 2× is row-group tolerance, not worth a rewrite).
+    // The rewrite width right-sizes both: at least the plan's bins, at
+    // least the list's ideal ceil(bytes/target), clamped like the build
     val needy = plan.groupBy(col("c_id"))
-      .agg(max(col("bin_files")).as("max_files"), countDistinct(col("bin")).as("bins"))
-      .filter(col("max_files") > 1)
-      .select(col("c_id").cast("long"), col("bins").cast("int"))
+      .agg(max(col("bin_files")).as("max_files"),
+        countDistinct(col("bin")).as("bins"),
+        max(col("bytes")).as("max_bytes"),
+        sum(col("bytes")).as("list_bytes"))
+      .filter(col("max_files") > 1 || col("max_bytes") > lit(2L * targetBytes))
+      .select(col("c_id").cast("long"),
+        least(greatest(col("bins"),
+          expr(s"(list_bytes + ${targetBytes - 1}) div $targetBytes")),
+          lit(4096L)).cast("int").as("bins"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     if (needy.nonEmpty) {
       val ids = needy.keys.toArray.sorted

@@ -517,6 +517,92 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(filesPerDir(loose).values.max <= 1)
   }
 
+  test("auto route is mass-proportional on a skewed corpus: heavy list fans out, probes invariant") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    // a Zipf-shaped corpus on disk (real plan stats): 70% of rows carry
+    // vector 7's values (one heavy list), the rest keep their own — ids
+    // stay unique so routing and probes are well-defined
+    val heavyVec = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).as[Array[Float]].head()
+    val skewDir = tmpStore("skewcorpus").stripSuffix("/store")
+    // spare vec_id % 10 == 0: the stride-picked centroids (% 50 == 0)
+    // keep their own vectors, so the corpus still yields distinct lists
+    emb.select(col("vec_id"),
+        when(col("vec_id") % 10 >= 3, typedLit(heavyVec))
+          .otherwise(col("embedding")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$skewDir/embeddings.parquet")
+    val skew = spark.read.parquet(s"$skewDir/embeddings.parquet")
+    def filesPerDir(path: String): Map[Long, Int] =
+      new java.io.File(s"$path/lists").listFiles().toSeq
+        .filter(_.getName.startsWith("c_id="))
+        .map(d => d.getName.stripPrefix("c_id=").toLong -> d.listFiles()
+          .count(f => f.getName.endsWith(".parquet"))).toMap
+    // auto route at a tight byte target: the heavy list must get MORE
+    // files than the light ones — the global-mean rule gave every list
+    // the same count, sizing the heavy list's files at ~heavyShare ×
+    // lists × target
+    val path = tmpStore("ivfskew")
+    VectorIndex.writeIvfIndex(skew.repartition(16), col("vec_id"),
+      col("embedding"), path, hierarchical = false, targetFileBytes = 1024L)
+    val counts = filesPerDir(path)
+    val heavyList = spark.read.parquet(s"$path/lists")
+      .groupBy(col("c_id").cast("long")).count()
+      .orderBy(col("count").desc).as[(Long, Long)].head()._1
+    assert(counts(heavyList) > 1,
+      s"heavy list should split at a 1 KB target: $counts")
+    assert(counts(heavyList) == counts.values.max &&
+      counts.values.min < counts(heavyList),
+      s"file counts should track list mass: $counts (heavy=$heavyList)")
+    // layout is invisible to results: probe ≡ the same store built with
+    // the single-file route
+    val ref = tmpStore("ivfskewref")
+    VectorIndex.writeIvfIndex(skew, col("vec_id"), col("embedding"), ref,
+      hierarchical = false, filesPerList = 1)
+    val skewQueries = skew.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+    val a = ranking(VectorIndex.probeIvfIndex(spark, path, skewQueries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2))
+    val b = ranking(VectorIndex.probeIvfIndex(spark, ref, skewQueries,
+      col("vec_id"), col("embedding"), k = 10, nProbe = 2))
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("compaction also SPLITS an oversized file, and the rewrite right-sizes it") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    // force the failure the merge-only rule could never fix: every list
+    // written as ONE file (explicit filesPerList = 1), then compact at a
+    // target small enough that some single file is > 2× target
+    val path = tmpStore("ivfsplit")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false, filesPerList = 1)
+    val before = VectorIndex.listManifest(spark, path)
+      .as[(Long, String, Long)].collect()
+    assert(before.groupBy(_._1).values.forall(_.size == 1))
+    val target = 1024L
+    val oversized = before.filter(_._3 > 2L * target).map(_._1).toSet
+    assert(oversized.nonEmpty, s"fixture too small: ${before.toSeq}")
+    val probeBefore = ranking(VectorIndex.probeIvfIndex(spark, path,
+      queries, col("vec_id"), col("embedding"), k = 10, nProbe = 2))
+    val plan = VectorIndex.compactIvfIndex(spark, path, targetBytes = target)
+    val planned = plan.select(col("c_id").cast("long")).distinct()
+      .as[Long].collect().toSet
+    assert(oversized.subsetOf(planned),
+      s"oversized lists $oversized not all planned ($planned)")
+    val after = VectorIndex.listManifest(spark, path)
+      .as[(Long, String, Long)].collect()
+    // every oversized list was fanned out across more, smaller files
+    for (c <- oversized) {
+      val files = after.filter(_._1 == c)
+      assert(files.size > 1, s"list $c still one file after split-compact")
+      assert(files.map(_._3).max < before.find(_._1 == c).get._3,
+        s"list $c max file did not shrink")
+    }
+    // rows and probe results are untouched by the rewrite
+    assert(spark.read.parquet(s"$path/lists").count() == emb.count())
+    val probeAfter = ranking(VectorIndex.probeIvfIndex(spark, path,
+      queries, col("vec_id"), col("embedding"), k = 10, nProbe = 2))
+    assert(probeAfter == probeBefore && probeAfter.nonEmpty)
+  }
+
   test("filtered probe: full k among matching rows, predicate pushed into the pruned scan") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val path = tmpStore("ivffil")

@@ -13,10 +13,11 @@
 #   3. 3-row bench (d19_prefix_jaccard, d21c_containment_approx,
 #      d3_minhash_lsh) on the adv corpus -> BENCH_r<N>_adv_gate.json;
 #   4. (r18+) ANN recall contracts on tmp/sf01advemb (sf0.1-equivalent
-#      clustered embeddings, generated if absent): s3 fixed-nProbe
-#      (expected LOW — the documented §16c failure, kept as contrast),
-#      s32 mass-adaptive (must stay ~1e6), s33 adaptive-pool residual PQ
-#      (must stay >= 0.9e6) — merged into the gate artifact under
+#      clustered embeddings, generated if absent): s3 fixed-nProbe and
+#      s19 fixed-hier (both expected LOW — the documented §16c failure
+#      and its two-level analogue, kept as contrasts), s32 mass-adaptive
+#      (must stay ~1e6), s33 adaptive-pool residual PQ (>= 0.9e6), s37
+#      hier-adaptive (>= 0.8e6) — merged into the gate artifact under
 #      "ann_recall" so a recall regression on the realistic shape
 #      surfaces per-round in minutes, not in a one-round sweep.
 #
