@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   * `share × lists ×` the target.
   *
   * Run on `tmp/sf10advemb` (Zipf masses) and `tmp/sf10` (uniform — the
-  * two rules should coincide there, the control).
+  * two rules should coincide there, the control). With `trainedK` set,
+  * the store is built over K-MEANS-TRAINED centroids instead of stride
+  * picks: lists then align with the corpus's CLUSTERS, so per-list
+  * masses inherit the full Zipf cluster masses (§16c: 24% → 0.7%)
+  * instead of diluting across dozens of stride lists — the shape where
+  * the global rule's miss is largest.
   *
   * Usage: runMain graft.SkewLayoutBench [sfDir] [outPath] [targetBytes]
+  *          [trainedK]
   */
 object SkewLayoutBench {
   def main(args: Array[String]): Unit = {
@@ -38,12 +44,20 @@ object SkewLayoutBench {
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val id = col("vec_id"); val v = col("embedding")
+    val trainedK = if (args.length > 3) Some(args(3).toInt) else None
+    val trained = trainedK.map { k =>
+      graft.operators.Similarity.kmeansCentroids(
+        graft.operators.Similarity.kmeansTrain(emb, id, v, k = k,
+          iters = 2, seedStride = 50, rankSeeds = true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    trained.foreach(_.count())
 
     // the r17 global count, recomputed the way autoFilesPerList did:
     // plan-stats bytes over the list count over the target
     val stats = emb.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nLists = math.min(
-      emb.filter(col("vec_id") % 50 === 0).count(), 256L)
+    val nLists = trainedK.map(_.toLong).getOrElse(math.min(
+      emb.filter(col("vec_id") % 50 === 0).count(), 256L))
     val globalFpl = ((stats / BigInt(math.max(nLists, 1L)) + target - 1)
       / target).max(1).min(4096).toInt
 
@@ -73,12 +87,14 @@ object SkewLayoutBench {
     // unrecorded warmup build so arm A does not pay JVM/codegen warmup
     measure("warmup", p => VectorIndex.writeIvfIndex(
       emb.filter(col("vec_id") % 16 === 0), id, v, p,
-      hierarchical = false, targetFileBytes = target))
+      hierarchical = false, targetFileBytes = target,
+      centroids = trained))
     val a = measure("r17_global", p => VectorIndex.writeIvfIndex(
       emb, id, v, p, hierarchical = false, filesPerList = globalFpl,
-      targetFileBytes = target))
+      targetFileBytes = target, centroids = trained))
     val b = measure("r18_perlist", p => VectorIndex.writeIvfIndex(
-      emb, id, v, p, hierarchical = false, targetFileBytes = target))
+      emb, id, v, p, hierarchical = false, targetFileBytes = target,
+      centroids = trained))
     // the maintenance path: arm A's store right-sized by split-compact
     val t0 = System.nanoTime()
     val plan = VectorIndex.compactIvfIndex(spark,
@@ -92,6 +108,7 @@ object SkewLayoutBench {
       f"$compactWall%.1f s, max file now ${after.max / 1e6}%.1f MB")
 
     val json = s"""{"sf":"$sfDir","target_bytes":$target,""" +
+      s""""trained_k":${trainedK.getOrElse(0)},""" +
       s""""global_fpl":$globalFpl,$a,$b,""" +
       s""""split_compact":{"wall_s":$compactWall,"lists":$planned,""" +
       s""""max_bytes_after":${after.max}}}"""
