@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   * uniform one.
   *
   * Usage: runMain graft.HierCurve [sfDir] [outPath] [massPpms]
+  *          [buildSProbe]
   */
 object HierCurve {
   def main(args: Array[String]): Unit = {
@@ -27,6 +28,7 @@ object HierCurve {
     val massPpms = (if (args.length > 2) args(2)
       else "50000,100000,150000,250000,400000")
       .split(",").map(_.trim.toLong).toSeq
+    val buildSProbe = if (args.length > 3) args(3).toInt else 2
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
@@ -66,9 +68,9 @@ object HierCurve {
     val adaptRows = massPpms.map { mp =>
       val (rec, w) = timed(meanRecall(Similarity.ivfTopKHierarchicalAdaptive(
         emb, queries, id, v, k = 10, centroidStride = 50, superStride = 16,
-        sProbe = 2, massPpm = mp)))
-      println(f"s37 massPpm=$mp: $rec ppm ($w%.1f s)")
-      s""""s37_mass$mp":{"recall_ppm":$rec,"wall_s":$w}"""
+        sProbe = buildSProbe, massPpm = mp)))
+      println(f"s37 buildSProbe=$buildSProbe massPpm=$mp: $rec ppm ($w%.1f s)")
+      s""""s37_sp${buildSProbe}_mass$mp":{"recall_ppm":$rec,"wall_s":$w}"""
     }
     // the flat-adaptive ceiling at the pinned 15%
     val (s32r, s32w) = timed(meanRecall(Similarity.ivfTopKAdaptive(
