@@ -566,6 +566,43 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("append's auto route is also mass-proportional: a skewed increment fans its heavy list") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    // build on a light slice, then append a skewed bulk increment whose
+    // rows concentrate on one vector — the backfill case where the r17
+    // rule wrote the increment's heavy share into one straggler file
+    val heavyVec = emb.filter(col("vec_id") === 7)
+      .select(col("embedding")).as[Array[Float]].head()
+    val skewDir = tmpStore("skewinc").stripSuffix("/store")
+    emb.select(col("vec_id"),
+        when(col("vec_id") % 10 >= 3, typedLit(heavyVec))
+          .otherwise(col("embedding")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$skewDir/embeddings.parquet")
+    val skew = spark.read.parquet(s"$skewDir/embeddings.parquet")
+    val path = tmpStore("ivfskewapp")
+    VectorIndex.writeIvfIndex(skew.filter(col("vec_id") % 10 < 3),
+      col("vec_id"), col("embedding"), path, hierarchical = false,
+      targetFileBytes = 1024L)
+    def filesPerDir(): Map[Long, Int] =
+      new java.io.File(s"$path/lists").listFiles().toSeq
+        .filter(_.getName.startsWith("c_id="))
+        .map(d => d.getName.stripPrefix("c_id=").toLong -> d.listFiles()
+          .count(f => f.getName.endsWith(".parquet"))).toMap
+    val before = filesPerDir()
+    VectorIndex.appendToIvfIndex(skew.filter(col("vec_id") % 10 >= 3),
+      col("vec_id"), col("embedding"), path, targetFileBytes = 1024L)
+    val after = filesPerDir()
+    val heavyList = spark.read.parquet(s"$path/lists")
+      .groupBy(col("c_id").cast("long")).count()
+      .orderBy(col("count").desc).as[(Long, Long)].head()._1
+    val gained = after.map { case (c, n) => c -> (n - before.getOrElse(c, 0)) }
+    assert(gained(heavyList) > 1,
+      s"heavy list should gain >1 file from the skewed increment: $gained")
+    assert(gained(heavyList) == gained.values.max, s"gains: $gained")
+    // the store still serves: appended rows all present
+    assert(spark.read.parquet(s"$path/lists").count() == skew.count())
+  }
+
   test("compaction also SPLITS an oversized file, and the rewrite right-sizes it") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     // force the failure the merge-only rule could never fix: every list
