@@ -727,6 +727,61 @@ object VectorIndex {
     (probed, ids)
   }
 
+  /** TWO-LEVEL mass-budget selection over the store's persisted model —
+    * the in-flight s37 rule ([[Similarity.ivfTopKHierarchicalAdaptive]])
+    * served from `centroids/` + [[listSizes]]: the super geometry is
+    * re-derived from the persisted centroid table exactly as the build
+    * derived it (`hierSupers`/`hierC2s` at `meta.superStride` — the
+    * filing is deterministic in the centroids, so no extra artifact is
+    * needed), leaf sizes roll up through the filing to super masses,
+    * [[Similarity.massProbed]]'s gate picks supers, and the probed
+    * supers' leaf centroids rank ACROSS their union per query under the
+    * same budget. Per-query centroid dots drop from `lists` to
+    * `lists/superStride + probed-supers' centroids` — the saving that
+    * matters when the probe BATCH is large (serving-scale inference),
+    * where the flat rank's `|queries| × lists` assignment dots dominate
+    * the budget-bounded scan.
+    */
+  private def hierMassProbedLists(
+      spark: SparkSession, path: String, meta: Meta, queries: DataFrame,
+      id: Column, vec: Column, massPpm: Long): (DataFrame, Array[Long]) = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("c_id"), col("cv"))
+    val supers = Similarity.hierSupers(cents, meta.superStride)
+    val c2s = Similarity.hierC2s(cents, supers)
+    val sizes = listSizes(spark, path)
+    val n = sizes.agg(coalesce(sum(col("n_list")), lit(0L)))
+      .collect().head.getLong(0)
+    require(n > 0, s"store at $path has no rows — nothing to probe")
+    val superSizes = c2s.select(col("s_id"), col("c_id"))
+      .join(sizes, Seq("c_id"), "left")
+      .groupBy("s_id")
+      .agg(sum(coalesce(col("n_list"), lit(0L))).as("n_list"))
+    val qsup = Similarity.massProbed(
+      queries.select(id.as("q_id"), vec.as("qv")),
+      supers.select(col("s_id").as("c_id"), col("sv").as("cv")),
+      superSizes.select(col("s_id").as("c_id"), col("n_list")),
+      n, massPpm)
+      .select(col("c_id").as("s_id"), col("q_id"), col("qv"), col("_qu"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_dot").desc, col("c_id").asc)
+    val probed = qsup
+      .join(broadcast(c2s.select(col("s_id"), col("c_id"), col("cv"))
+        .withColumn("_cu", Similarity.unitMicros(col("cv")))), Seq("s_id"))
+      .select(col("q_id"), col("qv"), col("_qu"), col("c_id"),
+        Similarity.unitDot(col("_qu"), col("_cu")).as("c_dot"))
+      .join(broadcast(sizes), Seq("c_id"), "left")
+      .withColumn("_m", coalesce(col("n_list"), lit(0L)))
+      .withColumn("cum_before", coalesce(sum(col("_m")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") * 1000000L < lit(massPpm) * n)
+      .select(col("c_id"), col("q_id"), col("qv"))
+    val ids = probed.select(col("c_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    (probed, ids)
+  }
+
   /** The store's lists restricted to the probed ids, via a literal filter
     * ON THE PARTITION COLUMN — static partition pruning; only the probed
     * `c_id=` directories are listed or read. The literal is typed to the
@@ -827,10 +882,13 @@ object VectorIndex {
     * FLAT store replays bit-for-bit against `ivfTopKAdaptive` on the
     * same corpus (spec-pinned; the shared-oracle identity behind
     * s34_ann_store_adaptive). On a HIERARCHICAL store the stored filing
-    * is whatever the build recorded; the adaptive probe still ranks all
-    * lists flat on the query side — the budget needs every list's mass
-    * anyway, so there is no probe-side saving to lose. `where` is the
-    * same pushed payload pre-filter as [[probeIvfIndex]]'s.
+    * is whatever the build recorded; this probe still ranks all lists
+    * flat on the query side (masses are config metadata either way), so
+    * it trades `|queries| × lists` assignment dots for the flat tier's
+    * recall — for serving-scale query batches where those dots dominate,
+    * [[probeIvfIndexHierAdaptive]] is the two-level-ranked sibling (r18).
+    * `where` is the same pushed payload pre-filter as
+    * [[probeIvfIndex]]'s.
     */
   def probeIvfIndexAdaptive(
       spark: SparkSession,
@@ -847,6 +905,62 @@ object VectorIndex {
       s"massPpm out of (0, 1e6]: $massPpm")
     readMeta(spark, path) // generation check; the flat rank needs no mode
     val (probed, ids) = massProbedLists(spark, path, queries, id, vec, massPpm)
+    val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
+    lists.withColumn("_vu", Similarity.unitMicros(col("v")))
+      .join(broadcast(probed.select(col("c_id"), col("q_id"),
+          Similarity.unitMicros(col("qv")).as("_qu"))),
+        Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Similarity.unitDot(col("_qu"), col("_vu")).as("cos_ud"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** [[probeIvfIndexAdaptive]] with the TWO-LEVEL rank on the query side
+    * — the store-served [[Similarity.ivfTopKHierarchicalAdaptive]]
+    * (s37): one `massPpm`, two applications of the gate (supers by
+    * rolled-up mass, then the probed supers' leaf centroids across
+    * their union), budget-selected lists as the partition filter. A
+    * hierarchical store at s37's geometry probed this way is s37 by
+    * construction (shared oracle, s38) — same lists (the build filing
+    * IS `ivfAssignHierarchical` at the recorded `superStride`/`sProbe`),
+    * same selection rule, same exact rescore.
+    *
+    * When to pick which: this probe cuts per-query assignment dots
+    * `lists → lists/superStride + probed-supers' centroids` (~5× at the
+    * 256/16 default) at the hier tier's measured recall plateau
+    * (BASELINE §17d: 0.96–0.98 vs flat-adaptive's 1.00) — the trade for
+    * SERVING-SCALE query batches, where the `|queries| × lists`
+    * assignment stage dominates the budget-bounded scan.
+    * [[probeIvfIndexAdaptive]] keeps the flat rank (full recall) for
+    * config-sized batches, where assignment cost is noise. Requires the
+    * store's recorded super geometry (`hierarchical = true` build) —
+    * probing a flat store two-level would INVENT a filing the stored
+    * lists never had.
+    */
+  def probeIvfIndexHierAdaptive(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int = 10,
+      massPpm: Long = 150000L,
+      where: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(isComplete(path), s"no completed IVF store at $path")
+    require(massPpm > 0 && massPpm <= 1000000L,
+      s"massPpm out of (0, 1e6]: $massPpm")
+    val meta = readMeta(spark, path)
+    require(meta.hierarchical,
+      "two-level adaptive probe needs the store's recorded super " +
+        "geometry (hierarchical build) — probe flat stores with " +
+        "probeIvfIndexAdaptive")
+    val (probed, ids) =
+      hierMassProbedLists(spark, path, meta, queries, id, vec, massPpm)
     val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_ud").desc, col("vec_id").asc)

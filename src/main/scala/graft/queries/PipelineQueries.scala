@@ -936,6 +936,22 @@ object PipelineQueries {
       col("embedding"), k = 10, nProbe = 2)
   }
 
+  // the store-served s37: the hier store (s23/s24's artifact, same
+  // geometry) probed with the TWO-LEVEL mass budget — same lists (the
+  // build filing IS ivfAssignHierarchical at the recorded geometry),
+  // same two-gate selection, same exact rescore, so the result ≡ s37 by
+  // construction (shared oracle). The scan is pruned to the budget-
+  // selected partitions and per-query assignment dots drop 256 → ~48 —
+  // the serving-batch trade at the hier tier's measured recall plateau
+  // (BASELINE §17d)
+  private val s38: Q = (s, dir) => {
+    val path = ivfStorePath(dir, "hier")
+    VectorIndex.ensureIvfIndex(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), path, hierarchical = true)
+    VectorIndex.probeIvfIndexHierAdaptive(s, path, queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, massPpm = S33MassPpm)
+  }
+
   // the persisted-store probe under s32's mass budget — the steady-state
   // 100 TB path: lists are stored partitionBy(c_id), so the budget-
   // selected list set IS the partition filter and massPpm bounds the
@@ -1460,6 +1476,7 @@ object PipelineQueries {
     "s35_ann_pqstore_residual" -> s35,
     "s36_ann_store_range_adaptive" -> s36,
     "s37_ann_ivf_hier_adaptive" -> s37,
+    "s38_ann_store_hier_adaptive" -> s38,
     "s15_ann_multiprobe" -> s15,
     "s7_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
@@ -3525,6 +3542,8 @@ object PipelineQueries {
     "s35_ann_pqstore_residual" -> sqlS33IvfPqAdaptive,
     "s36_ann_store_range_adaptive" -> sqlS36RangeAdaptive,
     "s37_ann_ivf_hier_adaptive" -> sqlS37HierIvfAdaptive,
+    // s38 ≡ s37 by construction (store-served, shared geometry/rule)
+    "s38_ann_store_hier_adaptive" -> sqlS37HierIvfAdaptive,
     // PQ replay: codebook slices + vectors on the micros grid (one
     // rounded entry op per component), per-(vector, subspace, code)
     // squared-L2 as EXACT BIGINT folds (order-independent), argmin

@@ -114,6 +114,35 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(ranking(stored) == ranking(inflight) && ranking(stored).nonEmpty)
   }
 
+  test("two-level adaptive probe of a hier store ≡ the in-flight s37 (the s38/s37 shared-oracle identity)") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivfhieradapt")
+    // writeIvfIndex defaults ARE s37's geometry (hier, superStride 16,
+    // sProbe 2, stride-50 centroids capped at 256)
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path)
+    val stored = VectorIndex.probeIvfIndexHierAdaptive(spark, path, queries,
+      col("vec_id"), col("embedding"), k = 10, massPpm = 150000L)
+    val inflight = Similarity.ivfTopKHierarchicalAdaptive(emb, queries,
+      col("vec_id"), col("embedding"), k = 10, massPpm = 150000L)
+    assert(ranking(stored) == ranking(inflight) && ranking(stored).nonEmpty)
+    // full budget through the store ≡ brute force (the s37 endpoint,
+    // store-served)
+    val all = ranking(VectorIndex.probeIvfIndexHierAdaptive(spark, path,
+      queries, col("vec_id"), col("embedding"), k = 10, massPpm = 1000000L))
+    val brute = ranking(Similarity.bruteForceTopK(emb, queries,
+      col("vec_id"), col("embedding"), k = 10))
+    assert(all == brute)
+    // a flat store has no recorded super geometry — rejected loudly,
+    // never probed with an invented filing
+    val flat = tmpStore("ivfhieradaptflat")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), flat,
+      hierarchical = false)
+    intercept[IllegalArgumentException] {
+      VectorIndex.probeIvfIndexHierAdaptive(spark, flat, queries,
+        col("vec_id"), col("embedding"))
+    }
+  }
+
   test("adaptive probe reads EXACTLY the budget-selected lists; sizes/ is the persisted mass artifact") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val path = tmpStore("ivfadaptprune")

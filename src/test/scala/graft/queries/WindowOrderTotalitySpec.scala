@@ -90,7 +90,10 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
     // (c_dot desc, c_id asc) — each probed super's centroids appear once
     // per query, so c_id is a singleton tiebreak; the super-level gate
     // reuses massProbed's already-classified window) and its rescore
-    // rank ((cos_ud desc, vec_id asc)).
+    // rank ((cos_ud desc, vec_id asc)). s38 (the store-served s37)
+    // adds the same two in VectorIndex — hierMassProbedLists' leaf
+    // cumsum and probeIvfIndexHierAdaptive's rescore rank, both UNIQUE
+    // by the same columns.
     ("embeddings", Seq("vec_id"), "Similarity/VectorIndex rank tiebreaks"),
     ("customer", Seq("c_custkey"), "fuzzy-join id tiebreaks"),
     ("part", Seq("p_partkey"), "join/agg determinism"),
@@ -165,7 +168,7 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
       "operators/Search.scala" -> 3,
       "operators/Similarity.scala" -> 26,
       "operators/SkewAgg.scala" -> 1,
-      "operators/VectorIndex.scala" -> 5,
+      "operators/VectorIndex.scala" -> 7,
       "queries/AnalyticsQueries.scala" -> 9,
       "queries/PipelineQueries.scala" -> 9)
     val root = new java.io.File("src/main/scala/graft")
