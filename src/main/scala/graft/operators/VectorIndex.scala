@@ -885,10 +885,11 @@ object VectorIndex {
     * is whatever the build recorded; this probe still ranks all lists
     * flat on the query side (masses are config metadata either way), so
     * it trades `|queries| × lists` assignment dots for the flat tier's
-    * recall — for serving-scale query batches where those dots dominate,
-    * [[probeIvfIndexHierAdaptive]] is the two-level-ranked sibling (r18).
-    * `where` is the same pushed payload pre-filter as
-    * [[probeIvfIndex]]'s.
+    * recall. [[probeIvfIndexHierAdaptive]] is the two-level-ranked
+    * sibling (r18) — measured SLOWER-or-even at the 256-list default
+    * (BASELINE §17f), it earns its keep only at large list counts where
+    * the flat rank stops being config-sized. `where` is the same pushed
+    * payload pre-filter as [[probeIvfIndex]]'s.
     */
   def probeIvfIndexAdaptive(
       spark: SparkSession,
@@ -929,17 +930,22 @@ object VectorIndex {
     * IS `ivfAssignHierarchical` at the recorded `superStride`/`sProbe`),
     * same selection rule, same exact rescore.
     *
-    * When to pick which: this probe cuts per-query assignment dots
-    * `lists → lists/superStride + probed-supers' centroids` (~5× at the
-    * 256/16 default) at the hier tier's measured recall plateau
-    * (BASELINE §17d: 0.96–0.98 vs flat-adaptive's 1.00) — the trade for
-    * SERVING-SCALE query batches, where the `|queries| × lists`
-    * assignment stage dominates the budget-bounded scan.
-    * [[probeIvfIndexAdaptive]] keeps the flat rank (full recall) for
-    * config-sized batches, where assignment cost is noise. Requires the
-    * store's recorded super geometry (`hierarchical = true` build) —
-    * probing a flat store two-level would INVENT a filing the stored
-    * lists never had.
+    * When to pick which — MEASURED, not the dot-count intuition
+    * (BASELINE §17f, 200k corpus, 256 lists, 2000-query batch): at the
+    * pinned 15% budget the two-level probe reads 1.12× faster (31.5 vs
+    * 35.2 s — the budget-bounded candidate join dominates both, so the
+    * assignment cut barely shows); at a 1% budget it is SLOWER (9.5 vs
+    * 7.0 s — the extra gate's plan machinery costs more than the dots
+    * it saves), and its recall plateau is the hier tier's 0.96–0.98 vs
+    * the flat rank's 1.00 (§17d). So at list counts like the default
+    * 256, prefer [[probeIvfIndexAdaptive]] — the two-level rank's
+    * `lists → lists/superStride + probed-supers' centroids` saving only
+    * outgrows its overhead when the list count itself is large
+    * (10³–10⁵ lists, the billion-vector IVF geometry this sandbox
+    * cannot reach), which is exactly when the flat per-query rank over
+    * ALL lists stops being config-sized. Requires the store's recorded
+    * super geometry (`hierarchical = true` build) — probing a flat
+    * store two-level would INVENT a filing the stored lists never had.
     */
   def probeIvfIndexHierAdaptive(
       spark: SparkSession,
