@@ -1135,6 +1135,20 @@ object PipelineQueries {
         Similarity.kmeansTrain(t(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), k = 8, iters = 2, seedStride = 50))))
 
+  // the TRAINED quantizer under the MASS BUDGET — the composition the
+  // two features exist for: k-means lists align with the corpus's
+  // clusters, which is precisely the shape where per-list masses
+  // inherit the full cluster-mass variance (§15a/§16c Zipf) and a fixed
+  // nProbe's cost/recall varies silently per query. s10 pins trained +
+  // fixed, s32 pins stride + adaptive; this row pins that the two
+  // compose oracle-exactly (train → index → budget-probe end-to-end)
+  private val s39: Q = (s, dir) =>
+    Similarity.ivfTopKAdaptive(t(s, dir, "embeddings"), queriesDf(s, dir),
+      col("vec_id"), col("embedding"), k = 10, massPpm = S33MassPpm,
+      centroids = Some(Similarity.kmeansCentroids(
+        Similarity.kmeansTrain(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), k = 8, iters = 2, seedStride = 50))))
+
   // IVF×PQ (IVFADC): coarse lists prune candidates, PQ/ADC ranks only the
   // probed lists from 8 small ints per vector, exact rescore of the pool
   // — the billion-scale ANN composition as one declarative plan; the
@@ -1477,6 +1491,7 @@ object PipelineQueries {
     "s36_ann_store_range_adaptive" -> s36,
     "s37_ann_ivf_hier_adaptive" -> s37,
     "s38_ann_store_hier_adaptive" -> s38,
+    "s39_ann_ivf_trained_adaptive" -> s39,
     "s15_ann_multiprobe" -> s15,
     "s7_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
@@ -2190,6 +2205,51 @@ object PipelineQueries {
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |    FROM pr p LEFT JOIN sizes s ON s.c_id = p.c_id)
        |  WHERE cum_before * 1000000 < 150000 * (SELECT count(*) FROM embeddings))
+       |SELECT q_id, vec_id, cos_ud, rn FROM (
+       |  SELECT p.q_id, l.vec_id,
+       |    ${sqlUDot("qu.u", "lu.u")} AS cos_ud,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY ${sqlUDot("qu.u", "lu.u")} DESC, l.vec_id ASC) AS rn
+       |  FROM listed l JOIN probeda p ON l.c_id = p.c_id
+       |  JOIN ue lu ON lu.vec_id = l.vec_id
+       |  JOIN ue qu ON qu.vec_id = p.q_id
+       |  WHERE l.vec_id <> p.q_id)
+       |WHERE rn <= 10""".stripMargin
+
+  /** s39's trained+adaptive replay: s10's trained-centroid CTEs (micros
+    * back on the float scale) feeding s32's window-cumsum mass gate and
+    * the shared exact rescore tail — train → index → budget-probe
+    * replayed end-to-end over the SAME trained quantizer.
+    */
+  private val sqlS39TrainedAdaptive =
+    s"""WITH $sqlKmeansCtes,
+       |cents AS (
+       |  SELECT c_id, list_transform(cv, x -> x::DOUBLE / 1048576.0) AS cv FROM c2),
+       |${sqlUnitCte("ue", "vec_id", "embedding", "embeddings")},
+       |${sqlUnitCte("cu", "c_id", "cv", "cents")},
+       |listed AS (
+       |  SELECT vec_id, v, c_id FROM (
+       |    SELECT b.vec_id, b.embedding AS v, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${sqlUDot("bu.u", "cu.u")} DESC,
+       |                 c.c_id ASC) AS crn
+       |    FROM embeddings b JOIN ue bu ON bu.vec_id = b.vec_id
+       |    CROSS JOIN cents c JOIN cu ON cu.c_id = c.c_id)
+       |  WHERE crn <= 1),
+       |sizes AS (SELECT c_id, count(*) AS n_list FROM listed GROUP BY c_id),
+       |pr AS (
+       |  SELECT q.vec_id AS q_id, c.c_id, ${sqlUDot("qu.u", "cu.u")} AS cd
+       |  FROM embeddings q JOIN ue qu ON qu.vec_id = q.vec_id
+       |  CROSS JOIN cents c JOIN cu ON cu.c_id = c.c_id
+       |  WHERE q.vec_id < 5),
+       |probeda AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT p.q_id, p.c_id,
+       |      COALESCE(SUM(COALESCE(s.n_list, 0)) OVER (PARTITION BY p.q_id
+       |        ORDER BY p.cd DESC, p.c_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    FROM pr p LEFT JOIN sizes s ON s.c_id = p.c_id)
+       |  WHERE cum_before * 1000000 < $S33MassPpm * (SELECT count(*) FROM embeddings))
        |SELECT q_id, vec_id, cos_ud, rn FROM (
        |  SELECT p.q_id, l.vec_id,
        |    ${sqlUDot("qu.u", "lu.u")} AS cos_ud,
@@ -3544,6 +3604,7 @@ object PipelineQueries {
     "s37_ann_ivf_hier_adaptive" -> sqlS37HierIvfAdaptive,
     // s38 ≡ s37 by construction (store-served, shared geometry/rule)
     "s38_ann_store_hier_adaptive" -> sqlS37HierIvfAdaptive,
+    "s39_ann_ivf_trained_adaptive" -> sqlS39TrainedAdaptive,
     // PQ replay: codebook slices + vectors on the micros grid (one
     // rounded entry op per component), per-(vector, subspace, code)
     // squared-L2 as EXACT BIGINT folds (order-independent), argmin
