@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   *    knobs — the same §16c failure one level up, kept as contrast;
   *  - `s37_hier_adaptive` (r18): the two-level mass budget — must stay
   *    in family with s32 (the super gate guarantees the leaf budget is
-  *    satisfiable, so its recall floor is the flat tier's).
+  *    satisfiable, so its recall floor is the flat tier's);
+  *  - `trained_fixed_np2` / `trained_adaptive` (r18, §17h): a k-means
+  *    quantizer with MORE lists than the corpus has clusters (k=64 vs
+  *    the generator's 32) — training shards the heavy clusters, so the
+  *    fixed row is expected LOW (the §17h collapse, the contrast) and
+  *    the adaptive row must stay ≥ 0.9e6 (the budget is quantizer-
+  *    indifferent).
   *
   * Usage: runMain graft.AdvRecallGate [sfDir] [outPath]
   */
@@ -70,17 +76,30 @@ object AdvRecallGate {
     val (s37, w37) = timed(meanRecall(Similarity.ivfTopKHierarchicalAdaptive(
       emb, queries, id, v, k = 10, centroidStride = 50, superStride = 16,
       sProbe = 2, massPpm = 150000L)))
+    val trained = Similarity.kmeansCentroids(
+      Similarity.kmeansTrain(emb, id, v, k = 64, iters = 2,
+        seedStride = 10, rankSeeds = true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trained.count()
+    val (tf, wtf) = timed(meanRecall(Similarity.ivfTopK(emb, queries, id, v,
+      k = 10, nProbe = 2, centroids = Some(trained))))
+    val (ta, wta) = timed(meanRecall(Similarity.ivfTopKAdaptive(emb, queries,
+      id, v, k = 10, massPpm = 150000L, centroids = Some(trained))))
     println(f"s3 fixed nProbe=2: $s3 ppm ($w3%.1f s)  " +
       f"s32 adaptive 15%%: $s32 ppm ($w32%.1f s)  " +
       f"s33 adaptive pool: $s33 ppm ($w33%.1f s)  " +
       f"s19 fixed hier: $s19 ppm ($w19%.1f s)  " +
-      f"s37 hier adaptive: $s37 ppm ($w37%.1f s)")
+      f"s37 hier adaptive: $s37 ppm ($w37%.1f s)  " +
+      f"trained k=64 fixed: $tf ppm ($wtf%.1f s)  " +
+      f"trained k=64 adaptive: $ta ppm ($wta%.1f s)")
     val json = s"""{"sf":"$sfDir","k":10,"n_queries":5,""" +
       s""""s3_fixed_nprobe2":{"recall_ppm":$s3,"wall_s":$w3},""" +
       s""""s32_adaptive_mass15":{"recall_ppm":$s32,"wall_s":$w32},""" +
       s""""s33_adaptive_pool":{"recall_ppm":$s33,"wall_s":$w33},""" +
       s""""s19_fixed_sprobe2":{"recall_ppm":$s19,"wall_s":$w19},""" +
-      s""""s37_hier_adaptive":{"recall_ppm":$s37,"wall_s":$w37}}"""
+      s""""s37_hier_adaptive":{"recall_ppm":$s37,"wall_s":$w37},""" +
+      s""""trained_fixed_np2":{"recall_ppm":$tf,"wall_s":$wtf},""" +
+      s""""trained_adaptive":{"recall_ppm":$ta,"wall_s":$wta}}"""
     val w = new java.io.PrintWriter(outPath, "UTF-8")
     try w.println(json) finally w.close()
     println(s"wrote $outPath")

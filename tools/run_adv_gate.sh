@@ -17,7 +17,9 @@
 #      s19 fixed-hier (both expected LOW — the documented §16c failure
 #      and its two-level analogue, kept as contrasts), s32 mass-adaptive
 #      (must stay ~1e6), s33 adaptive-pool residual PQ (>= 0.9e6), s37
-#      hier-adaptive (>= 0.8e6) — merged into the gate artifact under
+#      hier-adaptive (>= 0.8e6), trained k=64 fixed (expected LOW — the
+#      §17h sharded-cluster collapse, the contrast) and trained k=64
+#      adaptive (>= 0.9e6) — merged into the gate artifact under
 #      "ann_recall" so a recall regression on the realistic shape
 #      surfaces per-round in minutes, not in a one-round sweep.
 #
