@@ -1214,6 +1214,19 @@ object Similarity {
     * tiebreak) contributes zero mass, not a dropped rank. All-integer
     * decision (`cum_before · 1e6 < massPpm · n`), oracle-replayable.
     *
+    * `dropEmpty = true` (r18, the FILTERED-mass variant) instead joins
+    * `sizes` INNER, so a centroid with no `sizes` row is excluded from
+    * the rank outright — the right rule when `sizes` carries MATCHING
+    * counts under a payload predicate ([[VectorIndex
+    * .probeIvfIndexFiltered]]): a zero-match list can contribute no
+    * candidate, but under the left-join rule it would still be SELECTED
+    * (zero mass never advances the cumsum), and every zero-match list
+    * ranked ahead of the budget's exhaustion would be scanned for
+    * nothing. Dropping them keeps the scan's byte bound proportional to
+    * where matching rows actually live. Ranking among surviving lists
+    * is unchanged (a window ORDER over a subset preserves relative
+    * order), so the left-join replays stay byte-identical.
+    *
     * `queries` must be `(q_id, qv)`; `sizes` is `(c_id, n_list)`; output
     * `(c_id, q_id, qv, _qu)` — one row per surviving (query, list).
     */
@@ -1222,7 +1235,8 @@ object Similarity {
       cents: DataFrame,
       sizes: DataFrame,
       n: Long,
-      massPpm: Long): DataFrame = {
+      massPpm: Long,
+      dropEmpty: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("c_dot").desc, col("c_id").asc)
@@ -1231,7 +1245,7 @@ object Similarity {
       .crossJoin(broadcast(cents.withColumn("_cu", unitMicros(col("cv")))))
       .select(col("q_id"), col("qv"), col("_qu"), col("c_id"),
         dotNative(col("_qu"), col("_cu")).as("c_dot"))
-      .join(broadcast(sizes), Seq("c_id"), "left")
+      .join(broadcast(sizes), Seq("c_id"), if (dropEmpty) "inner" else "left")
       .withColumn("_m", coalesce(col("n_list"), lit(0L)))
       .withColumn("cum_before", coalesce(sum(col("_m")).over(
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -330,7 +330,8 @@ object VectorIndex {
       payload: Seq[Column] = Nil,
       filesPerList: Int = 0,
       targetFileBytes: Long = 128L << 20,
-      pqResidual: Boolean = false): Unit = {
+      pqResidual: Boolean = false,
+      statsCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.graft.ColumnBridge
     val spark = base.sparkSession
     require(!pqResidual || pq,
@@ -348,6 +349,14 @@ object VectorIndex {
     require(bad.isEmpty,
       s"payload column names reserved by the store or its probes (or " +
         s"containing ','): ${bad.mkString(", ")}")
+    // stats columns must be stored inline (the filtered probe's scan
+    // predicate runs on the payload column of only the probed
+    // partitions) — a stats request for an un-stored column would
+    // persist counts no probe could ever apply
+    val badStats = statsCols.filterNot(payNames.contains)
+    require(badStats.isEmpty,
+      s"statsCols must name payload columns (add them to `payload`): " +
+        badStats.mkString(", "))
     require(filesPerList >= 0,
       s"filesPerList must be positive (or 0 = auto), got $filesPerList")
     require(targetFileBytes > 0,
@@ -414,6 +423,7 @@ object VectorIndex {
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/lists")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeSizes(spark, path)
+    statsCols.foreach(writeListStats(spark, path, _))
     writeMeta(spark, path, Meta(hierarchical, superStride, sProbe, pq,
       numSubspaces, numCodes, payNames, FormatVersion, pqResidual))
     putMarker(path)
@@ -432,6 +442,56 @@ object VectorIndex {
       .groupBy(col("c_id").cast("long").as("c_id"))
       .agg(count(lit(1)).as("n_list"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/sizes")
+
+  /** Persist `stats/<col>/` — per-list VALUE histogram `(c_id, sval,
+    * n_list)` of one inline payload column, counted from the lists
+    * actually written (read-back, like [[writeSizes]] — the scan reads
+    * the partition column plus ONE payload column). This is the
+    * zone-map-style metadata behind [[probeIvfIndexFiltered]]: under a
+    * payload predicate the mass budget must run over MATCHING counts,
+    * and the per-(list, value) histogram is the config-sized artifact
+    * that answers "how many matching rows does each list hold" without
+    * a corpus pass at probe time (cardinality: lists × distinct values
+    * — low-cardinality metadata columns like label/lang/source by
+    * construction; a high-cardinality column would be the wrong
+    * filter-stats key at any engine).
+    */
+  private def writeListStats(spark: SparkSession, path: String,
+      statsCol: String): Unit =
+    spark.read.parquet(s"$path/lists")
+      .groupBy(col("c_id").cast("long").as("c_id"),
+        col(statsCol).as("sval"))
+      .agg(count(lit(1)).as("n_list"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/$statsCol")
+
+  /** The persisted stats directories present at `path` (the store may
+    * carry histograms for any subset of its payload columns).
+    */
+  private def statsDirs(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
+  /** The per-(list, value) histogram of one payload column — the
+    * persisted `stats/<col>/` artifact when present ([[writeIvfIndex]]'s
+    * `statsCols`), else recounted from the lists' `(c_id, <col>)`
+    * columns (a two-column pruned scan — the documented fallback for
+    * stores built without the artifact, mirroring [[listSizes]]'s; the
+    * persisted artifact is what makes the filtered probe corpus-pass-
+    * free at steady state).
+    */
+  def listStats(spark: SparkSession, path: String,
+      statsCol: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats/$statsCol")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(s"$path/stats/$statsCol")
+    else spark.read.parquet(s"$path/lists")
+      .groupBy(col("c_id").cast("long").as("c_id"),
+        col(statsCol).as("sval"))
+      .agg(count(lit(1)).as("n_list"))
+  }
 
   /** 1-in-N deterministic hash slice for the auto route's per-list mass
     * estimate — the cost knob: the estimating pass assigns only
@@ -560,7 +620,8 @@ object VectorIndex {
       payload: Seq[Column] = Nil,
       filesPerList: Int = 0,
       targetFileBytes: Long = 128L << 20,
-      pqResidual: Boolean = false): Unit = {
+      pqResidual: Boolean = false,
+      statsCols: Seq[String] = Nil): Unit = {
     // resolve the requested payload NAMES the same way the build records
     // them, so a servable store built without (or with different) payload
     // columns is rebuilt here instead of failing the caller's filtered
@@ -576,7 +637,17 @@ object VectorIndex {
       writeIvfIndex(base, id, vec, path, centroidStride, maxCentroids,
         hierarchical, superStride, sProbe, pq, numSubspaces, numCodes,
         codeStride, payload = payload, filesPerList = filesPerList,
-        targetFileBytes = targetFileBytes, pqResidual = pqResidual)
+        targetFileBytes = targetFileBytes, pqResidual = pqResidual,
+        statsCols = statsCols)
+    else {
+      // servable store, possibly built before these histograms were
+      // requested: persist any missing stats/<col> from the lists
+      // already on disk (idempotent read-back recount — rows unchanged,
+      // so no rebuild; the filtered probe then runs corpus-pass-free)
+      val have = statsDirs(base.sparkSession, path).toSet
+      statsCols.filterNot(have).foreach(
+        writeListStats(base.sparkSession, path, _))
+    }
     // callers with a TRAINED model check isServable themselves before
     // training (the model derivation may run eager jobs — an ensure that
     // trains just to discard the result would defeat its own point)
@@ -667,6 +738,13 @@ object VectorIndex {
     // the partition column (file metadata), and recounting also heals a
     // stale sizes/ from a previously interrupted append.
     writeSizes(spark, path)
+    // same refresh-by-recount for whichever payload histograms the
+    // build persisted (statsDirs — presence IS the registration, like
+    // sizes/): an append's new rows enter the filtered probe's masses
+    // the moment they are probeable, and a crash mid-refresh degrades
+    // to last batch's counts, healed by the next append, never a wrong
+    // result (stats only weight the budget's list SELECTION).
+    statsDirs(spark, path).foreach(writeListStats(spark, path, _))
   }
 
   private def readCodebook(
@@ -907,6 +985,112 @@ object VectorIndex {
     readMeta(spark, path) // generation check; the flat rank needs no mode
     val (probed, ids) = massProbedLists(spark, path, queries, id, vec, massPpm)
     val lists = where.foldLeft(prunedLists(spark, path, ids))(_.filter(_))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_ud").desc, col("vec_id").asc)
+    lists.withColumn("_vu", Similarity.unitMicros(col("v")))
+      .join(broadcast(probed.select(col("c_id"), col("q_id"),
+          Similarity.unitMicros(col("qv")).as("_qu"))),
+        Seq("c_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Similarity.unitDot(col("_qu"), col("_vu")).as("cos_ud"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** FILTERED top-k under the mass budget, with the budget run over
+    * MATCHING masses — the metadata-filtered vector search the raw-mass
+    * tiers get WRONG on any corpus where the predicate is anti-
+    * correlated with the query's neighborhood (cross-source / cross-
+    * language retrieval: "nearest docs from that OTHER source").
+    *
+    * The failure this closes (BASELINE §18a measures it): both
+    * [[probeIvfIndex]]'s fixed `nProbe` and [[probeIvfIndexAdaptive]]'s
+    * raw-mass budget select lists by the query's centroid-cosine order
+    * alone — under a selective predicate whose matching rows live AWAY
+    * from the query (in cluster terms: the filter names a cluster the
+    * query is not near), the selected lists hold plenty of ROWS but no
+    * MATCHING rows, every candidate dies on the scan predicate, and
+    * filtered recall collapses while the unfiltered contracts all stay
+    * green. No raw-mass budget can see this: row mass is the wrong
+    * measure the moment a predicate reweights the corpus.
+    *
+    * The rule here is [[Similarity.massProbed]]'s gate fed by FILTERED
+    * per-list masses from the store's `stats/<statsCol>/` histogram
+    * ([[listStats]] — config-sized, persisted at build, refreshed on
+    * append): lists still rank by centroid cosine, but (a) lists with
+    * ZERO matching rows are excluded outright (`dropEmpty` — they can
+    * contribute no candidate, and scanning them buys nothing), and (b)
+    * the cumsum-until-budget runs over matching counts against the
+    * corpus's total MATCHING count. `massPpm` thereby keeps its
+    * meaning under any predicate: the fraction of the MATCHING corpus
+    * each query's pruned scan may touch — probing exactly as deep as
+    * the filtered neighborhood requires, whether the predicate names
+    * 40% of the corpus or 0.4%. All-integer decision, oracle-replayable
+    * (s40).
+    *
+    * `statsValues` is the predicate (`statsCol IN (values…)`), applied
+    * three times from one declaration so the budget's weighting and the
+    * scan's filter can never diverge: filtered masses (selection), the
+    * pruned scan's pushed data filter (candidates), and the matching
+    * total (the budget's denominator). `where` composes an optional
+    * RESIDUAL predicate on other payload columns — it filters
+    * candidates but, by design, does not reweight the budget (declare
+    * the selective dimension as the stats column; residual predicates
+    * should be the mild ones).
+    *
+    * 100 TB shape: identical to [[probeIvfIndexAdaptive]] — the
+    * budget-selected list set IS the partition filter, the predicate is
+    * a parquet data filter inside only those partitions, and the
+    * histogram join is config-sized × broadcast. The one new scale knob
+    * is stats cardinality (lists × distinct values), which is
+    * config-sized precisely when the stats column is low-cardinality
+    * metadata (label / lang / source) — the same constraint every
+    * engine's filter-stats carry.
+    */
+  def probeIvfIndexFiltered(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      statsCol: String,
+      statsValues: Seq[Any],
+      k: Int = 10,
+      massPpm: Long = 150000L,
+      where: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(isComplete(path), s"no completed IVF store at $path")
+    require(massPpm > 0 && massPpm <= 1000000L,
+      s"massPpm out of (0, 1e6]: $massPpm")
+    require(statsValues.nonEmpty, "statsValues must name at least one value")
+    val meta = readMeta(spark, path)
+    require(meta.payload.contains(statsCol),
+      s"statsCol '$statsCol' is not a stored payload column of $path " +
+        s"(stored: ${meta.payload.mkString(", ")}) — the probe's scan " +
+        "predicate runs on the inline payload, build with payload= and " +
+        "statsCols=")
+    // one filtered-mass table from the persisted histogram: values
+    // collapse to per-list matching counts; the total is the budget's
+    // denominator (a config-sized agg, not a corpus pass)
+    val fsizes = listStats(spark, path, statsCol)
+      .filter(col("sval").isin(statsValues: _*))
+      .groupBy(col("c_id")).agg(sum(col("n_list")).as("n_list"))
+    val nF = fsizes.agg(coalesce(sum(col("n_list")), lit(0L)))
+      .collect().head.getLong(0)
+    require(nF > 0,
+      s"no stored rows match $statsCol IN (${statsValues.mkString(", ")})")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("c_id"), col("cv"))
+    val probed = Similarity.massProbed(
+      queries.select(id.as("q_id"), vec.as("qv")), cents, fsizes, nF,
+      massPpm, dropEmpty = true)
+      .select(col("c_id"), col("q_id"), col("qv"))
+    val ids2 = probed.select(col("c_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = where.foldLeft(
+      prunedLists(spark, path, ids2)
+        .filter(col(statsCol).isin(statsValues: _*)))(_.filter(_))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_ud").desc, col("vec_id").asc)
     lists.withColumn("_vu", Similarity.unitMicros(col("v")))

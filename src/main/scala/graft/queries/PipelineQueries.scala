@@ -995,6 +995,27 @@ object PipelineQueries {
       col("embedding"), minCosine = 0.25, massPpm = Some(150000L))
   }
 
+  // FILTERED ANN under the FILTERED mass budget (BASELINE §18a): the
+  // raw-mass tiers (fixed nProbe, s32/s34's budget) select lists by the
+  // query's centroid order over ROW mass, so a predicate whose matching
+  // rows live away from the query's neighborhood fills the probed lists
+  // with non-matching candidates and filtered recall collapses while
+  // every unfiltered contract stays green. Here the budget runs over
+  // MATCHING masses from the store's persisted stats/label histogram
+  // (zone-map-style metadata: config-sized, written at build, refreshed
+  // on append), zero-match lists leave the rank outright, and massPpm
+  // keeps its meaning under the predicate — the fraction of the
+  // MATCHING corpus each query's pruned scan may touch
+  private val s40: Q = (s, dir) => {
+    val path = ivfStorePath(dir, "fila")
+    VectorIndex.ensureIvfIndex(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), path, hierarchical = false,
+      payload = Seq(col("label")), statsCols = Seq("label"))
+    VectorIndex.probeIvfIndexFiltered(s, path, queriesDf(s, dir),
+      col("vec_id"), col("embedding"), statsCol = "label",
+      statsValues = Seq(3), k = 10, massPpm = 150000L)
+  }
+
   // continuous ingestion for the vector tier (the d13 contract applied
   // to embeddings): build on the standing corpus (vec_id % 7 != 0),
   // append the % 7 == 0 increment against the STORED model — the
@@ -1492,6 +1513,7 @@ object PipelineQueries {
     "s37_ann_ivf_hier_adaptive" -> s37,
     "s38_ann_store_hier_adaptive" -> s38,
     "s39_ann_ivf_trained_adaptive" -> s39,
+    "s40_ann_store_filtered_adaptive" -> s40,
     "s15_ann_multiprobe" -> s15,
     "s7_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings"), queriesDf(s, dir),
@@ -2214,6 +2236,48 @@ object PipelineQueries {
        |  JOIN ue lu ON lu.vec_id = l.vec_id
        |  JOIN ue qu ON qu.vec_id = p.q_id
        |  WHERE l.vec_id <> p.q_id)
+       |WHERE rn <= 10""".stripMargin
+
+  /** s40's FILTERED-mass replay (BASELINE §18a): per-list MATCHING
+    * counts under the predicate (`label = 3`) replace the row masses in
+    * s32's cumsum gate — INNER join, so a zero-match list leaves the
+    * rank entirely (it can contribute no candidate; under the left-join
+    * rule it would still be selected and scanned for nothing) — and the
+    * budget's denominator is the corpus's matching total, so `massPpm`
+    * stays "fraction of the MATCHING corpus scanned" under any
+    * predicate selectivity. The tail is the pre-filtered exact rank
+    * (s11's semantics) over only the budget-selected lists.
+    */
+  private val sqlS40FilteredAdaptive =
+    s"""WITH $sqlIvfFlatCtes,
+       |fsz AS (
+       |  SELECT l.c_id, count(*) AS n_list
+       |  FROM listed l JOIN embeddings e ON e.vec_id = l.vec_id
+       |  WHERE e.label = 3 GROUP BY l.c_id),
+       |pr AS (
+       |  SELECT q.vec_id AS q_id, c.c_id, ${sqlUDot("qu.u", "c.cu")} AS cd
+       |  FROM embeddings q JOIN ue qu ON qu.vec_id = q.vec_id
+       |  CROSS JOIN cents c
+       |  WHERE q.vec_id < 5),
+       |probedf AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT p.q_id, p.c_id,
+       |      COALESCE(SUM(s.n_list) OVER (PARTITION BY p.q_id
+       |        ORDER BY p.cd DESC, p.c_id ASC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    FROM pr p JOIN fsz s ON s.c_id = p.c_id)
+       |  WHERE cum_before * 1000000 < 150000 *
+       |    (SELECT count(*) FROM embeddings WHERE label = 3))
+       |SELECT q_id, vec_id, cos_ud, rn FROM (
+       |  SELECT p.q_id, l.vec_id,
+       |    ${sqlUDot("qu.u", "lu.u")} AS cos_ud,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY ${sqlUDot("qu.u", "lu.u")} DESC, l.vec_id ASC) AS rn
+       |  FROM listed l JOIN probedf p ON l.c_id = p.c_id
+       |  JOIN embeddings e ON e.vec_id = l.vec_id
+       |  JOIN ue lu ON lu.vec_id = l.vec_id
+       |  JOIN ue qu ON qu.vec_id = p.q_id
+       |  WHERE l.vec_id <> p.q_id AND e.label = 3)
        |WHERE rn <= 10""".stripMargin
 
   /** s39's trained+adaptive replay: s10's trained-centroid CTEs (micros
@@ -3605,6 +3669,7 @@ object PipelineQueries {
     // s38 ≡ s37 by construction (store-served, shared geometry/rule)
     "s38_ann_store_hier_adaptive" -> sqlS37HierIvfAdaptive,
     "s39_ann_ivf_trained_adaptive" -> sqlS39TrainedAdaptive,
+    "s40_ann_store_filtered_adaptive" -> sqlS40FilteredAdaptive,
     // PQ replay: codebook slices + vectors on the micros grid (one
     // rounded entry op per component), per-(vector, subspace, code)
     // squared-L2 as EXACT BIGINT folds (order-independent), argmin

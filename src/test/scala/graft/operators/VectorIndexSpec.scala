@@ -806,6 +806,129 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(pq.forall(r => labels(r._2) < 4))
   }
 
+  test("filtered-adaptive probe at full budget ≡ exact filtered top-k; stats/ persists the histogram") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivffila")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false, payload = Seq(col("label")),
+      statsCols = Seq("label"))
+    assert(new java.io.File(s"$path/stats/label").exists())
+    // massPpm = 1e6 covers every matching list → the probe must be the
+    // exact cosine top-k among matching rows (the filtered ground truth)
+    val got = ranking(VectorIndex.probeIvfIndexFiltered(spark, path,
+      queries, col("vec_id"), col("embedding"), statsCol = "label",
+      statsValues = Seq(3), k = 10, massPpm = 1000000L))
+    val exact = ranking(Similarity.bruteForceTopK(
+      emb.filter(col("label") === 3), queries, col("vec_id"),
+      col("embedding"), k = 10))
+    assert(got == exact && got.nonEmpty)
+  }
+
+  test("filtered-adaptive: the raw-mass budget misses an anti-correlated filter; the filtered mass restores it") {
+    // the §18a finding as a permanent pin — two well-separated clusters,
+    // the heavy one (40 rows, label 0) holding the query, the rare one
+    // (10 rows, label 1) holding every matching row. Lists: stride-10
+    // centroids give the heavy cluster 4 lists and the rare one 1, so a
+    // raw-mass budget of 20% (10 rows) is exhausted by the query's own
+    // first heavy list — the rare label's list is never probed, every
+    // candidate dies on the scan predicate, and the filtered result is
+    // EMPTY. The filtered mass runs the same gate over matching counts
+    // (zero-match lists dropped outright), so the same 20% budget probes
+    // the rare list first and returns the exact filtered top-k.
+    val vecs = (0L until 50L).map { i =>
+      val (base, lbl) = if (i < 40) (1.0f, 0) else (-1.0f, 1)
+      (i, Array(base, 0.02f * (i % 10), 0.01f * (i % 7), 0.1f), lbl)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val path = tmpStore("ivfanti")
+    VectorIndex.writeIvfIndex(df, col("vec_id"), col("embedding"), path,
+      hierarchical = false, centroidStride = 10, payload = Seq(col("label")),
+      statsCols = Seq("label"))
+    val q = df.filter(col("vec_id") === 0) // deep inside the heavy cluster
+    val raw = VectorIndex.probeIvfIndexAdaptive(spark, path, q,
+      col("vec_id"), col("embedding"), k = 10, massPpm = 200000L,
+      where = Some(col("label") === 1))
+    assert(raw.isEmpty,
+      "raw-mass budget unexpectedly reached the rare label's list — " +
+        "the anti-correlated fixture no longer demonstrates the failure")
+    val fil = ranking(VectorIndex.probeIvfIndexFiltered(spark, path, q,
+      col("vec_id"), col("embedding"), statsCol = "label",
+      statsValues = Seq(1), k = 10, massPpm = 200000L))
+    val exact = ranking(Similarity.bruteForceTopK(
+      df.filter(col("label") === 1), q, col("vec_id"), col("embedding"),
+      k = 10))
+    assert(fil == exact && fil.size == 10)
+  }
+
+  test("filtered-adaptive falls back to a stats recount when stats/ is absent; ensure heals the artifact") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivffilb")
+    // built WITHOUT statsCols — the probe recounts from the lists'
+    // (c_id, label) columns and must decide identically
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false, payload = Seq(col("label")))
+    assert(!new java.io.File(s"$path/stats/label").exists())
+    val noStats = ranking(VectorIndex.probeIvfIndexFiltered(spark, path,
+      queries, col("vec_id"), col("embedding"), statsCol = "label",
+      statsValues = Seq(3), k = 10, massPpm = 300000L))
+    // ensure on the servable store persists the missing histogram
+    // without a rebuild; the probe then reads the artifact — same rows
+    VectorIndex.ensureIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false, payload = Seq(col("label")),
+      statsCols = Seq("label"))
+    assert(new java.io.File(s"$path/stats/label").exists())
+    val withStats = ranking(VectorIndex.probeIvfIndexFiltered(spark, path,
+      queries, col("vec_id"), col("embedding"), statsCol = "label",
+      statsValues = Seq(3), k = 10, massPpm = 300000L))
+    assert(noStats == withStats && noStats.nonEmpty)
+  }
+
+  test("append refreshes stats/ — a label that exists only in the increment becomes probeable") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivffilc")
+    // base slice excludes label 9 entirely; the filtered probe must
+    // fail LOUDLY (no matching rows), not return an empty result
+    VectorIndex.writeIvfIndex(emb.filter(col("label") =!= 9),
+      col("vec_id"), col("embedding"), path, hierarchical = false,
+      payload = Seq(col("label")), statsCols = Seq("label"))
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.probeIvfIndexFiltered(spark, path, queries,
+        col("vec_id"), col("embedding"), statsCol = "label",
+        statsValues = Seq(9), k = 10, massPpm = 1000000L)
+    }
+    assert(ex.getMessage.contains("no stored rows match"))
+    VectorIndex.appendToIvfIndex(emb.filter(col("label") === 9),
+      col("vec_id"), col("embedding"), path)
+    // stats/ recounted on append → the new label's masses drive the
+    // budget and its rows are served
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val got = ranking(VectorIndex.probeIvfIndexFiltered(spark, path,
+      queries, col("vec_id"), col("embedding"), statsCol = "label",
+      statsValues = Seq(9), k = 10, massPpm = 1000000L))
+    assert(got.nonEmpty && got.forall(r => labels(r._2) == 9))
+  }
+
+  test("filtered-adaptive loud failures: a non-payload stats column is rejected") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val path = tmpStore("ivffild")
+    VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"), path,
+      hierarchical = false)
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.probeIvfIndexFiltered(spark, path, queries,
+        col("vec_id"), col("embedding"), statsCol = "label",
+        statsValues = Seq(3), k = 10)
+    }
+    assert(ex.getMessage.contains("not a stored payload column"))
+    // and statsCols on the build must name payload columns
+    val ex2 = intercept[IllegalArgumentException] {
+      VectorIndex.writeIvfIndex(emb, col("vec_id"), col("embedding"),
+        tmpStore("ivffile"), hierarchical = false,
+        statsCols = Seq("label"))
+    }
+    assert(ex2.getMessage.contains("statsCols must name payload columns"))
+  }
+
   test("append carries the recorded payload columns; an increment missing one fails loudly") {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val path = tmpStore("ivffilapp")

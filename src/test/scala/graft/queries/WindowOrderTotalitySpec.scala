@@ -94,6 +94,11 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
     // adds the same two in VectorIndex — hierMassProbedLists' leaf
     // cumsum and probeIvfIndexHierAdaptive's rescore rank, both UNIQUE
     // by the same columns.
+    // r18 s40 (probeIvfIndexFiltered) adds one in VectorIndex: its
+    // rescore rank ((cos_ud desc, vec_id asc) — UNIQUE via vec_id,
+    // same class as every rescore window); its selection reuses
+    // massProbed's already-classified cumsum (the inner-join dropEmpty
+    // variant orders the same (c_dot desc, c_id asc) singleton ranks).
     ("embeddings", Seq("vec_id"), "Similarity/VectorIndex rank tiebreaks"),
     ("customer", Seq("c_custkey"), "fuzzy-join id tiebreaks"),
     ("part", Seq("p_partkey"), "join/agg determinism"),
@@ -168,7 +173,7 @@ class WindowOrderTotalitySpec extends AnyFunSuite {
       "operators/Search.scala" -> 3,
       "operators/Similarity.scala" -> 26,
       "operators/SkewAgg.scala" -> 1,
-      "operators/VectorIndex.scala" -> 7,
+      "operators/VectorIndex.scala" -> 8,
       "queries/AnalyticsQueries.scala" -> 9,
       "queries/PipelineQueries.scala" -> 9)
     val root = new java.io.File("src/main/scala/graft")
