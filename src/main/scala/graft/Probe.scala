@@ -16,12 +16,18 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // PROBE_PLAN=1 prints the executed plan instead of timing
-    val planOnly = sys.env.get("PROBE_PLAN").contains("1")
+    // PROBE_PLAN=1 prints the executed plan instead of timing;
+    // PROBE_PLAN=fmt prints explain("formatted") (the plans/r18 artifacts)
+    val planMode = sys.env.get("PROBE_PLAN")
+    val planOnly = planMode.exists(m => m == "1" || m == "fmt")
     names.foreach { n =>
       if (planOnly) {
         println(s"===== $n =====")
-        println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
+        val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+        if (planMode.contains("fmt"))
+          println(qe.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        else println(qe.executedPlan.toString)
         // building a plan can eagerly run + persist operator intermediates
         // (cluster convergence loops, epoch ranking); drop them so a later
         // query's printed plan can't silently reuse an earlier query's cache

@@ -622,6 +622,27 @@ object Similarity {
     * three-accumulator rounded cosine it replaces.
     */
   private[operators] def ivfAssignTo(
+      cents: DataFrame, df: DataFrame, v: String, idc: String, keep: Int,
+      model: Option[CentModel] = None): DataFrame =
+    model.orElse(collectCentModel(cents)) match {
+      case Some(cm) =>
+        // r18 OPT (guide §2.4): zero-exchange per-row top-keep — see
+        // [[graft.functions.TopDotIds]]; bit-identical selection,
+        // spec-pinned against the window formulation below
+        val sel = df.columns.toIndexedSeq.map(col) :+
+          explode(topDotCol(col(v), emptyCand, keep, cm)).as("_td_cid")
+        df.select(sel: _*)
+          .withColumn("c_id", col("_td_cid").cast(cm.idType))
+          .drop("_td_cid")
+      case None => ivfAssignToExchange(cents, df, v, idc, keep)
+    }
+
+  /** The exchange formulation of [[ivfAssignTo]] — the fallback when the
+    * centroid set is not config-sized (> [[MaxInlineCentroids]]) or holds
+    * a NULL/ragged unit vector; kept bit-identical to the fast path
+    * (spec-pinned).
+    */
+  private[operators] def ivfAssignToExchange(
       cents: DataFrame, df: DataFrame, v: String, idc: String, keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idc))
@@ -633,6 +654,156 @@ object Similarity {
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") <= keep)
       .drop("c_dot", "crn")
+  }
+
+  /** Centroid sets past this size stay on the exchange path: the model
+    * rides the plan as a task-broadcast reference object (ids + flattened
+    * unit matrix, 16 B × dim per centroid — 4 MB at 8192 × 64), and a
+    * SemDeDup-scale √N centroid set must keep the broadcast-join shape
+    * instead of a fat serialized task binary.
+    */
+  private val MaxInlineCentroids = 8192
+
+  /** The collected centroid model behind the zero-exchange assignment
+    * fast path: original `(c_id, cv)` rows (so callers can rebuild a
+    * LOCAL centroid relation and never recompute a trained-quantizer
+    * subtree), ids sorted ascending with their unit-grid vectors
+    * flattened beside them. `None` when the set is empty, larger than
+    * [[MaxInlineCentroids]], holds NULL ids / NULL or ragged unit
+    * vectors, or duplicate ids — callers fall back to the exchange
+    * formulation, which owns those edge semantics.
+    *
+    * The collect is config-sized by the `maxCentroids` contract — the
+    * same model-artifact pattern as the PQ codebook ([[pqCodebook]]).
+    */
+  private[operators] final case class CentModel(
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      ids: Array[Long],
+      units: Array[Long],
+      idType: org.apache.spark.sql.types.DataType) {
+    def dim: Int = units.length / math.max(ids.length, 1)
+
+    /** The collected rows as a LOCAL relation — bit-identical `(c_id,
+      * cv)` content with no recompute of the (possibly trained) centroid
+      * subtree on each downstream use.
+      */
+    def localCents(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, schema)
+    }
+  }
+
+  /** A/B + fallback escape hatch: `SPARK_GRAFT_NO_TOPDOT=1` forces the
+    * exchange formulations everywhere (used for the committed before/after
+    * bench evidence and before-plans; read once at class init).
+    */
+  private val disableTopDot = sys.env.get("SPARK_GRAFT_NO_TOPDOT").contains("1")
+
+  private[operators] def collectCentModel(cents: DataFrame): Option[CentModel] = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    if (disableTopDot) return None
+    val idType = cents.schema("c_id").dataType
+    // only integral id types: the model sorts by the long-cast id, which
+    // must agree with the exchange path's native `col(idc).asc` ordering
+    if (!Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(idType))
+      return None
+    val projected = cents.select(col("c_id"), col("cv"),
+      col("c_id").cast("long").as("_cl"), unitMicros(col("cv")).as("_cu"))
+    val all = projected.collect()
+    if (all.isEmpty || all.length > MaxInlineCentroids ||
+        all.exists(r => r.isNullAt(2) || r.isNullAt(3)))
+      None
+    else {
+      val sorted = all.map(r =>
+        (r.getLong(2), r.getSeq[Long](3).toArray, r)).sortBy(_._1)
+      val dim = sorted.head._2.length
+      val dup = sorted.iterator.sliding(2).exists {
+        case Seq(a, b) => a._1 == b._1
+        case _ => false
+      }
+      if (dim == 0 || dup || sorted.exists(_._2.length != dim)) None
+      else {
+        val schema = org.apache.spark.sql.types.StructType(
+          projected.schema.take(2))
+        val rows = sorted.map { case (_, _, r) =>
+          org.apache.spark.sql.Row(r.get(0), r.get(1)) }
+        Some(CentModel(rows, schema, sorted.map(_._1),
+          sorted.flatMap(_._2), idType))
+      }
+    }
+  }
+
+  /** `array<long>` empty literal — [[graft.functions.TopDotIds]]' "all
+    * model centroids" candidate sentinel.
+    */
+  private def emptyCand: Column = typedLit(Array.empty[Long])
+
+  /** [[graft.functions.TopDotIds]] as a Column over a raw vector column:
+    * NULL/corrupt vectors arrive as the empty array (dimension mismatch =
+    * the all-NULL-dots case of the window plan — same ranking).
+    */
+  private def topDotCol(
+      v: Column, cand: Column, keep: Int, cm: CentModel): Column =
+    ColumnBridge.column(graft.functions.TopDotIds(
+      ColumnBridge.expression(coalesce(unitMicros(v), emptyCand)),
+      ColumnBridge.expression(cand), keep, cm.ids, cm.units))
+
+  /** Driver-side re-derivation of the hierarchical filing from a collected
+    * [[CentModel]] — the model behind [[ivfAssignHierarchical]]'s
+    * zero-exchange fast path. Reproduces [[hierSupers]] (every
+    * `superStride`-th centroid by ascending id rank — `cm.ids` is already
+    * sorted, integral types only, so rank order is the window's) and
+    * [[hierC2s]] (self-preference primary, then exact integer unit-grid
+    * dot desc, tie on ascending super id — `Math.addExact`/`multiplyExact`,
+    * the same fold as [[graft.functions.VectorDot]]) from the SAME
+    * collected integer unit vectors, so list membership is bit-identical
+    * to the exchange formulation (spec-pinned). k × k/superStride dots on
+    * config-sized arrays — driver-scale by the `maxCentroids` contract.
+    *
+    * Returns (super ids ascending, their flattened unit vectors, each
+    * super's member centroid-id list).
+    */
+  private[operators] def hierModel(cm: CentModel, superStride: Int)
+      : (Array[Long], Array[Long], Array[Array[Long]]) = {
+    val n = cm.ids.length
+    val dim = cm.dim
+    val supIdx = (0 until n by superStride).toArray
+    val nS = supIdx.length
+    val sIds = supIdx.map(cm.ids)
+    val sUnits = new Array[Long](nS * dim)
+    var j = 0
+    while (j < nS) {
+      System.arraycopy(cm.units, supIdx(j) * dim, sUnits, j * dim, dim)
+      j += 1
+    }
+    val members = Array.fill(nS)(scala.collection.mutable.ArrayBuffer.empty[Long])
+    var i = 0
+    while (i < n) {
+      val cid = cm.ids(i)
+      var self = -1
+      var best = -1
+      var bestDot = 0L
+      var s = 0
+      while (s < nS) {
+        if (sIds(s) == cid) self = s
+        var dot = 0L
+        var d = 0
+        while (d < dim) {
+          dot = Math.addExact(dot,
+            Math.multiplyExact(cm.units(i * dim + d), sUnits(s * dim + d)))
+          d += 1
+        }
+        // sIds ascend, so strict improvement gives dot-ties to the
+        // smallest s_id — the window's (s_dot desc, s_id asc)
+        if (best < 0 || dot > bestDot) { best = s; bestDot = dot }
+        s += 1
+      }
+      members(if (self >= 0) self else best) += cid
+      i += 1
+    }
+    (sIds, sUnits, members.map(_.toArray))
   }
 
   /** The IVF inverted-list table `(vec_id, v, c_id)` — every base vector
@@ -751,13 +922,56 @@ object Similarity {
       centroids: DataFrame,
       superStride: Int,
       sProbe: Int = 2,
-      keep: Int = 1): DataFrame = {
+      keep: Int = 1,
+      model: Option[CentModel] = None): DataFrame = {
     require(superStride > 0, s"superStride must be positive, got $superStride")
     require(sProbe > 0, s"sProbe must be positive, got $sProbe")
     require(keep > 0, s"keep must be positive, got $keep")
-    import org.apache.spark.sql.expressions.Window
     val b = base.select(id.as("vec_id"), vec.as("v"))
     val cents = centroids.select(col("c_id"), col("cv"))
+    model.orElse(collectCentModel(cents)) match {
+      case Some(cm) =>
+        ivfAssignHierFast(b, cm, superStride, sProbe, keep)
+      case None =>
+        ivfAssignHierExchange(b, cents, superStride, sProbe, keep)
+    }
+  }
+
+  /** The zero-exchange formulation of [[ivfAssignHierarchical]] (guide
+    * §2.4): the two-level argmax as ONE projection — top-sProbe supers,
+    * c2s expansion, top-keep leaves — replacing two corpus-wide window
+    * exchanges (hierR2s + the final argmax). Filing (hierSupers rank
+    * pick, hierC2s self-preference argmax) is re-derived on the driver
+    * from the SAME collected integer unit vectors ([[hierModel]]), so
+    * list membership is bit-identical (spec-pinned against the exchange
+    * path).
+    */
+  private[operators] def ivfAssignHierFast(
+      b: DataFrame, cm: CentModel, superStride: Int, sProbe: Int,
+      keep: Int): DataFrame = {
+    val (sIds, sUnits, members) = hierModel(cm, superStride)
+    val sups = ColumnBridge.column(graft.functions.TopDotIds(
+      ColumnBridge.expression(col("_td_vu")),
+      ColumnBridge.expression(emptyCand), sProbe, sIds, sUnits))
+    val cand = ColumnBridge.column(graft.functions.ExpandIds(
+      ColumnBridge.expression(sups), sIds, members))
+    val cids = ColumnBridge.column(graft.functions.TopDotIds(
+      ColumnBridge.expression(col("_td_vu")),
+      ColumnBridge.expression(cand), keep, cm.ids, cm.units))
+    b.withColumn("_td_vu", coalesce(unitMicros(col("v")), emptyCand))
+      .select(explode(cids).as("_td_cid"), col("vec_id"), col("v"))
+      .select(col("_td_cid").cast(cm.idType).as("c_id"),
+        col("vec_id"), col("v"))
+  }
+
+  /** The exchange formulation of [[ivfAssignHierarchical]] — the fallback
+    * when the centroid set is not model-collectable (see
+    * [[collectCentModel]]); kept bit-identical to the fast path.
+    */
+  private[operators] def ivfAssignHierExchange(
+      b: DataFrame, cents: DataFrame, superStride: Int, sProbe: Int,
+      keep: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val supers = hierSupers(cents, superStride)
     val c2s = hierC2s(cents, supers)
     // rows probe their sProbe nearest super-lists (rows × k/superStride)
