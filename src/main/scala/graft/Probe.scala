@@ -16,6 +16,23 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // PROBE_JOBS=1: print every Spark job's wall (> 50 ms) — names whether
+    // a query's exec time is few slow jobs or many fixed-latency ones
+    if (sys.env.get("PROBE_JOBS").contains("1")) {
+      val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobStart.put(js.jobId, System.nanoTime())
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            Option(jobStart.remove(je.jobId)).foreach { t0 =>
+              val sec = (System.nanoTime() - t0) / 1e9
+              if (sec > 0.05) println(f"    job ${je.jobId}%4d $sec%6.2f s")
+            }
+        })
+    }
     // PROBE_PLAN=1 prints the executed plan instead of timing;
     // PROBE_PLAN=fmt prints explain("formatted") (the plans/r18 artifacts)
     val planMode = sys.env.get("PROBE_PLAN")
@@ -37,9 +54,19 @@ object Probe {
         graft.operators.Graph.unpersistIntermediates()
       } else (1 to 2).foreach { i =>
         spark.sharedState.cacheManager.clearCache()
+        // split the timed region: DataFrame build (query-function eager
+        // work + analysis), physical planning, execution — names whether
+        // a query's wall is driver-side plan work or real job time
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
-        println(f"$n run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        val t3 = System.nanoTime()
+        println(f"$n run$i: ${(t3 - t0) / 1e9}%.2f s " +
+          f"(build ${(t1 - t0) / 1e9}%.2f, plan ${(t2 - t1) / 1e9}%.2f, " +
+          f"exec ${(t3 - t2) / 1e9}%.2f)")
       }
     }
     spark.stop()
