@@ -35,6 +35,35 @@ object Dedup {
     p
   }
 
+  /** Corpus-size-gated persist for DERIVED posting tables (the ranked
+    * prefix machinery behind d16/d19/d21x/d22) — r18 OPT, guide §5.
+    *
+    * The prefix/containment candidate joins consume the ranked posting
+    * table on BOTH sides. Spark's exchange reuse would dedupe the two
+    * identical subtrees, but under AQE the reuse does not fire for these
+    * lambda-bearing cached plans (measured: `ReusedExchange=0` with AQE
+    * on, `=1` with AQE off, Spark 4.1), so the df-agg + join + window
+    * chain runs TWICE. Persisting the shared frame fixes that — but only
+    * pays while the corpus is small: measured 0.57× at sf0.1 (1.5 MB
+    * text), flat at sf1 (15 MB), and 1.4× at sf10 (150 MB, BASELINE
+    * §15 persist note) where the columnar cache build of the
+    * corpus-sized postings outweighs the recompute it saves. So the
+    * persist is gated on the SOURCE's plan-stat size: below the
+    * threshold (default 64 MB, `SPARK_GRAFT_POSTINGS_CACHE_BYTES`; 0
+    * disables — the A/B hatch) the frame is cached like any other
+    * intermediate; above it the old recompute shape is kept verbatim.
+    * Results are identical either way — persist is semantically
+    * transparent; only the plan changes.
+    */
+  private def cachedIfSmall(src: DataFrame, df: DataFrame): DataFrame = {
+    val limit = sys.env.get("SPARK_GRAFT_POSTINGS_CACHE_BYTES").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+    if (limit > 0 &&
+        src.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(limit))
+      cached(df)
+    else df
+  }
+
   /** Unpersist every intermediate the dedup operators have cached since the
     * last call. Call after the terminal action on an operator's result.
     * Safe while other results are still in flight only if they came from
@@ -172,18 +201,21 @@ object Dedup {
     // shingle: the hot-key postings shuffle is a JOIN partition (AQE can
     // split it) instead of a window partition (it cannot)
     val dfs = sh.select("s").groupBy("s").agg(count(lit(1)).as("df"))
-    // NOT cached: AQE's runtime stage reuse already dedupes the two
-    // sides' identical df-agg/join/window exchanges, and a measured
-    // persist attempt was flat on d19 and ~40% SLOWER on d21 at sf10
-    // (materialization cost without saved work)
+    // `ranked` itself is NOT cached (a measured persist attempt was flat
+    // on d19 and ~40% SLOWER on d21 at sf10 — materialization cost
+    // without saved work at corpus scale), but the PREFIX slice feeds
+    // both sides of the candidate self-join and AQE's stage reuse does
+    // not dedupe the two lambda-bearing subtrees (see [[cachedIfSmall]]),
+    // so on small corpora the slice is persisted instead of computed
+    // twice — r18 OPT, measured 0.48× on the cand+verify tail at sf0.1
     val ranked = sh.join(dfs, Seq("s"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
     // prefix length |s| − ⌈t·|s|⌉ + 1, all-integer ceil
-    val prefix = ranked.filter(
+    val prefix = cachedIfSmall(docs, ranked.filter(
       col("rk") <= col("n_sh") -
         expr(s"(n_sh * $minJaccardPpm + 999999) div 1000000") + 1)
-      .select(col("doc_id"), col("s"), col("n_sh"), col("rk"))
+      .select(col("doc_id"), col("s"), col("n_sh"), col("rk")))
     // two more LOSSLESS per-row filters from the same paper, evaluated
     // INSIDE the join so pruned rows never reach the distinct or the
     // verify join. Any TRUE pair (J ≥ t) passes both at every shared
@@ -307,12 +339,17 @@ object Dedup {
     val sh = base.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfs = sh.select("s").groupBy("s").agg(count(lit(1)).as("df"))
-    // NOT cached (see prefixJaccardPairs: AQE stage reuse already
-    // dedupes the two sides, and persisting measured slower); `df`
-    // rides along so the cap below is a column filter, not a join
-    val ranked = sh.join(dfs, Seq("s"))
+    // BOTH the A-side prefix and the B-side full index derive from this
+    // one ranked posting table, and AQE stage reuse does not dedupe the
+    // two subtrees (see [[cachedIfSmall]]) — on small corpora persist it
+    // once (r18 OPT, measured 0.57× at sf0.1, flat at sf1); at corpus
+    // scale keep the recompute shape (persisting measured ~40% slower at
+    // sf10 — the columnar cache build of the corpus-sized postings costs
+    // more than the recompute it saves). `df` rides along so the cap
+    // below is a column filter, not a join
+    val ranked = cachedIfSmall(docs, sh.join(dfs, Seq("s"))
       .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)))
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc))))
     // A-side prefix length |S_A| − ⌈t·|S_A|⌉ + 1, all-integer ceil
     val prefix = ranked.filter(
       col("rk") <= col("n_sh") -
