@@ -38,7 +38,21 @@ object Probe {
     val planMode = sys.env.get("PROBE_PLAN")
     val planOnly = planMode.exists(m => m == "1" || m == "fmt")
     names.foreach { n =>
-      if (planOnly) {
+      if (planMode.contains("exec")) {
+        // finalized ADAPTIVE plan: execute first, then print — names
+        // whether AQE's runtime stage reuse (ReusedExchange) fired,
+        // which the un-executed plan modes cannot show
+        println(s"===== $n =====")
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.write.mode("overwrite").format("noop").save()
+        val s = df.queryExecution.executedPlan.toString
+        println("ReusedExchange: " + "ReusedExchange".r.findAllIn(s).size)
+        println(s)
+        spark.sharedState.cacheManager.clearCache()
+        graft.operators.Dedup.unpersistIntermediates()
+        graft.operators.Corpus.unpersistIntermediates()
+        graft.operators.Graph.unpersistIntermediates()
+      } else if (planOnly) {
         println(s"===== $n =====")
         val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
         if (planMode.contains("fmt"))

@@ -541,6 +541,37 @@ object Corpus {
     * per doc).
     */
   def repetitionProfile(docs: DataFrame, id: Column, text: Column): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_NO_BIGRAM_MODE").contains("1"))
+      repetitionProfileAgg(docs, id, text)
+    else {
+      // r18 OPT (guide §2.4): every bigram of a document is generated from
+      // that one row, so the mode is a per-row reduction — the
+      // [[graft.functions.BigramModeStats]] kernel computes it inside the
+      // scan's projection and the query is SHUFFLE-FREE (the aggregation
+      // formulation below ran two corpus-sized exchanges). Output and
+      // grouping semantics are bit-identical (spec-pinned vs the
+      // aggregation arm, incl. null/empty/single-token docs).
+      import org.apache.spark.sql.graft.ColumnBridge
+      val bm = ColumnBridge.column(graft.functions.BigramModeStats(
+        ColumnBridge.expression(tokens(text))))
+      docs.select(id.as("doc_id"),
+          distinctTokenPpm(text).as("distinct_token_ppm"),
+          symbolPpm(text).as("symbol_ppm"),
+          coalesce(bm, struct(lit(0L).as("maxc"), lit(0L).as("total"))).as("_bm"))
+        .select(col("doc_id"),
+          when(col("_bm.total") === 0, lit(0L))
+            .otherwise(
+              floor(col("_bm.maxc") * 1000000L / col("_bm.total")).cast("long"))
+            .as("top_bigram_ppm"),
+          col("distinct_token_ppm"), col("symbol_ppm"))
+    }
+
+  /** The aggregation formulation of [[repetitionProfile]] — the
+    * `SPARK_GRAFT_NO_BIGRAM_MODE=1` A/B arm (and the shape to fall back
+    * to if a corpus ever needs the mode computed off-row).
+    */
+  private[operators] def repetitionProfileAgg(
+      docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(id.as("doc_id"),
         // materialize the per-doc ratios BEFORE the explode: expressions
         // sharing a select with a generator end up in the Project above

@@ -113,11 +113,14 @@ object Graph {
         .join(scores, outEdges("src") === scores("v"))
         .select(col("dst"), expr("score * w div sw").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).as("contrib_sum"))
-      scores = nodes
-        .join(contribs, nodes("v") === contribs("dst"), "left")
-        .select(nodes("v"),
-          (base + expr(s"$dampNum * coalesce(contrib_sum, 0L) div $dampDen"))
-            .as("score"))
+      // no join back onto `nodes`: the graph is undirected by construction
+      // (edges = fwd ∪ reversed), so every node in `nodes` is the dst of
+      // at least one edge and `contribs` covers the node set exactly —
+      // the previous per-iteration `nodes LEFT JOIN contribs` (and its
+      // coalesce(contrib_sum, 0)) was row-for-row the identity (r18 OPT,
+      // guide §2.1: one join + its exchange removed per iteration)
+      scores = contribs.select(col("dst").as("v"),
+        (base + expr(s"$dampNum * contrib_sum div $dampDen")).as("score"))
       // bound the un-truncated join depth for long runs
       if (i % 8 == 0 && i < iterations) scores = scores.transform(LocalCheckpoints("graph"))
     }

@@ -700,6 +700,12 @@ object Similarity {
     */
   private val disableTopDot = sys.env.get("SPARK_GRAFT_NO_TOPDOT").contains("1")
 
+  /** Narrower hatch: forces only [[lloydLoop]]'s join formulation (the
+    * k-means A/B arm), leaving the assignment fast paths on.
+    */
+  private val disableTopDotKmeans =
+    sys.env.get("SPARK_GRAFT_NO_TOPDOT_KMEANS").contains("1")
+
   private[operators] def collectCentModel(cents: DataFrame): Option[CentModel] = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     if (disableTopDot) return None
@@ -1903,10 +1909,96 @@ object Similarity {
       convergeTol: Option[Long]): Array[((Int, Long), Array[Long])] = {
     val spark = pts.sparkSession
     import spark.implicits._
-    val b = pts.withColumn("n2", dotNative(col("mv"), col("mv")))
+    import org.apache.spark.sql.graft.ColumnBridge
+    // r18 OPT (guide §2.4): the assignment is a per-row argmin the map
+    // side can do alone — the broadcast-join formulation exploded every
+    // point × |centroids| and shuffled a corpus-sized (pid, best-struct-
+    // with-vector) aggregation just to pick each row's argmin. Fast path:
+    // argmin_c ‖x−c‖² = argmax_c (2·x·c − ‖c‖²) = one exact integer dot
+    // against the AUGMENTED model ([x,1]·[2c,−‖c‖²]) — [[TopDotIds]]
+    // reused verbatim (dot desc, id asc ≡ dist asc, id asc; Math.*Exact
+    // overflow semantics), centroids are already driver-side arrays, so
+    // the per-iteration job becomes projection → component aggregation
+    // with a model-sized exchange. SIZE-GATED on the point table's plan
+    // stats (default 4 MiB, `SPARK_GRAFT_KMEANS_TOPDOT_BYTES`; 0 = always
+    // fast): below the threshold the tiny per-iteration shuffle is free
+    // and the projection's per-row array allocations measured NET SLOWER
+    // (trained family 12.6 → 13.3 s at sf0.1), above it the removed
+    // corpus-sized exchange wins (d12b 4.18 → 3.65 s at sf1, and the gap
+    // is the corpus:model size ratio at 100 TB). Fallback (ragged or
+    // oversized seed sets, or SPARK_GRAFT_NO_TOPDOT=1): the join
+    // formulation verbatim below. Results identical on every path.
+    val dims = seeds.map(_._2.length).distinct
+    // sys.props first so the equivalence spec can force either path in
+    // one JVM (the oracle corpus sits below the gate, so the fast path's
+    // bit-identity is pinned by KmeansPropertiesSpec, not the sf0.01 gate)
+    val tdMinBytes = sys.props.get("SPARK_GRAFT_KMEANS_TOPDOT_BYTES")
+      .orElse(sys.env.get("SPARK_GRAFT_KMEANS_TOPDOT_BYTES"))
+      .map(_.toLong).getOrElse(4L * 1024 * 1024)
+    val useTopDot = !disableTopDot && !disableTopDotKmeans &&
+      seeds.nonEmpty && seeds.length <= MaxInlineCentroids &&
+      dims.length == 1 &&
+      pts.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(tdMinBytes)
+    if (sys.env.get("PROBE_KMEANS_GATE").contains("1"))
+      println(s"lloydLoop gate: stats=" +
+        s"${pts.queryExecution.optimizedPlan.stats.sizeInBytes} " +
+        s"min=$tdMinBytes useTopDot=$useTopDot")
+    val groups = seeds.map(_._1._1).distinct.sorted
+    val cidStride = if (seeds.isEmpty) 1L else seeds.map(_._1._2).max + 1
+    val dim = dims.headOption.getOrElse(0)
+    // exchange-formulation input (only the fallback pays the n2 column)
+    lazy val b = pts.withColumn("n2", dotNative(col("mv"), col("mv")))
+    // fast-path input: the exchange path raises on a ragged/NULL vector
+    // (its dist dots to NULL); the same contract as an explicit dimension
+    // assert. The group filter reproduces the inner join's "unknown grp
+    // rows vanish" semantics (unreachable for both callers, kept exact).
+    lazy val ptsChecked = {
+      val checked = pts.filter(assert_true(
+        coalesce(size(col("mv")) === lit(dim), lit(false)),
+        lit("kmeansTrain: ragged vector — its dimension does not match " +
+          "the centroids'; fix or filter the corpus")).isNull)
+      if (groups.length == 1) checked
+      else checked.filter(col("grp").isin(groups: _*))
+    }
     var cents = seeds
     var converged = false
     (1 to iters).foreach { _ => if (!converged) {
+      val sums: Map[(Int, Long, Int), Long] = if (useTopDot) {
+        val sortedC = cents.sortBy { case ((g, cid), _) =>
+          g.toLong * cidStride + cid }
+        val gids = sortedC.map { case ((g, cid), _) =>
+          g.toLong * cidStride + cid }
+        val units = sortedC.flatMap { case (_, cv) =>
+          val cn2 = cv.foldLeft(0L)((a, x) =>
+            Math.addExact(a, Math.multiplyExact(x, x)))
+          cv.map(x => Math.multiplyExact(x, 2L)) :+ Math.negateExact(cn2)
+        }
+        val cand =
+          if (groups.length == 1) emptyCand
+          else ColumnBridge.column(graft.functions.ExpandIds(
+            ColumnBridge.expression(array(col("grp").cast("long"))),
+            groups.map(_.toLong),
+            groups.map(g => sortedC.collect {
+              case ((gg, cid), _) if gg == g => gg.toLong * cidStride + cid
+            })))
+        val td = ColumnBridge.column(graft.functions.TopDotIds(
+          ColumnBridge.expression(concat(col("mv"), array(lit(1L)))),
+          ColumnBridge.expression(cand), 1, gids, units))
+        ptsChecked
+          .select(col("grp"),
+            (element_at(td, 1) - col("grp").cast("long") * cidStride)
+              .as("c_id"),
+            col("mv"))
+          .select(col("grp"), col("c_id"),
+            posexplode_outer(col("mv")).as(Seq("p0", "val")))
+          .filter(col("val").isNotNull)
+          .groupBy(col("grp"), col("c_id"), col("p0"))
+          .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+          .select(col("grp"), col("c_id"), col("p0"),
+            floor(col("s").cast("double") / col("n")).cast("long").as("uval"))
+          .as[(Int, Long, Int, Long)].collect()
+          .map { case (g, cid, p0, uval) => (g, cid, p0) -> uval }.toMap
+      } else {
       val c = cents.toSeq.map { case ((g, cid), cv) => (g, cid, cv) }
         .toDF("cgrp", "c_id", "cv")
         .withColumn("cn2", dotNative(col("cv"), col("cv")))
@@ -1929,7 +2021,7 @@ object Similarity {
       // InferFiltersFromGenerate from pushing `size(transform(...)) > 0`
       // — micros conversion inlined — into a scan-side filter (§8.2's
       // trap, swept by PlanSpec).
-      val sums = scored.groupBy(col("grp"), col("pid"))
+      scored.groupBy(col("grp"), col("pid"))
         .agg(min(struct(col("dist"), col("c_id"), col("mv"))).as("best"))
         .select(col("grp"), col("best.c_id").as("c_id"), col("best.mv").as("mv"))
         .select(col("grp"), col("c_id"),
@@ -1941,6 +2033,7 @@ object Similarity {
           floor(col("s").cast("double") / col("n")).cast("long").as("uval"))
         .as[(Int, Long, Int, Long)].collect()
         .map { case (g, cid, p0, uval) => (g, cid, p0) -> uval }.toMap
+      }
       // empty-cluster rule: a centroid that captured nothing keeps its
       // previous position (sums has no rows for it)
       val next = cents.map { case (key @ (g, cid), cv) =>

@@ -249,4 +249,25 @@ class CorpusPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("r18 OPT: repetitionProfile kernel ≡ aggregation formulation " +
+      "(15 random corpora incl. null/empty/single-token/looped docs)") {
+    val wordGen = Gen.oneOf("a", "b", "cc", "dd", "x1", "!!", "")
+    val docGen: Gen[String] = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    (1 to 15).foreach { i =>
+      val texts = Gen.listOfN(10, docGen)
+        .pureApply(Gen.Parameters.default, Seed(3000L + i))
+      // force the edge rows every time: null text, empty, single token,
+      // and a looped-boilerplate doc (the mode the filter exists to catch)
+      val rows = (texts ++ Seq(null, "", "solo", "spam spam spam spam"))
+        .zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+      val fast = run(Corpus.repetitionProfile(df, col("doc_id"), col("text")))
+      val agg = run(Corpus.repetitionProfileAgg(df, col("doc_id"), col("text")))
+      assert(fast == agg, s"case $i")
+    }
+  }
 }

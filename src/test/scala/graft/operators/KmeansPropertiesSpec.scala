@@ -235,4 +235,79 @@ class KmeansPropertiesSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("reference")), s"got: ${msgs(e).mkString(" | ")}")
   }
+
+  /** Run `f` with the lloydLoop size gate forced via the sys.props seam
+    * (r18 OPT): "0" = the TopDot projection path on any input size, a
+    * huge value = the join formulation. Always restores the prop.
+    */
+  private def withTopDotGate[A](bytes: String)(f: => A): A = {
+    val key = "SPARK_GRAFT_KMEANS_TOPDOT_BYTES"
+    val old = sys.props.get(key)
+    sys.props(key) = bytes
+    try f finally old match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props -= key
+    }
+  }
+
+  test("r18 OPT: lloydLoop TopDot path is bit-identical to the join formulation " +
+      "(15 random corpora incl. exact ties, both seed modes, multi-iter)") {
+    (1 to 15).foreach { i =>
+      val vs0 = sampleVecs(100L + i)
+      // force exact ties in half the cases: duplicate every vector so
+      // several points sit at identical distances from multiple seeds
+      val vs = if (i % 2 == 0) vs0 ++ vs0 else vs0
+      val df = vs.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val k = math.min(1 + i % 4, vs.size)
+      val fast = withTopDotGate("0") {
+        Similarity.kmeansTrain(df, col("vec_id"), col("embedding"),
+          k = k, iters = 1 + i % 3, seedStride = 1, rankSeeds = i % 3 == 0)
+          .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      }
+      val exch = withTopDotGate(Long.MaxValue.toString) {
+        Similarity.kmeansTrain(df, col("vec_id"), col("embedding"),
+          k = k, iters = 1 + i % 3, seedStride = 1, rankSeeds = i % 3 == 0)
+          .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      }
+      assert(fast.toSeq == exch.toSeq, s"case $i")
+    }
+  }
+
+  test("r18 OPT: lloydLoop TopDot path raises on a ragged vector like the join formulation") {
+    val df = Seq(
+      (0L, Array(0.1f, 0.2f)),
+      (1L, Array(0.3f, 0.4f)),
+      (2L, Array(0.5f, 0.6f, 0.7f))). // ragged
+      toDF("vec_id", "embedding")
+    Seq("0", Long.MaxValue.toString).foreach { gate =>
+      val e = intercept[Exception] {
+        withTopDotGate(gate) {
+          Similarity.kmeansTrain(df, col("vec_id"), col("embedding"),
+            k = 2, iters = 1, seedStride = 1).collect()
+        }
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("ragged")),
+        s"gate=$gate got: ${msgs(e).mkString(" | ")}")
+    }
+  }
+
+  test("r18 OPT: pqTrainCodebook (the multi-group lloydLoop) is gate-invariant") {
+    val vs = sampleVecs(55L).map(v => (v ++ v ++ v ++ v).take(8)) // dim 8
+    val df = vs.zipWithIndex.map { case (v, id) => (id.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val fast = withTopDotGate("0") {
+      Similarity.pqTrainCodebook(df, col("vec_id"), col("embedding"),
+        numSubspaces = 4, numCodes = math.min(3, vs.size), iters = 2,
+        seedStride = 1)
+    }
+    val exch = withTopDotGate(Long.MaxValue.toString) {
+      Similarity.pqTrainCodebook(df, col("vec_id"), col("embedding"),
+        numSubspaces = 4, numCodes = math.min(3, vs.size), iters = 2,
+        seedStride = 1)
+    }
+    assert(fast.map(_.map(_.toSeq).toSeq).toSeq == exch.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }

@@ -115,15 +115,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), "greedy scan must run as mapPartitions")
   }
 
-  test("t5: repetition profile is two partial-agg exchanges, no joins (bounded per doc size)") {
+  test("t5: repetition profile is a shuffle-free kernel projection, no joins") {
     assume(new java.io.File(s"$dir/documents.parquet").exists())
     val plan = planOf("t5_repetition")
-    // (doc,bigram) count then per-doc max/total — both with map-side partials;
-    // the per-row lambda alternative is O(distinct×total) interpreted work
-    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
-      s"expected the two aggregation exchanges:\n${plan.take(600)}")
-    assert(plan.contains("partial_count") || plan.contains("partial_min"),
-      "expected partial aggregation below the shuffles")
+    // r18 OPT: the top-bigram mode is a per-row reduction — the
+    // BigramModeStats kernel runs in the scan's projection, so the two
+    // corpus-sized aggregation exchanges of the old formulation are gone
+    // (that shape survives as repetitionProfileAgg, spec-pinned equal in
+    // CorpusPropertiesSpec). The O(distinct×total) interpreted per-row
+    // array-lambda alternative remains rejected — the kernel is O(total)
+    // compiled.
+    assert(plan.contains("graft_bigram_mode_stats"),
+      s"expected the mode kernel in the projection:\n${plan.take(600)}")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 0,
+      s"expected no aggregation exchange:\n${plan.take(600)}")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"))
   }
 
