@@ -351,7 +351,7 @@ object AnalyticsQueries {
   // that must not run on a single core (SURVEY §8.1)
   private val a2: Q = (s, dir) =>
     graft.operators.Profile.profile(
-      t(s, dir, "orders").repartition(s.sparkContext.defaultParallelism),
+      PipelineQueries.rebalance(s, t(s, dir, "orders")),
       Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"))
 
   // sketch-tier profile: one pass, NO Expand — per-column null counts +
@@ -359,7 +359,7 @@ object AnalyticsQueries {
   // a2's exact-distinct companion for the 100 TB pre-ingest sweep
   private val a5: Q = (s, dir) =>
     graft.operators.Profile.profileSketch(
-      t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+      PipelineQueries.rebalance(s, t(s, dir, "documents")),
       Seq("doc_id", "lang", "source", "n_chars"), k = 32)
 
   // equi-width price histogram with zero-filled empty buckets — the

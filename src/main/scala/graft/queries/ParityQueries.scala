@@ -152,8 +152,8 @@ object ParityQueries {
     // testdata parquet is single-row-group → a bare scan is ONE task, and
     // the collect_list partial aggregation would run on one core; rebalance
     // first (same rationale as PipelineQueries.t)
-    val parts = s.read.parquet(s"$dir/lineitem.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+    val parts = PipelineQueries.rebalance(s,
+        s.read.parquet(s"$dir/lineitem.parquet"))
       .groupBy(col("l_orderkey")).agg(collect_list(col("l_partkey")).as("parts"))
     new HashJoinExecutor(s, new InMemoryResolver(Map(
       "orders" -> orders, "order_parts" -> parts)))

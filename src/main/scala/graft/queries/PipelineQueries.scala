@@ -33,9 +33,30 @@ object PipelineQueries {
     * a few MB. On production multi-row-group files the scan itself
     * provides the splits and this repartition can be dropped.
     */
+  /** Rebalance a fresh SOURCE scan: the local testdata files are single
+    * row groups, so a bare scan is ONE task and every per-row-heavy stage
+    * above it would run on one core (SURVEY §8.1). But the repartition is
+    * only the remedy for UNDER-SPLIT inputs — on a production-sized
+    * source the scan already yields ≥ cores of splits and a round-robin
+    * exchange is a pure full-corpus reshuffle. So it is SKIPPED when the
+    * scan's plan-stat bytes guarantee at least `defaultParallelism`
+    * natural splits (cores × spark.sql.files.maxPartitionBytes) — derived
+    * from conf, not a constant tuned for either mode (r18 OPT, guide §2.2
+    * "make partitioning scale-adaptive"). sf0.1 and below stay on the
+    * repartition path, so the bench contract is untouched.
+    */
+  private[queries] def rebalance(s: SparkSession, df: DataFrame): DataFrame = {
+    val maxPart = try {
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        s.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    } catch { case _: Throwable => 134217728L }
+    val threshold = BigInt(s.sparkContext.defaultParallelism.toLong) * maxPart
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes >= threshold) df
+    else df.repartition(s.sparkContext.defaultParallelism)
+  }
+
   private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+    rebalance(s, s.read.parquet(s"$dir/$name.parquet"))
 
   /** Events `ts` column, schema-adaptive: some testdata generations write
     * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read the

@@ -18,6 +18,28 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("r18 OPT: source rebalance is scale-adaptive — repartition fires for " +
+      "under-split local files, skips once the scan guarantees enough splits") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    // tiny file, default maxPartitionBytes: the single-row-group remedy fires
+    val small = PipelineQueries.rebalance(spark, df)
+    assert(small.queryExecution.executedPlan.toString
+      .contains("RoundRobinPartitioning"),
+      "under-split source must be rebalanced")
+    // shrink maxPartitionBytes so the same scan is guaranteed ≥ cores of
+    // natural splits: the round-robin exchange must disappear
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1b")
+      val big = PipelineQueries.rebalance(spark, df)
+      assert(!big.queryExecution.executedPlan.toString
+        .contains("RoundRobinPartitioning"),
+        "well-split source must not pay a full reshuffle")
+    } finally spark.conf.set(key, old)
+  }
+
   test("j1: residual filter is pushed down to the orders parquet scan") {
     assume(new java.io.File(s"$dir/orders.parquet").exists())
     val plan = planOf("j1_inner_hash")
