@@ -529,8 +529,14 @@ object EventStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val model = batch.sparkSession.read.parquet(modelPath)
-        onScores(graft.operators.NgramLm.scoreWith(
+        try onScores(graft.operators.NgramLm.scoreWith(
           model, batch, col("doc_id"), col("text")), batchId)
+        finally
+          // scoreWith caches the unigram table when the model is big
+          // (r18 OPT 5's size gate); release it per batch — the same
+          // handler-then-release discipline as ingestDedupStream — so a
+          // long-running stream never accumulates per-batch caches
+          graft.operators.Corpus.unpersistIntermediates()
       }
       .start()
 }
