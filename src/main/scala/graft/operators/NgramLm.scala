@@ -143,8 +143,9 @@ object NgramLm {
     * model table: filtering the union back apart made every consumer
     * (bigram probe, unigram probe, vocabulary count) re-evaluate both
     * reference aggregations — 5 tokenize passes and 6 aggregations of the
-    * reference corpus in c23's measured plan, vs 2 passes / 2 aggregations
-    * here (r18 OPT, guide §5). Row-for-row identical to the
+    * reference corpus in c23's measured plan, vs 3 passes / 3 aggregations
+    * here with the cache gate off (2 / 2 once a big model trips the gate)
+    * (r18 OPT, guide §5). Row-for-row identical to the
     * `scoreWith(bigramModel(...), ...)` composition: the parts below are
     * [[bigramModel]]'s two union branches verbatim.
     */
